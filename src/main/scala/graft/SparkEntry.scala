@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.core.GraftSession
+import graft.queries.{TrainingQueries, WarehouseQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    WarehouseQueries.queries("j2_dim_join")(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data pipeline extensions). Each function tunes the session
+    * idempotently before building its plan.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (WarehouseQueries.queries ++ TrainingQueries.queries).map {
+      case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => { GraftSession.tune(s); fn(s, dir) })
+    }
+
+  /** DuckDB-runnable oracle SQL per query; queries absent here get a weaker
+    * rows-only check (only t_ann_lsh, whose bucketing has no SQL analog).
+    */
+  def oracleSql: Map[String, String] =
+    WarehouseQueries.oracles ++ TrainingQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristics and
+  * document fingerprinting.
+  *
+  * Everything here is built from codegen'd builtin functions (split /
+  * regexp_extract_all / transform / aggregate) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with no
+  * shuffle: these are per-row maps over the documents table.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, with no empty-string artifacts (\S+ extraction
+    * instead of split, so leading/trailing whitespace is harmless).
+    */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
+    * single other non-space character — the standard pre-tokenizer shape.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+
+  private val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordCount(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t)))
+  }
+
+  /** Quality signals: length, token stats, punctuation ratio, stopword
+    * ratio, mean token length. Ratios are exact integer divisions promoted
+    * to double, deterministic across engines.
+    */
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Gopher/C4-style keep heuristic. */
+  def qualityKeep(text: Column): Column =
+    (tokenCount(text) >= 5) && (punctRatio(text) < 0.3) && (meanTokenLen(text) >= 2.0)
+
+  /** n-gram language-ID heuristic: score = stopword hits per language list,
+    * highest wins, deterministic tie order, "und" when nothing matches.
+    */
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langStopwords.map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(sw, t)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // strict-max cascade in declared order: a language wins only if its
+    // score beats all later ones and is > 0 — deterministic, SQL-portable.
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Normalized-content fingerprint: lowercase, collapse non-alphanumerics,
+    * md5. Identical normalization → identical fingerprint, the standard
+    * exact-dedup key.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Rolling polynomial hash over tokens (order-sensitive — reordered words
+    * change the fingerprint, unlike a bag-of-words hash). Kept under 1e9+7
+    * so ANSI-mode arithmetic never overflows.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(normalized(text)), lit(0L),
+      (acc, t) => (acc * 31L + length(t).cast("long") * 131L + ascii(t).cast("long")) % 1000000007L)
+}

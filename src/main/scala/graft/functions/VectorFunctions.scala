@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over Array[Float] columns, built on the codegen'd
+  * higher-order functions (zip_with / transform / aggregate) so the hot path
+  * stays inside WholeStageCodegen — no UDF serialization per row.
+  *
+  * Accumulation is an explicit left-to-right double fold, which makes the
+  * results bit-deterministic (and equal to any engine that sums a list
+  * sequentially in doubles — the property the DuckDB oracle relies on).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of `queryVec` (a 1-row DF with an
+    * `embedding` column). The query side is broadcast; the scan is a single
+    * pass over the corpus followed by a k-row reduction — the exact-answer
+    * baseline every ANN variant is judged against.
+    */
+  def bruteForceTopK(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+      .drop("__qv")
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random-hyperplane LSH: plane p's weight for dimension d is
+    * derived from md5(p||d) — reproducible across runs and engines, no RNG.
+    * Buckets co-locate similar vectors so candidate generation is a cheap
+    * equi-join on the signature instead of a full cross product; at 100 TB
+    * this is the difference between a shuffle join on a short key and an
+    * infeasible cartesian scan.
+    */
+  /** weight_{p,d} in [-7.5, 7.5]: first md5 nibble of "p:d", shifted. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    ((digest(0) >> 4) & 0xf) - 7.5
+  }
+
+  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        vec.getItem(d).cast("double") * lit(planeWeight(p, d))
+      }
+      val proj = terms.reduce(_ + _)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat_ws("", bits: _*)
+  }
+
+  /** Bucketed ANN: exact top-k within the query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, planes: Int, dims: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigd = corpus.withColumn("__sig", hyperplaneSig(col(vecCol), planes, dims))
+    val q = broadcast(queryVec
+      .select(col(vecCol).as("__qv"))
+      .withColumn("__qsig", hyperplaneSig(col("__qv"), planes, dims)))
+    sigd.join(q, col("__sig") === col("__qsig"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+      .drop("__qv", "__qsig", "__sig")
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Idempotent del-ins batch loads (D1/D5) — the heart of the reference.
+  *
+  * Every load is retry-safe because it first deletes any rows carrying the
+  * same (batch_run_date, batch_id) and then appends the batch (reference
+  * dags/stellar_etl_airflow/build_del_ins_from_gcs_to_bq_task.py:79-203;
+  * standalone delete build_delete_data_task.py:9-41, whose comment notes the
+  * predicate deliberately hits the partition column so the delete prunes).
+  *
+  * Two layers:
+  *  - [[delIns]]: the pure semantics (DataFrame -> DataFrame), used by the
+  *    oracle-checked queries and property tests.
+  *  - [[Warehouse]]: a partitioned-parquet materialization where a batch
+  *    maps onto a partition directory, so del-ins becomes dynamic partition
+  *    overwrite — no read-modify-write of the whole table, which is the only
+  *    version that survives 100 TB.
+  */
+object DelIns {
+
+  /** Pure del-ins: drop target rows matching the batch key, append batch. */
+  def delIns(target: DataFrame, batch: DataFrame, batchKeys: Seq[String]): DataFrame = {
+    val keyed = batch.select(batchKeys.map(col): _*).distinct()
+    target.join(keyed, batchKeys, "left_anti")
+      .unionByName(batch.select(target.columns.map(col).toSeq: _*))
+  }
+
+  /** Partitioned warehouse table rooted at `path`, partitioned by
+    * `partitionCols` (the derived month/day column of SURVEY §1.3 plus
+    * batch_id). Loading a batch = dynamic partition overwrite of exactly the
+    * batch's partitions: Spark only rewrites directories the batch touches.
+    */
+  final class Warehouse(spark: SparkSession, path: String, partitionCols: Seq[String]) {
+
+    def loadBatch(batch: DataFrame): Unit = {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.write
+        .mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    }
+
+    def read(): DataFrame = spark.read.parquet(path)
+
+    /** D5/K7 retention: drop partitions older than the cutoff — a metadata
+      * listing plus directory deletes, never a data rewrite (the reference's
+      * 450-day partition expiry, reference dags/queries/create_table.sql:1-9).
+      */
+    def expirePartitions(cutoff: String, partitionCol: String): Seq[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(root)) return Seq.empty
+      val dropped = fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(s"$partitionCol=") &&
+            java.net.URLDecoder.decode(n.stripPrefix(s"$partitionCol="), "UTF-8") < cutoff
+        }
+      dropped.foreach(st => fs.delete(st.getPath, true))
+      dropped.map(_.getPath.getName)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Merge/upsert family (D2/D3/D4) as pure DataFrame transforms.
+  *
+  * The reference expresses these as BigQuery MERGE statements generated from
+  * a per-table key map (reference
+  * dags/stellar_etl_airflow/build_apply_gcs_changes_to_bq_task.py:78-181):
+  *   D2 tombstone merge: WHEN MATCHED AND S.deleted THEN DELETE /
+  *                       WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+  *   D3 insert-unique:   WHEN NOT MATCHED THEN INSERT (PK emulation)
+  *   D4 dedup-insert:    in-batch window dedup + anti-join + append
+  *
+  * On a transactional table format these map 1:1 onto MERGE; expressed as
+  * transforms they stay format-agnostic and testable, and the compute shape
+  * is what matters at scale: one shuffle on the merge key shared by the
+  * anti-join and the union'd source side.
+  */
+final case class MergeSpec(keys: Seq[String], tombstoneCol: Option[String])
+
+object MergeOps {
+
+  /** D2: next table state after applying `source` changes to `target`.
+    * Assumes (like the reference's state exports,
+    * reference dags/state_table_dag.py:128-135) the source has already been
+    * collapsed to one row per key; use [[CurrentState.latestByKey]] first
+    * when it hasn't.
+    */
+  def merge(target: DataFrame, source: DataFrame, spec: MergeSpec): DataFrame = {
+    val survivors = target.join(source.select(spec.keys.map(col): _*), spec.keys, "left_anti")
+    val upserts = spec.tombstoneCol match {
+      case Some(d) => source.filter(!coalesce(col(d), lit(false)))
+      case None    => source
+    }
+    survivors.unionByName(upserts.select(target.columns.map(col).toSeq: _*))
+  }
+
+  /** D3: primary-key-emulating append — only source rows whose key is absent
+    * from the target survive (WHEN NOT MATCHED THEN INSERT).
+    */
+  def insertUnique(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(
+      source.join(target.select(keys.map(col): _*), keys, "left_anti")
+        .select(target.columns.map(col).toSeq: _*))
+
+  /** The rows D3 would insert (useful when the caller appends to storage
+    * itself rather than materializing the whole union).
+    */
+  def newRows(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    source.join(target.select(keys.map(col): _*), keys, "left_anti")
+
+  /** D4: the reference's history_assets flow
+    * (reference dags/queries/history_assets.sql:1-62) — dedup the staging
+    * batch to its oldest row per key, then insert only keys the target
+    * doesn't have.
+    */
+  def dedupInsertNewRows(staging: DataFrame, existingKeys: DataFrame,
+                         keys: Seq[String], orderCols: Seq[String]): DataFrame =
+    CurrentState.firstByKey(staging, keys, orderCols)
+      .join(existingKeys.select(keys.map(col): _*), keys, "left_anti")
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` tables.
+  *
+  * Signatures are md5-based so the DuckDB oracle reproduces them from the
+  * same strings; vector math is an explicit left-to-right double fold on
+  * both sides so the floats match bit-for-bit before the final rounding.
+  */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // Exact dedup: hash-groupBy, one row per distinct content.
+    "t_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash + LSH candidate pairs (shingle -> minhash -> band -> bucket join).
+    "t_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 9, bands = 3)),
+
+    // LSH candidates verified with exact n-gram Jaccard.
+    "t_dedup_jaccard" -> ((s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 9, bands = 3, threshold = 0.3)),
+
+    // 32-bit SimHash per document.
+    "t_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Token counting + quality scoring.
+    "t_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      d.select(
+        col("doc_id"), col("n_chars"),
+        length(txt).cast("long").as("len_chars"),
+        TF.tokenCount(txt).cast("long").as("n_tokens"),
+        TF.bpeTokenCount(txt).cast("long").as("n_bpe"),
+        TF.punctCount(txt).cast("long").as("n_punct"),
+        TF.punctRatio(txt).as("punct_ratio"),
+        TF.stopwordRatio(txt).as("stopword_ratio"),
+        TF.meanTokenLen(txt).as("mean_token_len"),
+        TF.qualityKeep(txt).as("keep"))
+    }),
+
+    // Language-ID heuristic + accuracy flag vs the labeled lang column.
+    "t_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scores = TF.langScores(col("text"))
+      val scoreCols = scores.map { case (l, c) => c.cast("long").as(s"s_$l") }
+      d.select((col("doc_id") +: col("lang") +: scoreCols :+
+        TF.langId(col("text")).as("pred_lang")): _*)
+        .withColumn("correct", col("pred_lang") === col("lang"))
+    }),
+
+    // Document fingerprinting: normalized-md5 + rolling polynomial hash.
+    "t_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.fingerprintMd5(col("text")).as("fp_md5"),
+        TF.rollingHash(col("text")).as("fp_rolling"))),
+
+    // Brute-force cosine top-k vs a fixed query vector (exact baseline).
+    "t_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      VF.bruteForceTopK(emb, q, k = 10).select("vec_id", "label", "cos")
+    }),
+
+    // LSH-bucketed ANN (scale path; no SQL oracle -> rows-only check).
+    "t_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      VF.lshTopK(emb, q, k = 10, planes = 4, dims = 64).select("vec_id", "label", "cos")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata through
+    // the per-partition (stubbed) decoder.
+    "t_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select("doc_id", "media_type", "n_bytes", "content_hash")
+    })
+  )
+
+  private val shingleCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      |      i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 9),
+      |      j -> list_min(list_transform(shingles, s -> md5(j || '|' || s)))) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 3),
+      |      b -> md5(b || '|' || array_to_string(sig[b*3+1:b*3+3], '|')))) AS band
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "t_dedup_minhash" -> (shingleCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    "t_dedup_jaccard" -> (shingleCtes +
+      """, scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin),
+
+    "t_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |tb AS (SELECT doc_id, unnest(list_transform(tk, t -> md5(t))) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, bb.bit AS bit,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(bb.bit // 4 AS INTEGER) + 1, 1)) - 1)
+        |                   >> CAST(3 - bb.bit % 4 AS INTEGER)) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM tb, (SELECT unnest(range(0, 32)) AS bit) bb
+        |  GROUP BY doc_id, bb.bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "t_text_stats" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        tt -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], tt))) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_token_len,
+        |  (len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |         / greatest(len(regexp_extract_all(text, '\S+')), 1)) < 0.3
+        |    AND (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))) AS DOUBLE)
+        |         / greatest(len(regexp_extract_all(text, '\S+')), 1)) >= 2.0) AS keep
+        |FROM documents""".stripMargin,
+
+    "t_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      tt -> list_contains(['the','and','of','to','a','in','is'], tt))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      tt -> list_contains(['el','la','de','que','y','en','los'], tt))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      tt -> list_contains(['der','die','und','das','ist','nicht','ein'], tt))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      tt -> list_contains(['le','la','et','les','des','est','une'], tt))) AS BIGINT) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  (CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |        ELSE 'fr' END) = lang AS correct
+        |FROM scored""".stripMargin,
+
+    "t_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(nt, '\S+'),
+        |        tt -> CAST(length(tt) * 131 + ascii(tt) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+        |FROM norm""".stripMargin,
+
+    "t_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM embeddings, q)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "t_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,459 @@
+package graft.queries
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse operator queries (SURVEY §2.1–§2.9), each with a DuckDB oracle.
+  *
+  * Float discipline: every SUM over a double column goes through
+  * DECIMAL(18,2) and the result is cast back to double. Exact decimal
+  * arithmetic is engine-independent, so Spark and DuckDB produce
+  * bit-identical values regardless of partial-aggregation order — raw
+  * double sums would differ in ulps between engines and break hash compare.
+  */
+object WarehouseQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // A1/A5: map-side-combinable aggregation; the canonical pricing summary.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S1: time window -> id range, the reference's get_ledger_range_from_times
+    // re-expressed as a pruned scan + min/max agg.
+    "s1_ledger_range" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .agg(min("event_id").as("start_id"), max("event_id").as("end_id"),
+          count(lit(1)).as("n"))
+    }),
+
+    // S4: schema-enforced scan with pushed filter + pruned projection.
+    "s4_typed_scan" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // D1: idempotent del-ins — re-delivering one day's batch leaves the
+    // table unchanged; the aggregate proves it against the plain oracle.
+    "d1_del_ins" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("batch_key", to_date(col("ts")).cast("string"))
+      val redelivered = ev.filter(col("batch_key") === "2024-01-15")
+      val reloaded = DelIns.delIns(ev, redelivered, Seq("batch_key"))
+      reloaded.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("value_sum"))
+    }),
+
+    // D2: tombstone merge (MERGE ... WHEN MATCHED AND deleted THEN DELETE).
+    "d2_merge_tombstone" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"),
+          (col("c_custkey") % 10 === 0).as("deleted"))
+      val inserts = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("cust_new_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"),
+          lit(false).as("deleted"))
+      val merged = MergeOps.merge(cust, updates.unionByName(inserts),
+        MergeSpec(Seq("c_custkey"), Some("deleted")))
+      merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    }),
+
+    // D3: insert-unique (PK emulation via anti-join).
+    "d3_insert_unique" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      MergeOps.insertUnique(target, orders, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // D4: staging dedup (oldest per key) + anti-join insert.
+    "d4_dedup_insert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      val existing = li.filter((col("l_partkey") + col("l_suppkey")) % 4 === 0)
+        .select("l_partkey", "l_suppkey").distinct()
+      MergeOps.dedupInsertNewRows(li, existing,
+        Seq("l_partkey", "l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate").as("first_shipdate"))
+    }),
+
+    // W1: current-state dedup (dense_rank desc = 1).
+    "w1_current_state" -> ((s, dir) =>
+      CurrentState.latestByKey(t(s, dir, "events"),
+        Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_id", "event_type", "value", "ts")),
+
+    // W2: oldest-per-key dedup (row_number asc = 1).
+    "w2_first_order" -> ((s, dir) =>
+      CurrentState.firstByKey(t(s, dir, "orders"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey").as("first_order"),
+          col("o_orderdate").as("first_date"))),
+
+    // W3: SCD2 validity intervals via lead().
+    "w3_scd2_intervals" -> ((s, dir) =>
+      AsOfJoin.scd2Intervals(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "value", "valid_from", "valid_to")),
+
+    // J3 (keyed leg): as-of join facts->prevailing interval value.
+    "j3_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val intervals = AsOfJoin.scd2Intervals(
+        ev.filter(col("event_type") === "purchase"), Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id").as("p_user"), col("value").as("price"),
+          col("valid_from"), col("valid_to"))
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.asOf(clicks, intervals, Seq("user_id" -> "p_user"), "ts")
+        .select(clicks("event_id"), clicks("user_id"), clicks("ts"), col("price"))
+    }),
+
+    // J3 (keyless leg): global scalar series, broadcast BNLJ — the
+    // reference's xlm_price pattern.
+    "j3_asof_global" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      val gp = ev.filter(col("event_type") === "purchase" && col("user_id") === 42)
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts"), 1).over(w),
+            lit(AsOfJoin.EndOfTime).cast("timestamp")))
+        .select(col("value").as("global_price"), col("valid_from"), col("valid_to"))
+      val views = ev.filter(col("event_type") === "view")
+      AsOfJoin.asOfGlobal(views, gp, "ts")
+        .select(views("event_id"), views("ts"), col("global_price"))
+    }),
+
+    // J1: change-log x spine equi join (attach closed_at).
+    "j1_state_ledger_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(li("l_orderkey"), li("l_linenumber"), li("l_quantity"),
+          o("o_orderdate").as("closed_at"))
+    }),
+
+    // J2/J9-shape: fact -> chain of small dims, all broadcast.
+    "j2_dim_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+    }),
+
+    // J4: anti join (LEFT JOIN ... IS NULL in the reference).
+    "j4_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // J5: self join on composite key (the trades sell-side x buy-side).
+    "j5_self_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_linenumber") === 1).as("a")
+      val b = li.filter(col("l_linenumber") === 2).as("b")
+      a.join(b, col("a.l_orderkey") === col("b.l_orderkey"))
+        .select(col("a.l_orderkey").as("l_orderkey"),
+          col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"),
+          col("a.l_quantity").as("qty_a"), col("b.l_quantity").as("qty_b"))
+    }),
+
+    // J6: left join + semi-join-with-exception filter.
+    "j6_left_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey") && p("p_size") > 40, "left_outer")
+        .filter(p("p_brand").isNotNull || li("l_quantity") > 45)
+        .select(li("l_orderkey"), li("l_linenumber"), li("l_quantity"), p("p_brand"))
+    }),
+
+    // J7: scalar attach via broadcast cross join (rank=1 latest price).
+    "j7_cross_scalar" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val latest = ev.agg(max(col("ts")).as("max_ts"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(latest))
+    }),
+
+    // W4: latest-per-key via rank desc = 1.
+    "w4_rank_latest" -> ((s, dir) =>
+      AsOfJoin.latest(t(s, dir, "events"), Seq("event_type"), Seq("ts", "event_id"))
+        .select("event_type", "event_id", "ts", "value")),
+
+    // A2: conditional filtered aggregation (LP providers shape).
+    "a2_provider_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup") &&
+          (col("value") > 0 || col("value").isNull))
+        .groupBy("user_id")
+        .agg(min("ts").as("first_seen"),
+          sum(dec2(coalesce(col("value"), lit(0)))).cast("double").as("total_value"),
+          count(lit(1)).as("n_events"))),
+
+    // A5: daily mart aggregate (day x type).
+    "a5_daily_activity" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          countDistinct(col("user_id")).as("uniq_users"))),
+
+    // Set op: unionByName of heterogeneous sources.
+    "set_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(lit("customer").as("src"), col("c_custkey").as("id"), col("c_name").as("name"))
+      val sup = t(s, dir, "supplier")
+        .select(lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("name"))
+      c.unionByName(sup)
+    }),
+
+    // K3: lake-export-shaped query — window filter, flat projection, order.
+    "k3_sorted_export" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")),
+
+    // P4: string scalar functions.
+    "p4_strings" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        col("p_name").like("%a%").as("has_a"),
+        regexp_extract(col("p_type"), "[A-Z]+", 0).as("type_caps"),
+        trim(substring(col("p_name"), 1, 10)).as("name10"))),
+
+    // P5: date/time scalar functions.
+    "p5_dates" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
+        add_months(col("o_orderdate"), 15).as("plus15m"),
+        (unix_seconds(col("o_orderdate").cast("timestamp")) - lit(946684800L)).as("sec_since_2000"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))),
+
+    // P8: JSON extraction + aggregation over a JSON payload column.
+    "p8_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("user_id")
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s1_ledger_range" ->
+      """SELECT min(event_id) AS start_id, max(event_id) AS end_id, COUNT(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "s4_typed_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0""".stripMargin,
+
+    "d1_del_ins" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d2_merge_tombstone" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+        |         (c_custkey % 10 = 0) AS deleted
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'cust_new_' || CAST(c_custkey AS VARCHAR), 0.0,
+        |         c_mktsegment, false
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
+        |FROM customer t LEFT JOIN (SELECT DISTINCT c_custkey FROM src) s USING (c_custkey)
+        |WHERE s.c_custkey IS NULL
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src WHERE NOT deleted""".stripMargin,
+
+    "d3_insert_unique" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "d4_dedup_insert" ->
+      """WITH ranked AS (
+        |  SELECT l_partkey, l_suppkey, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_partkey, l_suppkey
+        |                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |fresh AS (SELECT l_partkey, l_suppkey, l_shipdate AS first_shipdate
+        |          FROM ranked WHERE rn = 1)
+        |SELECT * FROM fresh WHERE (l_partkey + l_suppkey) % 4 <> 0""".stripMargin,
+
+    "w1_current_state" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        |  SELECT e.*, dense_rank() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+        |  FROM events e) WHERE rnk = 1""".stripMargin,
+
+    "w2_first_order" ->
+      """SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date FROM (
+        |  SELECT o.*, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders o) WHERE rn = 1""".stripMargin,
+
+    "w3_scd2_intervals" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "j3_asof_join" ->
+      """WITH intervals AS (
+        |  SELECT user_id AS p_user, value AS price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts, p.price
+        |FROM events e LEFT JOIN intervals p
+        |  ON e.user_id = p.p_user AND e.ts >= p.valid_from AND e.ts < p.valid_to
+        |WHERE e.event_type = 'click'""".stripMargin,
+
+    "j3_asof_global" ->
+      """WITH gp AS (
+        |  SELECT value AS global_price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (ORDER BY ts, event_id),
+        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase' AND user_id = 42)
+        |SELECT e.event_id, e.ts, g.global_price
+        |FROM events e LEFT JOIN gp g ON e.ts >= g.valid_from AND e.ts < g.valid_to
+        |WHERE e.event_type = 'view'""".stripMargin,
+
+    "j1_state_ledger_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate AS closed_at
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "j2_dim_join" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "j5_self_join" ->
+      """SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  a.l_quantity AS qty_a, b.l_quantity AS qty_b
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber = 2""".stripMargin,
+
+    "j6_left_filter" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_brand
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size > 40
+        |WHERE p.p_brand IS NOT NULL OR l.l_quantity > 45""".stripMargin,
+
+    "j7_cross_scalar" ->
+      """SELECT e.event_type, COUNT(*) AS n, (SELECT max(ts) FROM events) AS max_ts
+        |FROM events e GROUP BY e.event_type""".stripMargin,
+
+    "w4_rank_latest" ->
+      """SELECT event_type, event_id, ts, value FROM (
+        |  SELECT e.*, rank() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS r
+        |  FROM events e) WHERE r = 1""".stripMargin,
+
+    "a2_provider_agg" ->
+      """SELECT user_id, min(ts) AS first_seen,
+        |  CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup') AND (value > 0 OR value IS NULL)
+        |GROUP BY user_id""".stripMargin,
+
+    "a5_daily_activity" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  COUNT(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name FROM supplier""".stripMargin,
+
+    "k3_sorted_export" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
+
+    "p4_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  (p_name LIKE '%a%') AS has_a,
+        |  coalesce(regexp_extract(p_type, '[A-Z]+'), '') AS type_caps,
+        |  trim(substr(p_name, 1, 10)) AS name10
+        |FROM part""".stripMargin,
+
+    "p5_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(o_orderdate + INTERVAL 15 MONTH AS DATE) AS plus15m,
+        |  date_diff('second', TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS sec_since_2000,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr
+        |FROM orders""".stripMargin,
+
+    "p8_json" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

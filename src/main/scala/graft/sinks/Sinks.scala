@@ -1,0 +1,75 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink family (K1–K8).
+  *
+  * The reference's sinks are BigQuery load/DML/EXPORT jobs; here they are
+  * partitioned columnar writes. The lake export (K3) is
+  * `EXPORT DATA ... format='avro' ... order by closed_at` in the reference
+  * (reference dags/queries/generate_avro SQL files,
+  * build_bq_generate_avro_job_task.py:26-34); this build ships without the
+  * spark-avro connector jar, so the lake format is Parquet with identical
+  * layout semantics (per-table dir, batch-window path, sortWithinPartitions
+  * on the order key — total order per file, not across files, matching
+  * EXPORT DATA's sharded output).
+  */
+object Sinks {
+
+  /** K1: partitioned append with write-time clustering. `clusterCols`
+    * emulates BigQuery clustering (reference airflow_variables_prod.json
+    * cluster fields) via sortWithinPartitions — rows co-located on the
+    * cluster key inside each file give the same scan-pruning benefit
+    * min/max parquet stats provide.
+    */
+  def partitionedAppend(df: DataFrame, path: String,
+                        partitionCols: Seq[String], clusterCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (clusterCols.nonEmpty)
+        df.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
+      else df
+    sorted.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** K2: truncate-replace (WRITE_TRUNCATE). */
+  def truncateReplace(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K3: ordered lake export of one batch window. */
+  def lakeExport(df: DataFrame, path: String, orderCol: String): Unit =
+    df.sortWithinPartitions(col(orderCol)).write.mode("overwrite").parquet(path)
+
+  /** K4: single-file NDJSON export (the reference's TVL feed,
+    * reference dags/dbt_stellar_marts_dag.py:162-178). coalesce(1) is only
+    * sane for small marts — by construction this feed is one.
+    */
+  def jsonExport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** K5: table copy. */
+  def copyTable(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    truncateReplace(spark.read.parquet(srcPath), dstPath)
+
+  /** K6: snapshot clone — versioned directory copies in lieu of BigQuery's
+    * `CLONE ... FOR SYSTEM_TIME AS OF` (reference
+    * dags/dag_stellar_dbt_staging_refresh.py:84-88). On a table format with
+    * time travel this is a metadata-only CLONE VERSION AS OF.
+    */
+  def snapshot(spark: SparkSession, srcPath: String, snapshotRoot: String,
+               version: String): String = {
+    val dst = s"$snapshotRoot/version=$version"
+    copyTable(spark, srcPath, dst)
+    dst
+  }
+
+  /** K7: sandbox CTAS — last `months` months re-partitioned by day
+    * (reference dags/queries/create_table.sql:1-9).
+    */
+  def sandboxCtas(df: DataFrame, path: String, tsCol: String, months: Int): Unit = {
+    val cutoff = add_months(current_date(), -months)
+    df.filter(col(tsCol) >= cutoff)
+      .withColumn("p_day", to_date(date_trunc("day", col(tsCol))))
+      .write.mode("overwrite").partitionBy("p_day").parquet(path)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** NDJSON batch-file ingestion (operator S4).
+  *
+  * The reference's exchange format is newline-delimited JSON files named
+  * `[start]-[end]-[table].txt`, loaded with a declared schema and zero bad
+  * records tolerated (reference
+  * dags/stellar_etl_airflow/build_gcs_to_bq_task.py:120,
+  * build_del_ins_from_gcs_to_bq_task.py:143-203 `max_bad_records=0`).
+  * FAILFAST reproduces the zero-tolerance contract; the declared schema
+  * (never inferred — autodetect=False) keeps the scan single-pass and the
+  * types stable under schema evolution.
+  */
+object Ndjson {
+
+  def read(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]")
+      .json(paths: _*)
+
+  /** Permissive variant recording bad rows, for sources where the upstream
+    * contract is weaker (external/partner feeds, S5/S7).
+    */
+  def readPermissive(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+}

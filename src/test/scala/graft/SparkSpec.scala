@@ -1,0 +1,23 @@
+package graft
+
+import graft.core.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = ()
+}
+
+object SparkSpec {
+  lazy val session: SparkSession =
+    GraftSession.builder("graft-test", "local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+}

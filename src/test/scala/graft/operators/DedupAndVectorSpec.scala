@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class DedupAndVectorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactGroups collapses identical content to one canonical id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val g = Dedup.exactGroups(d, "doc_id", "text")
+    assert(g.count() == 2)
+    val dup = g.filter(col("dup_count") === 2).select("canonical_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("minhash LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok40", "tok40x")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearDupPairs verifies candidates with exact jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, base.replace("tok40", "tok40x")), (3L, base))
+    val out = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val exact = out.find(r => r._1 == 1L && r._2 == 3L)
+    assert(exact.exists(_._3 == 1.0), s"identical docs must have jaccard 1.0: ${out.toSeq}")
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.8))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, base + " extra"), (3L, (1 to 60).map(i => s"q$i").mkString(" ")))
+    val h = Dedup.simhashTable(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 6)
+    assert(hamming(h(1L), h(3L)) > 6)
+  }
+
+  test("brute-force top-k cosine: self-similarity ranks first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val top = VectorFunctions.bruteForceTopK(emb, q, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 0L)
+    assert(top(1) == 1L)
+    assert(!top.contains(3L))
+  }
+
+  test("LSH bucketing co-locates the query with its near neighbor") {
+    val emb = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) = base(i % 8) + 0.01f * i
+      (i.toLong, base, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val top = VectorFunctions.lshTopK(emb, q, k = 5, planes = 3, dims = 8)
+      .select("label").as[Int].collect()
+    assert(top.nonEmpty && top.forall(_ == 0), "bucket must contain only same-side vectors")
+  }
+}
