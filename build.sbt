@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many sequential queries generate a lot of Janino classes; the default
+  // 240m code cache fills and HotSpot silently stops JIT-compiling, which
+  // makes later queries run interpreted (30x+ slower, erratically).
+  "-XX:ReservedCodeCacheSize=1g",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -36,25 +36,43 @@ object Dedup {
     * are kept (harmless to min-hash, de-duped where sets are needed).
     */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+    spread(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("id"), explode(
         transform(
           sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("shingle"))
 
-  /** MinHash signatures: k simulated hash functions, hash_j(s) = md5(j|s),
-    * signature_j = lexicographic min over the doc's shingles (string-min of
-    * a hex digest is order-isomorphic to numeric min of the digest). One
+  /** Documents often arrive as a handful of files; without a spread the
+    * whole tokenize+hash pipeline serializes onto one task per file (and a
+    * single interpreted thread can be 30x slower than the JITed path). One
+    * round-robin shuffle of the raw text buys full-core parallelism for
+    * everything downstream — at 100 TB the input is already thousands of
+    * splits and this collapses to a no-op repartition decision.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** MinHash signatures: ONE md5 per shingle, k hash functions derived as
+    * non-overlapping 4-hex-char (16-bit) windows of the digest, signature_j
+    * = lexicographic min over the doc's shingles (string-min of fixed-width
+    * hex is order-isomorphic to numeric min). One digest per shingle instead
+    * of k keeps the hash cost flat in k; 16-bit slots quantize the
+    * similarity estimate but banded keys still carry 16*rows bits, ample for
+    * candidate generation (false positives die in the Jaccard verify). One
     * hash-aggregate produces all k slots; partial aggregation runs map-side.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    require(k * 4 <= 32, s"k=$k needs ${k * 4} hex chars; md5 has 32")
     val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle")).as("d"))
     sh.groupBy("id").agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("sig_0"),
+      min(substring(col("d"), 1, 4)).as("sig_0"),
       (1 until k).map(j =>
-        min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"sig_$j")): _*)
+        min(substring(col("d"), 1 + 4 * j, 4)).as(s"sig_$j")): _*)
   }
 
   /** (id, band) rows: the k signature slots split into `bands` groups of
@@ -75,7 +93,7 @@ object Dedup {
     * skewed bucket.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, k: Int = 9, bands: Int = 3): DataFrame = {
+                            n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val banded = bandRows(minhashSignatures(docs, idCol, textCol, n, k), k, bands)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -90,10 +108,17 @@ object Dedup {
     * result matches the set-based definition exactly.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, k: Int = 9, bands: Int = 3,
+                   n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Both stages fan out to multiple consumers below; without pinning them
+    // Spark re-derives the whole minhash DAG (incl. the band self-join) per
+    // consumer. At warehouse scale these would be materialized as tables;
+    // in-session persist gives the same single-computation shape.
     val cands = minhashCandidatePairs(docs, idCol, textCol, n, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shd = shingleRows(docs, idCol, textCol, n).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy("id").agg(count(lit(1)).as("sz"))
     // common shingle count, restricted to candidate pairs
     val common = cands
@@ -119,7 +144,7 @@ object Dedup {
     * sums run in a single hash-aggregate.
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokRows = docs
+    val tokRows = spread(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), md5(col("tok")).as("h"))

@@ -27,12 +27,12 @@ object TrainingQueries {
     // MinHash + LSH candidate pairs (shingle -> minhash -> band -> bucket join).
     "t_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 9, bands = 3)),
+        n = 3, k = 8, bands = 4)),
 
     // LSH candidates verified with exact n-gram Jaccard.
     "t_dedup_jaccard" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 9, bands = 3, threshold = 0.3)),
+        n = 3, k = 8, bands = 4, threshold = 0.3)),
 
     // 32-bit SimHash per document.
     "t_dedup_simhash" -> ((s, dir) =>
@@ -102,13 +102,16 @@ object TrainingQueries {
       |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
       |      i -> array_to_string(tk[i:i+2], ' '))) AS shingles
       |  FROM toks),
+      |dg AS (
+      |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ds FROM sh),
       |sig AS (
-      |  SELECT doc_id, list_transform(range(0, 9),
-      |      j -> list_min(list_transform(shingles, s -> md5(j || '|' || s)))) AS sig
-      |  FROM sh),
+      |  SELECT doc_id, list_transform(range(0, 8),
+      |      j -> list_min(list_transform(ds,
+      |        d -> substr(d, CAST(1 + 4 * j AS INTEGER), 4)))) AS sig
+      |  FROM dg),
       |bands AS (
-      |  SELECT doc_id, unnest(list_transform(range(0, 3),
-      |      b -> md5(b || '|' || array_to_string(sig[b*3+1:b*3+3], '|')))) AS band
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |      b -> md5(b || '|' || array_to_string(sig[b*2+1:b*2+2], '|')))) AS band
       |  FROM sig),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
