@@ -35,7 +35,8 @@ object GraftSession {
   }
 
   /** Apply runtime-settable defaults to an externally created session
-    * (the Verify/Bench drivers build their own). Safe to call repeatedly.
+    * (the Verify/Bench drivers build their own), and register the engine's
+    * native functions. Safe to call repeatedly.
     */
   def tune(spark: SparkSession): SparkSession = {
     val c = spark.conf
@@ -44,6 +45,7 @@ object GraftSession {
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 }

@@ -23,6 +23,13 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native fused-loop variant (graft.plans.CosineSimilarity) — same
+    * semantics and bit-identical results, one codegen'd loop instead of
+    * three higher-order-function passes. Requires GraftFunctions.register
+    * (done by GraftSession.tune) or the GraftExtensions session extension.
+    */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** Brute-force top-k cosine neighbors of `queryVec` (a 1-row DF with an
     * `embedding` column). The query side is broadcast; the scan is a single
     * pass over the corpus followed by a k-row reduction — the exact-answer
@@ -32,7 +39,7 @@ object VectorFunctions {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
     corpus.crossJoin(q)
-      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+      .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
       .drop("__qv")
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -71,7 +78,7 @@ object VectorFunctions {
       .select(col(vecCol).as("__qv"))
       .withColumn("__qsig", hyperplaneSig(col("__qv"), planes, dims)))
     sigd.join(q, col("__sig") === col("__qsig"))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+      .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
       .drop("__qv", "__qsig", "__sig")
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.core.{Batch, BatchId, BatchWindow}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maintenance/ops operators (D6–D8, S6).
+  *
+  * - D6 truncate: the reference's testnet reset truncates all tables
+  *   (reference dags/stellar_etl_airflow/build_delete_data_for_reset_task.py:8-30,
+  *   dataset_reset_dag.py:53-272).
+  * - D7 batch-stats audit: every run appends one row per table to
+  *   history_archives_dag_runs (reference
+  *   dags/stellar_etl_airflow/build_batch_stats.py:9-43) — the run ledger
+  *   that makes gap/overlap reconciliation possible.
+  * - D8 daily sandbox increment: INSERT INTO sandbox SELECT ... WHERE
+  *   date_trunc(day) = X (reference dags/queries/update_table.sql:1-4).
+  * - S6 file sensor: pick the newest partner file for a prefix (reference
+  *   dags/partner_pipeline_dag.py:47-55 picks the latest blob by updated ts).
+  */
+object Maintenance {
+
+  /** D6: truncate a parquet table in place, preserving its schema. */
+  def truncate(spark: SparkSession, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  val runStatsSchema: StructType = StructType(Seq(
+    StructField("batch_id", StringType),
+    StructField("batch_run_date", TimestampNTZType),
+    StructField("start_ledger", LongType),
+    StructField("end_ledger", LongType),
+    StructField("table_name", StringType),
+    StructField("batch_insert_ts", TimestampType)))
+
+  /** D7: append one audit row for a completed batch load. */
+  def appendRunStats(spark: SparkSession, statsPath: String,
+                     id: BatchId, w: BatchWindow,
+                     startLedger: Long, endLedger: Long, table: String): Unit = {
+    import java.time.Instant
+    val row = Row(id.value,
+      java.time.LocalDateTime.parse(Batch.naiveRunDate(w).toString),
+      startLedger, endLedger, table, Instant.now())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), runStatsSchema)
+      .write.mode("append").parquet(statsPath)
+  }
+
+  /** D8: one day's increment of a source table (append the result to the
+    * sandbox copy; the filter prunes to a single day partition).
+    */
+  def dailyIncrement(src: DataFrame, tsCol: String, day: String): DataFrame =
+    src.filter(to_date(col(tsCol)) === lit(day).cast("date"))
+
+  /** S6: newest file under `dir` whose name starts with `prefix`
+    * (None when absent — the sensor's "not yet arrived" state).
+    */
+  def latestFileByPrefix(spark: SparkSession, dir: String, prefix: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .lastOption.map(_.getPath.toString)
+  }
+}

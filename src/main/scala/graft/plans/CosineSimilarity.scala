@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over two float-vector columns.
+  *
+  * The composable formulation (zip_with + aggregate + sqrt) works but each
+  * higher-order function materializes an intermediate array and evaluates
+  * its lambda interpreted, per row. For the ANN scan — the hottest loop in
+  * the similarity-search path, executed corpus-size times per query — this
+  * expression emits a single fused primitive loop (no allocations, no
+  * virtual calls) via doGenCode, staying inside WholeStageCodegen.
+  *
+  * Semantics match the composable version exactly: dot product over the
+  * common prefix, norms over each full vector, left-to-right double
+  * accumulation (bit-identical to a sequential fold — the property the
+  * DuckDB oracle comparison relies on). Null elements contribute 0.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<float> args, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < x.numElements()) {
+      val v = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      na += v * v; i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) {
+      val v = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      nb += v * v; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xi * $yi;
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $v = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

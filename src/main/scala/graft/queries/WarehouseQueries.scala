@@ -274,7 +274,22 @@ object WarehouseQueries {
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("user_id")
-        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n")))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))),
+
+    // P1: RECORD handling — parse JSON into a typed struct, build a nested
+    // struct, flatten leaf fields (Catalyst prunes the unread branches).
+    "p1_struct_flatten" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("detail",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .withColumn("u", struct(col("user_id"), col("value"), col("event_type")))
+        .select(
+          col("event_id"),
+          col("detail.k").as("k"),
+          col("u.user_id").as("user_id"),
+          col("u.value").as("value")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,6 +469,12 @@ object WarehouseQueries {
       """SELECT user_id,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  COUNT(*) AS n
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "p1_struct_flatten" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  user_id, value
+        |FROM events""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{BatchId, BatchWindow}
+import graft.sources.Tables
+import java.nio.file.Files
+import java.time.Instant
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+
+  test("truncate empties the table but keeps the schema") {
+    val dir = Files.createTempDirectory("maint").toString
+    val r = Tables.load(spark, sfDir, "region")
+    r.write.parquet(s"$dir/t")
+    Maintenance.truncate(spark, s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 0)
+    assert(back.schema == r.schema)
+  }
+
+  test("appendRunStats accumulates one audit row per load") {
+    val dir = Files.createTempDirectory("maint2").toString
+    val w = BatchWindow(Instant.parse("2024-01-15T00:00:00Z"), Instant.parse("2024-01-15T00:10:00Z"))
+    Maintenance.appendRunStats(spark, s"$dir/stats", BatchId("r1", "ledgers"), w, 100, 163, "ledgers")
+    Maintenance.appendRunStats(spark, s"$dir/stats", BatchId("r1", "txs"), w, 100, 163, "transactions")
+    val stats = spark.read.parquet(s"$dir/stats")
+    assert(stats.count() == 2)
+    assert(stats.filter(col("table_name") === "ledgers")
+      .select("start_ledger").head().getLong(0) == 100)
+    assert(stats.schema("batch_run_date").dataType.typeName == "timestamp_ntz")
+  }
+
+  test("dailyIncrement selects exactly one day") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val inc = Maintenance.dailyIncrement(ev, "ts", "2024-01-15")
+    assert(inc.count() > 0)
+    assert(inc.filter(to_date(col("ts")) =!= "2024-01-15").count() == 0)
+  }
+
+  test("latestFileByPrefix picks the newest matching file") {
+    val dir = Files.createTempDirectory("sensor")
+    Files.writeString(dir.resolve("mgi_2024_01_01.csv"), "a")
+    Thread.sleep(20)
+    Files.writeString(dir.resolve("mgi_2024_01_02.csv"), "b")
+    Files.writeString(dir.resolve("other.csv"), "c")
+    val got = Maintenance.latestFileByPrefix(spark, dir.toString, "mgi_")
+    assert(got.exists(_.endsWith("mgi_2024_01_02.csv")))
+    assert(Maintenance.latestFileByPrefix(spark, dir.toString, "absent_").isEmpty)
+  }
+}
