@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.GraftSession
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: these assertions pin the plan shapes that keep the
+  * engine viable at 100 TB, so a regression in a query rewrite (or a Spark
+  * upgrade) that silently degrades the plan fails CI, not production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String, dir: String = sfDir): String = {
+    GraftSession.tune(spark)
+    val df: DataFrame = WarehouseQueries.queries(name)(spark, dir)
+    df.collect() // let AQE finalize
+    // keep only the final adaptive plan (toString appends the initial plan too)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("s4_typed_scan pushes filters and prunes columns at the parquet scan") {
+    val p = planOf("s4_typed_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice), " +
+      "EqualTo(o_orderstatus,F), GreaterThan(o_total"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("j2_dim_join broadcasts every dimension (no shuffle of the fact side)") {
+    val p = planOf("j2_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
+  }
+
+  test("j3_asof_join executes as an equi join with the range as residual filter") {
+    val p = planOf("j3_asof_join")
+    val equiJoin = p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")
+    assert(equiJoin, s"as-of join must keep the equi key as join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyed as-of join must not degrade to a cross product:\n$p")
+  }
+
+  test("j3_asof_global broadcasts the tiny interval side (BNLJ, not cartesian)") {
+    // sf0.01: the global price series is non-empty there (at sf0.001 AQE's
+    // empty-relation propagation removes the join altogether)
+    val p = planOf("j3_asof_global", "/root/testdata/sf0.01")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"must never shuffle-cartesian:\n$p")
+  }
+
+  test("j4_anti_join stays an anti join (no materialized subquery)") {
+    val p = planOf("j4_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("k3_sorted_export and top-1 shapes avoid a global single-partition sort") {
+    val p = planOf("j7_cross_scalar")
+    // the scalar side collapses to a partial+final agg, not a global window
+    assert(!p.contains("Window"), s"scalar-latest must not use a window:\n$p")
+  }
+
+  test("q1_pricing_summary aggregates with map-side partial aggregation") {
+    val p = planOf("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial+final HashAggregate:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>") ||
+      !p.contains("l_orderkey"), s"scan must prune to the 6 needed columns:\n$p")
+  }
+
+  test("w1_current_state shuffles once on the entity key") {
+    val p = planOf("w1_current_state")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window dedup needs exactly one key shuffle:\n$p")
+  }
+}
