@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * AQE's skew-join splitting (enabled engine-wide by GraftSession) handles
+  * most skew at runtime; explicit salting remains the tool of choice when a
+  * single key dominates so heavily that even split partitions bottleneck —
+  * e.g. the native-asset rows in the reference's trade tables, where one
+  * asset id covers a large share of all trades (the XLM special-casing in
+  * reference dags/ddls/queries/v_relevant_asset_trades.sql:60-68 exists for
+  * the same reason).
+  *
+  * Shape: the fact side gets a deterministic salt in [0, salts); the
+  * (smaller) build side is replicated `salts` times. The join key becomes
+  * (key, salt), spreading each hot key over `salts` reducers at the cost of
+  * build-side duplication — bounded and chosen by the caller.
+  */
+object Skew {
+
+  /** Deterministic salt derived from the row's own columns (no rand(), so
+    * retries and re-runs land rows in the same buckets).
+    */
+  def saltColumn(cols: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(cols: _*), lit(salts))
+
+  def saltedJoin(facts: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner",
+                 factSaltSource: Seq[String] = Nil): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltSrc = if (factSaltSource.nonEmpty) factSaltSource else facts.columns.toSeq
+    val salted = facts.withColumn("__salt", saltColumn(saltSrc.map(facts(_)), salts))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

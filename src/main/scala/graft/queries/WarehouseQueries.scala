@@ -276,6 +276,29 @@ object WarehouseQueries {
         .groupBy("user_id")
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))),
 
+    // P6: arithmetic scalar functions — fee multipliers, safe division,
+    // ceilings, ratios (reference v_liquidity_pool_trade_volume fee math).
+    "p6_math" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (lit(1.0) + col("l_tax")).as("fee_mult"),
+        try_divide(col("l_extendedprice"), col("l_quantity")).as("unit_price"),
+        try_divide(col("l_discount"), col("l_tax")).as("disc_tax_ratio"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        (dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("disc_amt"))),
+
+    // P9: array functions — explode-free aggregation into arrays, sizes,
+    // deterministic ordering via sort + join-to-string.
+    "p9_arrays" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          countDistinct("event_type").cast("long").as("n_types"),
+          concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          size(collect_list(col("event_id"))).cast("long").as("n_events"))),
+
     // P1: RECORD handling — parse JSON into a typed struct, build a nested
     // struct, flatten leaf fields (Catalyst prunes the unread branches).
     "p1_struct_flatten" -> ((s, dir) =>
@@ -475,6 +498,23 @@ object WarehouseQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  user_id, value
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "p6_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  1.0 + l_tax AS fee_mult,
+        |  l_extendedprice / nullif(l_quantity, 0) AS unit_price,
+        |  l_discount / nullif(l_tax, 0) AS disc_tax_ratio,
+        |  CAST(ceiling(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS disc_amt
+        |FROM lineitem""".stripMargin,
+
+    "p9_arrays" ->
+      """SELECT user_id,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  CAST(COUNT(event_id) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

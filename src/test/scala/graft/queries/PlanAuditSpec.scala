@@ -73,5 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("w1_current_state")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"window dedup needs exactly one key shuffle:\n$p")
+    // Spark's WindowGroupLimit prunes to rank-1 candidates map-side BEFORE
+    // the shuffle — the property that makes latest-state dedup viable when
+    // the change log is 1000x the entity count.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial window-group-limit pushdown:\n$p")
   }
 }
