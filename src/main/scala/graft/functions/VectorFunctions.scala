@@ -52,8 +52,11 @@ object VectorFunctions {
     * this is the difference between a shuffle join on a short key and an
     * infeasible cartesian scan.
     */
-  /** weight_{p,d} in [-7.5, 7.5]: first md5 nibble of "p:d", shifted. */
-  private def planeWeight(p: Int, d: Int): Double = {
+  /** weight_{p,d} in [-7.5, 7.5]: first md5 nibble of "p:d", shifted.
+    * Values are exact halves, so they round-trip losslessly through SQL
+    * literals — the DuckDB oracle inlines them.
+    */
+  def planeWeight(p: Int, d: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$d".getBytes("UTF-8"))
     ((digest(0) >> 4) & 0xf) - 7.5
@@ -68,6 +71,22 @@ object VectorFunctions {
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat_ws("", bits: _*)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH bucket join for candidates,
+    * native cosine for the verify — the embedding analog of MinHash+Jaccard.
+    * Output: (vec_a, vec_b, cos) for bucket-sharing pairs with cos >= tau.
+    */
+  def embedNearDupPairs(corpus: DataFrame, planes: Int, dims: Int, tau: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigd = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", hyperplaneSig(col("v"), planes, dims))
+    val a = sigd.select(col("id").as("vec_a"), col("v").as("va"), col("sig"))
+    val b = sigd.select(col("id").as("vec_b"), col("v").as("vb"), col("sig"))
+    a.join(b, Seq("sig")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosineNative(col("va"), col("vb")), 6))
+      .filter(col("cos") >= tau)
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** Bucketed ANN: exact top-k within the query's LSH bucket. */

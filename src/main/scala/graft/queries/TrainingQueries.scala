@@ -78,12 +78,16 @@ object TrainingQueries {
       VF.bruteForceTopK(emb, q, k = 10).select("vec_id", "label", "cos")
     }),
 
-    // LSH-bucketed ANN (scale path; no SQL oracle -> rows-only check).
+    // LSH-bucketed ANN (scale path): exact top-k within the query's bucket.
     "t_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
       VF.lshTopK(emb, q, k = 10, planes = 4, dims = 64).select("vec_id", "label", "cos")
     }),
+
+    // Embedding-cosine near-dup pairs (LSH candidates + native cosine verify).
+    "t_dedup_embed" -> ((s, dir) =>
+      VF.embedNearDupPairs(t(s, dir, "embeddings"), planes = 4, dims = 64, tau = 0.2)),
 
     // Multimodal plumbing: opaque binary payload + typed metadata through
     // the per-partition (stubbed) decoder.
@@ -118,7 +122,50 @@ object TrainingQueries {
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
       |""".stripMargin
 
+  /** The hyperplane weights are exact halves (md5 nibble - 7.5), so the
+    * oracle inlines them as SQL literals and reproduces the identical
+    * left-to-right double projections — bit-equal signs, hence identical
+    * buckets, hence an exact oracle for the LSH operators.
+    */
+  private def weightsLiteral(planes: Int, dims: Int): String =
+    (0 until planes).map(p =>
+      (0 until dims).map(d => VF.planeWeight(p, d).toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  private def sigSql(vec: String, planes: Int, dims: Int): String =
+    (1 to planes).map(p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * m[$p][i])) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  private def cosSql(a: String, b: String, dims: Int): String =
+    s"round(list_sum(list_transform(range(1, ${dims + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+
+  private val annLshOracle: String =
+    s"""WITH w AS (SELECT ${weightsLiteral(4, 64)} AS m),
+       |sig AS (SELECT vec_id, label, embedding,
+       |  ${sigSql("embedding", 4, 64)} AS s FROM embeddings, w),
+       |q AS (SELECT embedding AS qv, s AS qs FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id, s.label, ${cosSql("s.embedding", "q.qv", 64)} AS cos
+       |FROM sig s, q WHERE s.s = q.qs
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
+
+  private val embedDedupOracle: String =
+    s"""WITH w AS (SELECT ${weightsLiteral(4, 64)} AS m),
+       |sig AS (SELECT vec_id, embedding,
+       |  ${sigSql("embedding", 4, 64)} AS s FROM embeddings, w),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql("a.embedding", "b.embedding", 64)} AS cos
+       |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t_ann_lsh" -> annLshOracle,
+    "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS dup_count
