@@ -230,6 +230,32 @@ object WarehouseQueries {
           sum(dec2(col("value"))).cast("double").as("value_sum"),
           countDistinct(col("user_id")).as("uniq_users"))),
 
+    // A5 (marts): OHLC per day — the reference's ohlc mart shape
+    // (dbt_stellar_marts). first/last via min_by/max_by on a unique
+    // (ts, event_id) tuple so ties are deterministic.
+    "a5_ohlc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          sum(dec2(col("value"))).cast("double").as("volume"),
+          count(lit(1)).as("n_trades"))),
+
+    // A5 (marts): TVL shape — sum over each entity's LATEST state (the
+    // reference's v_liquidity_pool_value: current state -> value agg).
+    "a5_tvl" -> ((s, dir) => {
+      val latest = CurrentState.latestByKey(
+        t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+      latest.groupBy("event_type")
+        .agg(
+          sum(dec2(col("value"))).cast("double").as("total_value"),
+          count(lit(1)).as("n_holders"))
+    }),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -456,6 +482,26 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  COUNT(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a5_ohlc" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_trades
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "a5_tvl" ->
+      """WITH latest AS (
+        |  SELECT * FROM (
+        |    SELECT e.*, dense_rank() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rnk FROM events e) WHERE rnk = 1)
+        |SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_holders
+        |FROM latest GROUP BY event_type""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
