@@ -46,6 +46,9 @@ object GraftSession {
     c.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IntervalBroadcastRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntervalBroadcastRule
     spark
   }
 }
