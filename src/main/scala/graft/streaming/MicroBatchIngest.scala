@@ -59,4 +59,26 @@ object MicroBatchIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  /** Custom keyed state across micro-batches: running per-user totals via
+    * mapGroupsWithState. Each trigger folds its new events into the user's
+    * persisted state and emits the updated row — the Structured Streaming
+    * form of an incrementally-maintained per-entity aggregate (state lives
+    * in the checkpointed state store, sized by distinct keys, not history).
+    */
+  def statefulUserTotals(events: org.apache.spark.sql.Dataset[graft.typed.Event])
+  : org.apache.spark.sql.Dataset[graft.typed.UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[graft.typed.Event], state: GroupState[graft.typed.UserAgg]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var total = state.getOption.map(_.total).getOrElse(0.0)
+          it.foreach { e => n += 1; total += e.value.getOrElse(0.0) }
+          val next = graft.typed.UserAgg(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
 }
