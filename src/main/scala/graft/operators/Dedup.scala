@@ -65,11 +65,17 @@ object Dedup {
     * hash-aggregate produces all k slots; partial aggregation runs map-side.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
+                        n: Int, k: Int): DataFrame =
+    signaturesFromShingles(shingleRows(docs, idCol, textCol, n), k)
+
+  /** Signature aggregation over pre-computed (id, shingle) rows — lets a
+    * caller that also needs the shingles (the Jaccard verify) tokenize the
+    * corpus exactly once.
+    */
+  def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k * 4 <= 32, s"k=$k needs ${k * 4} hex chars; md5 has 32")
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .select(col("id"), md5(col("shingle")).as("d"))
-    sh.groupBy("id").agg(
+    val hashed = sh.select(col("id"), md5(col("shingle")).as("d"))
+    hashed.groupBy("id").agg(
       min(substring(col("d"), 1, 4)).as("sig_0"),
       (1 until k).map(j =>
         min(substring(col("d"), 1 + 4 * j, 4)).as(s"sig_$j")): _*)
@@ -111,14 +117,21 @@ object Dedup {
                    n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Both stages fan out to multiple consumers below; without pinning them
-    // Spark re-derives the whole minhash DAG (incl. the band self-join) per
-    // consumer. At warehouse scale these would be materialized as tables;
-    // in-session persist gives the same single-computation shape.
-    val cands = minhashCandidatePairs(docs, idCol, textCol, n, k, bands)
+    // The shingle rows feed both the signature pipeline and the Jaccard
+    // verify, and the candidate pairs fan out to several joins below;
+    // pinning both means the corpus is tokenized exactly once and the
+    // band self-join runs exactly once. At warehouse scale these would be
+    // materialized tables; in-session persist gives the same shape.
+    val shRaw = shingleRows(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val shd = shingleRows(docs, idCol, textCol, n).distinct()
+    val banded = bandRows(signaturesFromShingles(shRaw, k), k, bands)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val shd = shRaw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy("id").agg(count(lit(1)).as("sz"))
     // common shingle count, restricted to candidate pairs
     val common = cands

@@ -17,9 +17,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession =
-    GraftSession.builder("graft-test", "local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .getOrCreate()
+    GraftSession.tune(
+      GraftSession.builder("graft-test", "local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        .getOrCreate())
 }
