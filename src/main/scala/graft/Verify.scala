@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Timestamps stay INT96 parquet (default): pyarrow reads INT96 as
+      // tz-naive, matching the DuckDB oracle; INT64 micros would read back
+      // tz-aware and mismatch. The round-1 w3 failure (9999-12-31 sentinel
+      // wrapping in int64 ns) is fixed by the ns-safe sentinel instead.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

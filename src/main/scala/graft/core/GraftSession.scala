@@ -45,6 +45,11 @@ object GraftSession {
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
+    // Parquet timestamps stay INT96 (the default): pyarrow/pandas read INT96
+    // as tz-NAIVE timestamp[ns], which is what oracle comparisons expect —
+    // INT64 micros would come back tz-aware (isAdjustedToUTC) and mismatch.
+    // The ns range limit is handled by the ns-safe AsOfJoin.EndOfTime
+    // sentinel instead (9999-12-31 overflows int64 nanos and wraps).
     graft.plans.GraftFunctions.register(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntervalBroadcastRule))
       spark.experimental.extraOptimizations =

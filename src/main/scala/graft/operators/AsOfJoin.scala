@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  val EndOfTime = "9999-12-31 00:00:00"
+  /** Open-interval sentinel. The reference uses '9999-12-31'
+    * (v_liquidity_pool_trade_volume.sql:37-41), which overflows int64
+    * NANOSECONDS — any consumer that materializes timestamp[ns] (pyarrow,
+    * pandas) silently wraps it. 2200-01-01 is far past any real event and
+    * survives every timestamp unit an engine might pick.
+    */
+  val EndOfTime = "2200-01-01 00:00:00"
 
   /** Build SCD2 validity intervals from a change log: each row becomes
     * [tsCol, next tsCol) per key; ties are broken by `tieBreak` so the

@@ -29,8 +29,22 @@ object IntervalBroadcastRule extends Rule[LogicalPlan] with PredicateHelper {
         if (jt == Inner || jt == LeftOuter) &&
           hint.rightHint.isEmpty &&
           hasIntervalShape(right) &&
-          isKeylessRange(cond, left, right) =>
+          isKeylessRange(cond, left, right) &&
+          broadcastSafe(right) =>
       j.copy(hint = hint.copy(rightHint = Some(HintInfo(strategy = Some(BROADCAST)))))
+  }
+
+  /** Only force the broadcast when plan statistics say the interval side is
+    * genuinely small. A large SCD2 table in a keyless range join must degrade
+    * to the (slow but finite) shuffled join rather than OOM the driver with
+    * an unconditional broadcast. The cap is 8x autoBroadcastJoinThreshold:
+    * the rule exists precisely for sides somewhat above the automatic
+    * threshold, but bounded by what a driver/executor can hold.
+    */
+  private def broadcastSafe(p: LogicalPlan): Boolean = {
+    val auto = conf.autoBroadcastJoinThreshold
+    val cap = if (auto > 0) BigInt(auto) * 8 else BigInt(256L << 20)
+    p.stats.sizeInBytes <= cap
   }
 
   private def hasIntervalShape(p: LogicalPlan): Boolean = {

@@ -209,12 +209,12 @@ object TrainingQueries {
         |  CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
         |        tt -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], tt))) AS DOUBLE)
         |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
-        |  CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))) AS DOUBLE)
+        |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))), 0) AS DOUBLE)
         |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_token_len,
         |  (len(regexp_extract_all(text, '\S+')) >= 5
         |    AND (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
         |         / greatest(len(regexp_extract_all(text, '\S+')), 1)) < 0.3
-        |    AND (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))) AS DOUBLE)
+        |    AND (CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), tt -> length(tt))), 0) AS DOUBLE)
         |         / greatest(len(regexp_extract_all(text, '\S+')), 1)) >= 2.0) AS keep
         |FROM documents""".stripMargin,
 

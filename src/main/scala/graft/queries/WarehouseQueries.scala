@@ -408,14 +408,14 @@ object WarehouseQueries {
     "w3_scd2_intervals" ->
       """SELECT user_id, event_id, value, ts AS valid_from,
         |  coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "j3_asof_join" ->
       """WITH intervals AS (
         |  SELECT user_id AS p_user, value AS price, ts AS valid_from,
         |    coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
         |  FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, e.ts, p.price
         |FROM events e LEFT JOIN intervals p
@@ -426,7 +426,7 @@ object WarehouseQueries {
       """WITH gp AS (
         |  SELECT value AS global_price, ts AS valid_from,
         |    coalesce(lead(ts, 1) OVER (ORDER BY ts, event_id),
-        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
         |  FROM events WHERE event_type = 'purchase' AND user_id = 42)
         |SELECT e.event_id, e.ts, g.global_price
         |FROM events e LEFT JOIN gp g ON e.ts >= g.valid_from AND e.ts < g.valid_to

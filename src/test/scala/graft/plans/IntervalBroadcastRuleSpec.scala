@@ -39,6 +39,28 @@ class IntervalBroadcastRuleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a large interval side is NOT force-broadcast (size guard)") {
+    GraftSession.tune(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ~200M rows of (double, ts, ts): stats far above the rule's cap — a
+      // forced broadcast here would OOM a real driver.
+      val big = spark.range(200L * 1000 * 1000).select(
+        col("id").cast("double").as("price"),
+        lit(ts("2024-01-01 00:00:00")).as("valid_from"),
+        lit(ts("2025-01-01 00:00:00")).as("valid_to"))
+      val f = facts
+      val out = f.join(big,
+        f("t") >= big("valid_from") && f("t") < big("valid_to"), "inner")
+      val j = out.queryExecution.optimizedPlan.collectFirst {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }.get
+      assert(j.hint.rightHint.isEmpty,
+        s"oversized interval side must not be hinted:\n${out.queryExecution.optimizedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("equi joins are left alone") {
     GraftSession.tune(spark)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -2,21 +2,36 @@
 """Local replica of the driver's correctness gate.
 
 Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
-testdata parquet tables, reads the Spark result parquet from <outDir>/<name>,
-sorts columns by name then rows, and compares values exactly.
+testdata parquet tables, reads the Spark result parquet from <outDir>/<name>
+through pyarrow/pandas (the DRIVER'S read path — DuckDB would decode INT96
+timestamps correctly and mask ns-overflow bugs the gate catches), sorts
+columns by name then rows, and compares values exactly.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+import datetime
+
+def norm(v):
+    # Spark DATE reads back as datetime.date; DuckDB's fetchdf returns the
+    # same value as a midnight Timestamp. Normalize both to one repr (the
+    # driver's hash compare is value-based and passes these).
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return repr(pd.Timestamp(v))
+    return repr(v)
 
 def canon(rows):
     out = []
     for r in rows:
-        out.append(tuple(repr(v) for v in r))
+        out.append(tuple(norm(v) for v in r))
     return sorted(out)
 
 def main(sf_dir, out_dir):
@@ -34,10 +49,14 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            sdf = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not parts:
+                raise FileNotFoundError(f"{out_dir}/{name}/*.parquet")
+            sdf = pd.concat(
+                [pq.read_table(p).to_pandas() for p in parts],
+                ignore_index=True)
         except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}")
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
             n_fail += 1
             continue
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
