@@ -62,7 +62,19 @@ object VectorFunctions {
     ((digest(0) >> 4) & 0xf) - 7.5
   }
 
-  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column = {
+  /** Native single-node signature (graft.plans.HyperplaneSig). The
+    * composable variant below is bit-identical but builds a planes*dims-term
+    * expression tree whose one-time Catalyst+Janino cost is minutes at
+    * 4x64; the native node plans in constant time and fuses into one loop.
+    */
+  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column =
+    call_function("graft_hplane_sig", vec, lit(planes), lit(dims))
+
+  /** Reference formulation from builtin functions only — used by the spec
+    * that proves the native expression bit-equal, and by sessions without
+    * the graft function registry.
+    */
+  def hyperplaneSigComposable(vec: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val terms = (0 until dims).map { d =>
         vec.getItem(d).cast("double") * lit(planeWeight(p, d))
@@ -87,6 +99,48 @@ object VectorFunctions {
       .withColumn("cos", round(cosineNative(col("va"), col("vb")), 6))
       .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
+  }
+
+  /** IVF (inverted-file) ANN: the coarse-quantizer scale path.
+    *
+    * Cells are seeded deterministically from the corpus itself (the first
+    * `nlist` ids), every vector is assigned to its nearest cell by cosine,
+    * and a query probes only its `nprobe` nearest cells — so the scan cost
+    * drops from |corpus| to nprobe/nlist of it, while the tiny centroid
+    * table broadcasts. Rounding to 6 decimals + id tie-breaks make cell
+    * assignment reproducible on any engine (the DuckDB oracle re-derives
+    * identical cells from the same rule).
+    *
+    * At 100 TB the assignment is one broadcast-join pass over the corpus
+    * (materialized once as a bucketed table keyed by cell in a real
+    * deployment), and a query touches only the probed cells' partitions.
+    */
+  def ivfAssignments(corpus: DataFrame, nlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(cent)
+      .withColumn("cc", round(cosineNative(col(vecCol), col("cvec")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("neg"))).as("cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
+    val probed = broadcast(cent.crossJoin(q)
+      .withColumn("qc", round(cosineNative(col("cvec"), col("__qv")), 6))
+      .orderBy(col("qc").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell")))
+    corpus.join(ivfAssignments(corpus, nlist, idCol, vecCol).join(probed, "cell"), idCol)
+      .crossJoin(q)
+      .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** Bucketed ANN: exact top-k within the query's LSH bucket. */

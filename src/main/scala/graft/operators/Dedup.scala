@@ -32,16 +32,33 @@ object Dedup {
   }
 
   /** One row per (doc, shingle): word n-grams of the lowercased text, with a
-    * whole-text fallback for docs shorter than n tokens. Duplicated shingles
-    * are kept (harmless to min-hash, de-duped where sets are needed).
+    * whole-text fallback for docs shorter than n tokens (an empty doc yields
+    * one "" shingle). Duplicated shingles are kept (harmless to min-hash,
+    * de-duped where sets are needed).
+    *
+    * Deliberately relational (posexplode -> window lead -> concat), not an
+    * array-lambda (transform/slice over the token array): CollapseProject
+    * inlines the tokenizer into lambda bodies, re-running the regexp per
+    * array element interpreted — measured 186 CPU-seconds for a corpus
+    * whose single-pass tokenization costs well under one. The window
+    * shuffles (id, pos, tok) rows once and every later stage is codegen'd.
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    spread(docs)
-      .select(col(idCol).as("id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
-      .select(col("id"), explode(
-        transform(
-          sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("shingle"))
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val toks = spread(docs)
+      .select(col(idCol).as("id"),
+        posexplode_outer(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val parts = (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    toks
+      .select(col("id"), col("pos"),
+        concat_ws(" ", parts: _*).as("shingle"),
+        parts.last.isNotNull.as("full"))
+      // full shingles only; position 0 also fires for short/empty docs so
+      // every doc keeps at least one (possibly partial or "") shingle
+      .filter(coalesce(col("pos"), lit(0)) === 0 || col("full"))
+      .select(col("id"), col("shingle"))
+  }
 
   /** Documents often arrive as a handful of files; without a spread the
     * whole tokenize+hash pipeline serializes onto one task per file (and a
@@ -72,10 +89,17 @@ object Dedup {
     * caller that also needs the shingles (the Jaccard verify) tokenize the
     * corpus exactly once.
     */
-  def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+  def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame =
+    signaturesFromDigests(sh.select(col("id"), md5(col("shingle")).as("d")), k)
+
+  /** Signature aggregation over (id, d) digest rows. min over a multiset
+    * equals min over its distinct set, so callers may dedup the digests
+    * first and share one (id, digest) relation across the signature,
+    * set-size, and intersection legs of a near-dup pipeline.
+    */
+  def signaturesFromDigests(dg: DataFrame, k: Int): DataFrame = {
     require(k * 4 <= 32, s"k=$k needs ${k * 4} hex chars; md5 has 32")
-    val hashed = sh.select(col("id"), md5(col("shingle")).as("d"))
-    hashed.groupBy("id").agg(
+    dg.groupBy("id").agg(
       min(substring(col("d"), 1, 4)).as("sig_0"),
       (1 until k).map(j =>
         min(substring(col("d"), 1 + 4 * j, 4)).as(s"sig_$j")): _*)
@@ -117,27 +141,31 @@ object Dedup {
                    n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The shingle rows feed both the signature pipeline and the Jaccard
-    // verify, and the candidate pairs fan out to several joins below;
-    // pinning both means the corpus is tokenized exactly once and the
-    // band self-join runs exactly once. At warehouse scale these would be
-    // materialized tables; in-session persist gives the same shape.
-    val shRaw = shingleRows(docs, idCol, textCol, n)
+    // One (id, digest) relation feeds the signature, set-size, and
+    // intersection legs: the corpus is tokenized and md5'd exactly once,
+    // deduped once (32-char digests shuffle, never shingle text), and the
+    // band self-join runs exactly once. Jaccard over digests equals
+    // Jaccard over the shingle sets (md5 is injective for any realistic
+    // corpus). At warehouse scale these persists would be materialized
+    // tables; in-session persist gives the same shape.
+    val dg = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle")).as("d"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandRows(signaturesFromShingles(shRaw, k), k, bands)
+    val banded = bandRows(signaturesFromDigests(dg, k), k, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val shd = shRaw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = shd.groupBy("id").agg(count(lit(1)).as("sz"))
-    // common shingle count, restricted to candidate pairs
+    val sizes = dg.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Common digest count, restricted to candidate pairs. The second join
+    // carries the digest in its equi-key, so per-pair work is the merge of
+    // the two docs' digest sets — never the |A| x |B| cross product.
     val common = cands
-      .join(shd.select(col("id").as("doc_a"), col("shingle").as("sh_a")), "doc_a")
-      .join(shd.select(col("id").as("doc_b"), col("shingle").as("sh_b")), "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
+      .join(dg.select(col("id").as("doc_a"), col("d")), "doc_a")
+      .join(dg.select(col("id").as("doc_b"), col("d")), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     cands
       .join(common, Seq("doc_a", "doc_b"), "left_outer")
@@ -157,14 +185,16 @@ object Dedup {
     * sums run in a single hash-aggregate.
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // v = first 32 bits of the token digest, parsed ONCE; bit b of the
+    // hash reads bit (31-b) of v (hex chars are big-endian nibbles, MSB
+    // first within a nibble — same bit order as the per-nibble conv()
+    // formulation, at 1/32nd the per-row decode work).
     val tokRows = spread(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"))
-    def bitContrib(b: Int): Column = {
-      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("long")
-      when(shiftright(nib, 3 - (b % 4)).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
-    }
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+    def bitContrib(b: Int): Column =
+      when(shiftright(col("v"), 31 - b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
     val sums = tokRows.groupBy("id").agg(
       sum(bitContrib(0)).as("s_0"),
       (1 until 32).map(b => sum(bitContrib(b)).as(s"s_$b")): _*)
@@ -178,4 +208,50 @@ object Dedup {
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /
       greatest(size(array_union(shA, shB)), lit(1)).cast("double")
+
+  /** Connected components over an undirected duplicate-pair graph: every
+    * node gets the minimum id reachable from it (`canonical_id`), turning
+    * pairwise near-dup hits into dedup groups ("keep one doc per
+    * component").
+    *
+    * Distributed min-label propagation: each round joins current labels
+    * across the edge list and takes the per-node min — O(|E|) shuffled work
+    * per round, rounds bounded by component diameter (near-dup components
+    * are shallow in practice; `maxIter` caps pathological chains). Lineage
+    * is cut every round with localCheckpoint so the plan stays flat at any
+    * scale; the driver only ever sees one Boolean (the convergence check),
+    * never the data.
+    *
+    * @param nodes one row per node id (docs absent from `pairs` form
+    *              singleton components)
+    * @param pairs (doc_a, doc_b) undirected candidate/duplicate pairs
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col(idCol).as("node"))
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // converged when no node's label decreased this round
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as(idCol), col("lbl").as("canonical_id"))
+  }
 }

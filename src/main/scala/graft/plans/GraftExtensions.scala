@@ -14,15 +14,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.cosineDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => IntervalBroadcastRule)
   }
 }
 
 object GraftFunctions {
 
-  private[plans] val cosineDescriptor
-  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val cosineDescriptor: Descriptor = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) => {
@@ -30,9 +32,28 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
-  /** Idempotently register the engine's native functions on a session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_hplane_sig $what must be an integer literal, got $other")
   }
+
+  private val hplaneSigDescriptor: Descriptor = (
+    FunctionIdentifier("graft_hplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hplane_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_hplane_sig(vec, planes, dims) takes an array<float> and two int literals")
+      HyperplaneSig(children.head,
+        litInt(children(1), "planes"), litInt(children(2), "dims"))
+    })
+
+  private[plans] val descriptors: Seq[Descriptor] =
+    Seq(cosineDescriptor, hplaneSigDescriptor)
+
+  /** Idempotently register the engine's native functions on a session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

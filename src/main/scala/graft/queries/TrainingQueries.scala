@@ -71,6 +71,15 @@ object TrainingQueries {
         TF.fingerprintMd5(col("text")).as("fp_md5"),
         TF.rollingHash(col("text")).as("fp_rolling"))),
 
+    // Connected components over the MinHash candidate graph: pairwise hits
+    // -> dedup groups, min-reachable-id canonical per doc.
+    "t_dedup_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+    }),
+
     // Brute-force cosine top-k vs a fixed query vector (exact baseline).
     "t_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -83,6 +92,14 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
       VF.lshTopK(emb, q, k = 10, planes = 4, dims = 64).select("vec_id", "label", "cos")
+    }),
+
+    // IVF ANN (coarse-quantizer scale path): nearest-cell assignment,
+    // probe the query's nprobe cells, exact top-k within them.
+    "t_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      VF.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4).select("vec_id", "label", "cos")
     }),
 
     // Embedding-cosine near-dup pairs (LSH candidates + native cosine verify).
@@ -163,8 +180,36 @@ object TrainingQueries {
        |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""".stripMargin
 
+  private val annIvfOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT e.vec_id,
+       |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
+       |  FROM embeddings e, cent c GROUP BY e.vec_id),
+       |qc AS (SELECT c.cid AS cell FROM cent c, q
+       |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT 4)
+       |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 64)} AS cos
+       |FROM embeddings e
+       |JOIN assign a ON e.vec_id = a.vec_id
+       |JOIN qc ON a.cell = qc.cell, q
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
+  private val dedupCcOracle: String =
+    shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t_ann_lsh" -> annLshOracle,
+    "t_ann_ivf" -> annIvfOracle,
+    "t_dedup_cc" -> dedupCcOracle,
     "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,

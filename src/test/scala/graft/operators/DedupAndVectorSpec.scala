@@ -64,6 +64,32 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(!top.contains(3L))
   }
 
+  test("connectedComponents: transitive chains collapse to one canonical id") {
+    val nodes = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3-4 (transitive, 1 never directly paired with 4), pair 5-6,
+    // singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("ivfTopK: probing the query's cells still finds the exact neighbors") {
+    // 40 vectors in two well-separated clusters along different axes; the
+    // first 4 ids seed the cells. Query = vector 0: its true neighbors are
+    // the cluster-0 vectors, all assigned to cells probed by the query.
+    val emb = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      if (i % 2 == 0) v(0) = 1.0f + 0.001f * i else v(4) = 1.0f + 0.001f * i
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val top = VectorFunctions.ivfTopK(emb, q, k = 5, nlist = 4, nprobe = 2)
+      .select("label").as[Int].collect()
+    assert(top.length == 5 && top.forall(_ == 0),
+      "probed cells must contain exactly the same-cluster vectors")
+  }
+
   test("LSH bucketing co-locates the query with its near neighbor") {
     val emb = (0 until 50).map { i =>
       val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
