@@ -21,6 +21,12 @@ object Bench {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
+      // settle: let the ContextCleaner/GC drain the warm-up backlog so the
+      // first timed query doesn't absorb it (measured +10s on whichever
+      // query ran first without this)
+      System.gc()
+      Thread.sleep(3000)
+      spark.range(1000000).selectExpr("sum(id)").collect()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

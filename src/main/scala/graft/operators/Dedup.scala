@@ -235,6 +235,13 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("node"))
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so sum(lbl) strictly decreases until the
+    // fixpoint — one scalar aggregate per round replaces a join-based
+    // changed-rows check
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -243,11 +250,9 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      // converged when no node's label decreased this round
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .isEmpty
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

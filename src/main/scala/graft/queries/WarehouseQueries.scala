@@ -136,7 +136,13 @@ object WarehouseQueries {
     // reference's xlm_price pattern.
     "j3_asof_global" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val w = Window.orderBy(col("ts"), col("event_id"))
+      // The global series is one user's purchases, so partitioning the lead
+      // window by user_id is the same global ordering over the filtered set
+      // — but expressed with a real key, Spark neither warns nor funnels an
+      // (in general) unbounded series through one arbitrary partition.
+      // (partitionBy(lit) wouldn't do: EliminateWindowPartitions folds
+      // literal partition keys away again.)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gp = ev.filter(col("event_type") === "purchase" && col("user_id") === 42)
         .withColumn("valid_from", col("ts"))
         .withColumn("valid_to",
@@ -255,6 +261,18 @@ object WarehouseQueries {
           sum(dec2(col("value"))).cast("double").as("total_value"),
           count(lit(1)).as("n_holders"))
     }),
+
+    // S9: audit-log scan — ops telemetry over a JSON payload log, the
+    // reference's audit_log.sql shape (JSON_EXTRACT_SCALAR + SAFE_CAST +
+    // per-day/principal aggregation).
+    "s9_audit_scan" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("payload", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type").as("method"))
+        .agg(count(lit(1)).as("n_calls"),
+          countDistinct(col("user_id")).as("n_principals"),
+          sum(col("payload")).as("payload_sum"),
+          max(col("payload")).as("payload_max"))),
 
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
@@ -502,6 +520,14 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  COUNT(*) AS n_holders
         |FROM latest GROUP BY event_type""".stripMargin,
+
+    "s9_audit_scan" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS method,
+        |  COUNT(*) AS n_calls,
+        |  COUNT(DISTINCT user_id) AS n_principals,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
+        |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer

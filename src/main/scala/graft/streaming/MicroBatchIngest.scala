@@ -60,6 +60,19 @@ object MicroBatchIngest {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup: drop redelivered events by id, with state
+    * bounded by the watermark. The reference gets the same guarantee from
+    * the del-ins batch key (any retry overwrites the same batch); in a true
+    * streaming ingest the dedup state must live in the engine, and bounding
+    * it by event time is what keeps the state store finite at 100 TB/day —
+    * dropDuplicates without a watermark would grow state forever.
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, idCols: Seq[String],
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Custom keyed state across micro-batches: running per-user totals via
     * mapGroupsWithState. Each trigger folds its new events into the user's
     * persisted state and emits the updated row — the Structured Streaming

@@ -12,7 +12,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private def planOf(name: String, dir: String = sfDir): String = {
     GraftSession.tune(spark)
-    val df: DataFrame = WarehouseQueries.queries(name)(spark, dir)
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, dir)
     df.collect() // let AQE finalize
     // keep only the final adaptive plan (toString appends the initial plan too)
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -67,6 +67,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
       "l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>") ||
       !p.contains("l_orderkey"), s"scan must prune to the 6 needed columns:\n$p")
+  }
+
+  test("t_dedup_jaccard: every join is an equi join (no cross products)") {
+    val p = planOf("t_dedup_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate/verify joins must stay equi-keyed:\n$p")
+    // the common-shingle count join must carry the digest in its key, not
+    // re-filter an exploded pair x shingle cross product
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t_ann_ivf: centroid attach broadcasts; corpus is never cross-joined wide") {
+    val p = planOf("t_ann_ivf")
+    // assignment + probe sides are tiny and broadcast; the only nested-loop
+    // join allowed is against a <= nlist-row broadcast side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian at any size:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("t_ann_lsh / t_ann_cosine: top-k is TakeOrdered, query side broadcast") {
+    for (q <- Seq("t_ann_lsh", "t_ann_cosine")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q must not globally sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no shuffled cartesian:\n$p")
+    }
   }
 
   test("w1_current_state shuffles once on the entity key") {

@@ -60,4 +60,26 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(rows(0)._2 == 2 && rows(0)._3 == 3.0)
     assert(rows(1)._2 == 1 && rows(1)._3 == 3.0)
   }
+
+  test("streaming dedup drops redelivered ids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val ev = src.toDF().toDF("event_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = MicroBatchIngest.streamingDedup(ev, "ts", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    src.addData((1L, "2024-01-01 00:01:00"), (2L, "2024-01-01 00:02:00"),
+      (1L, "2024-01-01 00:01:00")) // in-batch duplicate
+    q.processAllAvailable()
+    // redelivery in a later micro-batch: state store still holds id 2
+    src.addData((2L, "2024-01-01 00:02:30"), (3L, "2024-01-01 00:03:00"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
 }
