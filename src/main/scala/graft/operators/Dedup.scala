@@ -227,11 +227,42 @@ object Dedup {
     * @param pairs (doc_a, doc_b) undirected candidate/duplicate pairs
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    // Candidate graphs after LSH are sparse by construction (edges << docs),
+    // so below a bounded size the component solve is a driver-side
+    // union-find + one broadcast join back onto the corpus — the same
+    // small-side adaptivity AQE applies to join strategy. Past the limit,
+    // fall through to the distributed min-label loop.
+    val nEdges = edges.count()
+    if (nEdges <= broadcastEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("src", "dst").collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labelRows = parent.keys.map(n => (n, find(n))).toSeq
+      edges.unpersist()
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelMap = labelRows.toDF("node", "comp")
+      return nodes.select(col(idCol).as("node"))
+        .join(broadcast(labelMap), Seq("node"), "left_outer")
+        .select(col("node").as(idCol),
+          coalesce(col("comp"), col("node")).as("canonical_id"))
+    }
     var labels = nodes.select(col(idCol).as("node"))
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -245,9 +276,16 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(prop)
+      // two propagation hops per materialization round: near-dup components
+      // are shallow, so this roughly halves the checkpoint + convergence
+      // jobs (the per-round fixed cost dominates the tiny per-hop work)
+      val hop1 = labels.union(
+        edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl")))
+        .groupBy("node").agg(min("lbl").as("lbl"))
+      val next = hop1.union(
+        edges.join(hop1, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl")))
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       val nextSum = lblSum(next)

@@ -64,6 +64,18 @@ object TrainingQueries {
         .withColumn("correct", col("pred_lang") === col("lang"))
     }),
 
+    // Quality-cutoff quantiles per language: exact interpolated percentiles
+    // of token counts — the distribution pass a filtering pipeline runs
+    // before picking thresholds.
+    "t_quality_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TF.tokenCount(col("text")).cast("double").as("nt"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.9)"), 6).as("p90"))),
+
     // Document fingerprinting: normalized-md5 + rolling polynomial hash.
     "t_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -287,6 +299,12 @@ object TrainingQueries {
         |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
         |        ELSE 'fr' END) = lang AS correct
         |FROM scored""".stripMargin,
+
+    "t_quality_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  round(quantile_cont(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0.9), 6) AS p90
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "t_fingerprint" ->
       """WITH norm AS (

@@ -274,6 +274,22 @@ object WarehouseQueries {
           sum(col("payload")).as("payload_sum"),
           max(col("payload")).as("payload_max"))),
 
+    // A5 (marts, beyond the reference): ROLLUP subtotal lattice — the
+    // day x type activity mart with per-day and grand-total rows in one
+    // map-side-combinable pass.
+    "a5_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"))
+        // subtotal-marker NULLs become sentinels: mart consumers (and the
+        // cross-engine compare) shouldn't have to distinguish NULL-as-total
+        // from NULL-as-data
+        .select(
+          coalesce(col("day"), to_date(lit("1900-01-01"))).as("day"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("value_sum"))),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -528,6 +544,14 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a5_rollup" ->
+      """SELECT coalesce(day, DATE '1900-01-01') AS day,
+        |  coalesce(event_type, 'ALL') AS event_type, n, value_sum
+        |FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY ROLLUP(1, 2)) t""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer

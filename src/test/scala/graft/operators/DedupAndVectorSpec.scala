@@ -69,9 +69,17 @@ class DedupAndVectorSpec extends SparkSpec {
     // chain 1-2-3-4 (transitive, 1 never directly paired with 4), pair 5-6,
     // singleton 7
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+    val expected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    // small graph: driver union-find fast path
+    val viaUnionFind = Dedup.connectedComponents(nodes, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(viaUnionFind == expected)
+    // forced distributed min-label loop (the 100 TB path) agrees exactly
+    val viaPropagation =
+      Dedup.connectedComponents(nodes, "doc_id", pairs, broadcastEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+    assert(viaPropagation == expected)
   }
 
   test("ivfTopK: probing the query's cells still finds the exact neighbors") {
