@@ -204,6 +204,23 @@ object Dedup {
     sums.select(col("id").as("doc_id"), hash.as("simhash"))
   }
 
+  /** End-to-end corpus deduplication — the operation a training-data
+    * pipeline actually runs: near-dup pairs above `threshold` (LSH
+    * candidates, exact-Jaccard verified; identical docs share every band
+    * so exact dups are candidate pairs by construction) → connected
+    * components → keep only each component's canonical (min-id) document.
+    * Returns the surviving rows of `docs`, unchanged.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 8, bands: Int = 4,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
+    val comps = connectedComponents(docs, idCol, pairs)
+    docs.join(
+      comps.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard for a pair of (distinct) shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /

@@ -83,6 +83,13 @@ object TrainingQueries {
         TF.fingerprintMd5(col("text")).as("fp_md5"),
         TF.rollingHash(col("text")).as("fp_rolling"))),
 
+    // End-to-end corpus dedup: near-dup pairs (LSH + Jaccard verify) ->
+    // connected components -> keep each component's canonical doc.
+    "t_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.3)
+        .select("doc_id", "lang", "n_chars")),
+
     // Connected components over the MinHash candidate graph: pairwise hits
     // -> dedup groups, min-reachable-id canonical per doc.
     "t_dedup_cc" -> ((s, dir) => {
@@ -218,10 +225,31 @@ object TrainingQueries {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node""".stripMargin
 
+  private val dedupCorpusOracle: String =
+    shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b),
+        |dup_edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jaccard >= 0.3
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM scored WHERE jaccard >= 0.3),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN dup_edges e ON e.src = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS canonical_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN cc ON d.doc_id = cc.node AND cc.node = cc.canonical_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t_ann_lsh" -> annLshOracle,
     "t_ann_ivf" -> annIvfOracle,
     "t_dedup_cc" -> dedupCcOracle,
+    "t_dedup_corpus" -> dedupCorpusOracle,
     "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,

@@ -336,6 +336,18 @@ object WarehouseQueries {
         .groupBy("user_id")
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))),
 
+    // P8 (Spark 4 Variant path): the same JSON aggregation through
+    // parse_json + variant_get — the engine's VariantType surface for
+    // JSON-typed columns (SURVEY §1.2), which at scale beats per-access
+    // string re-parsing: the payload parses once into the binary variant
+    // encoding and every field access is a cheap path lookup.
+    "p8_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+        .groupBy("user_id")
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))),
+
     // P6: arithmetic scalar functions — fee multipliers, safe division,
     // ceilings, ratios (reference v_liquidity_pool_trade_volume fee math).
     "p6_math" -> ((s, dir) =>
@@ -585,6 +597,12 @@ object WarehouseQueries {
         |FROM orders""".stripMargin,
 
     "p8_json" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "p8_variant" ->
       """SELECT user_id,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  COUNT(*) AS n

@@ -49,6 +49,17 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 6)
   }
 
+  test("dedupCorpus keeps one canonical doc per near-dup group") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (1L, base), (2L, base), (3L, base.replace("tok40", "tok40x")), // one group
+      (4L, (1 to 40).map(i => s"zzz$i").mkString(" ")),              // unrelated
+      (5L, "tiny"))                                                  // singleton
+    val kept = Dedup.dedupCorpus(d, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L), s"got ${kept.toSeq}")
+  }
+
   test("brute-force top-k cosine: self-similarity ranks first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
