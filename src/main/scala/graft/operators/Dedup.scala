@@ -36,14 +36,22 @@ object Dedup {
     * one "" shingle). Duplicated shingles are kept (harmless to min-hash,
     * de-duped where sets are needed).
     *
-    * Deliberately relational (posexplode -> window lead -> concat), not an
-    * array-lambda (transform/slice over the token array): CollapseProject
-    * inlines the tokenizer into lambda bodies, re-running the regexp per
-    * array element interpreted — measured 186 CPU-seconds for a corpus
-    * whose single-pass tokenization costs well under one. The window
-    * shuffles (id, pos, tok) rows once and every later stage is codegen'd.
+    * Shingling is a native one-pass expression (graft.plans.ShingleArray):
+    * an array-lambda formulation falls foul of CollapseProject inlining the
+    * tokenizer per element (186 CPU-s measured), and the relational
+    * posexplode + window-lead alternative pays a shuffle and a per-doc sort
+    * whose only purpose is adjacency ([[shingleRowsWindowed]], kept for the
+    * equivalence spec). The fused pass needs neither.
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spread(docs).select(col(idCol).as("id"),
+      explode(call_function("graft_shingles", lower(col(textCol)), lit(n))).as("shingle"))
+
+  /** Reference relational formulation from builtin operators only — proves
+    * the native expression equivalent, and serves sessions without the
+    * graft function registry.
+    */
+  def shingleRowsWindowed(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val toks = spread(docs)
@@ -163,9 +171,14 @@ object Dedup {
     // Common digest count, restricted to candidate pairs. The second join
     // carries the digest in its equi-key, so per-pair work is the merge of
     // the two docs' digest sets — never the |A| x |B| cross product.
+    // shuffle_hash: sort-merge would order the pair x digest relation by a
+    // 32-char string key — the sort alone dominated the pipeline (42 s vs
+    // ~12 at 50k docs); hashing the (smaller) digest relation instead keeps
+    // both joins sort-free, and per-partition build sides stay bounded
+    // because dg is id-striped by the shuffle.
     val common = cands
-      .join(dg.select(col("id").as("doc_a"), col("d")), "doc_a")
-      .join(dg.select(col("id").as("doc_b"), col("d")), Seq("doc_b", "d"))
+      .join(dg.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
+      .join(dg.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     cands
       .join(common, Seq("doc_a", "doc_b"), "left_outer")
@@ -214,11 +227,18 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, k: Int = 8, bands: Int = 4,
                   threshold: Double = 0.5): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
+    // materialize the verified pairs through a normal action so the verify
+    // joins get the full AQE treatment (the checkpoint path inside
+    // connectedComponents executes via .rdd, which skips adaptive
+    // re-planning — measured ~2.5x the CPU on the same join)
+    val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold).persist()
+    pairs.count()
     val comps = connectedComponents(docs, idCol, pairs)
-    docs.join(
+    val kept = docs.join(
       comps.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
+    pairs.unpersist()
+    kept
   }
 
   /** Exact n-gram Jaccard for a pair of (distinct) shingle-set columns. */
@@ -246,8 +266,14 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 25,
                           broadcastEdgeLimit: Long = 4000000L): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // pairs is typically the output of an expensive verify pipeline; the
+    // union below scans it twice (once per direction), and a lazy persist
+    // leaves the two legs racing to materialize the same cache partitions
+    // (work done twice). An eager localCheckpoint evaluates the pipeline
+    // exactly once and cuts its lineage out of every CC round.
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
     // Candidate graphs after LSH are sparse by construction (edges << docs),
@@ -271,7 +297,7 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val labelRows = parent.keys.map(n => (n, find(n))).toSeq
-      edges.unpersist()
+      edges.unpersist(); p.unpersist()
       val spark = nodes.sparkSession
       import spark.implicits._
       val labelMap = labelRows.toDF("node", "comp")
@@ -311,7 +337,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     labels.select(col("node").as(idCol), col("lbl").as("canonical_id"))
   }
 }

@@ -35,7 +35,7 @@ object GraftFunctions {
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"graft_hplane_sig $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   private val hplaneSigDescriptor: Descriptor = (
@@ -48,8 +48,17 @@ object GraftFunctions {
         litInt(children(1), "planes"), litInt(children(2), "dims"))
     })
 
+  private val shinglesDescriptor: Descriptor = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_shingles(text, n) takes a string and an int literal")
+      ShingleArray(children.head, litInt(children(1), "n"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
-    Seq(cosineDescriptor, hplaneSigDescriptor)
+    Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,106 @@
+package graft.tools
+
+import graft.core.GraftSession
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-path scale probe: replicate the documents table `mult`x with
+  * shifted ids (a duplicate-heavy corpus, the realistic web-crawl shape) and
+  * time the near-dup pipeline end to end. Checks the property the small-SF
+  * bench can't: candidate volume grows ~quadratically inside duplicate
+  * groups, and the pipeline has to absorb it without a driver collect or a
+  * cross product.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nBase = base.count()
+    val big = (0 until mult).map { m =>
+      base.select((col("doc_id") + lit(m.toLong * 10000000L)).as("doc_id"),
+        col("text"), col("lang"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+    val nBig = big.count()
+    println(s"[scale] corpus: $nBase -> $nBig docs (${mult}x, duplicate-heavy)")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        val ops = si.rddInfos.map(_.name).filter(_ != null)
+          .filterNot(n => n.startsWith("MapPartitions") || n.startsWith("Shuffled"))
+          .distinct.take(6).mkString(">")
+        stages += ((si.stageId, wall, si.taskMetrics.executorCpuTime / 1000000L,
+          si.numTasks, ops))
+      }
+    })
+
+    // decomposed pipeline timing: which leg actually burns the CPU?
+    {
+      import org.apache.spark.storage.StorageLevel
+      val dg = Dedup.shingleRows(big, "doc_id", "text", 3)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      time("  dg_distinct")(dg.count())
+      val banded = Dedup.bandRows(Dedup.signaturesFromDigests(dg, 8), 8, 4)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("  banded")(banded.count())
+      val cands = banded.as("a")
+        .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      time("  cands")(cands.count())
+      val common = cands
+        .join(dg.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
+        .join(dg.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      time("  common_counts")(common.count())
+      dg.unpersist(); banded.unpersist(); cands.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    val nPairs = time("minhash_pairs") {
+      Dedup.minhashCandidatePairs(big, "doc_id", "text").count()
+    }
+    stages.clear()
+    val nVerified = time("jaccard_verified") {
+      Dedup.nearDupPairs(big, "doc_id", "text", threshold = 0.5).count()
+    }
+    Thread.sleep(2000)
+    stages.sortBy(-_._2).take(8).foreach { case (id, wall, cpu, n, ops) =>
+      println(f"[scale]   verify stage=$id%-4d wall=${wall / 1000.0}%8.2f s cpuSum=${cpu / 1000.0}%8.2f s tasks=$n%-4d $ops")
+    }
+    stages.clear()
+    val nKept = time("dedup_corpus") {
+      Dedup.dedupCorpus(big, "doc_id", "text", threshold = 0.5).count()
+    }
+    Thread.sleep(2000)
+    stages.sortBy(-_._2).take(8).foreach { case (id, wall, cpu, n, ops) =>
+      println(f"[scale]   corpus stage=$id%-4d wall=${wall / 1000.0}%8.2f s cpuSum=${cpu / 1000.0}%8.2f s tasks=$n%-4d $ops")
+    }
+    println(s"[scale] pairs=$nPairs verified=$nVerified kept=$nKept of $nBig")
+    // every base doc appears `mult` times -> survivors must be <= nBase
+    // (near-dups merge groups further)
+    assert(nKept <= nBase, s"dedup must collapse the ${mult}x replication")
+    spark.stop()
+  }
+}
