@@ -36,6 +36,24 @@ class ShingleArraySpec extends SparkSpec {
     assert(native.exists(r => r._1 == 6L && r._2.contains(" ")))
   }
 
+  test("randomized differential: byte scanner == java-regex \\S+ reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab δΩ\t\n\f\r  é字 .x"
+    def reference(text: String, n: Int): Seq[String] = {
+      val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+      val toks = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    for (_ <- 1 to 500; n <- Seq(1, 2, 3)) {
+      val s = (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = ShingleArray.compute(UTF8String.fromString(s), n)
+        .array.map(_.toString).toSeq
+      assert(got == reference(s, n), s"text=${s.map(_.toInt)} n=$n")
+    }
+  }
+
   test("expression stays in whole-stage codegen") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = docs.select(explode(
