@@ -133,11 +133,29 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val banded = bandRows(minhashSignatures(docs, idCol, textCol, n, k), k, bands)
+    selfJoinPairs(materialize(banded))
+  }
+
+  private def selfJoinPairs(banded: DataFrame): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** Persist AND materialize now. A lazy persist inside a plan that scans
+    * the same subtree more than once (self-joins, union legs, the five
+    * dg references in the verify assembly) leaves concurrent scans racing
+    * to compute the same cache partitions — the subtree effectively runs
+    * once per reference (measured 6x on the near-dup pipeline). One small
+    * eager count turns every later reference into a cache read.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 
   /** LSH candidates verified with exact n-gram Jaccard >= threshold: the full
@@ -148,25 +166,20 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // One (id, digest) relation feeds the signature, set-size, and
     // intersection legs: the corpus is tokenized and md5'd exactly once,
     // deduped once (32-char digests shuffle, never shingle text), and the
     // band self-join runs exactly once. Jaccard over digests equals
     // Jaccard over the shingle sets (md5 is injective for any realistic
-    // corpus). At warehouse scale these persists would be materialized
-    // tables; in-session persist gives the same shape.
-    val dg = shingleRows(docs, idCol, textCol, n)
-      .select(col("id"), md5(col("shingle")).as("d"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandRows(signaturesFromDigests(dg, k), k, bands)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cands = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // corpus). At warehouse scale these materializations would be real
+    // tables; eager persist gives the same shape (see [[materialize]] —
+    // lazy persists race when one action scans them from several legs).
+    val dg = materialize(
+      shingleRows(docs, idCol, textCol, n)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct())
+    val banded = materialize(bandRows(signaturesFromDigests(dg, k), k, bands))
+    val cands = materialize(selfJoinPairs(banded))
     val sizes = dg.groupBy("id").agg(count(lit(1)).as("sz"))
     // Common digest count, restricted to candidate pairs. The second join
     // carries the digest in its equi-key, so per-pair work is the merge of
@@ -180,9 +193,15 @@ object Dedup {
       .join(dg.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
       .join(dg.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    cands
-      .join(common, Seq("doc_a", "doc_b"), "left_outer")
-      .na.fill(0L, Seq("n_common"))
+    // A positive threshold implies n_common >= 1, so the scored pairs ARE
+    // `common` — no left-outer back onto cands. (threshold <= 0 keeps
+    // zero-overlap candidate pairs via the union branch.)
+    val scoredBase =
+      if (threshold > 0) common
+      else common.unionByName(
+        cands.join(common.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+          .withColumn("n_common", lit(0L)))
+    scoredBase
       .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard",

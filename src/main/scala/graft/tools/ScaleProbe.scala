@@ -41,6 +41,7 @@ object ScaleProbe {
     }
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
+    val jobStart = scala.collection.mutable.Map.empty[Int, Long]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -51,6 +52,12 @@ object ScaleProbe {
           .distinct.take(6).mkString(">")
         stages += ((si.stageId, wall, si.taskMetrics.executorCpuTime / 1000000L,
           si.numTasks, ops))
+      }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStart(j.jobId) = j.time
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val dt = (j.time - jobStart.getOrElse(j.jobId, j.time)) / 1000.0
+        if (dt > 1.0) println(f"[scale]     job=${j.jobId}%-4d ${dt}%8.2f s")
       }
     })
 
