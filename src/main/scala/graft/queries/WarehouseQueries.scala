@@ -317,6 +317,9 @@ object WarehouseQueries {
         concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
         col("p_name").like("%a%").as("has_a"),
         regexp_extract(col("p_type"), "[A-Z]+", 0).as("type_caps"),
+        col("p_brand").rlike("Brand#[12]").as("is_b12"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_vowel_runs"),
         trim(substring(col("p_name"), 1, 10)).as("name10"))),
 
     // P5: date/time scalar functions.
@@ -326,6 +329,7 @@ object WarehouseQueries {
         to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
         add_months(col("o_orderdate"), 15).as("plus15m"),
         (unix_seconds(col("o_orderdate").cast("timestamp")) - lit(946684800L)).as("sec_since_2000"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) - lit(946684800000L)).as("ms_since_2000"),
         year(col("o_orderdate")).cast("long").as("yr"),
         quarter(col("o_orderdate")).cast("long").as("qtr"))),
 
@@ -584,6 +588,8 @@ object WarehouseQueries {
         |  p_brand || ':' || p_type AS brand_type,
         |  (p_name LIKE '%a%') AS has_a,
         |  coalesce(regexp_extract(p_type, '[A-Z]+'), '') AS type_caps,
+        |  regexp_matches(p_brand, 'Brand#[12]') AS is_b12,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
         |  trim(substr(p_name, 1, 10)) AS name10
         |FROM part""".stripMargin,
 
@@ -592,6 +598,7 @@ object WarehouseQueries {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
         |  CAST(o_orderdate + INTERVAL 15 MONTH AS DATE) AS plus15m,
         |  date_diff('second', TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS sec_since_2000,
+        |  date_diff('millisecond', TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS ms_since_2000,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
         |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr
         |FROM orders""".stripMargin,

@@ -73,6 +73,53 @@ object MicroBatchIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Sessionization via flatMapGroupsWithState: group a user's events into
+    * activity sessions separated by >= `gapSeconds` of silence, emitting a
+    * session row once its gap has definitively passed (event-time timeout).
+    * The canonical "custom state machine" streaming shape — state per key
+    * is one open session, bounded by the watermark, so the state store
+    * stays finite regardless of history length.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[graft.typed.Event],
+                 gapSeconds: Long = 1800L)
+  : org.apache.spark.sql.Dataset[graft.typed.Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[graft.typed.Event], state: GroupState[graft.typed.Session]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[graft.typed.Session]
+          if (sorted.isEmpty && state.hasTimedOut) {
+            open.foreach(closed += _)
+            state.remove()
+          } else {
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.end_ts.getTime <= gapSeconds * 1000L =>
+                  open = Some(s.copy(end_ts = e.ts, n_events = s.n_events + 1,
+                    value_sum = s.value_sum + e.value.getOrElse(0.0)))
+                case Some(s) =>
+                  closed += s
+                  open = Some(graft.typed.Session(uid, e.ts, e.ts, 1L,
+                    e.value.getOrElse(0.0)))
+                case None =>
+                  open = Some(graft.typed.Session(uid, e.ts, e.ts, 1L,
+                    e.value.getOrElse(0.0)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ts.getTime + gapSeconds * 1000L)
+            }
+          }
+          closed.iterator
+      }
+  }
+
   /** Custom keyed state across micro-batches: running per-user totals via
     * mapGroupsWithState. Each trigger folds its new events into the user's
     * persisted state and emits the updated row — the Structured Streaming

@@ -21,6 +21,14 @@ final case class Event(
 
 final case class UserAgg(user_id: Long, n: Long, total: Double)
 
+/** A closed activity session (streaming sessionization output). */
+final case class Session(
+    user_id: Long,
+    start_ts: java.sql.Timestamp,
+    end_ts: java.sql.Timestamp,
+    n_events: Long,
+    value_sum: Double)
+
 object TypedOps {
 
   implicit val eventEnc: Encoder[Event] = Encoders.product[Event]

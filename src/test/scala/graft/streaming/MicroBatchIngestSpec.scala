@@ -61,6 +61,36 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(rows(1)._2 == 1 && rows(1)._3 == 3.0)
   }
 
+  test("sessionize closes a session only after the gap passes the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, uid: Long) =
+      graft.typed.Event(id, java.sql.Timestamp.valueOf(ts), uid, "click", Some(1.0), "{}")
+    val src = MemoryStream[graft.typed.Event]
+    val out = MicroBatchIngest.sessionize(src.toDS(), gapSeconds = 600L)
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // session 1: two events 5 min apart; then 20 min of silence, session 2
+    src.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:05:00", 7))
+    q.processAllAvailable()
+    src.addData(ev(3, "2024-01-01 10:25:00", 7)) // opens session 2
+    q.processAllAvailable()
+    // advance event time far enough that session 2's gap also expires
+    src.addData(ev(4, "2024-01-01 11:00:00", 8))
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-01-01 12:00:00", 8)) // push watermark past all gaps
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_out")
+      .as[graft.typed.Session].collect().filter(_.user_id == 7)
+      .sortBy(_.start_ts.getTime)
+    assert(sessions.length == 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).n_events == 2 && sessions(0).value_sum == 2.0)
+    assert(sessions(0).end_ts.toString.startsWith("2024-01-01 10:05"))
+    assert(sessions(1).n_events == 1)
+  }
+
   test("streaming dedup drops redelivered ids across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
