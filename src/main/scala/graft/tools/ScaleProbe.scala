@@ -96,6 +96,15 @@ object ScaleProbe {
     stages.sortBy(-_._2).take(8).foreach { case (id, wall, cpu, n, ops) =>
       println(f"[scale]   verify stage=$id%-4d wall=${wall / 1000.0}%8.2f s cpuSum=${cpu / 1000.0}%8.2f s tasks=$n%-4d $ops")
     }
+    // the distributed min-label loop (forced) on the same pair graph — the
+    // >broadcastEdgeLimit path a trillion-doc corpus would take
+    if (sys.env.get("SPARK_GRAFT_CC_DISTRIBUTED").contains("1")) {
+      val pairs = Dedup.nearDupPairs(big, "doc_id", "text", threshold = 0.5)
+      time("  cc_distributed") {
+        Dedup.connectedComponents(big, "doc_id", pairs, broadcastEdgeLimit = 0L).count()
+      }
+    }
+
     stages.clear()
     val nKept = time("dedup_corpus") {
       Dedup.dedupCorpus(big, "doc_id", "text", threshold = 0.5).count()

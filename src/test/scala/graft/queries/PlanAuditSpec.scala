@@ -107,4 +107,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"expected partial window-group-limit pushdown:\n$p")
   }
+
+  test("w2_first_order gets the same partial window-group-limit pushdown") {
+    val p = planOf("w2_first_order")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"row_number=1 dedup must prune map-side too:\n$p")
+  }
 }
