@@ -23,8 +23,9 @@ object SparkEntry {
         name -> ((s: SparkSession, dir: String) => { GraftSession.tune(s); fn(s, dir) })
     }
 
-  /** DuckDB-runnable oracle SQL per query; queries absent here get a weaker
-    * rows-only check (only t_ann_lsh, whose bucketing has no SQL analog).
+  /** DuckDB-runnable oracle SQL per query — every entry in [[queries]] has
+    * one (LSH/IVF via inlined deterministic weights and rules, connected
+    * components via recursive CTEs).
     */
   def oracleSql: Map[String, String] =
     WarehouseQueries.oracles ++ TrainingQueries.oracles
