@@ -109,6 +109,31 @@ class DedupAndVectorSpec extends SparkSpec {
       "probed cells must contain exactly the same-cluster vectors")
   }
 
+  test("IVF scale path: cell-bucketed assignments prune the probe scan") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val assigned = emb.join(
+      VectorFunctions.ivfAssignments(emb, nlist = 4), "vec_id")
+    graft.sinks.Sinks.writeBucketed(assigned, "ivf_cells", buckets = 4,
+      bucketCols = Seq("cell"))
+    // equality on the bucket column: Spark's bucket pruning reads only the
+    // matching bucket files — the probed-cells scan at warehouse scale.
+    // autoBucketedScan's benefit heuristic only counts joins/aggregations,
+    // so it must be off for a pruned point-lookup to keep the bucketed scan.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val probe = spark.table("ivf_cells").filter(col("cell") === 0)
+    val plan =
+      try probe.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    assert(plan.contains("Bucketed: true"), s"expected a bucketed scan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"expected bucket pruning to 1 of 4:\n$plan")
+    // the pruned scan returns exactly the cell's members
+    assert(probe.count() ==
+      VectorFunctions.ivfAssignments(emb, nlist = 4).filter(col("cell") === 0).count())
+    spark.sql("DROP TABLE IF EXISTS ivf_cells")
+  }
+
   test("LSH bucketing co-locates the query with its near neighbor") {
     val emb = (0 until 50).map { i =>
       val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
