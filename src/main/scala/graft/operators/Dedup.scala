@@ -246,15 +246,33 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, k: Int = 8, bands: Int = 4,
                   threshold: Double = 0.5): DataFrame = {
+    // Collapse exact duplicates FIRST: identical content produces identical
+    // signatures, so every replica would land in the same buckets and pay
+    // quadratic pairwise verification inside its group (20 copies = 190
+    // candidate pairs each verifying jaccard = 1). Running near-dup over
+    // one representative per distinct content yields provably identical
+    // survivors — the exact group's canonical is its min id, the
+    // representative relation preserves component minima — at pair volume
+    // driven by DISTINCT content only. On crawl-shaped corpora this is the
+    // difference between millions and hundreds of verify pairs.
+    val repOf = materialize(
+      docs.withColumn("content_hash", md5(col(textCol)))
+        .join(exactGroups(docs, idCol, textCol).select("content_hash", "canonical_id"),
+          "content_hash")
+        .select(col(idCol), col("canonical_id").as("rep")))
+    val reps = docs.join(
+      repOf.filter(col(idCol) === col("rep")).select(idCol), Seq(idCol), "left_semi")
     // materialize the verified pairs through a normal action so the verify
     // joins get the full AQE treatment (the checkpoint path inside
     // connectedComponents executes via .rdd, which skips adaptive
     // re-planning — measured ~2.5x the CPU on the same join)
-    val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold).persist()
+    val pairs = nearDupPairs(reps, idCol, textCol, n, k, bands, threshold).persist()
     pairs.count()
-    val comps = connectedComponents(docs, idCol, pairs)
+    val comps = connectedComponents(reps, idCol, pairs)
+    val canon = repOf.join(
+      comps.select(col(idCol).as("rep"), col("canonical_id")), "rep")
     val kept = docs.join(
-      comps.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
+      canon.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
     pairs.unpersist()
     kept
