@@ -57,8 +57,17 @@ object GraftFunctions {
       ShingleArray(children.head, litInt(children(1), "n"))
     })
 
+  private val kmvDescriptor: Descriptor = (
+    FunctionIdentifier("graft_kmv_kth"),
+    new ExpressionInfo(classOf[KmvKthMin].getName, "graft_kmv_kth"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_kmv_kth(hash, k) takes a string column and an int literal")
+      KmvKthMin(children.head, litInt(children(1), "k"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
-    Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor)
+    Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor, kmvDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

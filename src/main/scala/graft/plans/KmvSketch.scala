@@ -1,0 +1,116 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) distinct-count sketch over a hash column: keeps
+  * the k lexicographically smallest DISTINCT values seen, in O(k) bounded
+  * state per group.
+  *
+  * The estimator is the classic KMV one: for uniformly distributed hashes,
+  * the k-th smallest normalized hash U(k) gives n ≈ (k-1)/U(k). The engine
+  * exposes the *sketch state* — (number of distinct values retained capped
+  * at k, the k-th minimum) — and leaves the estimate to a plain column
+  * expression, so the whole computation is reproducible in any SQL engine
+  * (the DuckDB oracle re-derives it with a row_number window) and hashes
+  * can come from any deterministic function (md5 in the catalog queries).
+  *
+  * Scale shape: unlike the window formulation (shuffle ALL distinct hashes,
+  * sort each group), this is a TypedImperativeAggregate with map-side
+  * partial aggregation — every partition reduces to ≤ k short strings
+  * before the shuffle, so per-group network cost is O(k), independent of
+  * input size. This is the distinct-count path a 100 TB corpus needs; the
+  * exact `countDistinct` stays available when the group count is small.
+  *
+  * Mirrors the reference's reliance on engine-side approximate/statistical
+  * aggregation being out of scope (BigQuery owns it) — re-expressed here as
+  * a first-class Catalyst aggregate.
+  */
+case class KmvKthMin(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_kth requires a string hash column, got $dt")
+  }
+
+  override def nullable: Boolean = false
+
+  /** (n: distinct values retained, capped at k; kth: the k-th minimum, null
+    * while fewer than k distinct values have been seen — in which case `n`
+    * IS the exact distinct count).
+    */
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("kth", StringType, nullable = true)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  private def add(buf: java.util.TreeSet[String], s: String): Unit =
+    if (buf.size < k) { buf.add(s); () }
+    else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.pollLast(); () }
+
+  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[String], other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any =
+    new GenericInternalRow(Array[Any](
+      buf.size,
+      if (buf.size >= k) UTF8String.fromString(buf.last) else null))
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvKthMin =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvKthMin =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "graft_kmv_kth"
+}

@@ -131,6 +131,27 @@ object TrainingQueries {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media)
         .select("doc_id", "media_type", "n_bytes", "content_hash")
+    }),
+
+    // KMV distinct-count sketch (graft.plans.KmvKthMin): per event type,
+    // the 32 smallest distinct md5(user_id) hashes reduce map-side to O(k)
+    // state; the (k-1)/U(k) estimate is a plain column over the sketch
+    // struct. Below k distinct values the sketch IS the exact count.
+    "t_sketch_kmv" -> ((s, dir) => {
+      val k = 32
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("graft_kmv_kth",
+          md5(col("user_id").cast("string")), lit(k)).as("sk"))
+        .select(
+          col("event_type"),
+          col("sk.n").cast("long").as("nd_capped"),
+          when(col("sk.n") < k, col("sk.n").cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 4503599627370496.0) /
+                conv(substring(col("sk.kth"), 1, 13), 16, 10)
+                  .cast("long").cast("double"),
+              3)).as("est_distinct"))
     })
   )
 
@@ -366,6 +387,28 @@ object TrainingQueries {
         |       ELSE 'video' END AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Re-derives the KMV sketch relationally: distinct hashes -> per-group
+    // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the
+    // first 13 hex chars (52 bits, exact in a double) as the normalized
+    // hash value.
+    "t_sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN hv END) AS kth
+        |  FROM r GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM s""".stripMargin
   )
 }

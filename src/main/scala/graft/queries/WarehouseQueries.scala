@@ -290,6 +290,90 @@ object WarehouseQueries {
           coalesce(col("event_type"), lit("ALL")).as("event_type"),
           col("n"), col("value_sum"))),
 
+    // A5 (marts): trade_agg shape — per (month, asset) OHLCV over unit
+    // prices, open/close picked by a unique (ts, order, line) tuple so ties
+    // are deterministic. Dimension join broadcast; one map-side-combinable
+    // aggregate.
+    "a5_trade_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val ord = struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .withColumn("unit_price", try_divide(col("l_extendedprice"), col("l_quantity")))
+        .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"), col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          sum(dec2(col("l_quantity"))).cast("double").as("base_volume"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("counter_volume"),
+          min_by(col("unit_price"), ord).as("open_price"),
+          max(col("unit_price")).as("high_price"),
+          min(col("unit_price")).as("low_price"),
+          max_by(col("unit_price"), ord).as("close_price"))
+    }),
+
+    // A5 (marts): fee_stats shape — per-month fee distribution: exact
+    // interpolated percentiles + extrema + decimal-disciplined average.
+    "a5_fee_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(
+          count(lit(1)).as("n_fees"),
+          round(expr("percentile(o_totalprice, 0.1)"), 6).as("fee_p10"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("fee_p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("fee_p95"),
+          round(expr("percentile(o_totalprice, 0.99)"), 6).as("fee_p99"),
+          max(col("o_totalprice")).as("fee_max"),
+          (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("fee_avg"))),
+
+    // A5 (marts): asset_stats shape — per-asset-class distinct-entity
+    // counts and decimal-disciplined volumes over the fact table.
+    "a5_asset_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_assets"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(dec2(col("l_quantity"))).cast("double").as("total_qty"),
+          // decimal x decimal (exact, engine-independent) — a per-row
+          // double product cast to DECIMAL would tie-break differently
+          // between engines (HALF_UP vs HALF_EVEN) on >2-decimal products
+          sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("double").as("net_revenue"))
+    }),
+
+    // A5 (marts): network_stats shape — one row per day of global activity
+    // counters (event count, active users, live types, value stats).
+    "a5_network_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_active_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          try_divide(sum(dec2(col("value"))).cast("double"), count(col("value")))
+            .as("value_avg"),
+          max(col("value")).as("value_max"),
+          min(col("value")).as("value_min"))),
+
+    // A5 (marts): asset_balance_agg shape — daily per-type value plus the
+    // running cumulative balance (explicit rowsBetween frame; the daily
+    // sums stay decimal until after the window so partial-agg order can't
+    // perturb the floats).
+    "a5_balance_running" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec2(col("value"))).as("dsum"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("n"),
+        col("dsum").cast("double").as("day_value"),
+        sum(col("dsum")).over(w).cast("double").as("cum_value"))
+    }),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -568,6 +652,62 @@ object WarehouseQueries {
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |  FROM events GROUP BY ROLLUP(1, 2)) t""".stripMargin,
+
+    "a5_trade_agg" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p_brand,
+        |  COUNT(*) AS n_trades,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS base_volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS counter_volume,
+        |  first(l_extendedprice / nullif(l_quantity, 0)
+        |        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS open_price,
+        |  max(l_extendedprice / nullif(l_quantity, 0)) AS high_price,
+        |  min(l_extendedprice / nullif(l_quantity, 0)) AS low_price,
+        |  last(l_extendedprice / nullif(l_quantity, 0)
+        |       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS close_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a5_fee_stats" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_fees,
+        |  round(quantile_cont(o_totalprice, 0.1), 6) AS fee_p10,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS fee_p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS fee_p95,
+        |  round(quantile_cont(o_totalprice, 0.99), 6) AS fee_p99,
+        |  max(o_totalprice) AS fee_max,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS fee_avg
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "a5_asset_stats" ->
+      """SELECT p_brand,
+        |  COUNT(DISTINCT l_partkey) AS n_assets,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "a5_network_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_active_users,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / nullif(COUNT(value), 0) AS value_avg,
+        |  max(value) AS value_max,
+        |  min(value) AS value_min
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a5_balance_running" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS dsum, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, CAST(dsum AS DOUBLE) AS day_value,
+        |  CAST(SUM(dsum) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        |FROM daily""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
