@@ -105,12 +105,20 @@ object Dedup {
     * first and share one (id, digest) relation across the signature,
     * set-size, and intersection legs of a near-dup pipeline.
     */
-  def signaturesFromDigests(dg: DataFrame, k: Int): DataFrame = {
+  def signaturesFromDigests(dg: DataFrame, k: Int): DataFrame =
+    signatureAgg(dg, k, withSize = false)
+
+  /** One hash-aggregate producing the k signature slots and (optionally)
+    * the per-doc row count as `sz` — over distinct digests that count IS
+    * the shingle-set size, so callers needing both avoid a second full
+    * pass over the digest relation.
+    */
+  private def signatureAgg(dg: DataFrame, k: Int, withSize: Boolean): DataFrame = {
     require(k * 4 <= 32, s"k=$k needs ${k * 4} hex chars; md5 has 32")
-    dg.groupBy("id").agg(
-      min(substring(col("d"), 1, 4)).as("sig_0"),
-      (1 until k).map(j =>
-        min(substring(col("d"), 1 + 4 * j, 4)).as(s"sig_$j")): _*)
+    val slots = (1 until k).map(j =>
+      min(substring(col("d"), 1 + 4 * j, 4)).as(s"sig_$j"))
+    val aggs = if (withSize) slots :+ count(lit(1)).as("sz") else slots
+    dg.groupBy("id").agg(min(substring(col("d"), 1, 4)).as("sig_0"), aggs: _*)
   }
 
   /** (id, band) rows: the k signature slots split into `bands` groups of
@@ -178,9 +186,15 @@ object Dedup {
       shingleRows(docs, idCol, textCol, n)
         .select(col("id"), md5(col("shingle")).as("d"))
         .distinct())
-    val banded = materialize(bandRows(signaturesFromDigests(dg, k), k, bands))
-    val cands = materialize(selfJoinPairs(banded))
-    val sizes = dg.groupBy("id").agg(count(lit(1)).as("sz"))
+    // ONE aggregation pass over dg yields both the k signature slots and
+    // the distinct-shingle count (dg is already distinct, so count(*) per
+    // id IS the set size) — a separate sizes aggregate would re-shuffle
+    // the whole digest relation for one column. Banding is derived lazily:
+    // re-hashing k short sig strings per doc on each of the self-join's
+    // two cache scans is noise next to a second dg pass.
+    val sigsz = materialize(signatureAgg(dg, k, withSize = true))
+    val cands = materialize(selfJoinPairs(bandRows(sigsz, k, bands)))
+    val sizes = sigsz.select(col("id"), col("sz"))
     // Common digest count, restricted to candidate pairs. The second join
     // carries the digest in its equi-key, so per-pair work is the merge of
     // the two docs' digest sets — never the |A| x |B| cross product.
