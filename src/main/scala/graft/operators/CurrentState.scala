@@ -42,6 +42,25 @@ object CurrentState {
       .drop("__rn")
   }
 
+  /** Sort-free oldest-per-key: one min_by hash-aggregate instead of the
+    * window's shuffle + per-partition sort. Equivalent to [[firstByKey]]
+    * whenever the order tuple is unique (both then pick the single
+    * minimum; struct comparison and multi-column ASC ordering agree,
+    * including nulls-first). This is the scale path: partial aggregation
+    * reduces each map partition to ONE candidate row per key before the
+    * shuffle, so network volume is bounded by the key cardinality rather
+    * than the log size — the window form (even with Spark's
+    * WindowGroupLimit partial top-1) still sorts every map partition.
+    */
+  def firstByKeyAgg(log: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = log.columns.filterNot(keys.contains)
+    val first = min_by(struct(payload.map(col): _*), struct(orderCols.map(col): _*))
+    val agg = log.groupBy(keys.map(col): _*).agg(first.as("__first"))
+    // restore the input column order
+    agg.select(log.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
+  }
+
   /** Current-state view: window dedup, tombstone filter, then attach the
     * ledger-close timestamp from the spine table (J1). The spine is
     * broadcast when small enough; for a 100 TB change log the spine

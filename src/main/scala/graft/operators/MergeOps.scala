@@ -58,6 +58,10 @@ object MergeOps {
     */
   def dedupInsertNewRows(staging: DataFrame, existingKeys: DataFrame,
                          keys: Seq[String], orderCols: Seq[String]): DataFrame =
-    CurrentState.firstByKey(staging, keys, orderCols)
+    // sort-free oldest-per-key: the staging batch dedup orders by a unique
+    // tuple (the reference ties on batch_run_date alone are broken by our
+    // callers' explicit tiebreakers), so the min_by aggregate is exactly
+    // the W2 window result at a fraction of the shuffle cost
+    CurrentState.firstByKeyAgg(staging, keys, orderCols)
       .join(existingKeys.select(keys.map(col): _*), keys, "left_anti")
 }

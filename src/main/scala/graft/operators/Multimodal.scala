@@ -31,6 +31,62 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int"))).as("media_type"),
       col(payloadCol).cast("binary").as("payload"))
 
+  /** Frame sampling: one output row per sampled frame — the distributed
+    * shape for video/audio frame extraction (explode to frames, then
+    * decode/fingerprint each frame independently downstream). Sampling is
+    * strided (`stride` payload units between frame starts, `frameLen`
+    * units per frame) and relational (sequence + explode + substring), so
+    * it stays inside whole-stage codegen and scales by adding rows, not
+    * per-row work; an empty payload yields one empty frame so every doc
+    * survives. A real build swaps the substring "decoder" for the codec's
+    * frame reader at the same (doc, frame_idx) granularity.
+    */
+  def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String,
+                   stride: Int = 256, frameLen: Int = 64): DataFrame = {
+    require(stride >= 1 && frameLen >= 1)
+    val lastFrame = floor((greatest(length(col(payloadCol)), lit(1)) - 1) / stride)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).as("__p"),
+      explode(sequence(lit(0), lastFrame.cast("int"))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(__p, frame_idx * $stride + 1, $frameLen)")).as("frame_hash"),
+        length(expr(s"substring(__p, frame_idx * $stride + 1, $frameLen)"))
+          .cast("long").as("frame_len"))
+  }
+
+  /** STUB resize: per-partition batch transform of the binary payload to a
+    * fixed "resolution" (byte budget) — truncate or deterministically
+    * cycle-pad. The real codec call sits where the loop body is; the
+    * Spark-side contract (binary in/out, per-partition batching, metadata
+    * columns) is the tested part.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_type", StringType),
+      StructField("orig_bytes", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.mapPartitions { rows =>
+      // per-partition codec/scaler init happens once, here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val out = new Array[Byte](targetBytes)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) { out(i) = bytes(i % bytes.length); i += 1 }
+        }
+        Row(r.getLong(r.fieldIndex("doc_id")),
+          r.getString(r.fieldIndex("media_type")),
+          bytes.length.toLong, out)
+      }
+    }(enc)
+  }
+
   /** STUB decoder: a real build would decode the codec here (per-partition
     * init, then per-row decode). The deterministic fake derives an 8-dim
     * "feature" from byte histograms so tests have stable expectations.

@@ -133,6 +133,13 @@ object TrainingQueries {
         .select("doc_id", "media_type", "n_bytes", "content_hash")
     }),
 
+    // Multimodal frame sampling: strided frames exploded to rows — the
+    // scale shape for per-frame decode/fingerprint (one task-parallel row
+    // per frame, no per-row loops).
+    "t_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
+        stride = 256, frameLen = 64)),
+
     // KMV distinct-count sketch (graft.plans.KmvKthMin): per event type,
     // the 32 smallest distinct md5(user_id) hashes reduce map-side to O(k)
     // state; the (k-1)/U(k) estimate is a plain column over the sketch
@@ -388,6 +395,16 @@ object TrainingQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    "t_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (greatest(length(text), 1) - 1) // 256)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS frame_hash,
+        |  CAST(length(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_len
+        |FROM f""".stripMargin,
 
     // Re-derives the KMV sketch relationally: distinct hashes -> per-group
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the
