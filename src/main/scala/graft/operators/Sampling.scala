@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines.
+  *
+  * Everything keys off a content-independent hash bucket of the row id —
+  * NOT `rand()` or `df.sample` — so samples are (a) reproducible across
+  * runs, engines, and partitionings, (b) consistent between tables that
+  * share the id (a doc and its embedding land in the same split), and
+  * (c) cheaply re-derivable by any SQL engine (the DuckDB oracle re-hashes
+  * the same md5). At 100 TB each operator is a stateless per-row filter
+  * directly over the scan — no shuffle, no driver state, trivially
+  * parallel; the filter prunes columns but intentionally cannot prune
+  * row-groups (hash buckets are uniform by construction).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the row id: the first 16 bits of
+    * md5(id) modulo `buckets`. 16 bits ≫ any practical bucket count, so
+    * bucket skew is ≤ 2^-16 per bucket.
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2, 65536], got $buckets")
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+  }
+
+  /** Keep rows whose bucket < pctBuckets — a deterministic `pctBuckets /
+    * buckets` sample.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          pctBuckets: Int, buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < pctBuckets)
+
+  /** Stamp a train/val/test split column: buckets [0, train) → train,
+    * [train, train+val) → val, the rest → test. Rows never migrate between
+    * splits when data is re-partitioned, re-ordered, or re-loaded.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainBuckets: Int = 80, valBuckets: Int = 10,
+                buckets: Int = 100): DataFrame = {
+    require(trainBuckets + valBuckets < buckets,
+      "train + val must leave room for the test split")
+    val b = hashBucket(col(idCol), buckets)
+    df.withColumn("split",
+      when(b < trainBuckets, lit("train"))
+        .when(b < trainBuckets + valBuckets, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-stratum sampling rates (bucket thresholds out of `buckets`), e.g.
+    * downsample dominant languages while keeping the tail: a row survives
+    * iff its bucket < the threshold for its stratum (`default` when the
+    * stratum is unlisted).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       thresholds: Map[String, Int], default: Int,
+                       buckets: Int = 100): DataFrame = {
+    val b = hashBucket(col(idCol), buckets)
+    val cutoff = thresholds.foldLeft(lit(default)) { case (acc, (stratum, t)) =>
+      when(col(strataCol) === stratum, lit(t)).otherwise(acc)
+    }
+    df.filter(b < cutoff)
+  }
+
+  /** Deterministic global shuffle for epoch ordering: sort by a salted
+    * hash of the id. A different salt reshuffles; the same salt reproduces
+    * the exact order. At scale prefer [[shuffledPartitions]] — a total
+    * order is one range shuffle, fine for export, wasteful for training
+    * shards that only need per-shard randomness.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame =
+    df.orderBy(md5(concat(lit(salt), col(idCol).cast("string"))))
+
+  /** Scale path for epoch shuffling: hash-repartition rows into `n` shards
+    * by salted hash and randomize order only within each shard — one
+    * hash shuffle, no global sort, which is exactly what a data loader
+    * consuming shards needs.
+    */
+  def shuffledPartitions(df: DataFrame, idCol: String, salt: String, n: Int): DataFrame = {
+    val h = md5(concat(lit(salt), col(idCol).cast("string")))
+    df.repartition(n, h).sortWithinPartitions(h)
+  }
+}

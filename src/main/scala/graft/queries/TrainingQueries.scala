@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,24 @@ object TrainingQueries {
       Multimodal.extractFeatures(media)
         .select("doc_id", "media_type", "n_bytes", "content_hash")
     }),
+
+    // Deterministic train/val/test split: md5-bucket assignment that is
+    // stable under re-partitioning/re-loading and reproducible by any
+    // engine; checked via per-(lang, split) counts and id sums.
+    "t_sample_split" -> ((s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        trainBuckets = 80, valBuckets = 10)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+
+    // Stratified downsampling: per-language bucket thresholds (keep half
+    // of en, a fifth of de, a tenth of the rest).
+    "t_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        thresholds = Map("en" -> 50, "de" -> 20), default = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))),
 
     // Multimodal frame sampling: strided frames exploded to rows — the
     // scale shape for per-frame decode/fingerprint (one task-parallel row
@@ -395,6 +413,28 @@ object TrainingQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    // Same md5 bucket re-derived: first 16 hash bits mod 100.
+    "t_sample_split" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INTEGER) AS bkt
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "t_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INTEGER) AS bkt
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM b
+        |WHERE bkt < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
+        |GROUP BY 1""".stripMargin,
 
     "t_multimodal_frames" ->
       """WITH f AS (

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hashSplit is stable under repartitioning and re-ordering") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = Sampling.hashSplit(docs, "doc_id").select("doc_id", "split")
+    val b = Sampling.hashSplit(docs.repartition(13).orderBy(desc("n_chars")), "doc_id")
+      .select("doc_id", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("split assignment is consistent across tables sharing the id") {
+    val ids = (1L to 2000L).toDF("id")
+    val other = ids.withColumn("payload", lit("x"))
+    val s1 = Sampling.hashSplit(ids, "id").select(col("id"), col("split").as("s1"))
+    val s2 = Sampling.hashSplit(other, "id").select(col("id"), col("split").as("s2"))
+    assert(s1.join(s2, "id").filter(col("s1") =!= col("s2")).isEmpty)
+  }
+
+  test("split fractions approximate 80/10/10") {
+    val n = 20000
+    val counts = Sampling.hashSplit((1L to n.toLong).toDF("id"), "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.02)
+    assert(math.abs(counts("val").toDouble / n - 0.1) < 0.02)
+    assert(math.abs(counts("test").toDouble / n - 0.1) < 0.02)
+  }
+
+  test("deterministicSample(p) is a subset of deterministicSample(q) for p < q") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val small = Sampling.deterministicSample(docs, "doc_id", 10).select("doc_id")
+    val big = Sampling.deterministicSample(docs, "doc_id", 30).select("doc_id")
+    assert(small.join(big, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  test("stratifiedSample applies per-stratum thresholds") {
+    val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong)).toDF("s", "id")
+    val kept = Sampling.stratifiedSample(df, "s", "id", Map("a" -> 60), default = 5)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") / 5000.0 - 0.60) < 0.05)
+    assert(math.abs(kept("b") / 5000.0 - 0.05) < 0.02)
+  }
+
+  test("deterministicShuffle reproduces with the same salt, differs across salts") {
+    val df = (1L to 500L).toDF("id")
+    def order(salt: String) =
+      Sampling.deterministicShuffle(df, "id", salt).select("id").collect().map(_.getLong(0)).toSeq
+    assert(order("epoch1") == order("epoch1"))
+    assert(order("epoch1") != order("epoch2"))
+    assert(order("epoch1").sorted == (1L to 500L))
+  }
+
+  test("shuffledPartitions: one hash exchange, no global sort, content preserved") {
+    val df = (1L to 5000L).toDF("id")
+    val out = Sampling.shuffledPartitions(df, "id", "epoch1", n = 8)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("rangepartitioning"), s"global sort leaked into:\n$plan")
+    assert(out.rdd.getNumPartitions == 8)
+    assert(out.select(sum("id")).head.getLong(0) == 5000L * 5001 / 2)
+  }
+}
