@@ -193,7 +193,12 @@ object Dedup {
     // re-hashing k short sig strings per doc on each of the self-join's
     // two cache scans is noise next to a second dg pass.
     val sigsz = materialize(signatureAgg(dg, k, withSize = true))
-    val cands = materialize(selfJoinPairs(bandRows(sigsz, k, bands)))
+    // with a positive threshold the candidate pairs flow into exactly one
+    // consumer (the common-count join), so an eager materialization would
+    // be a pure barrier + cache write; only the threshold <= 0 branch
+    // scans cands twice (common + the zero-overlap anti-join leg)
+    val cands0 = selfJoinPairs(bandRows(sigsz, k, bands))
+    val cands = if (threshold > 0) cands0 else materialize(cands0)
     val sizes = sigsz.select(col("id"), col("sz"))
     // Common digest count, restricted to candidate pairs. The second join
     // carries the digest in its equi-key, so per-pair work is the merge of
