@@ -113,4 +113,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"row_number=1 dedup must prune map-side too:\n$p")
   }
+
+  test("a5_trade_agg / a5_asset_stats broadcast the dimension, never sort-merge") {
+    for (q <- Seq("a5_trade_agg", "a5_asset_stats")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: part dim must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact side must not shuffle for the join:\n$p")
+    }
+  }
+
+  test("t_sketch_kmv runs the sketch as a partial object aggregate") {
+    val p = planOf("t_sketch_kmv")
+    // TypedImperativeAggregate → ObjectHashAggregate, partial + final:
+    // every map partition reduces to <= k hashes per group pre-shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"sketch must not fall back to a window sort:\n$p")
+  }
+
+  test("a5_balance_running: keyed window, no single-partition funnel") {
+    val p = planOf("a5_balance_running")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"running total must stay partitioned by entity:\n$p")
+  }
+
+  test("sampling queries: stateless filter over the scan, one agg shuffle only") {
+    for (q <- Seq("t_sample_split", "t_sample_stratified")) {
+      val p = planOf(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: the only shuffle allowed is the final small aggregate:\n$p")
+      assert(!p.contains("Join"), s"$q: sampling must not join:\n$p")
+    }
+  }
+
+  test("t_multimodal_frames is a pure map-side explode (no shuffle at all)") {
+    val p = planOf("t_multimodal_frames")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange"), s"frame sampling must not shuffle:\n$p")
+  }
 }
