@@ -67,8 +67,7 @@ case class KmvKthMin(
     new java.util.TreeSet[String]()
 
   private def add(buf: java.util.TreeSet[String], s: String): Unit =
-    if (buf.size < k) { buf.add(s); () }
-    else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.pollLast(); () }
+    KmvKthMin.boundedAdd(buf, s, k)
 
   override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
     val v = child.eval(input)
@@ -113,4 +112,28 @@ case class KmvKthMin(
     copy(inputAggBufferOffset = newOffset)
 
   override def prettyName: String = "graft_kmv_kth"
+}
+
+object KmvKthMin {
+
+  /** 2^52: 13 hex chars of a hash parse to a value exactly representable
+    * in a double, so the estimate is bit-reproducible in any engine.
+    */
+  val TwoPow52: Double = 4503599627370496.0
+
+  /** Bounded insert: keep only the k smallest distinct values. */
+  def boundedAdd(buf: java.util.TreeSet[String], s: String, k: Int): Unit =
+    if (buf.size < k) { buf.add(s); () }
+    else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.pollLast(); () }
+
+  /** The (k-1)/U(k) estimator over the sketch state; below k distinct
+    * values the retained count IS the exact answer.
+    */
+  def estimate(nCapped: Int, kth: Option[String], k: Int): Double =
+    kth match {
+      case Some(h) if nCapped >= k =>
+        (k - 1).toDouble * TwoPow52 /
+          java.lang.Long.parseLong(h.take(13), 16).toDouble
+      case _ => nCapped.toDouble
+    }
 }

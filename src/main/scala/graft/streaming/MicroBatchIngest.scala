@@ -141,4 +141,35 @@ object MicroBatchIngest {
           next
       }
   }
+
+  /** Streaming distinct-count estimate: the KMV sketch
+    * (graft.plans.KmvKthMin) as incrementally-maintained keyed state.
+    * Each trigger folds the batch's hashes into the group's k retained
+    * minima — state is O(k) short strings per key FOREVER, versus the
+    * unbounded key set an exact streaming countDistinct would have to
+    * hold. Input rows are (group key, hash string).
+    */
+  def streamingDistinctEstimate(
+      pairs: org.apache.spark.sql.Dataset[(String, String)], k: Int = 32)
+  : org.apache.spark.sql.Dataset[graft.typed.KmvEstimate] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[List[String]]) =>
+          val buf = new java.util.TreeSet[String]()
+          state.getOption.foreach(_.foreach(buf.add))
+          it.foreach { case (_, h) => graft.plans.KmvKthMin.boundedAdd(buf, h, k) }
+          val mins = {
+            val b = List.newBuilder[String]
+            val iter = buf.iterator()
+            while (iter.hasNext) b += iter.next()
+            b.result()
+          }
+          state.update(mins)
+          val kth = if (buf.size >= k) Some(buf.last) else None
+          graft.typed.KmvEstimate(key, buf.size,
+            graft.plans.KmvKthMin.estimate(buf.size, kth, k))
+      }
+  }
 }

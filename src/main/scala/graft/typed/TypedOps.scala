@@ -29,6 +29,11 @@ final case class Session(
     n_events: Long,
     value_sum: Double)
 
+/** Streaming KMV sketch output: distinct values retained (capped at k,
+  * exact below it) and the (k-1)/U(k) estimate.
+  */
+final case class KmvEstimate(key: String, n_distinct_capped: Int, est_distinct: Double)
+
 object TypedOps {
 
   implicit val eventEnc: Encoder[Event] = Encoders.product[Event]

@@ -112,4 +112,38 @@ class MicroBatchIngestSpec extends SparkSpec {
     val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
+
+  test("streaming KMV estimate converges across micro-batches with O(k) state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String = {
+      md.reset(); md.digest(s.getBytes).map("%02x".format(_)).mkString
+    }
+    val src = MemoryStream[(String, String)]
+    val out = MicroBatchIngest.streamingDistinctEstimate(src.toDS(), k = 32)
+    val q = out.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    // batch 1: 500 distinct values; batch 2: 500 redeliveries + 1500 new
+    src.addData((1 to 500).map(i => ("g", h(s"v$i"))): _*)
+    q.processAllAvailable()
+    src.addData((1 to 2000).map(i => ("g", h(s"v$i"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kmv_out").as[graft.typed.KmvEstimate]
+      .collect().sortBy(_.est_distinct)
+    assert(rows.length == 2)
+    // both snapshots estimate their batch's cumulative distinct count
+    assert(math.abs(rows(0).est_distinct - 500) / 500.0 < 0.35, rows(0).toString)
+    assert(math.abs(rows(1).est_distinct - 2000) / 2000.0 < 0.35, rows(1).toString)
+    // matches the batch sketch on the same data exactly
+    val batch = (1 to 2000).map(i => ("g", h(s"v$i"))).toDF("key", "hv")
+      .groupBy("key")
+      .agg(call_function("graft_kmv_kth", col("hv"), lit(32)).as("sk"))
+      .select(col("sk.n"), col("sk.kth")).head
+    val batchEst = graft.plans.KmvKthMin.estimate(
+      batch.getInt(0), Option(batch.getString(1)), 32)
+    assert(math.abs(rows(1).est_distinct - batchEst) < 1e-9)
+  }
 }
