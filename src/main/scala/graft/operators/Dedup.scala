@@ -297,6 +297,24 @@ object Dedup {
     kept
   }
 
+  /** Benchmark decontamination: per corpus doc, the number of distinct
+    * word n-grams it shares with a benchmark/eval set — docs with hits are
+    * dropped (or flagged) before training so eval data can't leak into the
+    * corpus. Scale shape: the benchmark is tiny relative to the corpus, so
+    * its distinct shingle digests BROADCAST and the corpus-side probe is a
+    * map-side semi join — no shuffle of corpus text or digests; use a
+    * longer n than near-dup (8+ words) so only verbatim overlap fires.
+    */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchDigests = shingleRows(benchmark, idCol, textCol, n)
+      .select(md5(col("shingle")).as("d")).distinct()
+    shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle")).as("d")).distinct()
+      .join(broadcast(benchDigests), "d")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact n-gram Jaccard for a pair of (distinct) shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /

@@ -133,6 +133,17 @@ object TrainingQueries {
         .select("doc_id", "media_type", "n_bytes", "content_hash")
     }),
 
+    // Benchmark decontamination: distinct 8-gram overlap between each
+    // corpus doc and a (broadcast) benchmark set — the flag-and-drop pass
+    // that keeps eval data out of training corpora.
+    "t_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable under re-partitioning/re-loading and reproducible by any
     // engine; checked via per-(lang, split) counts and id sums.
@@ -413,6 +424,23 @@ object TrainingQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    // 8-gram windows with the same short-doc fallback as graft_shingles
+    // (the slice clamps, so < 8 tokens collapse to one whole-text gram).
+    "t_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS ds
+        |  FROM toks),
+        |shrows AS (SELECT doc_id, unnest(ds) AS d FROM sh),
+        |bench AS (SELECT DISTINCT d FROM shrows WHERE doc_id % 10 = 0)
+        |SELECT r.doc_id, COUNT(*) AS n_hits
+        |FROM shrows r JOIN bench b USING (d)
+        |WHERE r.doc_id % 10 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // Same md5 bucket re-derived: first 16 hash bits mod 100.
     "t_sample_split" ->
