@@ -30,6 +30,24 @@ object VectorFunctions {
     */
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Symmetric int8 quantization scale for a vector: 127 / max |x|
+    * (0 for an all-zero vector). Quantized ANN shrinks the corpus 4x and
+    * keeps the scan bandwidth-bound at scale; math is double throughout so
+    * any engine reproduces the exact scale.
+    */
+  def quantScale(a: Column): Column = {
+    val amax = array_max(transform(a, x => abs(x.cast("double"))))
+    when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
+  }
+
+  /** The int8 codes for a vector under [[quantScale]]: round(x * scale)
+    * per element, in [-127, 127] by construction.
+    */
+  def quantize(a: Column): Column = {
+    val s = quantScale(a)
+    transform(a, x => round(x.cast("double") * s).cast("int"))
+  }
+
   /** Brute-force top-k cosine neighbors of `queryVec` (a 1-row DF with an
     * `embedding` column). The query side is broadcast; the scan is a single
     * pass over the corpus followed by a k-row reduction — the exact-answer

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Sampling}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -142,6 +142,23 @@ object TrainingQueries {
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
       Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Symmetric int8 vector quantization: per-vector scale + codes — the
+    // 4x compression that keeps a 100 TB ANN scan bandwidth-bound.
+    "t_vec_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        round(VF.quantScale(col("embedding")), 6).as("scale"),
+        array_join(VF.quantize(col("embedding")), ",").as("q8"))),
+
+    // Greedy token-budget sequence packing: shard-local first-fit into
+    // 512-token sequences — deterministic (md5 shards, id order), so the
+    // oracle replays the exact greedy scan with a recursive CTE.
+    "t_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8)
     }),
 
     // Deterministic train/val/test split: md5-bucket assignment that is
@@ -424,6 +441,62 @@ object TrainingQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    "t_vec_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN 0.0
+        |         ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    END AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, label, round(sc, 6) AS scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * sc) AS INTEGER)), ',') AS q8
+        |FROM s""".stripMargin,
+
+    // Replays the greedy fill per shard one row per recursion step,
+    // carrying (seq, fill) state — bit-identical to the engine's
+    // mapPartitions scan because shard and order are both md5/id-derived.
+    "t_pack_sequences" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |nb AS (
+        |  SELECT base.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_idx,
+        |    CAST(0 AS BIGINT) AS tok_offset,
+        |    (n_tokens > 512) AS truncated,
+        |    CASE WHEN n_tokens > 512 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s_after,
+        |    CASE WHEN n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE n_tokens END AS f_after,
+        |    CASE WHEN n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS c_after
+        |  FROM nb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+        |    w.s_after + (CASE WHEN w.c_after > 0
+        |        AND (b.n_tokens > 512 OR w.f_after + b.n_tokens > 512)
+        |      THEN 1 ELSE 0 END) AS seq_idx,
+        |    CASE WHEN w.c_after > 0
+        |        AND (b.n_tokens > 512 OR w.f_after + b.n_tokens > 512)
+        |      THEN CAST(0 AS BIGINT) ELSE w.f_after END AS tok_offset,
+        |    (b.n_tokens > 512) AS truncated,
+        |    w.s_after + (CASE WHEN w.c_after > 0
+        |        AND (b.n_tokens > 512 OR w.f_after + b.n_tokens > 512)
+        |      THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b.n_tokens > 512 THEN 1 ELSE 0 END) AS s_after,
+        |    CASE WHEN b.n_tokens > 512 THEN CAST(0 AS BIGINT)
+        |         WHEN w.c_after > 0 AND w.f_after + b.n_tokens > 512 THEN b.n_tokens
+        |         ELSE w.f_after + b.n_tokens END AS f_after,
+        |    CASE WHEN b.n_tokens > 512 THEN CAST(0 AS BIGINT)
+        |         WHEN w.c_after > 0 AND w.f_after + b.n_tokens > 512 THEN CAST(1 AS BIGINT)
+        |         ELSE w.c_after + 1 END AS c_after
+        |  FROM walk w JOIN nb b ON b.shard = w.shard AND b.rn = w.rn + 1)
+        |SELECT doc_id, n_tokens, shard, seq_idx, tok_offset, truncated FROM walk""".stripMargin,
 
     // 8-gram windows with the same short-doc fallback as graft_shingles
     // (the slice clamps, so < 8 tokens collapse to one whole-text gram).
