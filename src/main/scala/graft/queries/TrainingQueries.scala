@@ -152,6 +152,27 @@ object TrainingQueries {
         round(VF.quantScale(col("embedding")), 6).as("scale"),
         array_join(VF.quantize(col("embedding")), ",").as("q8"))),
 
+    // Quantized ANN: exact integer dot products over the int8 codes,
+    // rescaled by the two vectors' scales — the bandwidth-bound scan a
+    // quantized corpus buys (4x less data, integer multiplies).
+    "t_ann_quant" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.select(col("vec_id"), col("label"),
+        VF.quantScale(col("embedding")).as("sc"),
+        VF.quantize(col("embedding")).as("q"))
+      val qref = qv.filter(col("vec_id") === 0)
+        .select(col("q").as("qref"), col("sc").as("scref"))
+      qv.crossJoin(broadcast(qref))
+        .withColumn("dp",
+          aggregate(zip_with(col("q"), col("qref"),
+            (x, y) => x.cast("long") * y.cast("long")), lit(0L), (a, v) => a + v))
+        .withColumn("score",
+          round(col("dp").cast("double") / (col("sc") * col("scref")), 3))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "dp", "score")
+    }),
+
     // Greedy token-budget sequence packing: shard-local first-fit into
     // 512-token sequences — deterministic (md5 shards, id order), so the
     // oracle replays the exact greedy scan with a recursive CTE.
@@ -441,6 +462,29 @@ object TrainingQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    "t_ann_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN 0.0
+        |         ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    END AS sc
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, label, sc,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * sc) AS BIGINT)) AS q
+        |  FROM s),
+        |qq AS (SELECT q AS qref, sc AS scref FROM qv WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * qref[i])) AS BIGINT) AS dp,
+        |    sc, scref
+        |  FROM qv, qq)
+        |SELECT vec_id, label, dp,
+        |  round(CAST(dp AS DOUBLE) / (sc * scref), 3) AS score
+        |FROM scored
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "t_vec_quantize" ->
       """WITH s AS (
