@@ -152,6 +152,18 @@ object TrainingQueries {
         round(VF.quantScale(col("embedding")), 6).as("scale"),
         array_join(VF.quantize(col("embedding")), ",").as("q8"))),
 
+    // Dedup reporting mart: component-size histogram over the candidate
+    // graph — how many groups of each size, how many docs they absorb.
+    "t_dedup_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .groupBy("canonical_id").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size")
+        .agg(count(lit(1)).as("n_groups"), sum("group_size").as("n_docs"))
+    }),
+
     // Quantized ANN: exact integer dot products over the int8 codes,
     // rescaled by the two vectors' scales — the bandwidth-bound scan a
     // quantized corpus buys (4x less data, integer multiplies).
@@ -344,6 +356,12 @@ object TrainingQueries {
     "t_ann_lsh" -> annLshOracle,
     "t_ann_ivf" -> annIvfOracle,
     "t_dedup_cc" -> dedupCcOracle,
+    "t_dedup_stats" -> dedupCcOracle.replace(
+      "SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node",
+      ", comp AS (SELECT node, MIN(lbl) AS canonical_id FROM reach GROUP BY node)" +
+        ", gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1) " +
+        "SELECT group_size, COUNT(*) AS n_groups, " +
+        "CAST(SUM(group_size) AS BIGINT) AS n_docs FROM gs GROUP BY 1"),
     "t_dedup_corpus" -> dedupCorpusOracle,
     "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
