@@ -40,13 +40,15 @@ object VectorFunctions {
     when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
   }
 
-  /** The int8 codes for a vector under [[quantScale]]: round(x * scale)
-    * per element, in [-127, 127] by construction.
+  /** The int8 codes for a vector: round(x * scale) per element, in
+    * [-127, 127] by construction. Takes the [[quantScale]] column
+    * explicitly — embedding the scale subtree inside the lambda body
+    * would re-evaluate the O(d) max per element (higher-order functions
+    * run interpreted and Catalyst doesn't hoist loop invariants out of
+    * lambda bodies).
     */
-  def quantize(a: Column): Column = {
-    val s = quantScale(a)
-    transform(a, x => round(x.cast("double") * s).cast("int"))
-  }
+  def quantize(a: Column, scale: Column): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("int"))
 
   /** Brute-force top-k cosine neighbors of `queryVec` (a 1-row DF with an
     * `embedding` column). The query side is broadcast; the scan is a single

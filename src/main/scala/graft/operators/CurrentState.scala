@@ -56,9 +56,10 @@ object CurrentState {
     val payload = log.columns.filterNot(keys.contains)
     val first = min_by(struct(payload.map(col): _*), struct(orderCols.map(col): _*))
     val agg = log.groupBy(keys.map(col): _*).agg(first.as("__first"))
-    // restore the input column order
+    // restore the input column order (getField, not a dotted path string,
+    // so payload names containing dots survive)
     agg.select(log.columns.map(c =>
-      if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
+      if (keys.contains(c)) col(c) else col("__first").getField(c).as(c)): _*)
   }
 
   /** Current-state view: window dedup, tombstone filter, then attach the

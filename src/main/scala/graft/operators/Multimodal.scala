@@ -64,6 +64,7 @@ object Multimodal {
     * columns) is the tested part.
     */
   def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -74,7 +75,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition codec/scaler init happens once, here
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        val raw = r.getAs[Array[Byte]]("payload")
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val out = new Array[Byte](targetBytes)
         if (bytes.nonEmpty) {
           var i = 0

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, buckets) from the row id: the first 16 bits of
-    * md5(id) modulo `buckets`. 16 bits ≫ any practical bucket count, so
-    * bucket skew is ≤ 2^-16 per bucket.
+  /** Uniform bucket in [0, buckets) from the row id: the first 52 bits of
+    * md5(id) modulo `buckets`. 52 bits ≫ any practical bucket count
+    * (modulo bias ≤ buckets/2^52), and 13 hex chars parse exactly on any
+    * engine that reaches for a double.
     */
   def hashBucket(id: Column, buckets: Int = 100): Column = {
-    require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2, 65536], got $buckets")
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    (conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("long") % buckets)
+      .cast("int")
   }
 
   /** Keep rows whose bucket < pctBuckets — a deterministic `pctBuckets /

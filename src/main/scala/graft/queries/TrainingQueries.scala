@@ -147,10 +147,12 @@ object TrainingQueries {
     // Symmetric int8 vector quantization: per-vector scale + codes — the
     // 4x compression that keeps a 100 TB ANN scan bandwidth-bound.
     "t_vec_quantize" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(
-        col("vec_id"), col("label"),
-        round(VF.quantScale(col("embedding")), 6).as("scale"),
-        array_join(VF.quantize(col("embedding")), ",").as("q8"))),
+      t(s, dir, "embeddings")
+        .withColumn("sc", VF.quantScale(col("embedding")))
+        .select(
+          col("vec_id"), col("label"),
+          round(col("sc"), 6).as("scale"),
+          array_join(VF.quantize(col("embedding"), col("sc")), ",").as("q8"))),
 
     // Dedup reporting mart: component-size histogram over the candidate
     // graph — how many groups of each size, how many docs they absorb.
@@ -169,9 +171,9 @@ object TrainingQueries {
     // quantized corpus buys (4x less data, integer multiplies).
     "t_ann_quant" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qv = emb.select(col("vec_id"), col("label"),
-        VF.quantScale(col("embedding")).as("sc"),
-        VF.quantize(col("embedding")).as("q"))
+      val qv = emb.withColumn("sc", VF.quantScale(col("embedding")))
+        .select(col("vec_id"), col("label"), col("sc"),
+          VF.quantize(col("embedding"), col("sc")).as("q"))
       val qref = qv.filter(col("vec_id") === 0)
         .select(col("q").as("qref"), col("sc").as("scref"))
       qv.crossJoin(broadcast(qref))
@@ -234,7 +236,7 @@ object TrainingQueries {
           col("sk.n").cast("long").as("nd_capped"),
           when(col("sk.n") < k, col("sk.n").cast("double"))
             .otherwise(round(
-              lit((k - 1).toDouble * 4503599627370496.0) /
+              lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
                 conv(substring(col("sk.kth"), 1, 13), 16, 10)
                   .cast("long").cast("double"),
               3)).as("est_distinct"))
@@ -356,12 +358,16 @@ object TrainingQueries {
     "t_ann_lsh" -> annLshOracle,
     "t_ann_ivf" -> annIvfOracle,
     "t_dedup_cc" -> dedupCcOracle,
-    "t_dedup_stats" -> dedupCcOracle.replace(
-      "SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node",
-      ", comp AS (SELECT node, MIN(lbl) AS canonical_id FROM reach GROUP BY node)" +
-        ", gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1) " +
-        "SELECT group_size, COUNT(*) AS n_groups, " +
-        "CAST(SUM(group_size) AS BIGINT) AS n_docs FROM gs GROUP BY 1"),
+    "t_dedup_stats" -> {
+      val ccSelect = "SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node"
+      require(dedupCcOracle.contains(ccSelect),
+        "t_dedup_stats oracle must extend dedupCcOracle's final SELECT — it drifted")
+      dedupCcOracle.replace(ccSelect,
+        ", comp AS (SELECT node, MIN(lbl) AS canonical_id FROM reach GROUP BY node)" +
+          ", gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1) " +
+          "SELECT group_size, COUNT(*) AS n_groups, " +
+          "CAST(SUM(group_size) AS BIGINT) AS n_docs FROM gs GROUP BY 1")
+    },
     "t_dedup_corpus" -> dedupCorpusOracle,
     "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
@@ -524,7 +530,7 @@ object TrainingQueries {
       """WITH RECURSIVE base AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS INTEGER) AS shard
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 8 AS INTEGER) AS shard
         |  FROM documents),
         |nb AS (
         |  SELECT base.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
@@ -577,11 +583,11 @@ object TrainingQueries {
         |WHERE r.doc_id % 10 <> 0
         |GROUP BY 1""".stripMargin,
 
-    // Same md5 bucket re-derived: first 16 hash bits mod 100.
+    // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->
       """WITH b AS (
         |  SELECT lang, doc_id,
-        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INTEGER) AS bkt
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS bkt
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
@@ -591,7 +597,7 @@ object TrainingQueries {
     "t_sample_stratified" ->
       """WITH b AS (
         |  SELECT lang, doc_id, n_chars,
-        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INTEGER) AS bkt
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS bkt
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum

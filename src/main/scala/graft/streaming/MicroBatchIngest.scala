@@ -159,7 +159,10 @@ object MicroBatchIngest {
         (key: String, it: Iterator[(String, String)], state: GroupState[List[String]]) =>
           val buf = new java.util.TreeSet[String]()
           state.getOption.foreach(_.foreach(buf.add))
-          it.foreach { case (_, h) => graft.plans.KmvKthMin.boundedAdd(buf, h, k) }
+          // skip null hashes, matching the batch aggregate's null handling
+          it.foreach { case (_, h) =>
+            if (h != null) graft.plans.KmvKthMin.boundedAdd(buf, h, k)
+          }
           val mins = {
             val b = List.newBuilder[String]
             val iter = buf.iterator()
