@@ -18,15 +18,18 @@ object SparkEntry {
     * idempotently before building its plan.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (WarehouseQueries.queries ++ TrainingQueries.queries).map {
+    (WarehouseQueries.queries ++ TrainingQueries.queries ++
+      graft.streaming.StreamingGate.queries).map {
       case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => { GraftSession.tune(s); fn(s, dir) })
     }
 
   /** DuckDB-runnable oracle SQL per query — every entry in [[queries]] has
     * one (LSH/IVF via inlined deterministic weights and rules, connected
-    * components via recursive CTEs).
+    * components via recursive CTEs, streaming drains via their batch
+    * formulations).
     */
   def oracleSql: Map[String, String] =
-    WarehouseQueries.oracles ++ TrainingQueries.oracles
+    WarehouseQueries.oracles ++ TrainingQueries.oracles ++
+      graft.streaming.StreamingGate.oracles
 }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF ANN with an explicit index/query split — the configuration a 100 TB
+  * corpus actually runs.
+  *
+  * The composable [[VectorFunctions.ivfTopK]] recomputes cell assignments
+  * inside every query; correct, but at scale the per-query assignment pass
+  * is the corpus-wide scan the operator exists to avoid. Here the index is
+  * MATERIALIZED once: every vector is assigned to its nearest centroid and
+  * written to a parquet table PARTITIONED BY cell, together with its int8
+  * quantization (scale + codes, 4x smaller than the float vector). A query
+  * then
+  *   1. reads only the tiny centroid table (driver-side, nlist rows),
+  *   2. picks its nprobe nearest cells,
+  *   3. scans ONLY those cells' partitions — storage-level partition
+  *      pruning, no job touches the other nlist - nprobe cells' files —
+  *   4. ranks by exact cosine (float path) or integer dot product over the
+  *      int8 codes (quantized path: 4x less scan bandwidth).
+  *
+  * Cell rule (deterministic, oracle-reproducible): centroids are the
+  * vectors with id < nlist; assignment is argmax of round(cosine, 6) with
+  * ties to the smallest centroid id — identical to ivfTopK's rule, so the
+  * same DuckDB oracle re-derives the cells.
+  */
+object IvfIndex {
+
+  /** The seed rule requires ids 0..nlist-1 to exist — silently-missing
+    * seeds would shrink the cell set and skew every assignment.
+    */
+  def validateSeeds(corpus: DataFrame, nlist: Int, idCol: String): Unit = {
+    val n = corpus.filter(col(idCol) < nlist).select(idCol).distinct().count()
+    require(n == nlist,
+      s"IVF seed rule needs ids 0..${nlist - 1} present; found $n of $nlist")
+  }
+
+  def seedCentroids(corpus: DataFrame, nlist: Int,
+                    idCol: String, vecCol: String): DataFrame =
+    corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+  /** Nearest-centroid assignment: one broadcast of the centroid table, one
+    * map-side pass over the corpus, one max_by aggregate — the shape that
+    * holds at any corpus size. `centroids` must be (cid, cvec).
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String,
+             nativeCosine: Boolean = true): DataFrame = {
+    val cos: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (nativeCosine) VF.cosineNative else VF.cosine
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cc", round(cos(col(vecCol), col("cvec")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("neg"))).as("cell"))
+  }
+
+  /** Build the index: centroid table + cell-partitioned corpus with int8
+    * codes. All corpus columns pass through, so the query path needs no
+    * join back to the source table.
+    */
+  def build(corpus: DataFrame, nlist: Int, dir: String,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    validateSeeds(corpus, nlist, idCol)
+    val cents = seedCentroids(corpus, nlist, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val asn = assign(corpus, cents, idCol, vecCol)
+    corpus.join(asn, idCol)
+      .withColumn("sc", VF.quantScale(col(vecCol)))
+      .withColumn("q8", VF.quantize(col(vecCol), col("sc")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+  }
+
+  /** The query's nprobe nearest cells. nlist rows reduce to nprobe scalars
+    * on the driver BY DESIGN: partition pruning needs literal predicates,
+    * and the centroid table is the one relation that is small at any
+    * corpus size (it scales with nlist, not rows).
+    */
+  def probedCells(spark: SparkSession, dir: String, queryVec: DataFrame,
+                  nprobe: Int, vecCol: String = "embedding"): Seq[Long] = {
+    spark.read.parquet(s"$dir/centroids")
+      .crossJoin(broadcast(queryVec.select(col(vecCol).as("__qv"))))
+      .withColumn("qc", round(VF.cosineNative(col("cvec"), col("__qv")), 6))
+      .orderBy(col("qc").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Float-exact top-k over the probed cells only. The isin filter lands in
+    * the scan's PartitionFilters — files of unprobed cells are never opened
+    * (PlanAuditSpec asserts this).
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: DataFrame,
+           k: Int, nprobe: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = probedCells(spark, dir, queryVec, nprobe, vecCol)
+    val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
+    spark.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(q)
+      .withColumn("cos", round(VF.cosineNative(col(vecCol), col("__qv")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Quantized top-k over the probed cells: integer dot product over the
+    * stored int8 codes, rescaled by the two scales — the probed-cell scan
+    * reads a quarter of the float bytes and multiplies integers.
+    */
+  def topKQuant(spark: SparkSession, dir: String, queryVec: DataFrame,
+                k: Int, nprobe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = probedCells(spark, dir, queryVec, nprobe, vecCol)
+    val q = broadcast(
+      queryVec.withColumn("scref", VF.quantScale(col(vecCol)))
+        .select(VF.quantize(col(vecCol), col("scref")).as("qref"), col("scref")))
+    spark.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(q)
+      .withColumn("dp",
+        aggregate(zip_with(col("q8"), col("qref"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (a, v) => a + v))
+      .withColumn("score",
+        round(col("dp").cast("double") / (col("sc") * col("scref")), 3))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic Lloyd refinement of the seed centroids: `iters` rounds
+    * of assign -> per-cell element-wise mean. Everything is reproducible on
+    * any engine:
+    *   - assignment uses the all-double composable cosine (centroid means
+    *     are doubles, not floats) with round-6 + min-cid ties,
+    *   - each dimension's mean is a LEFT-TO-RIGHT double fold over members
+    *     ordered by id (collect_list sorted on (id, value)), divided by the
+    *     member count and rounded to 6 — the same fold the DuckDB oracle's
+    *     ordered list_sum performs, so the centroids match bit-for-bit.
+    * Shape at scale: one posexplode (rows x dims), two hash aggregates per
+    * round — the canonical distributed k-means step.
+    */
+  def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nlist, idCol, vecCol)
+      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val asn = assign(corpus, cents, idCol, vecCol, nativeCosine = false)
+      val members = corpus
+        .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "val")))
+        .join(asn, idCol)
+      cents = members.groupBy(col("cell"), col("dim"))
+        .agg(sort_array(collect_list(
+          struct(col(idCol).as("i"), col("val").cast("double").as("v")))).as("vs"))
+        .select(col("cell"), col("dim"),
+          round(
+            aggregate(col("vs"), lit(0.0), (acc, s) => acc + s.getField("v")) /
+              size(col("vs")),
+            6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          _.getField("m")).as("cvec"))
+        .select(col("cell").as("cid"), col("cvec"))
+    }
+    cents
+  }
+}

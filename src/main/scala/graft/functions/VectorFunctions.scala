@@ -137,17 +137,21 @@ object VectorFunctions {
     */
   def ivfAssignments(corpus: DataFrame, nlist: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(cent)
-      .withColumn("cc", round(cosineNative(col(vecCol), col("cvec")), 6))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("neg"))).as("cell"))
+    IvfIndex.validateSeeds(corpus, nlist, idCol)
+    IvfIndex.assign(corpus,
+      IvfIndex.seedCentroids(corpus, nlist, idCol, vecCol), idCol, vecCol)
   }
 
+  /** Composable IVF query. Pass `assignments` (the output of
+    * [[ivfAssignments]], typically materialized as a cell-partitioned
+    * table — see [[IvfIndex]] for the full index/query split with
+    * storage-level pruning) to skip the per-query assignment pass; without
+    * it the assignment is recomputed, which is only sane for one-off
+    * queries at modest scale.
+    */
   def ivfTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, nlist: Int, nprobe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              assignments: Option[DataFrame] = None): DataFrame = {
     val cent = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
@@ -156,7 +160,8 @@ object VectorFunctions {
       .orderBy(col("qc").desc, col("cid"))
       .limit(nprobe)
       .select(col("cid").as("cell")))
-    corpus.join(ivfAssignments(corpus, nlist, idCol, vecCol).join(probed, "cell"), idCol)
+    val asn = assignments.getOrElse(ivfAssignments(corpus, nlist, idCol, vecCol))
+    corpus.join(asn.join(probed, "cell"), idCol)
       .crossJoin(q)
       .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
       .orderBy(col("cos").desc, col(idCol))
@@ -175,5 +180,70 @@ object VectorFunctions {
       .drop("__qv", "__qsig", "__sig")
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The hyperplane signature split into `bands` fixed-width substrings,
+    * each prefixed with its band index so band 0's bits can never collide
+    * with band 1's in a join key — the MinHash-banding trick applied to
+    * hyperplane LSH. Matching ANY band makes a candidate, so recall no
+    * longer hinges on all `planes` bits agreeing at once: with 8 planes in
+    * 2 bands, a near-neighbor only needs one clean half-signature.
+    */
+  def hyperplaneBands(vec: Column, planes: Int, dims: Int, bands: Int): Column = {
+    require(planes % bands == 0, s"planes=$planes must divide into bands=$bands")
+    val bw = planes / bands
+    val sig = hyperplaneSig(vec, planes, dims)
+    array((0 until bands).map(b =>
+      concat(lit(s"$b:"), substring(sig, b * bw + 1, bw))): _*)
+  }
+
+  /** Multi-band LSH ANN: candidates share at least one signature band with
+    * the query; exact cosine ranks them. Candidate generation stays an
+    * equi-join on short band keys (explode -> join -> distinct ids), the
+    * same shuffle shape as MinHash LSH — at scale the banded corpus is a
+    * bucketed table and the probe touches only the query's `bands` buckets.
+    */
+  def lshTopKMultiband(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                       planes: Int, dims: Int, bands: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qb = broadcast(queryVec
+      .select(explode(hyperplaneBands(col(vecCol), planes, dims, bands)).as("__b")))
+    val cand = corpus
+      .select(col(idCol),
+        explode(hyperplaneBands(col(vecCol), planes, dims, bands)).as("__b"))
+      .join(qb, "__b")
+      .select(idCol).distinct()
+    val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
+    corpus.join(cand, Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
+      .drop("__qv")
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-band embedding near-dup pairs: pairs sharing ANY signature band,
+    * verified with exact cosine >= tau. Bucket join on band keys generates
+    * candidates; id pairs are deduped BEFORE vectors are joined back, so
+    * the shuffles carry (id, band-key) and (id, id) — never embeddings —
+    * until the bounded verify step.
+    */
+  def embedNearDupPairsMultiband(corpus: DataFrame, planes: Int, dims: Int,
+                                 bands: Int, tau: Double,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val banded = corpus.select(col(idCol).as("id"),
+      explode(hyperplaneBands(col(vecCol), planes, dims, bands)).as("__b"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.__b") === col("b.__b") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    val va = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", round(cosineNative(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= tau)
+      .select("vec_a", "vec_b", "cos")
   }
 }

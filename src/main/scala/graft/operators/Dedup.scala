@@ -77,7 +77,12 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count is metadata from the logical relation — unlike
+    // df.rdd.getNumPartitions it doesn't force physical planning of the
+    // subtree outside AQE. Non-file sources report no files and take the
+    // repartition: one round-robin shuffle of raw text, AQE-coalesced.
+    val files = df.inputFiles.length
+    if (files == 0 || files < target) df.repartition(target) else df
   }
 
   /** MinHash signatures: ONE md5 per shingle, k hash functions derived as
@@ -158,12 +163,30 @@ object Dedup {
     * to compute the same cache partitions — the subtree effectively runs
     * once per reference (measured 6x on the near-dup pipeline). One small
     * eager count turns every later reference into a cache read.
+    *
+    * Pinned relations are tracked so long-lived sessions don't accumulate
+    * cache across repeated operator calls: [[releasePinned]] unpersists
+    * everything pinned so far, and operators whose result no longer scans
+    * the pinned subtrees (dedupCorpus after its pairs materialize) call it
+    * themselves. Callers of the pair-returning APIs should call it after
+    * their terminal action.
     */
+  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   private def materialize(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
+    pinned.synchronized { pinned += p }
     p
+  }
+
+  /** Unpersist every relation the dedup operators have pinned. Blocking is
+    * false: the executors drop blocks asynchronously, callers don't wait.
+    */
+  def releasePinned(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist(false))
+    pinned.clear()
   }
 
   /** LSH candidates verified with exact n-gram Jaccard >= threshold: the full
@@ -290,11 +313,16 @@ object Dedup {
     val comps = connectedComponents(reps, idCol, pairs)
     val canon = repOf.join(
       comps.select(col(idCol).as("rep"), col("canonical_id")), "rep")
-    val kept = docs.join(
-      canon.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    // The survivor id set is one small column — materialize it eagerly
+    // (localCheckpoint cuts its lineage to repOf/pairs/comps) so every
+    // relation the pipeline pinned can be released HERE rather than
+    // accumulating in a long-lived session; the returned plan is then a
+    // plain semi join of docs against the checkpointed id list.
+    val keptIds = canon.filter(col(idCol) === col("canonical_id"))
+      .select(col(idCol)).localCheckpoint()
     pairs.unpersist()
-    kept
+    releasePinned()
+    docs.join(keptIds, Seq(idCol), "left_semi")
   }
 
   /** Benchmark decontamination: per corpus doc, the number of distinct
@@ -413,5 +441,77 @@ object Dedup {
     }
     edges.unpersist(); p.unpersist()
     labels.select(col("node").as(idCol), col("lbl").as("canonical_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the distributed path for HIGH-DIAMETER graphs, where
+    * min-label propagation needs O(diameter) rounds but star contraction
+    * converges in O(log n): each round rewires every node toward its
+    * neighborhood minimum, halving component height.
+    *
+    * Both stars are pure relational steps — a symmetric edge expansion, a
+    * per-node min aggregate, one join — so each round is two shuffles of
+    * the edge list, no collect_list (no high-degree-node row blowup), with
+    * lineage cut per round via localCheckpoint exactly like the min-label
+    * loop. Fixpoint detection: the edge multiset's (count, xxhash sum)
+    * signature is stable iff the star graph stopped changing.
+    *
+    * Output matches [[connectedComponents]] exactly (min reachable id per
+    * node); the equivalence spec runs both on random + chain graphs.
+    */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                              maxIter: Int = 20): DataFrame = {
+    val p = pairs.localCheckpoint()
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .select(col("hi").as("a"), col("lo").as("b"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .filter(col("v") < col("u"))
+      val m = sym.groupBy("u").agg(min(col("v")).as("m"))
+      canon(sym.join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      (row.getLong(0), row.getDecimal(1))
+    }
+    var edges = canon(p.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    // at the fixpoint every component is a star rooted at its minimum:
+    // (a, b) edges all point a -> root b
+    val roots = edges.select(col("a").as("node"), col("b").as("comp"))
+    p.unpersist()
+    nodes.select(col(idCol).as("node"))
+      .join(roots, Seq("node"), "left_outer")
+      .select(col("node").as(idCol),
+        coalesce(col("comp"), col("node")).as("canonical_id"))
   }
 }

@@ -45,6 +45,51 @@ object DelIns {
 
     def read(): DataFrame = spark.read.parquet(path)
 
+    /** D2/D3 merge against storage that touches ONLY partitions holding
+      * affected keys (the reference's MERGE is transactional in the
+      * warehouse, reference
+      * dags/stellar_etl_airflow/build_apply_gcs_changes_to_bq_task.py:116-149;
+      * on partitioned parquet the analog is read-merge-overwrite scoped to
+      * the key-derived partitions).
+      *
+      * Contract: the source rows carry the table's partition columns,
+      * derived from the merge key by the same rule as the stored data — so
+      * a key lives in exactly one partition and the merge needs to read
+      * nothing else. The scan of untouched partitions is pruned at the
+      * file listing (MergeSpecTest asserts the scan's partition count),
+      * and dynamic partition overwrite rewrites only directories the
+      * merged result contains; a partition whose rows were ALL tombstoned
+      * produces no output rows, so its directory is dropped explicitly.
+      */
+    def mergePartitioned(source: DataFrame, spec: MergeSpec): Unit = {
+      require(partitionCols.nonEmpty, "mergePartitioned needs a partitioned table")
+      val affected = source.select(partitionCols.map(col): _*).distinct().collect().toSeq
+      if (affected.isEmpty) return
+      val prune = affected.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val target = read().filter(prune)
+      val merged = MergeOps.merge(target, source, spec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val written = merged.select(partitionCols.map(col): _*).distinct().collect().toSet
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      merged.unpersist(false)
+      val emptied = affected.filterNot(written.contains)
+      if (emptied.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { r =>
+          val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+            s"$c=${java.net.URLEncoder.encode(String.valueOf(r.get(i)), "UTF-8")}"
+          }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+        }
+      }
+    }
+
     /** D5/K7 retention: drop partitions older than the cutoff — a metadata
       * listing plus directory deletes, never a data rewrite (the reference's
       * 450-day partition expiry, reference dags/queries/create_table.sql:1-9).

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{IvfIndex, TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Multimodal, Packing, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
 object TrainingQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Deterministic scratch location for the IVF index of one source dir —
+    * rebuilt (overwritten) by the index-building queries, reread by their
+    * probe phase. In production the build runs once per corpus version and
+    * the probe path is all that executes per query.
+    */
+  private def ivfScratch(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
+  }
 
   type QFn = (SparkSession, String) => DataFrame
 
@@ -124,6 +135,45 @@ object TrainingQueries {
     // Embedding-cosine near-dup pairs (LSH candidates + native cosine verify).
     "t_dedup_embed" -> ((s, dir) =>
       VF.embedNearDupPairs(t(s, dir, "embeddings"), planes = 4, dims = 64, tau = 0.2)),
+
+    // IVF with the index/query split: cell-partitioned index built once
+    // (centroids + assignments + int8 codes), probe reads ONLY the probed
+    // cells' partitions — storage-level pruning, the 100 TB configuration.
+    "t_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val d = ivfScratch(dir)
+      IvfIndex.build(emb, nlist = 16, d)
+      IvfIndex.topK(s, d, q, k = 10, nprobe = 4).select("vec_id", "label", "cos")
+    }),
+
+    // Quantized ANN composed with IVF pruning: integer dot products over
+    // the stored int8 codes of the probed cells only — 4x less scan
+    // bandwidth times nprobe/nlist of the corpus.
+    "t_ann_ivf_quant" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val d = ivfScratch(dir) + "_q"
+      IvfIndex.build(emb, nlist = 16, d)
+      IvfIndex.topKQuant(s, d, q, k = 10, nprobe = 4)
+        .select("vec_id", "label", "dp", "score")
+    }),
+
+    // Multi-band hyperplane LSH ANN: 8 planes in 2 bands — a candidate
+    // needs only ONE matching half-signature, so recall doesn't hinge on a
+    // single 4-bit bucket.
+    "t_ann_lsh_multiband" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      VF.lshTopKMultiband(emb, q, k = 10, planes = 8, dims = 64, bands = 2)
+        .select("vec_id", "label", "cos")
+    }),
+
+    // Multi-band embedding near-dup pairs (any-band candidates + exact
+    // cosine verify).
+    "t_dedup_embed_mb" -> ((s, dir) =>
+      VF.embedNearDupPairsMultiband(t(s, dir, "embeddings"),
+        planes = 8, dims = 64, bands = 2, tau = 0.2)),
 
     // Multimodal plumbing: opaque binary payload + typed metadata through
     // the per-partition (stubbed) decoder.
@@ -323,6 +373,68 @@ object TrainingQueries {
        |JOIN qc ON a.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** The quant-over-probed-cells oracle: the annIvfOracle cell rule for
+    * assignment + probing, the t_ann_quant quantization rule for scoring —
+    * the composition IS the operator.
+    */
+  private val annIvfQuantOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT e.vec_id,
+       |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
+       |  FROM embeddings e, cent c GROUP BY e.vec_id),
+       |qc AS (SELECT c.cid AS cell FROM cent c, q
+       |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT 4),
+       |s AS (
+       |  SELECT vec_id, label, embedding,
+       |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+       |         THEN 0.0
+       |         ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |    END AS sc
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, label, sc,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * sc) AS BIGINT)) AS q8
+       |  FROM s),
+       |qq AS (SELECT q8 AS qref, sc AS scref FROM qv WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT v.vec_id, v.label,
+       |    CAST(list_sum(list_transform(range(1, len(v.q8) + 1), i -> v.q8[i] * qq.qref[i])) AS BIGINT) AS dp,
+       |    v.sc, qq.scref
+       |  FROM qv v
+       |  JOIN assign a ON v.vec_id = a.vec_id
+       |  JOIN qc ON a.cell = qc.cell, qq)
+       |SELECT vec_id, label, dp, round(CAST(dp AS DOUBLE) / (sc * scref), 3) AS score
+       |FROM scored ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  /** 8-plane/2-band variants: a row is a candidate when EITHER 4-bit
+    * half-signature matches the query's.
+    */
+  private val annLshMultibandOracle: String =
+    s"""WITH w AS (SELECT ${weightsLiteral(8, 64)} AS m),
+       |sig AS (SELECT vec_id, label, embedding,
+       |  ${sigSql("embedding", 8, 64)} AS s FROM embeddings, w),
+       |q AS (SELECT embedding AS qv, s AS qs FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id, s.label, ${cosSql("s.embedding", "q.qv", 64)} AS cos
+       |FROM sig s, q
+       |WHERE substr(s.s, 1, 4) = substr(q.qs, 1, 4)
+       |   OR substr(s.s, 5, 4) = substr(q.qs, 5, 4)
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
+
+  private val embedDedupMultibandOracle: String =
+    s"""WITH w AS (SELECT ${weightsLiteral(8, 64)} AS m),
+       |sig AS (SELECT vec_id, embedding,
+       |  ${sigSql("embedding", 8, 64)} AS s FROM embeddings, w),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql("a.embedding", "b.embedding", 64)} AS cos
+       |  FROM sig a JOIN sig b
+       |    ON (substr(a.s, 1, 4) = substr(b.s, 1, 4)
+       |        OR substr(a.s, 5, 4) = substr(b.s, 5, 4))
+       |   AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""".stripMargin
+
   private val dedupCcOracle: String =
     shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, edges AS (
@@ -357,6 +469,12 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "t_ann_lsh" -> annLshOracle,
     "t_ann_ivf" -> annIvfOracle,
+    // the index/query split changes WHERE the work happens, not the answer:
+    // the materialized index must reproduce the composable formulation
+    "t_ann_ivf_indexed" -> annIvfOracle,
+    "t_ann_ivf_quant" -> annIvfQuantOracle,
+    "t_ann_lsh_multiband" -> annLshMultibandOracle,
+    "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,
     "t_dedup_stats" -> {
       val ccSelect = "SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node"

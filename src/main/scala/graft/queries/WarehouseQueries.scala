@@ -20,6 +20,15 @@ object WarehouseQueries {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Scratch root for the storage-roundtrip queries (K5 copy, D8 daily
+    * increment): deterministic per source dir, overwritten per run.
+    */
+  private def scratch(tag: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_wh_${tag}_$h"
+  }
+
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
@@ -279,16 +288,25 @@ object WarehouseQueries {
     // map-side-combinable pass.
     "a5_rollup" -> ((s, dir) =>
       t(s, dir, "events")
-        .rollup(to_date(col("ts")).as("day"), col("event_type"))
+        // grouping() resolves against grouping ATTRIBUTES, so the derived
+        // day must be projected before the rollup, not aliased inside it
+        .withColumn("day", to_date(col("ts")))
+        .rollup(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("double").as("value_sum"))
-        // subtotal-marker NULLs become sentinels: mart consumers (and the
-        // cross-engine compare) shouldn't have to distinguish NULL-as-total
-        // from NULL-as-data
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          grouping(col("day")).as("g_day"),
+          grouping(col("event_type")).as("g_type"))
+        // subtotal rows get sentinels, keyed on grouping() — NOT on the
+        // value being NULL, so a genuine NULL day/event_type in the data
+        // stays distinguishable from a ROLLUP subtotal marker
         .select(
-          coalesce(col("day"), to_date(lit("1900-01-01"))).as("day"),
-          coalesce(col("event_type"), lit("ALL")).as("event_type"),
-          col("n"), col("value_sum"))),
+          when(col("g_day") === 1, to_date(lit("1900-01-01")))
+            .otherwise(col("day")).as("day"),
+          when(col("g_type") === 1, lit("ALL"))
+            .otherwise(col("event_type")).as("event_type"),
+          col("n"), col("value_sum"),
+          col("g_day").cast("long").as("g_day"),
+          col("g_type").cast("long").as("g_type"))),
 
     // A5 (marts): trade_agg shape — per (month, asset) OHLCV over unit
     // prices, open/close picked by a unique (ts, order, line) tuple so ties
@@ -372,6 +390,42 @@ object WarehouseQueries {
       daily.select(col("event_type"), col("day"), col("n"),
         col("dsum").cast("double").as("day_value"),
         sum(col("dsum")).over(w).cast("double").as("cum_value"))
+    }),
+
+    // K5 through the gate: write -> copy -> read back -> aggregate; the
+    // copy must be value-faithful, so the aggregate equals the direct one.
+    "k5_copy_roundtrip" -> ((s, dir) => {
+      val src = scratch("k5src", dir)
+      val dst = scratch("k5dst", dir)
+      val sub = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      graft.sinks.Sinks.truncateReplace(sub, src)
+      graft.sinks.Sinks.copyTable(s, src, dst)
+      s.read.parquet(dst)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("price_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // D8 through the gate: sandbox seeded below a cutoff day, then the
+    // day's increment appended (K1 partitioned append) — the read-back
+    // aggregate must equal the direct <=-cutoff aggregate.
+    "d8_daily_increment" -> ((s, dir) => {
+      val sandbox = scratch("d8box", dir)
+      val ev = t(s, dir, "events").withColumn("p_day", to_date(col("ts")))
+      graft.sinks.Sinks.truncateReplace(
+        ev.filter(col("p_day") < lit("2024-01-15").cast("date")), sandbox)
+      // append exactly one day: rerunning the query overwrites the seed
+      // first, so the increment lands exactly once per run
+      graft.sinks.Sinks.partitionedAppend(
+        Maintenance.dailyIncrement(ev, "ts", "2024-01-15")
+          .withColumn("p_day", to_date(col("ts"))),
+        sandbox, Seq.empty, clusterCols = Seq("event_type"))
+      s.read.parquet(sandbox)
+        .groupBy(col("p_day").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          sum(col("event_id")).as("id_sum"))
     }),
 
     // Set op: unionByName of heterogeneous sources.
@@ -458,6 +512,15 @@ object WarehouseQueries {
           countDistinct("event_type").cast("long").as("n_types"),
           concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
           size(collect_list(col("event_id"))).cast("long").as("n_events"))),
+
+    // P1 (full width): the reference's hardest projection surface — the
+    // 121-field details RECORD parsed via from_json through the complete
+    // schema replica, then the avro-export flatten (~120 leaves in
+    // reference order). Most leaves are null (each op type populates its
+    // slice), exactly like production history_operations.
+    "p1_struct_flatten_wide" -> ((s, dir) =>
+      graft.sources.HistoryOperations.flattenWideScalar(
+        graft.sources.HistoryOperations.syntheticOps(t(s, dir, "events")))),
 
     // P1: RECORD handling — parse JSON into a typed struct, build a nested
     // struct, flatten leaf fields (Catalyst prunes the unread branches).
@@ -646,11 +709,14 @@ object WarehouseQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "a5_rollup" ->
-      """SELECT coalesce(day, DATE '1900-01-01') AS day,
-        |  coalesce(event_type, 'ALL') AS event_type, n, value_sum
+      """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,
+        |  CASE WHEN g_type = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |  n, value_sum, g_day, g_type
         |FROM (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |    CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS g_day,
+        |    CAST(GROUPING(event_type) AS BIGINT) AS g_type
         |  FROM events GROUP BY ROLLUP(1, 2)) t""".stripMargin,
 
     "a5_trade_agg" ->
@@ -709,6 +775,20 @@ object WarehouseQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
         |FROM daily""".stripMargin,
 
+    "k5_copy_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus = 'O' GROUP BY 1""".stripMargin,
+
+    "d8_daily_increment" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin,
+
     "set_union_by_name" ->
       """SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
         |UNION ALL
@@ -754,6 +834,8 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  COUNT(*) AS n
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "p1_struct_flatten_wide" -> graft.sources.HistoryOperations.wideOracleSql,
 
     "p1_struct_flatten" ->
       """SELECT event_id,

@@ -22,10 +22,21 @@ object MicroBatchIngest {
 
   /** Drain all currently-available NDJSON files into the warehouse, one
     * del-ins batch per micro-batch. Blocks until the drain completes.
+    *
+    * The lineage stamp derives ENTIRELY from the logical run — the caller's
+    * `window` (the scheduler's data interval, as in the reference's batch
+    * macros, reference dags/stellar_etl_airflow/macros.py:1-15 and
+    * build_export_task.py:143-147) and the deterministic micro-batch id —
+    * never from wall clock. A retried trigger therefore rewrites its
+    * partitions BYTE-IDENTICAL (IdempotencySpec proves run-twice equality
+    * including the lineage columns); an Instant.now() stamp would leave
+    * rows-replaced idempotency intact but break replay audits that diff
+    * re-exported batches, exactly the property the reference pins by
+    * stamping batch metadata once at export.
     */
   def runAvailableNow(spark: SparkSession, schema: StructType, inputGlob: String,
                       warehousePath: String, checkpoint: String,
-                      runId: String, alias: String): Unit = {
+                      runId: String, alias: String, window: BatchWindow): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("mode", "FAILFAST")
@@ -35,10 +46,8 @@ object MicroBatchIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val now = java.time.Instant.now()
-        val w = BatchWindow(now.minusSeconds(600), now)
         val stamped = Batch
-          .stampLineage(batch, BatchId(runId, alias), w)
+          .stampLineage(batch, BatchId(runId, alias), window, insertTs = window.end)
           .withColumn("p_batch", lit(f"$runId%s-$batchId%06d"))
         new DelIns.Warehouse(spark, warehousePath, Seq("p_batch")).loadBatch(stamped)
         ()
@@ -100,7 +109,15 @@ object MicroBatchIngest {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.end_ts.getTime <= gapSeconds * 1000L =>
-                  open = Some(s.copy(end_ts = e.ts, n_events = s.n_events + 1,
+                  // Out-of-order merge: an event inside the watermark may be
+                  // OLDER than the open session's end (late cross-batch
+                  // delivery). The session bounds must only ever widen —
+                  // regressing end_ts would let a later event be judged > gap
+                  // from a falsely-early end and split one real session in two.
+                  open = Some(s.copy(
+                    start_ts = if (e.ts.before(s.start_ts)) e.ts else s.start_ts,
+                    end_ts = if (e.ts.after(s.end_ts)) e.ts else s.end_ts,
+                    n_events = s.n_events + 1,
                     value_sum = s.value_sum + e.value.getOrElse(0.0)))
                 case Some(s) =>
                   closed += s

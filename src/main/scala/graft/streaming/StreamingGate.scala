@@ -1,0 +1,194 @@
+package graft.streaming
+
+import graft.sources.Tables
+import graft.typed.{Event, Session}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch-callable drains of the streaming pipelines, so the stateful
+  * operators go through the SAME oracle hash gate as the batch ones.
+  *
+  * Each gate stages a deterministic input under a scratch dir, runs the
+  * real Structured Streaming pipeline over it with Trigger.AvailableNow
+  * (fresh checkpoint per run — the drain is the unit under test), spills
+  * every micro-batch's output to parquet via foreachBatch (distributed —
+  * no driver collect), and returns a batch DataFrame over the drained
+  * result. The DuckDB oracle states the equivalent batch semantics:
+  * sessionization is gaps-and-islands SQL, watermarked dedup is DISTINCT,
+  * the KMV keyed state is the batch sketch re-derivation.
+  */
+object StreamingGate {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def scratch(tag: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${tag}_$h"
+  }
+
+  private def cleanDir(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
+  /** Stage `df` to parquet and reopen it as a file stream (the shape real
+    * ingest has: files arriving in a directory).
+    */
+  private def stage(spark: SparkSession, df: DataFrame, in: String): DataFrame = {
+    cleanDir(spark, in)
+    df.write.mode("overwrite").parquet(in)
+    spark.readStream.schema(df.schema).parquet(in)
+  }
+
+  private def drain[T](ds: Dataset[T], out: String, ck: String,
+                       withBatchId: Boolean = false,
+                       outputMode: String = "append"): Unit = {
+    val spark = ds.sparkSession
+    cleanDir(spark, out); cleanDir(spark, ck)
+    val q = ds.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[T], id: Long) =>
+        val df = if (withBatchId) b.toDF().withColumn("__batch", lit(id)) else b.toDF()
+        df.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Sessionize drained to a table. A flush row per user at max(ts) +
+    * 10 gaps closes every real session inside the drain (the stream never
+    * ends at a watermark otherwise); flush sessions themselves stay open
+    * in state and are additionally filtered by start_ts. value_sum stays
+    * out of the gate projection: the state machine accumulates doubles in
+    * event order, and a cross-engine hash over order-sensitive float sums
+    * would test summation order, not sessionization (specs cover it).
+    */
+  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gap = 1800L
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + gap * 1000L * 10)
+    val flush = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"), col("user_id"),
+        lit("flush").as("event_type"), lit(null).cast("double").as("value"),
+        lit("{}").as("props"))
+    val in = scratch("sess_in", dir)
+    val out = scratch("sess_out", dir)
+    val ck = scratch("sess_ck", dir)
+    val stream = stage(spark, ev.unionByName(flush), in).as[Event]
+    drain(MicroBatchIngest.sessionize(stream, gap), out, ck)
+    spark.read.parquet(out)
+      .filter(col("start_ts") < lit(flushTs))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+  }
+
+  /** Watermarked streaming dedup drained to a table: the input redelivers
+    * every tenth event (same batch, inside the watermark) and the drained
+    * output must aggregate exactly like the clean source.
+    */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val redelivered = ev.filter(col("event_id") % 10 === 0)
+    val in = scratch("dd_in", dir)
+    val out = scratch("dd_out", dir)
+    val ck = scratch("dd_ck", dir)
+    val stream = stage(spark, ev.unionByName(redelivered), in)
+    drain(MicroBatchIngest.streamingDedup(stream, "ts", Seq("event_id")), out, ck)
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
+  /** Streaming KMV distinct-estimate drained to a table: per event type,
+    * the keyed O(k) state folds each batch's hashes; the LAST emitted row
+    * per key (max batch id) is the final sketch, compared against the
+    * batch re-derivation oracle.
+    */
+  def kmvGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 32
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("_1"), md5(col("user_id").cast("string")).as("_2"))
+    val in = scratch("kmv_in", dir)
+    val out = scratch("kmv_out", dir)
+    val ck = scratch("kmv_ck", dir)
+    val stream = stage(spark, pairs.toDF(), in).as[(String, String)]
+    drain(MicroBatchIngest.streamingDistinctEstimate(stream, k), out, ck,
+      withBatchId = true, outputMode = "update")
+    spark.read.parquet(out)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("n_distinct_capped"), col("est_distinct")),
+        col("__batch")).as("fin"))
+      .select(
+        col("key").as("event_type"),
+        col("fin.n_distinct_capped").cast("long").as("nd_capped"),
+        when(col("fin.n_distinct_capped") < k, col("fin.est_distinct"))
+          .otherwise(round(col("fin.est_distinct"), 3)).as("est_distinct"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "st_sessionize" -> (sessionizeGate(_, _)),
+    "st_dedup" -> (dedupGate(_, _)),
+    "st_kmv_estimate" -> (kmvGate(_, _)))
+
+  /** Batch-semantics oracles. Sessionize merge rule: an event merges when
+    * its gap to the session's running max end is <= 1800 s, so a session
+    * break is a strictly-greater gap between consecutive ordered events.
+    */
+  val oracles: Map[String, String] = Map(
+    "st_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |           OR date_diff('millisecond', prev, ts) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  COUNT(*) AS n_events
+        |FROM z GROUP BY user_id, grp""".stripMargin,
+
+    "st_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "st_kmv_estimate" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN hv END) AS kth
+        |  FROM r GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM s""".stripMargin)
+}

@@ -16,6 +16,10 @@ class MicroBatchIngestSpec extends SparkSpec {
       |  {"name": "closed_at", "type": "TIMESTAMP"}
       |]""".stripMargin
 
+  private val window = graft.core.BatchWindow(
+    java.time.Instant.parse("2026-01-13T00:00:00Z"),
+    java.time.Instant.parse("2026-01-13T00:10:00Z"))
+
   test("AvailableNow drains NDJSON files into the warehouse with lineage") {
     val root = Files.createTempDirectory("stream").toString
     val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
@@ -25,7 +29,7 @@ class MicroBatchIngestSpec extends SparkSpec {
 
     val schema = SchemaRegistry.fromJson(schemaJson)
     MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
-      s"$root/wh", s"$root/ckpt", "run1", "ledgers")
+      s"$root/wh", s"$root/ckpt", "run1", "ledgers", window)
 
     val out = spark.read.parquet(s"$root/wh")
     assert(out.count() == 2)
@@ -34,15 +38,36 @@ class MicroBatchIngestSpec extends SparkSpec {
 
     // second drain with no new files adds nothing (checkpointed offsets)
     MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
-      s"$root/wh", s"$root/ckpt", "run1", "ledgers")
+      s"$root/wh", s"$root/ckpt", "run1", "ledgers", window)
     assert(spark.read.parquet(s"$root/wh").count() == 2)
 
     // a new file is picked up incrementally
     Files.writeString(java.nio.file.Paths.get(s"$in/200-300-ledgers.txt"),
       """{"sequence": 201, "closed_at": "2026-01-13T00:15:07Z"}""")
     MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
-      s"$root/wh", s"$root/ckpt", "run1", "ledgers")
+      s"$root/wh", s"$root/ckpt", "run1", "ledgers", window)
     assert(spark.read.parquet(s"$root/wh").count() == 3)
+  }
+
+  test("a retried trigger is byte-identical, lineage columns included") {
+    val root = Files.createTempDirectory("stream_retry").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.writeString(java.nio.file.Paths.get(s"$in/100-200-ledgers.txt"),
+      """{"sequence": 100, "closed_at": "2026-01-13T00:05:07Z"}
+        |{"sequence": 101, "closed_at": "2026-01-13T00:05:12Z"}""".stripMargin)
+    val schema = SchemaRegistry.fromJson(schemaJson)
+    // a "retry" = the same logical run draining the same input from a
+    // fresh checkpoint (the failed attempt's progress is discarded)
+    MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
+      s"$root/wh", s"$root/ckpt1", "run1", "ledgers", window)
+    val first = spark.read.parquet(s"$root/wh").collect().map(_.toString).sorted
+    MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
+      s"$root/wh", s"$root/ckpt2", "run1", "ledgers", window)
+    val second = spark.read.parquet(s"$root/wh").collect().map(_.toString).sorted
+    assert(first.sameElements(second),
+      "retried trigger must rewrite identical rows including batch_run_date/batch_insert_ts")
+    assert(spark.read.parquet(s"$root/wh")
+      .select("batch_insert_ts").distinct().count() == 1)
   }
 
   test("windowed counts aggregate per 10-minute window with watermark") {
