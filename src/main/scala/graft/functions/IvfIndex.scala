@@ -130,6 +130,28 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** IVF query under caller-supplied centroids (e.g. [[lloydCentroids]]
+    * output, double-typed): assignment + probing use the all-double
+    * composable cosine; the final ranking over probed cells uses the
+    * native float expression (corpus x query are both float vectors).
+    */
+  def topKWithCentroids(corpus: DataFrame, centroids: DataFrame, queryVec: DataFrame,
+                        k: Int, nprobe: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asn = assign(corpus, centroids, idCol, vecCol, nativeCosine = false)
+    val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
+    val probed = broadcast(centroids.crossJoin(q)
+      .withColumn("qc", round(VF.cosine(col("cvec"), col("__qv")), 6))
+      .orderBy(col("qc").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell")))
+    corpus.join(asn.join(probed, "cell"), idCol)
+      .crossJoin(q)
+      .withColumn("cos", round(VF.cosineNative(col(vecCol), col("__qv")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic Lloyd refinement of the seed centroids: `iters` rounds
     * of assign -> per-cell element-wise mean. Everything is reproducible on
     * any engine:

@@ -159,6 +159,17 @@ object TrainingQueries {
         .select("vec_id", "label", "dp", "score")
     }),
 
+    // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
+    // (ordered-fold means, round-6) sharpen the seed cells, then the
+    // standard probe. The oracle replays both rounds relationally.
+    "t_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val cents = IvfIndex.lloydCentroids(emb, nlist = 16, iters = 2)
+      IvfIndex.topKWithCentroids(emb, cents, q, k = 10, nprobe = 4)
+        .select("vec_id", "label", "cos")
+    }),
+
     // Multi-band hyperplane LSH ANN: 8 planes in 2 bands — a candidate
     // needs only ONE matching half-signature, so recall doesn't hinge on a
     // single 4-bit bucket.
@@ -408,6 +419,44 @@ object TrainingQueries {
        |SELECT vec_id, label, dp, round(CAST(dp AS DOUBLE) / (sc * scref), 3) AS score
        |FROM scored ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The Lloyd-refined IVF oracle, generated round by round so the SQL
+    * can't drift from the engine's iteration count: assignment under the
+    * current centroids (round-6 cosine, min-cid ties), then per-(cell,
+    * dim) means as ordered left-to-right double folds (list ORDER BY
+    * vec_id + list_sum == the engine's sorted collect_list fold) rounded
+    * to 6 — bit-identical centroids, hence identical cells.
+    */
+  private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id,
+         |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
+         |  FROM embeddings e, $cents c GROUP BY e.vec_id)""".stripMargin
+    def meanCtes(i: Int) =
+      s"""m$i AS (
+         |  SELECT a.cell, d.i,
+         |    round(list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id))
+         |          / COUNT(*), 6) AS m
+         |  FROM embeddings e JOIN a$i a ON e.vec_id = a.vec_id, dims d
+         |  GROUP BY a.cell, d.i),
+         |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + meanCtes(i)).mkString(",\n")
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |       FROM embeddings WHERE vec_id < $nlist),
+       |$rounds,
+       |${assignCte("af", s"c$iters")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qc AS (SELECT c.cid AS cell FROM c$iters c, q
+       |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT $nprobe)
+       |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 64)} AS cos
+       |FROM embeddings e
+       |JOIN af ON e.vec_id = af.vec_id
+       |JOIN qc ON af.cell = qc.cell, q
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   /** 8-plane/2-band variants: a row is a candidate when EITHER 4-bit
     * half-signature matches the query's.
     */
@@ -473,6 +522,7 @@ object TrainingQueries {
     // the materialized index must reproduce the composable formulation
     "t_ann_ivf_indexed" -> annIvfOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
+    "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
     "t_ann_lsh_multiband" -> annLshMultibandOracle,
     "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,

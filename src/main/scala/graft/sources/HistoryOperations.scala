@@ -109,8 +109,11 @@ object HistoryOperations {
     f("parameters_decoded", arr(param)), f("function", StringType),
     f("address", StringType), f("type", StringType), f("extend_to", LongType),
     f("contract_id", StringType), f("contract_code_hash", StringType),
+    // NOTE the export SQL (generate_avro/history_operations.sql:139) also
+    // selects details.ledgers_to_expire, but the schema JSON — the load
+    // contract — does not carry it; the schema file wins here
     f("ledger_key_hash", arr(StringType)), f("parameters_json", StringType),
-    f("parameters_json_decoded", StringType), f("ledgers_to_expire", LongType)))
+    f("parameters_json_decoded", StringType)))
 
   /** Full table schema (reference schemas/history_operations_schema.json top level). */
   val schema: StructType = StructType(Seq(
@@ -155,7 +158,7 @@ object HistoryOperations {
     "reserve_a_withdraw_amount", "reserve_b_min_amount",
     "reserve_b_withdraw_amount", "shares", "function", "address",
     "extend_to", "contract_id", "contract_code_hash", "parameters_json",
-    "parameters_json_decoded", "ledgers_to_expire")
+    "parameters_json_decoded")
 
   /** The REPEATED `details.*` fields the export selects (arrays pass
     * through raw here; the gate query reduces them to counts because the
@@ -276,7 +279,7 @@ object HistoryOperations {
     "max_price" -> "DOUBLE", "shares_received" -> "DOUBLE",
     "reserve_a_min_amount" -> "DOUBLE", "reserve_a_withdraw_amount" -> "DOUBLE",
     "reserve_b_min_amount" -> "DOUBLE", "reserve_b_withdraw_amount" -> "DOUBLE",
-    "shares" -> "DOUBLE", "extend_to" -> "BIGINT", "ledgers_to_expire" -> "BIGINT")
+    "shares" -> "DOUBLE", "extend_to" -> "BIGINT")
 
   /** DuckDB expressions for the populated leaves — the same derivations as
     * [[detailsJsonCol]], computed directly from the events columns (the

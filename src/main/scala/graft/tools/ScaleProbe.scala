@@ -111,6 +111,23 @@ object ScaleProbe {
       }
     }
 
+    // High-diameter CC probe: a 200k-node chain graph (worst case for
+    // min-label propagation, which needs ~diameter rounds) — star
+    // contraction must collapse it in its O(log n) round budget.
+    if (sys.env.get("SPARK_GRAFT_CC_CHAIN").forall(_ != "0")) {
+      import spark.implicits._
+      val n = 200000L
+      val chainNodes = spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("text", lit(""))
+      val chainEdges = spark.range(n - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val roots = time("cc_star_chain") {
+        Dedup.connectedComponentsStar(chainNodes, "doc_id", chainEdges)
+          .filter(col("canonical_id") === 0L).count()
+      }
+      assert(roots == n, s"chain must collapse to one component, got $roots of $n")
+    }
+
     stages.clear()
     val nKept = time("dedup_corpus") {
       Dedup.dedupCorpus(big, "doc_id", "text", threshold = 0.5).count()

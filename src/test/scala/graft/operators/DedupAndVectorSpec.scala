@@ -134,6 +134,79 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_cells")
   }
 
+  test("star contraction CC == union-find CC on random and high-diameter graphs") {
+    // deterministic "random" graph: 120 nodes, arithmetic edges
+    val nodes = (0L until 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val randomEdges = (0 until 200)
+      .map(i => ((i * 13 + 5) % 120L, (i * 29 + 11) % 120L))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val viaUf = Dedup.connectedComponents(nodes, "doc_id", randomEdges)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsStar(nodes, "doc_id", randomEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaUf, "star contraction drifted from union-find on the random graph")
+
+    // high-diameter chain 0-1-...-99: min-label would need ~diameter/2
+    // rounds; star contraction collapses it within its O(log n) budget
+    val chainNodes = (0L until 100L).map(i => (i, "")).toDF("doc_id", "text")
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val stars = Dedup.connectedComponentsStar(chainNodes, "doc_id", chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(stars.values.forall(_ == 0L),
+      s"chain must collapse to root 0 within log-n rounds: ${stars.toSeq.sortBy(_._1).take(10)}")
+  }
+
+  test("multi-band LSH recall is a superset of the single-bucket path") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val truth = VectorFunctions.bruteForceTopK(emb, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = VectorFunctions.lshTopK(emb, q, 10, planes = 8, dims = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = VectorFunctions.lshTopKMultiband(emb, q, 10, planes = 8, dims = 64, bands = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // a full 8-bit signature match implies both 4-bit bands match, so the
+    // multiband candidate set contains the single-bucket one — recall can
+    // only go up at equal total planes
+    assert((truth & multi).size >= (truth & single).size,
+      s"multiband recall ${(truth & multi).size} < single ${(truth & single).size}")
+    assert(multi.contains(0L), "the query itself must always be found")
+  }
+
+  test("IvfIndex.topKQuant over probed cells matches brute-force int8 scoring") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toString
+    graft.functions.IvfIndex.build(emb, nlist = 16, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val got = graft.functions.IvfIndex.topKQuant(spark, dir, q, k = 5, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    // nprobe = nlist probes everything -> must equal the full int8 scan
+    val sc = VectorFunctions.quantScale(col("embedding"))
+    val qv = emb.withColumn("sc", sc)
+      .select(col("vec_id"), col("sc"),
+        VectorFunctions.quantize(col("embedding"), col("sc")).as("q"))
+    val qref = qv.filter(col("vec_id") === 0)
+      .select(col("q").as("qref"), col("sc").as("scref"))
+    val want = qv.crossJoin(broadcast(qref))
+      .withColumn("dp", aggregate(zip_with(col("q"), col("qref"),
+        (x, y) => x.cast("long") * y.cast("long")), lit(0L), (a, v) => a + v))
+      .withColumn("score", round(col("dp").cast("double") / (col("sc") * col("scref")), 3))
+      .orderBy(desc("score"), col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"probed-cell quant scan drifted: $got vs $want")
+  }
+
+  test("IVF seed validation rejects a corpus missing seed ids") {
+    val emb = Seq((5L, Array.fill(4)(1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.IvfIndex.validateSeeds(emb, nlist = 4, "vec_id")
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("LSH bucketing co-locates the query with its near neighbor") {
     val emb = (0 until 50).map { i =>
       val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)

@@ -48,6 +48,62 @@ class MergeSpecTest extends SparkSpec {
     assert(m == w, s"merge path $m != window path $w")
   }
 
+  test("mergePartitioned == pure merge; untouched partitions are never read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("merge_wh").toString
+    // key-derived partitioning: p = custkey % 4 — the contract that lets a
+    // merge prune its read to the partitions source keys can live in
+    def part(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("account_id_num") % 4)
+    val target = part((0L until 40L).toDF("account_id_num")
+      .withColumn("balance", col("account_id_num") * 1.0)
+      .withColumn("deleted", lit(false)))
+    target.write.mode("overwrite").partitionBy("p").parquet(root)
+    val wh = new DelIns.Warehouse(spark, root, Seq("p"))
+
+    // source touches only partitions 1 and 2 (+ a tombstone + an insert)
+    val source = part(Seq((1L, 101.0, false), (5L, 105.0, true), (41L, 141.0, false),
+      (2L, 202.0, false)).toDF("account_id_num", "balance", "deleted"))
+    val spec = MergeSpec(Seq("account_id_num"), Some("deleted"))
+    val expected = MergeOps.merge(part(spark.read.parquet(root).drop("p")), source, spec)
+      .select("account_id_num", "balance").as[(Long, Double)].collect().toSet
+
+    wh.mergePartitioned(source, spec)
+    val got = wh.read().select("account_id_num", "balance")
+      .as[(Long, Double)].collect().toSet
+    assert(got == expected, s"storage merge drifted from pure merge")
+    assert(got.contains((1L, 101.0)) && got.contains((41L, 141.0)) &&
+      !got.exists(_._1 == 5L))
+
+    // the pruned target read touches exactly the 2 affected partitions
+    val pruned = wh.read().filter(col("p") === 1 || col("p") === 2)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.toString.contains("PartitionFilters: [") &&
+      !scan.toString.contains("PartitionFilters: []"),
+      s"partition filter must reach the scan:\n$scan")
+    scan.metrics.get("numPartitions").map(_.value).foreach { n =>
+      assert(n == 2, s"expected 2 partitions read, got $n")
+    }
+  }
+
+  test("mergePartitioned drops a partition whose rows were all tombstoned") {
+    val root = java.nio.file.Files.createTempDirectory("merge_wh2").toString
+    val target = Seq((0L, 1.0, false), (4L, 2.0, false), (1L, 3.0, false))
+      .toDF("k", "balance", "deleted").withColumn("p", col("k") % 4)
+    target.write.mode("overwrite").partitionBy("p").parquet(root)
+    val wh = new DelIns.Warehouse(spark, root, Seq("p"))
+    // tombstone EVERY key of partition 0
+    val source = Seq((0L, 0.0, true), (4L, 0.0, true))
+      .toDF("k", "balance", "deleted").withColumn("p", col("k") % 4)
+    wh.mergePartitioned(source, MergeSpec(Seq("k"), Some("deleted")))
+    val left = wh.read().select("k").as[Long].collect().toSet
+    assert(left == Set(1L), s"partition 0 must be fully dropped, got $left")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/p=0")),
+      "emptied partition directory must be deleted")
+  }
+
   test("dedupInsertNewRows keeps the oldest staging row per new key") {
     val staging = log(("a", 1, 1, false, 1.0), ("a", 2, 1, false, 2.0),
       ("d", 1, 1, false, 4.0), ("d", 2, 1, false, 5.0))

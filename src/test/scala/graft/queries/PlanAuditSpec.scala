@@ -152,4 +152,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("Exchange"), s"frame sampling must not shuffle:\n$p")
   }
+
+  test("IVF index probe reads ONLY the probed cells' partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    GraftSession.tune(spark)
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_audit").toString
+    graft.functions.IvfIndex.build(emb, nlist = 16, dir)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+    val topk = graft.functions.IvfIndex.topK(spark, dir, q, k = 10, nprobe = 4)
+    topk.collect()
+    // AQE hides the final plan behind AdaptiveSparkPlanExec — unwrap it
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans)
+    }
+    val scan = allScans(topk.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("index")))
+      .getOrElse(fail(s"no index scan found in:\n${topk.queryExecution.executedPlan}"))
+    val s = scan.toString
+    assert(s.contains("PartitionFilters: [") && s.contains("cell"),
+      s"probe must prune on the cell partition column:\n$s")
+    assert(!s.contains("PartitionFilters: []"),
+      s"probe must not scan the whole index:\n$s")
+    scan.metrics.get("numPartitions").map(_.value).foreach { n =>
+      assert(n == 4, s"nprobe=4 must read 4 cell partitions, read $n")
+    }
+  }
+
+  test("p1_struct_flatten_wide: the 120-leaf flatten stays one map-side projection") {
+    val p = planOf("p1_struct_flatten_wide")
+    assert(!p.contains("Exchange"), s"wide flatten must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"wide flatten must not join:\n$p")
+  }
 }
