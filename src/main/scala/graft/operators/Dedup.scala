@@ -364,10 +364,16 @@ object Dedup {
     * @param nodes one row per node id (docs absent from `pairs` form
     *              singleton components)
     * @param pairs (doc_a, doc_b) undirected candidate/duplicate pairs
+    * @param distributedAlgo the over-limit path: "star" (default —
+    *              large-star/small-star contraction, O(log n) rounds on
+    *              any diameter) or "minlabel" (2-hop propagation; fine on
+    *              the shallow components LSH candidate graphs produce,
+    *              kept for the equivalence spec and as a fallback)
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 25,
-                          broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+                          broadcastEdgeLimit: Long = 4000000L,
+                          distributedAlgo: String = "star"): DataFrame = {
     // pairs is typically the output of an expensive verify pipeline; the
     // union below scans it twice (once per direction), and a lazy persist
     // leaves the two legs racing to materialize the same cache partitions
@@ -407,6 +413,10 @@ object Dedup {
         .join(broadcast(labelMap), Seq("node"), "left_outer")
         .select(col("node").as(idCol),
           coalesce(col("comp"), col("node")).as("canonical_id"))
+    }
+    if (distributedAlgo == "star") {
+      edges.unpersist(); p.unpersist()
+      return connectedComponentsStar(nodes, idCol, pairs, maxIter)
     }
     var labels = nodes.select(col(idCol).as("node"))
       .withColumn("lbl", col("node"))

@@ -89,6 +89,30 @@ object WarehouseQueries {
       merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     }),
 
+    // D2 against STORAGE: the same tombstone merge executed through the
+    // partition-scoped warehouse path (read only key-derived partitions,
+    // dynamic-overwrite only those) — the result read back must hash-equal
+    // the pure-transform oracle.
+    "d2_merge_storage" -> ((s, dir) => {
+      val whPath = scratch("d2wh", dir)
+      val cust = t(s, dir, "customer").withColumn("p", col("c_custkey") % 8)
+      cust.write.mode("overwrite").partitionBy("p").parquet(whPath)
+      val updates = cust.drop("p").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"),
+          (col("c_custkey") % 10 === 0).as("deleted"))
+      val inserts = cust.drop("p").filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("cust_new_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"),
+          lit(false).as("deleted"))
+      val source = updates.unionByName(inserts)
+        .withColumn("p", col("c_custkey") % 8)
+      val wh = new DelIns.Warehouse(s, whPath, Seq("p"))
+      wh.mergePartitioned(source, MergeSpec(Seq("c_custkey"), Some("deleted")))
+      wh.read().select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    }),
+
     // D3: insert-unique (PK emulation via anti-join).
     "d3_insert_unique" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -538,6 +562,21 @@ object WarehouseQueries {
           col("u.value").as("value")))
   )
 
+  private val d2Oracle: String =
+    """WITH src AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+      |         (c_custkey % 10 = 0) AS deleted
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'cust_new_' || CAST(c_custkey AS VARCHAR), 0.0,
+      |         c_mktsegment, false
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
+      |FROM customer t LEFT JOIN (SELECT DISTINCT c_custkey FROM src) s USING (c_custkey)
+      |WHERE s.c_custkey IS NULL
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src WHERE NOT deleted""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -563,20 +602,10 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
 
-    "d2_merge_tombstone" ->
-      """WITH src AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
-        |         (c_custkey % 10 = 0) AS deleted
-        |  FROM customer WHERE c_custkey % 2 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'cust_new_' || CAST(c_custkey AS VARCHAR), 0.0,
-        |         c_mktsegment, false
-        |  FROM customer WHERE c_custkey % 7 = 0)
-        |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
-        |FROM customer t LEFT JOIN (SELECT DISTINCT c_custkey FROM src) s USING (c_custkey)
-        |WHERE s.c_custkey IS NULL
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src WHERE NOT deleted""".stripMargin,
+    "d2_merge_tombstone" -> d2Oracle,
+
+    // identical semantics, executed against partitioned storage
+    "d2_merge_storage" -> d2Oracle,
 
     "d3_insert_unique" ->
       """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum

@@ -86,9 +86,14 @@ class DedupAndVectorSpec extends SparkSpec {
     val viaUnionFind = Dedup.connectedComponents(nodes, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
     assert(viaUnionFind == expected)
-    // forced distributed min-label loop (the 100 TB path) agrees exactly
-    val viaPropagation =
+    // both forced distributed paths (the 100 TB shapes) agree exactly
+    val viaStar =
       Dedup.connectedComponents(nodes, "doc_id", pairs, broadcastEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+    assert(viaStar == expected, "star contraction path drifted")
+    val viaPropagation =
+      Dedup.connectedComponents(nodes, "doc_id", pairs, broadcastEdgeLimit = 0L,
+        distributedAlgo = "minlabel")
         .as[(Long, Long)].collect().toMap
     assert(viaPropagation == expected)
   }

@@ -116,6 +116,36 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(sessions(1).n_events == 1)
   }
 
+  test("sessionize: a late in-watermark event widens the session, never splits it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, uid: Long) =
+      graft.typed.Event(id, java.sql.Timestamp.valueOf(ts), uid, "click", Some(1.0), "{}")
+    val src = MemoryStream[graft.typed.Event]
+    val out = MicroBatchIngest.sessionize(src.toDS(), gapSeconds = 600L)
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    // batch 1 establishes a session [10:00, 10:08]
+    src.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:08:00", 7))
+    q.processAllAvailable()
+    // batch 2 delivers an OLDER event (10:04, inside the watermark) then
+    // 10:15. If the merge regressed end_ts to 10:04, the 10:15 event
+    // would measure an 11-min gap and wrongly open a second session; from
+    // the true max end (10:08) it is 7 min — one session.
+    src.addData(ev(3, "2024-01-01 10:04:00", 7), ev(4, "2024-01-01 10:15:00", 7))
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-01-01 12:00:00", 8)) // advance watermark, close it
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_ooo")
+      .as[graft.typed.Session].collect().filter(_.user_id == 7)
+    assert(sessions.length == 1, s"late event split the session: ${sessions.toSeq}")
+    assert(sessions.head.n_events == 4 &&
+      sessions.head.start_ts.toString.startsWith("2024-01-01 10:00") &&
+      sessions.head.end_ts.toString.startsWith("2024-01-01 10:15"), sessions.head.toString)
+  }
+
   test("streaming dedup drops redelivered ids across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
