@@ -87,6 +87,26 @@ object TrainingQueries {
           round(expr("percentile(nt, 0.5)"), 6).as("p50"),
           round(expr("percentile(nt, 0.9)"), 6).as("p90"))),
 
+    // Within-document repetition metrics — the dedup-adjacent quality
+    // signal (C4/Gopher-style repetition filters): distinct-token ratio
+    // and the most-frequent token's mass. Fully relational: explode once,
+    // two map-side-combinable aggregates, no per-row loops.
+    "t_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          round(col("n_distinct") / greatest(col("n_tokens"), lit(1L)), 6)
+            .as("distinct_ratio"),
+          round(col("top_count") / greatest(col("n_tokens"), lit(1L)), 6)
+            .as("top_token_ratio"))
+    }),
+
     // Document fingerprinting: normalized-md5 + rolling polynomial hash.
     "t_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -620,6 +640,20 @@ object TrainingQueries {
         |  round(quantile_cont(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0.5), 6) AS p50,
         |  round(quantile_cont(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0.9), 6) AS p90
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "t_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_count
+        |  FROM pc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6) AS distinct_ratio,
+        |  round(CAST(top_count AS DOUBLE) / greatest(n_tokens, 1), 6) AS top_token_ratio
+        |FROM ag""".stripMargin,
 
     "t_fingerprint" ->
       """WITH norm AS (

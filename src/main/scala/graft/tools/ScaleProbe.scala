@@ -111,6 +111,31 @@ object ScaleProbe {
       }
     }
 
+    // ANN scale probe: replicate the embeddings 10x (50k vectors), build
+    // the cell-partitioned IVF index ONCE, then compare the per-query cost
+    // of brute force vs the index probe (float and int8 paths) — the
+    // build-once/probe-cheap split is the whole point of IvfIndex.
+    if (sys.env.get("SPARK_GRAFT_ANN_PROBE").forall(_ != "0")) {
+      import graft.functions.{IvfIndex, VectorFunctions => VF}
+      val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigEmb = (0 until mult).map { m =>
+        baseEmb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionByName(_))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_probe_ivf"
+      val nVec = bigEmb.count()
+      println(s"[scale] ann corpus: $nVec vectors")
+      time("  ivf_build")(IvfIndex.build(bigEmb, nlist = 16, dir))
+      val q = baseEmb.filter(col("vec_id") === 0).select(col("embedding"))
+      val brute = time("  ann_brute")(
+        VF.bruteForceTopK(bigEmb, q, 10).select("vec_id").collect().length)
+      val probed = time("  ann_ivf_probe")(
+        IvfIndex.topK(spark, dir, q, k = 10, nprobe = 4).select("vec_id").collect().length)
+      val probedQ = time("  ann_ivf_quant")(
+        IvfIndex.topKQuant(spark, dir, q, k = 10, nprobe = 4).select("vec_id").collect().length)
+      assert(brute == 10 && probed == 10 && probedQ == 10)
+    }
+
     // High-diameter CC probe: a 200k-node chain graph (worst case for
     // min-label propagation, which needs ~diameter rounds) — star
     // contraction must collapse it in its O(log n) round budget.
