@@ -65,6 +65,14 @@ object IvfIndex {
   def build(corpus: DataFrame, nlist: Int, dir: String,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     validateSeeds(corpus, nlist, idCol)
+    val spark = corpus.sparkSession
+    // drop the whole index dir first: under dynamic partition-overwrite
+    // (which the warehouse paths enable transiently, and any caller might
+    // leave set) a rebuild would only replace cells present in the NEW
+    // assignment and serve stale vectors from cells that lost all members
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val cents = seedCentroids(corpus, nlist, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val asn = assign(corpus, cents, idCol, vecCol)

@@ -135,9 +135,15 @@ object VectorFunctions {
     * (materialized once as a bucketed table keyed by cell in a real
     * deployment), and a query touches only the probed cells' partitions.
     */
+  /** Pass validate = true to assert ids 0..nlist-1 exist before planning
+    * — it costs one pruned-scan count ACTION, so it's off by default here
+    * (plan-building must stay lazy); [[IvfIndex.build]], which is an
+    * action anyway, always validates.
+    */
   def ivfAssignments(corpus: DataFrame, nlist: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    IvfIndex.validateSeeds(corpus, nlist, idCol)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     validate: Boolean = false): DataFrame = {
+    if (validate) IvfIndex.validateSeeds(corpus, nlist, idCol)
     IvfIndex.assign(corpus,
       IvfIndex.seedCentroids(corpus, nlist, idCol, vecCol), idCol, vecCol)
   }

@@ -76,13 +76,26 @@ object Dedup {
     * splits and this collapses to a no-op repartition decision.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // file count is metadata from the logical relation — unlike
-    // df.rdd.getNumPartitions it doesn't force physical planning of the
-    // subtree outside AQE. Non-file sources report no files and take the
-    // repartition: one round-robin shuffle of raw text, AQE-coalesced.
-    val files = df.inputFiles.length
-    if (files == 0 || files < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    // estimate the SCAN task count the way Spark's file packing does —
+    // (bytes + perFileOpenCost) / maxSplitBytes — from logical-relation
+    // metadata only (no physical planning of the subtree outside AQE).
+    // Raw file COUNT is wrong in both directions: many small files pack
+    // into few tasks (undercounts the starvation), few huge files split
+    // into many (a forced repartition would shuffle the whole corpus).
+    val est = df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val files = fs.location.inputFiles.length.toLong
+            val bytes = fs.location.sizeInBytes
+            val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+            ((bytes + files * conf.filesOpenCostInBytes) / maxSplit + 1L).toInt
+          case _ => 0
+        }
+    }.getOrElse(0)
+    if (est < target) df.repartition(target) else df
   }
 
   /** MinHash signatures: ONE md5 per shingle, k hash functions derived as
@@ -172,17 +185,33 @@ object Dedup {
     * their terminal action.
     */
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val scopePins = new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]]
 
   private def materialize(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
-    pinned.synchronized { pinned += p }
+    val scope = scopePins.get()
+    if (scope != null) scope += p else pinned.synchronized { pinned += p }
     p
   }
 
-  /** Unpersist every relation the dedup operators have pinned. Blocking is
-    * false: the executors drop blocks asynchronously, callers don't wait.
+  /** Collect every relation `f` pins into a PRIVATE scope (thread-local,
+    * so a concurrent pipeline on another thread can't be flushed by this
+    * one), returning the result and the scope's pins for the caller to
+    * release after its terminal action.
+    */
+  private def pinScope[A](f: => A): (A, Seq[DataFrame]) = {
+    val outer = scopePins.get()
+    val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    scopePins.set(buf)
+    try { val r = f; (r, buf.toSeq) }
+    finally { if (outer != null) scopePins.set(outer) else scopePins.remove() }
+  }
+
+  /** Unpersist relations pinned OUTSIDE any scope (direct operator calls
+    * on this thread's session). Blocking is false: executors drop blocks
+    * asynchronously, callers don't wait.
     */
   def releasePinned(): Unit = pinned.synchronized {
     pinned.foreach(_.unpersist(false))
@@ -297,31 +326,34 @@ object Dedup {
     // representative relation preserves component minima — at pair volume
     // driven by DISTINCT content only. On crawl-shaped corpora this is the
     // difference between millions and hundreds of verify pairs.
-    val repOf = materialize(
-      docs.withColumn("content_hash", md5(col(textCol)))
-        .join(exactGroups(docs, idCol, textCol).select("content_hash", "canonical_id"),
-          "content_hash")
-        .select(col(idCol), col("canonical_id").as("rep")))
-    val reps = docs.join(
-      repOf.filter(col(idCol) === col("rep")).select(idCol), Seq(idCol), "left_semi")
-    // materialize the verified pairs through a normal action so the verify
-    // joins get the full AQE treatment (the checkpoint path inside
-    // connectedComponents executes via .rdd, which skips adaptive
-    // re-planning — measured ~2.5x the CPU on the same join)
-    val pairs = nearDupPairs(reps, idCol, textCol, n, k, bands, threshold).persist()
-    pairs.count()
-    val comps = connectedComponents(reps, idCol, pairs)
-    val canon = repOf.join(
-      comps.select(col(idCol).as("rep"), col("canonical_id")), "rep")
-    // The survivor id set is one small column — materialize it eagerly
-    // (localCheckpoint cuts its lineage to repOf/pairs/comps) so every
-    // relation the pipeline pinned can be released HERE rather than
-    // accumulating in a long-lived session; the returned plan is then a
-    // plain semi join of docs against the checkpointed id list.
-    val keptIds = canon.filter(col(idCol) === col("canonical_id"))
-      .select(col(idCol)).localCheckpoint()
-    pairs.unpersist()
-    releasePinned()
+    val (keptIds, pins) = pinScope {
+      val repOf = materialize(
+        docs.withColumn("content_hash", md5(col(textCol)))
+          .join(exactGroups(docs, idCol, textCol).select("content_hash", "canonical_id"),
+            "content_hash")
+          .select(col(idCol), col("canonical_id").as("rep")))
+      val reps = docs.join(
+        repOf.filter(col(idCol) === col("rep")).select(idCol), Seq(idCol), "left_semi")
+      // materialize the verified pairs through a normal action so the verify
+      // joins get the full AQE treatment (the checkpoint path inside
+      // connectedComponents executes via .rdd, which skips adaptive
+      // re-planning — measured ~2.5x the CPU on the same join)
+      val pairs = nearDupPairs(reps, idCol, textCol, n, k, bands, threshold).persist()
+      pairs.count()
+      val comps = connectedComponents(reps, idCol, pairs)
+      val canon = repOf.join(
+        comps.select(col(idCol).as("rep"), col("canonical_id")), "rep")
+      // The survivor id set is one small column — materialize it eagerly
+      // (localCheckpoint cuts its lineage to repOf/pairs/comps) so every
+      // relation THIS call pinned can be released here rather than
+      // accumulating in a long-lived session; the returned plan is then a
+      // plain semi join of docs against the checkpointed id list.
+      val ids = canon.filter(col(idCol) === col("canonical_id"))
+        .select(col(idCol)).localCheckpoint()
+      pairs.unpersist()
+      ids
+    }
+    pins.foreach(_.unpersist(false))
     docs.join(keptIds, Seq(idCol), "left_semi")
   }
 
@@ -415,8 +447,12 @@ object Dedup {
           coalesce(col("comp"), col("node")).as("canonical_id"))
     }
     if (distributedAlgo == "star") {
+      // pass the CHECKPOINTED pairs — handing the raw plan over would
+      // re-execute the whole upstream verify pipeline a second time when
+      // the star path checkpoints it again
+      val out = connectedComponentsStar(nodes, idCol, p, maxIter)
       edges.unpersist(); p.unpersist()
-      return connectedComponentsStar(nodes, idCol, pairs, maxIter)
+      return out
     }
     var labels = nodes.select(col(idCol).as("node"))
       .withColumn("lbl", col("node"))
@@ -514,6 +550,18 @@ object Dedup {
       sig = nextSig
       edges = next
       iter += 1
+    }
+    if (!converged) {
+      // ran out of rounds before the star fixpoint: the edge set is still
+      // massively contracted and connectivity-preserving, but a node may
+      // appear under several labels — finishing with min-label on the
+      // residual graph keeps the one-row-per-node contract instead of
+      // silently returning a malformed labeling
+      val residual = edges.select(col("a").as("doc_a"), col("b").as("doc_b"))
+      val out = connectedComponents(nodes, idCol, residual,
+        distributedAlgo = "minlabel")
+      p.unpersist()
+      return out
     }
     // at the fixpoint every component is a star rooted at its minimum:
     // (a, b) edges all point a -> root b

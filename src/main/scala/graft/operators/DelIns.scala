@@ -35,13 +35,19 @@ object DelIns {
     */
   final class Warehouse(spark: SparkSession, path: String, partitionCols: Seq[String]) {
 
-    def loadBatch(batch: DataFrame): Unit = {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    /** Dynamic partition-overwrite is requested PER WRITE (the writer
+      * option takes precedence over the session conf) — setting it
+      * session-wide would leak: a later whole-table overwrite elsewhere
+      * (an IVF index rebuild, a truncate-replace) would silently become a
+      * partial one and leave stale partitions behind, and streaming's
+      * per-query session clones wouldn't reliably observe a mutated conf.
+      */
+    def loadBatch(batch: DataFrame): Unit =
       batch.write
         .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)
         .parquet(path)
-    }
 
     def read(): DataFrame = spark.read.parquet(path)
 
@@ -71,19 +77,26 @@ object DelIns {
           .reduce(_ && _)
       }.reduce(_ || _)
       val target = read().filter(prune)
-      val merged = MergeOps.merge(target, source, spec)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the overwrite reads from the same path it replaces: cut the
+      // merged result's lineage FIRST (eager localCheckpoint), so a lost
+      // block fails the job instead of silently recomputing from
+      // already-overwritten files mid-write
+      val merged = MergeOps.merge(target, source, spec).localCheckpoint()
       val written = merged.select(partitionCols.map(col): _*).distinct().collect().toSet
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-      merged.unpersist(false)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(path)
       val emptied = affected.filterNot(written.contains)
       if (emptied.nonEmpty) {
+        // directory names must use Spark's own partition-path escaping —
+        // URL/form encoding diverges (space -> '+', unescaped unicode) and
+        // would silently miss the doomed directory
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         emptied.foreach { r =>
           val rel = partitionCols.zipWithIndex.map { case (c, i) =>
-            s"$c=${java.net.URLEncoder.encode(String.valueOf(r.get(i)), "UTF-8")}"
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, String.valueOf(r.get(i)))
           }.mkString("/")
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
         }

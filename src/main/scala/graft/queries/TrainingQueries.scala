@@ -22,11 +22,8 @@ object TrainingQueries {
     * probe phase. In production the build runs once per corpus version and
     * the probe path is all that executes per query.
     */
-  private def ivfScratch(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$h"
-  }
+  private def ivfScratch(dir: String): String =
+    graft.core.Scratch.dir("ivf", dir)
 
   type QFn = (SparkSession, String) => DataFrame
 

@@ -23,11 +23,8 @@ object WarehouseQueries {
   /** Scratch root for the storage-roundtrip queries (K5 copy, D8 daily
     * increment): deterministic per source dir, overwritten per run.
     */
-  private def scratch(tag: String, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_wh_${tag}_$h"
-  }
+  private def scratch(tag: String, dir: String): String =
+    graft.core.Scratch.dir(s"wh_$tag", dir)
 
   type QFn = (SparkSession, String) => DataFrame
 

@@ -23,11 +23,8 @@ object StreamingGate {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  private def scratch(tag: String, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${tag}_$h"
-  }
+  private def scratch(tag: String, dir: String): String =
+    graft.core.Scratch.dir(s"stream_$tag", dir)
 
   private def cleanDir(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

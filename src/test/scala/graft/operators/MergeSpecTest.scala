@@ -104,6 +104,25 @@ class MergeSpecTest extends SparkSpec {
       "emptied partition directory must be deleted")
   }
 
+  test("mergePartitioned deletes emptied STRING partitions with special chars") {
+    val root = java.nio.file.Files.createTempDirectory("merge_wh3").toString
+    // partition values exercising Spark's path escaping: a space (written
+    // verbatim) and a colon (escaped as %3A) — URL/form encoding would
+    // miss both directories
+    val target = Seq((1L, "north america", false), (2L, "emea:apac", false))
+      .toDF("k", "region", "deleted")
+    target.write.mode("overwrite").partitionBy("region").parquet(root)
+    val wh = new DelIns.Warehouse(spark, root, Seq("region"))
+    val source = Seq((1L, "north america", true))
+      .toDF("k", "region", "deleted")
+    wh.mergePartitioned(source, MergeSpec(Seq("k"), Some("deleted")))
+    assert(wh.read().select("k").as[Long].collect().toSeq == Seq(2L))
+    val leftDirs = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!leftDirs.exists(_.contains("north")),
+      s"emptied 'north america' partition dir must be deleted, dirs=$leftDirs")
+  }
+
   test("dedupInsertNewRows keeps the oldest staging row per new key") {
     val staging = log(("a", 1, 1, false, 1.0), ("a", 2, 1, false, 2.0),
       ("d", 1, 1, false, 4.0), ("d", 2, 1, false, 5.0))
