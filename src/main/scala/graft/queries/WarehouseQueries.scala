@@ -543,6 +543,13 @@ object WarehouseQueries {
       graft.sources.HistoryOperations.flattenWideScalar(
         graft.sources.HistoryOperations.syntheticOps(t(s, dir, "events")))),
 
+    // P1 (full width #2): history_effects — NUMERIC (decimal) leaves,
+    // eight BOOL flags, repeated asset-amount records, and the export's
+    // one transformed column (safe_cast of seller_muxed_id to integer).
+    "p1_effects_flatten_wide" -> ((s, dir) =>
+      graft.sources.HistoryEffects.flattenWideScalar(
+        graft.sources.HistoryEffects.syntheticEffects(t(s, dir, "events")))),
+
     // P1: RECORD handling — parse JSON into a typed struct, build a nested
     // struct, flatten leaf fields (Catalyst prunes the unread branches).
     "p1_struct_flatten" -> ((s, dir) =>
@@ -862,6 +869,8 @@ object WarehouseQueries {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "p1_struct_flatten_wide" -> graft.sources.HistoryOperations.wideOracleSql,
+
+    "p1_effects_flatten_wide" -> graft.sources.HistoryEffects.wideOracleSql,
 
     "p1_struct_flatten" ->
       """SELECT event_id,

@@ -62,6 +62,26 @@ class RealSchemaSpec extends SparkSpec {
     assert(s("last_modified_ledger").dataType == LongType)
   }
 
+  test("history_effects fixture reads through the REAL schema and flattens") {
+    val real = SchemaRegistry.fromJson(
+      Files.readString(Paths.get(s"$schemasDir/history_effects_schema.json")))
+    val details = real("details").dataType.asInstanceOf[StructType]
+    assert(details.fields.length == 61, s"details has ${details.fields.length} fields")
+    assert(leaves(details) == 135, s"details leaf count ${leaves(details)}")
+    val root = Files.createTempDirectory("history_fx").toString
+    val events = graft.sources.Tables.load(spark, sfDir, "events").limit(200)
+    HistoryEffects.syntheticEffects(events)
+      .write.mode("overwrite").json(s"$root/ndjson")
+    val fx = spark.read.schema(real).option("mode", "FAILFAST").json(s"$root/ndjson")
+    val wide = HistoryEffects.flattenWide(fx)
+    assert(wide.columns.length >= 65, s"got ${wide.columns.length} columns")
+    val row = wide.filter(col("offer_id").isNotNull)
+      .select(col("address"), col("authorized_flag"),
+        col("liquidity_pool.fee_bp"), col("seller_muxed_id")).head
+    assert(row.getString(0).startsWith("acct_"))
+    assert(row.getLong(2) == 30L)
+  }
+
   test("NDJSON fixture reads through the REAL schema and flattens full-width") {
     val real = SchemaRegistry.fromJson(
       Files.readString(Paths.get(s"$schemasDir/history_operations_schema.json")))
