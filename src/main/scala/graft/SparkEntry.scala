@@ -19,7 +19,8 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (WarehouseQueries.queries ++ TrainingQueries.queries ++
-      graft.streaming.StreamingGate.queries).map {
+      graft.streaming.StreamingGate.queries ++
+      graft.sources.LakeExports.queries).map {
       case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => { GraftSession.tune(s); fn(s, dir) })
     }
@@ -31,5 +32,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     WarehouseQueries.oracles ++ TrainingQueries.oracles ++
-      graft.streaming.StreamingGate.oracles
+      graft.streaming.StreamingGate.oracles ++
+      graft.sources.LakeExports.oracles
 }

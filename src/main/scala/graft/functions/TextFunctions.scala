@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data pipelines:
@@ -102,4 +102,47 @@ object TextFunctions {
   def rollingHash(text: Column): Column =
     aggregate(tokens(normalized(text)), lit(0L),
       (acc, t) => (acc * 31L + length(t).cast("long") * 131L + ascii(t).cast("long")) % 1000000007L)
+
+  // ---- PII scrubbing ------------------------------------------------------
+
+  /** Email / phone patterns kept engine-portable (identical semantics in
+    * Spark's java.util.regex and DuckDB's RE2) so the scrub is
+    * oracle-able. Deliberately simple: production corpora swap in
+    * stricter patterns; the OPERATOR SHAPE (chained codegen'd
+    * regexp_replace passes, no UDF) is what carries to 100 TB. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long")
+
+  /** Mask emails then phone-ish runs with typed placeholders — the
+    * pre-training scrub pass. One narrow projection over the scan: no
+    * shuffle, stays inside whole-stage codegen. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  // ---- chunking -----------------------------------------------------------
+
+  /** Fixed-size character chunking with stride (overlap = size - stride):
+    * one output row per chunk via explode over a generated index range —
+    * a NARROW fan-out (no shuffle), bounded by ceil(len/stride) rows per
+    * document. This is the context-window prep shape for embedding /
+    * training pipelines at 100 TB: chunk rows inherit the document's
+    * partitioning, and downstream per-chunk work is task-parallel.
+    * Token-based chunking composes the same way over [[tokens]]. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            stride: Int, size: Int): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      s"chunks must tile the text: size >= stride >= 1, got ($size, $stride)")
+    val nChunks =
+      ceil(length(col(textCol)).cast("double") / stride).cast("long")
+    df.withColumn("chunk_idx",
+        explode(sequence(lit(0L), greatest(nChunks, lit(1L)) - 1)))
+      .withColumn("chunk",
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(size)))
+  }
 }

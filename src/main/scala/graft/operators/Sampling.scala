@@ -67,6 +67,17 @@ object Sampling {
     df.filter(b < cutoff)
   }
 
+  /** Mixture sampling toward per-stratum target rates expressed as an
+    * arbitrary cutoff EXPRESSION (buckets out of `buckets`) — the general
+    * form of [[stratifiedSample]] for when rates are computed rather than
+    * enumerated: a mixture config joined in, a function of the source
+    * name, a temperature-scaled weight. Same scale posture: a stateless
+    * per-row filter over the scan.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, cutoff: Column,
+                    buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < cutoff)
+
   /** Deterministic global shuffle for epoch ordering: sort by a salted
     * hash of the id. A different salt reshuffles; the same salt reproduces
     * the exact order. At scale prefer [[shuffledPartitions]] — a total

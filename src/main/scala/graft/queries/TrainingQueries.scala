@@ -292,6 +292,62 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))),
 
+    // Mixture sampling: per-source target rates computed from the source
+    // name (the general mixture-config form), achieved vs target rates in
+    // the output. Two tiny agg legs joined on source (broadcast).
+    "t_sample_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rate = substring(col("source"), 4, 10).cast("int") * 7 % 70 + 10
+      val kept = Sampling.mixtureSample(d, "doc_id", rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_total"), max(rate).cast("long").as("target_pct"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"),
+          col("target_pct"),
+          (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_total"))
+            .as("achieved_rate"))
+    }),
+
+    // PII scrubbing: deterministic emails/phones injected (testdata has
+    // none), then the chained-regexp_replace scrub — counts before, digest
+    // and shrinkage after. Pure narrow projection, no UDF.
+    "t_scrub_pii" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("txt",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      withPii.select(col("doc_id"),
+        TF.emailCount(col("txt")).as("n_emails"),
+        TF.phoneCount(col("txt")).as("n_phones"),
+        md5(TF.scrubPii(col("txt"))).as("scrubbed_md5"),
+        (length(col("txt")) - length(TF.scrubPii(col("txt"))))
+          .cast("long").as("chars_removed"))
+    }),
+
+    // Context-window chunking: strided character chunks exploded to rows
+    // (overlap = size - stride), digest + length per chunk.
+    "t_chunk_text" -> ((s, dir) =>
+      TF.chunk(t(s, dir, "documents"), "doc_id", "text",
+        stride = 200, size = 256)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))),
+
+    // Vocabulary building: corpus-wide token frequencies, deterministic
+    // top-100 by (freq desc, token asc) — explode → hash-agg (map-side
+    // combine) → TakeOrdered; no global sort of the full vocabulary.
+    "t_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
     // Multimodal frame sampling: strided frames exploded to rows — the
     // scale shape for per-frame decode/fingerprint (one task-parallel row
     // per frame, no per-row loops).
@@ -803,6 +859,48 @@ object TrainingQueries {
         |FROM b
         |WHERE bkt < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
         |GROUP BY 1""".stripMargin,
+
+    "t_sample_mixture" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS bkt,
+        |    ((CAST(substr(source, 4) AS INTEGER) * 7) % 70 + 10) AS rate
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN bkt < rate THEN 1 END) AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN bkt < rate THEN doc_id END), 0) AS BIGINT) AS kept_id_sum,
+        |  CAST(MAX(rate) AS BIGINT) AS target_pct,
+        |  CAST(COUNT(CASE WHEN bkt < rate THEN 1 END) AS DOUBLE) / COUNT(*) AS achieved_rate
+        |FROM b GROUP BY source""".stripMargin,
+
+    "t_scrub_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5,
+        |  CAST(length(txt) - length(regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS chars_removed
+        |FROM p""".stripMargin,
+
+    "t_chunk_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 200) AS BIGINT), 1) - 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  md5(substr(text, CAST(i * 200 + 1 AS INTEGER), 256)) AS chunk_md5,
+        |  CAST(length(substr(text, CAST(i * 200 + 1 AS INTEGER), 256)) AS BIGINT) AS chunk_len
+        |FROM c""".stripMargin,
+
+    "t_vocab_topk" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "t_multimodal_frames" ->
       """WITH f AS (

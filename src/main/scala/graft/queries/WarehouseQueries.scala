@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Warehouse operator queries (SURVEY §2.1–§2.9), each with a DuckDB oracle.
   *
@@ -25,6 +25,24 @@ object WarehouseQueries {
     */
   private def scratch(tag: String, dir: String): String =
     graft.core.Scratch.dir(s"wh_$tag", dir)
+
+  /** Stage a DataFrame as ONE headered CSV file delivered into `inboxDir`
+    * under `fileName` — the partner-drop fixture for the S5/S6 gate query.
+    * coalesce(1) is the K4 single-file rule: partner files are small by
+    * contract. */
+  private def deliverCsv(s: SparkSession, df: DataFrame, stageDir: String,
+                         inboxDir: String, fileName: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stageDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stageDir), conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val inbox = new org.apache.hadoop.fs.Path(inboxDir)
+    if (!fs.exists(inbox)) fs.mkdirs(inbox)
+    val dst = new org.apache.hadoop.fs.Path(inbox, fileName)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, conf)
+  }
 
   type QFn = (SparkSession, String) => DataFrame
 
@@ -449,6 +467,83 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // K4 through the gate: the single-file JSON feed (the reference's TVL
+    // feed) written, then read back through a DECLARED schema — the
+    // round-trip must preserve every value exactly.
+    "k4_json_feed" -> ((s, dir) => {
+      val feed = scratch("k4feed", dir)
+      val mart = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"))
+      graft.sinks.Sinks.jsonExport(mart, feed)
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("value_sum", DoubleType)))
+      s.read.schema(schema).option("mode", "FAILFAST").json(feed)
+    }),
+
+    // K6 through the gate: snapshot clone then read the VERSIONED path —
+    // the clone must be value-faithful to the source at clone time.
+    "k6_snapshot_roundtrip" -> ((s, dir) => {
+      val src = scratch("k6src", dir)
+      val root = scratch("k6snap", dir)
+      val sub = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      graft.sinks.Sinks.truncateReplace(sub, src)
+      val v1 = graft.sinks.Sinks.snapshot(s, src, root, "v1")
+      s.read.parquet(v1)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"),
+          sum(col("c_custkey")).as("key_sum"))
+    }),
+
+    // K7+D5 through the gate: sandbox CTAS (months window includes the
+    // whole fixture regardless of wall-clock — the determinism lives in
+    // the retention cutoff) then partition expiry drops the old days as
+    // DIRECTORY DELETES, never a rewrite; the read-back sees only the
+    // surviving partitions.
+    "k7_sandbox_retention" -> ((s, dir) => {
+      val box = scratch("k7box", dir)
+      graft.sinks.Sinks.sandboxCtas(t(s, dir, "events"), box, "ts", 600)
+      new DelIns.Warehouse(s, box, Seq("p_day"))
+        .expirePartitions("2024-01-10", "p_day")
+      s.read.parquet(box)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
+    // S5+S6 through the gate: two partner CSV drops land in the inbox;
+    // the sensor picks the NEWEST by (mtime, name), the declared-schema
+    // CSV load truncate-replaces the target, and the read-back must equal
+    // the second drop — proving sensor choice, header skip, schema
+    // enforcement, and the text round-trip of every value.
+    "s5_partner_csv" -> ((s, dir) => {
+      val stage = scratch("s5stage", dir)
+      val inbox = scratch("s5inbox", dir)
+      val target = scratch("s5tgt", dir)
+      val pick = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      def drop(rem: Int, name: String): Unit = deliverCsv(s,
+        t(s, dir, "orders").filter(col("o_orderkey") % 100 === rem)
+          .select(pick.map(col): _*), s"$stage/$name", inbox, name)
+      drop(0, "partner_001.csv") // stale version
+      drop(1, "partner_002.csv") // latest — the one the sensor must load
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.Csv.loadLatest(s, schema, inbox, "partner_", target)
+      s.read.parquet(target)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("price_sum"),
+          sum(col("o_custkey")).as("cust_sum"))
+    }),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -813,6 +908,30 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderstatus = 'O' GROUP BY 1""".stripMargin,
+
+    "k4_json_feed" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "k6_snapshot_roundtrip" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 3 = 0 GROUP BY 1""".stripMargin,
+
+    "k7_sandbox_retention" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |GROUP BY 1""".stripMargin,
+
+    "s5_partner_csv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders WHERE o_orderkey % 100 = 1 GROUP BY 1""".stripMargin,
 
     "d8_daily_increment" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
