@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing, context-window chunking, vocab building, mixture
+  * sampling — properties beyond the driver's value gate. */
+class TextPipelineSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("scrubPii removes every email/phone it can count") {
+    val withPii = docs.withColumn("txt",
+      concat(col("text"), lit(" reach me: a.b+c@x-mail.org / 123-4567")))
+    val after = withPii.select(
+      TextFunctions.emailCount(TextFunctions.scrubPii(col("txt"))).as("e"),
+      TextFunctions.phoneCount(TextFunctions.scrubPii(col("txt"))).as("p"),
+      TextFunctions.emailCount(col("txt")).as("e0"))
+      .agg(sum("e").as("e"), sum("p").as("p"), min("e0").as("e0"))
+      .head()
+    assert(after.getLong(0) == 0 && after.getLong(1) == 0)
+    assert(after.getLong(2) >= 1) // the injected PII was countable before
+  }
+
+  test("chunks tile the document exactly (stride == size)") {
+    val size = 100
+    val reassembled = TextFunctions.chunk(docs, "doc_id", "text", size, size)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        s => s.getField("chunk")), "").as("joined"))
+    val bad = reassembled.join(docs, "doc_id")
+      .filter(col("joined") =!= col("text")).count()
+    assert(bad == 0)
+  }
+
+  test("overlapping chunks clip exactly at the document end") {
+    val stride = 200; val size = 256
+    // every chunk's length is min(size, docLen - idx*stride): full until
+    // the window runs off the end, never empty, never beyond the text
+    val bad = TextFunctions.chunk(docs, "doc_id", "text", stride, size)
+      .filter(length(col("chunk")) =!=
+        least(lit(size), length(col("text")) - col("chunk_idx") * stride))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("mixtureSample output is a deterministic subset at the cutoff rate") {
+    val rate = substring(col("source"), 4, 10).cast("int") * 7 % 70 + 10
+    val kept = Sampling.mixtureSample(docs, "doc_id", rate)
+    val k1 = kept.count(); val k2 = Sampling.mixtureSample(docs, "doc_id", rate).count()
+    assert(k1 == k2 && k1 > 0 && k1 < docs.count())
+    // subset: every kept id exists in the corpus (anti join is empty)
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("vocab top-k is totally ordered (freq desc, token asc)") {
+    val top = docs
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20).collect()
+    val pairs = top.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (f, t) => (-f, t) }))
+  }
+}
