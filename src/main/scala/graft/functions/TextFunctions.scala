@@ -125,6 +125,21 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
 
+  // ---- n-gram language model ---------------------------------------------
+
+  /** Adjacent lowercase token pairs (bigrams) as an array of structs — one
+    * narrow transform, exploded by the caller. The building block for
+    * corpus n-gram LMs: counts of these power the KenLM-style quality
+    * filter ([[graft.queries.TrainingQueries]] t_lm_filter). element_at is
+    * 1-based, matching SQL list indexing, so the oracle mirrors exactly. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(lower(text))
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
   // ---- chunking -----------------------------------------------------------
 
   /** Fixed-size character chunking with stride (overlap = size - stride):

@@ -4,6 +4,7 @@ import graft.functions.{IvfIndex, TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Multimodal, Packing, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries (dedup / similarity / text analysis /
@@ -347,6 +348,59 @@ object TrainingQueries {
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
+
+    // Corpus bigram LM: adjacent-token pair counts, deterministic top-100.
+    // explode -> hash-agg with map-side combine; the shuffle moves (w1,w2)
+    // count pairs, never text.
+    "t_bigram_lm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.bigrams(col("text"))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(100)),
+
+    // KenLM-style quality filter shape: build the bigram conditional-
+    // probability table from the corpus itself, then score every document
+    // against it. Gate-safe scores only (min / threshold-count are
+    // order-independent; an avg of doubles would be partial-agg-order
+    // dependent and can't hash-match across engines).
+    "t_lm_filter" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.bigrams(col("text"))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = pair.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val p = pair.join(uni, "w1")
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1")).as("p"))
+      bg.join(p, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          min(col("p")).as("min_p"),
+          count(when(col("p") < 0.01, 1)).as("n_rare"))
+    }),
+
+    // TF-IDF top terms per document (ratio idf = N/df: the log is a
+    // monotone transform, so rankings match, and ratios hash-match across
+    // engines where libm log ulps would not). N attaches as a broadcast
+    // scalar (J7 pattern), never a driver-side collect.
+    "t_tfidf_topterms" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TF.tokens(lower(col("text")))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      // cast: Spark's row_number is INT, the oracle's is BIGINT
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
 
     // Multimodal frame sampling: strided frames exploded to rows — the
     // scale shape for per-frame decode/fingerprint (one task-parallel row
@@ -901,6 +955,42 @@ object TrainingQueries {
         |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "t_bigram_lm" ->
+      """WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+        | b AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM l))
+        |SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "t_lm_filter" ->
+      """WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+        | b AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM l)),
+        | pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+        | uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+        | p AS (SELECT pair.w1, pair.w2, CAST(c12 AS DOUBLE) / c1 AS p
+        |       FROM pair JOIN uni USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p) AS min_p,
+        |  COUNT(CASE WHEN p < 0.01 THEN 1 END) AS n_rare
+        |FROM b JOIN p USING (w1, w2) GROUP BY doc_id""".stripMargin,
+
+    "t_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        | tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) * n_docs / df AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
 
     "t_multimodal_frames" ->
       """WITH f AS (

@@ -55,6 +55,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("bigrams: count = tokens - 1, and degenerate texts yield none") {
+    import spark.implicits._
+    val fixture = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val counts = fixture.select(col("doc_id"),
+      size(TextFunctions.bigrams(col("text"))).as("nb"),
+      size(TextFunctions.tokens(lower(col("text")))).as("nt"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(counts(1L) == ((2, 3)))
+    assert(counts(2L) == ((0, 1)))
+    assert(counts(3L) == ((0, 0)))
+    // order preserved: first bigram of doc 1 is (alpha, beta)
+    val first = fixture.filter(col("doc_id") === 1)
+      .select(element_at(TextFunctions.bigrams(col("text")), 1)).head().getStruct(0)
+    assert(first.getString(0) == "alpha" && first.getString(1) == "beta")
+  }
+
   test("vocab top-k is totally ordered (freq desc, token asc)") {
     val top = docs
       .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
