@@ -544,6 +544,28 @@ object WarehouseQueries {
           sum(col("o_custkey")).as("cust_sum"))
     }),
 
+    // dbt-test surface through the gate: singular + recency checks over
+    // two tables, each battery ONE fused aggregate pass; includes a
+    // deliberately-tight recency check so the FAILING path is exercised
+    // (violations counted, passed=false), not just the green one.
+    "qa_checks" -> ((s, dir) => {
+      import QualityChecks._
+      val ev = battery(t(s, dir, "events"), "events",
+        Seq(notNull("ts"), notNull("event_type"),
+          acceptedValues("event_type",
+            Seq("click", "purchase", "view", "signup", "error")),
+          nonNegative("value")),
+        Seq(unique(Seq("event_id")), minRows(1000),
+          recency("ts", "2024-02-01 00:00:00", 48),
+          recency("ts", "2024-02-01 00:00:00", 12)))
+      val ord = battery(t(s, dir, "orders"), "orders",
+        Seq(notNull("o_orderkey"),
+          acceptedValues("o_orderstatus", Seq("F", "O", "P")),
+          nonNegative("o_totalprice")),
+        Seq(unique(Seq("o_orderkey"))))
+      ev.unionByName(ord)
+    }),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -932,6 +954,40 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         |FROM orders WHERE o_orderkey % 100 = 1 GROUP BY 1""".stripMargin,
+
+    "qa_checks" ->
+      """WITH ev AS (SELECT
+        |  COUNT(CASE WHEN ts IS NULL THEN 1 END) AS not_null_ts,
+        |  COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS not_null_event_type,
+        |  COUNT(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','purchase','view','signup','error') THEN 1 END) AS accepted_values_event_type,
+        |  COUNT(CASE WHEN value < 0 THEN 1 END) AS non_negative_value,
+        |  COUNT(*) - COUNT(DISTINCT event_id) AS unique_event_id,
+        |  CASE WHEN COUNT(*) < 1000 THEN 1 ELSE 0 END AS min_rows_1000,
+        |  CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 48 HOUR THEN 1 ELSE 0 END AS recency_ts_48h,
+        |  CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS recency_ts_12h
+        |  FROM events),
+        | ord AS (SELECT
+        |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS not_null_o_orderkey,
+        |  COUNT(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS accepted_values_o_orderstatus,
+        |  COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS non_negative_o_totalprice,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS unique_o_orderkey
+        |  FROM orders),
+        | rows_ AS (
+        |  SELECT 'events' AS table_name, 'not_null_ts' AS check_name, not_null_ts AS violations FROM ev
+        |  UNION ALL SELECT 'events', 'not_null_event_type', not_null_event_type FROM ev
+        |  UNION ALL SELECT 'events', 'accepted_values_event_type', accepted_values_event_type FROM ev
+        |  UNION ALL SELECT 'events', 'non_negative_value', non_negative_value FROM ev
+        |  UNION ALL SELECT 'events', 'unique_event_id', unique_event_id FROM ev
+        |  UNION ALL SELECT 'events', 'min_rows_1000', min_rows_1000 FROM ev
+        |  UNION ALL SELECT 'events', 'recency_ts_48h', recency_ts_48h FROM ev
+        |  UNION ALL SELECT 'events', 'recency_ts_12h', recency_ts_12h FROM ev
+        |  UNION ALL SELECT 'orders', 'not_null_o_orderkey', not_null_o_orderkey FROM ord
+        |  UNION ALL SELECT 'orders', 'accepted_values_o_orderstatus', accepted_values_o_orderstatus FROM ord
+        |  UNION ALL SELECT 'orders', 'non_negative_o_totalprice', non_negative_o_totalprice FROM ord
+        |  UNION ALL SELECT 'orders', 'unique_o_orderkey', unique_o_orderkey FROM ord)
+        |SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM rows_""".stripMargin,
 
     "d8_daily_increment" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
