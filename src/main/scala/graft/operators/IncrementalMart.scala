@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental mart materialization — the engine-side analog of the
+  * reference's incremental dbt models (reference
+  * dags/stellar_etl_airflow/build_dbt_task.py:68-233 runs models tagged
+  * per-DAG; the marts themselves recompute only the affected interval,
+  * stellar-dbt convention) and of BigQuery's partition-scoped MERGE of
+  * aggregates.
+  *
+  * The contract: a mart is `martFn(fact)` partitioned by a day column.
+  * When a batch lands, ONLY the days the batch touches are recomputed —
+  * the fact scan is partition-pruned to those days (a broadcast semi-join
+  * on the derived day, which Spark turns into partition filters when the
+  * fact is day-partitioned), and the rewrite is a dynamic partition
+  * overwrite of exactly those mart directories. At 100 TB this is the
+  * difference between a nightly full-mart rebuild and touching 2 of 3650
+  * day partitions.
+  *
+  * Correctness invariant (spec + gate): after any sequence of batches,
+  * the stored mart equals `martFn` over the full fact — incremental
+  * refresh is observationally identical to full recompute.
+  */
+object IncrementalMart {
+
+  /** Recompute `martFn` for exactly the days `batch` touches and
+    * dynamic-overwrite those partitions of the mart at `martPath`.
+    *
+    * `fact` must already contain the batch (load order: fact first, then
+    * refresh). `dayCol` is the event-time column; the mart output gains a
+    * `p_day` partition column derived from it by the shared rule.
+    */
+  def refresh(spark: SparkSession, fact: DataFrame, martPath: String,
+              batch: DataFrame, dayCol: String,
+              martFn: DataFrame => DataFrame): Unit = {
+    val days = batch.select(to_date(col(dayCol)).as("p_day")).distinct()
+    val affected = fact.join(broadcast(days),
+      to_date(fact(dayCol)) === days("p_day"), "left_semi")
+    val refreshed = martFn(affected)
+      .withColumn("p_day", col("day").cast("date"))
+    refreshed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_day")
+      .parquet(martPath)
+  }
+
+  /** Full (re)materialization — the bootstrap and the equivalence oracle. */
+  def full(fact: DataFrame, martPath: String,
+           martFn: DataFrame => DataFrame): Unit =
+    martFn(fact)
+      .withColumn("p_day", col("day").cast("date"))
+      .write.mode("overwrite").partitionBy("p_day").parquet(martPath)
+}

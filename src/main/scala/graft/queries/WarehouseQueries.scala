@@ -544,6 +544,26 @@ object WarehouseQueries {
           sum(col("o_custkey")).as("cust_sum"))
     }),
 
+    // Incremental mart refresh through the gate: bootstrap the daily mart
+    // from the seed window, land a 2-day batch, refresh ONLY those two
+    // mart partitions — the read-back must equal the full recompute the
+    // oracle performs over the whole fact.
+    "a5_incremental_mart" -> ((s, dir) => {
+      val mart = scratch("incmart", dir)
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-20").cast("date")
+      val hi = lit("2024-01-22").cast("date")
+      val seed = ev.filter(to_date(col("ts")) < cut)
+      val batch = ev.filter(to_date(col("ts")) >= cut && to_date(col("ts")) < hi)
+      val martFn: DataFrame => DataFrame = f =>
+        f.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("value_sum"))
+      IncrementalMart.full(seed, mart, martFn)
+      IncrementalMart.refresh(s, seed.unionByName(batch), mart, batch, "ts", martFn)
+      s.read.parquet(mart).select("day", "event_type", "n", "value_sum")
+    }),
+
     // dbt-test surface through the gate: singular + recency checks over
     // two tables, each battery ONE fused aggregate pass; includes a
     // deliberately-tight recency check so the FAILING path is exercised
@@ -954,6 +974,12 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         |FROM orders WHERE o_orderkey % 100 = 1 GROUP BY 1""".stripMargin,
+
+    "a5_incremental_mart" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-22'
+        |GROUP BY 1, 2""".stripMargin,
 
     "qa_checks" ->
       """WITH ev AS (SELECT
