@@ -188,6 +188,21 @@ object TrainingQueries {
         .select("vec_id", "label", "cos")
     }),
 
+    // Corpus clustering as a mart: k-means (2 deterministic Lloyd rounds)
+    // cluster membership stats — the topic/domain-bucketing shape for
+    // curriculum and mixture planning over an embedded corpus.
+    "t_embed_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.lloydCentroids(emb, nlist = 16, iters = 2)
+      val asn = IvfIndex.assign(emb, cents, "vec_id", "embedding",
+        nativeCosine = false)
+      emb.join(asn, "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_id"))
+    }),
+
     // Multi-band hyperplane LSH ANN: 8 planes in 2 bands — a candidate
     // needs only ONE matching half-signature, so recall doesn't hinge on a
     // single 4-bit bucket.
@@ -553,27 +568,37 @@ object TrainingQueries {
     * vec_id + list_sum == the engine's sorted collect_list fold) rounded
     * to 6 — bit-identical centroids, hence identical cells.
     */
-  private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String = {
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (
-         |  SELECT e.vec_id,
-         |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
-         |  FROM embeddings e, $cents c GROUP BY e.vec_id)""".stripMargin
-    def meanCtes(i: Int) =
-      s"""m$i AS (
-         |  SELECT a.cell, d.i,
-         |    round(list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id))
-         |          / COUNT(*), 6) AS m
-         |  FROM embeddings e JOIN a$i a ON e.vec_id = a.vec_id, dims d
-         |  GROUP BY a.cell, d.i),
-         |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
+  /** Shared CTE prefix for the Lloyd-refined oracles: seed centroids, the
+    * per-round assign+mean CTEs, and the final assignment `af` against the
+    * last round's centroids `c<iters>`. */
+  private def kmeansCtePrefix(nlist: Int, iters: Int): String = {
     val rounds = (1 to iters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" + meanCtes(i)).mkString(",\n")
+      kmeansAssignCte(s"a$i", s"c${i - 1}") + ",\n" + kmeansMeanCtes(i))
+      .mkString(",\n")
     s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
        |       FROM embeddings WHERE vec_id < $nlist),
        |$rounds,
-       |${assignCte("af", s"c$iters")},
+       |${kmeansAssignCte("af", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansAssignCte(name: String, cents: String) =
+    s"""$name AS (
+       |  SELECT e.vec_id,
+       |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
+       |  FROM embeddings e, $cents c GROUP BY e.vec_id)""".stripMargin
+
+  private def kmeansMeanCtes(i: Int) =
+    s"""m$i AS (
+       |  SELECT a.cell, d.i,
+       |    round(list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id))
+       |          / COUNT(*), 6) AS m
+       |  FROM embeddings e JOIN a$i a ON e.vec_id = a.vec_id, dims d
+       |  GROUP BY a.cell, d.i),
+       |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
+
+  private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String =
+    s"""${kmeansCtePrefix(nlist, iters)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |qc AS (SELECT c.cid AS cell FROM c$iters c, q
        |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT $nprobe)
@@ -582,7 +607,16 @@ object TrainingQueries {
        |JOIN af ON e.vec_id = af.vec_id
        |JOIN qc ON af.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
-  }
+
+  /** Corpus clustering mart: per-cluster membership stats after the same
+    * Lloyd rounds. */
+  private def embedKmeansOracle(nlist: Int, iters: Int): String =
+    s"""${kmeansCtePrefix(nlist, iters)}
+       |SELECT af.cell, COUNT(*) AS n,
+       |  COUNT(DISTINCT e.label) AS n_labels,
+       |  CAST(MIN(e.vec_id) AS BIGINT) AS min_id
+       |FROM embeddings e JOIN af ON e.vec_id = af.vec_id
+       |GROUP BY af.cell""".stripMargin
 
   /** 8-plane/2-band variants: a row is a candidate when EITHER 4-bit
     * half-signature matches the query's.
@@ -650,6 +684,7 @@ object TrainingQueries {
     "t_ann_ivf_indexed" -> annIvfOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
+    "t_embed_kmeans" -> embedKmeansOracle(nlist = 16, iters = 2),
     "t_ann_lsh_multiband" -> annLshMultibandOracle,
     "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,
