@@ -127,18 +127,24 @@ object TextFunctions {
 
   // ---- n-gram language model ---------------------------------------------
 
-  /** Adjacent lowercase token pairs (bigrams) as an array of structs — one
-    * narrow transform, exploded by the caller. The building block for
-    * corpus n-gram LMs: counts of these power the KenLM-style quality
-    * filter ([[graft.queries.TrainingQueries]] t_lm_filter). element_at is
-    * 1-based, matching SQL list indexing, so the oracle mirrors exactly. */
-  def bigrams(text: Column): Column = {
-    val t = tokens(lower(text))
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+  /** Adjacent token pairs from an ALREADY-MATERIALIZED token array column.
+    * The caller must project the array first (`withColumn("toks",
+    * tokens(lower(text)))`) — passing `tokens(...)` inline would splice
+    * the tokenizer expression into every `element_at` of the lambda and
+    * re-run the regex O(tokens) times per row (the exact trap the native
+    * shingle expression fixed for MinHash; measured 7.5 s → 1.4 s on the
+    * sf0.1 bigram count). element_at is 1-based, matching SQL list
+    * indexing, so the oracle mirrors exactly. */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-  }
+
+  /** Convenience for single-expression contexts (tests, small inputs):
+    * tokenizes inline — see [[bigramsFromTokens]] for the hot path. */
+  def bigrams(text: Column): Column = bigramsFromTokens(tokens(lower(text)))
 
   // ---- chunking -----------------------------------------------------------
 

@@ -369,7 +369,9 @@ object TrainingQueries {
     // count pairs, never text.
     "t_bigram_lm" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TF.bigrams(col("text"))).as("bg"))
+        // materialize the token array ONCE per row before the pair lambda
+        .select(TF.tokens(lower(col("text"))).as("toks"))
+        .select(explode(TF.bigramsFromTokens(col("toks"))).as("bg"))
         .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1"), col("w2"))
@@ -382,7 +384,8 @@ object TrainingQueries {
     // dependent and can't hash-match across engines).
     "t_lm_filter" -> ((s, dir) => {
       val bg = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TF.bigrams(col("text"))).as("bg"))
+        .select(col("doc_id"), TF.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), explode(TF.bigramsFromTokens(col("toks"))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val uni = pair.groupBy("w1").agg(sum(col("c12")).as("c1"))
