@@ -172,6 +172,37 @@ object IvfIndex {
     * Shape at scale: one posexplode (rows x dims), two hash aggregates per
     * round — the canonical distributed k-means step.
     */
+  /** Scale path for [[lloydCentroids]]: per-cell means via a plain hash
+    * aggregate (sum/count — partial, map-side combinable, O(1) state per
+    * (cell, dim) group) instead of the ordered collect_list fold, which
+    * materializes every member per group and is the one unbounded-state
+    * step in the exact path. Double addition is order-dependent in ulps,
+    * so this variant is NOT bit-reproducible across partitionings — the
+    * round-6 absorbs the difference in practice (IvfRecallSpec asserts
+    * ≤1e-6 agreement with the exact fold on the fixture) but the oracle
+    * gate runs the exact path. At 100 TB this is the difference between a
+    * shuffle of (cell, dim, sum, count) triples and collecting every
+    * member vector element into driver-sized lists per group.
+    */
+  def lloydCentroidsFast(corpus: DataFrame, nlist: Int, iters: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nlist, idCol, vecCol)
+      .select(col("cid"), transform(col("cvec"), _.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val asn = assign(corpus, cents, idCol, vecCol, nativeCosine = false)
+      val members = corpus
+        .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "val")))
+        .join(asn, idCol)
+      cents = members.groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("val").cast("double")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          _.getField("m")).as("cvec"))
+        .select(col("cell").as("cid"), col("cvec"))
+    }
+    cents
+  }
+
   def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cents = seedCentroids(corpus, nlist, idCol, vecCol)
