@@ -40,6 +40,8 @@ object IncrementalMart {
       to_date(fact(dayCol)) === days("p_day"), "left_semi")
     val refreshed = martFn(affected)
       .withColumn("p_day", col("day").cast("date"))
+      // one file per refreshed day (small-files discipline)
+      .repartition(col("p_day"))
     refreshed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -52,5 +54,6 @@ object IncrementalMart {
            martFn: DataFrame => DataFrame): Unit =
     martFn(fact)
       .withColumn("p_day", col("day").cast("date"))
+      .repartition(col("p_day"))
       .write.mode("overwrite").partitionBy("p_day").parquet(martPath)
 }

@@ -70,6 +70,10 @@ object Sinks {
     val cutoff = add_months(current_date(), -months)
     df.filter(col(tsCol) >= cutoff)
       .withColumn("p_day", to_date(date_trunc("day", col(tsCol))))
+      // one file per day partition, not one per (day x task): partitionBy
+      // writes a file per key per input task, and the resulting small-file
+      // explosion is what kills day-partitioned tables at scale
+      .repartition(col("p_day"))
       .write.mode("overwrite").partitionBy("p_day").parquet(path)
   }
 
