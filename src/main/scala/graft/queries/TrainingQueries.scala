@@ -188,6 +188,40 @@ object TrainingQueries {
         .select("vec_id", "label", "cos")
     }),
 
+    // Mean-pooled class centroids: element-wise mean of every embedding
+    // per label — posexplode to (label, dim, val), EXACT fixed-point sums
+    // (floor to 1e-7 then bigint, order-independent; a float->DECIMAL
+    // cast rounds differently per engine in the 7th digit), one final
+    // double division chain identical on both engines. The pooling shape
+    // for doc-level embeddings from chunk embeddings.
+    "t_embed_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("v").cast("double") * lit(1.0e7)).cast("long"))
+            .cast("double") / lit(1.0e7) / count(lit(1))).as("mean_v"))
+        .filter(col("dim") < 8)), // 8 dims x 10 labels through the gate
+
+    // Vocabulary coverage: per-source OOV rate against the corpus top-k
+    // vocab — the tokenizer-coverage metric a mixture plan reads. Vocab
+    // derives in-query (deterministic top-k; k=20 of the fixture's 31
+    // distinct tokens so the OOV leg is non-trivially exercised),
+    // broadcast back against the exploded tokens.
+    "t_vocab_oov" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(lower(col("text")))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(20)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+          (count(when(col("in_vocab").isNull, 1)).cast("double") /
+            count(lit(1))).as("oov_rate"))
+    }),
+
     // Corpus clustering as a mart: k-means (2 deterministic Lloyd rounds)
     // cluster membership stats — the topic/domain-bucketing shape for
     // curriculum and mixture planning over an embedded corpus.
@@ -688,6 +722,32 @@ object TrainingQueries {
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
     "t_embed_kmeans" -> embedKmeansOracle(nlist = 16, iters = 2),
+
+    "t_embed_pool" ->
+      """SELECT label, dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000000 AS DOUBLE) / COUNT(*) AS mean_v
+        |FROM (SELECT label, i - 1 AS dim, embedding[i] AS v
+        |      FROM (SELECT label, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings))
+        |WHERE dim < 8 GROUP BY label, dim""".stripMargin,
+
+    "t_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        | vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        |    ORDER BY freq DESC, token LIMIT 20)),
+        | hit AS (
+        |  SELECT source, t.token, v.token IS NOT NULL AS in_vocab
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS n_oov,
+        |  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM hit GROUP BY source""".stripMargin,
     "t_ann_lsh_multiband" -> annLshMultibandOracle,
     "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,
