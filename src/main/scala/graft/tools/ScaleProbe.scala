@@ -67,6 +67,38 @@ object ScaleProbe {
     // step otherwise lands in a burst on every run.
     val corpusOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("corpus")
 
+    // SPARK_GRAFT_PROBE_ONLY=text: the text-analysis pipeline at mult-x —
+    // every op here is explode -> hash-agg or a narrow projection, so the
+    // probe verifies LINEAR wall-clock growth (no quadratic candidate
+    // blow-up exists in these shapes, unlike dedup).
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("text")) {
+      import graft.functions.{TextFunctions => TF}
+      val nBg = time("bigram_lm") {
+        big.select(TF.tokens(lower(col("text"))).as("toks"))
+          .select(explode(TF.bigramsFromTokens(col("toks"))).as("bg"))
+          .groupBy(col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("n"))
+          .count()
+      }
+      val nChunks = time("chunk_text") {
+        TF.chunk(big, "doc_id", "text", stride = 200, size = 256)
+          .select(md5(col("chunk"))).count()
+      }
+      val nScrub = time("scrub_pii") {
+        big.select(length(TF.scrubPii(col("text"))).as("l"))
+          .agg(sum(col("l"))).count()
+      }
+      val nTfidf = time("tfidf_topterms") {
+        val tok = big.select(col("doc_id"),
+          explode(TF.tokens(lower(col("text")))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "token").count()
+      }
+      println(s"[scale] text: bigram_vocab=$nBg chunks=$nChunks " +
+        s"scrub_rows=$nScrub tfidf_terms=$nTfidf")
+      spark.stop(); return
+    }
+
     // decomposed pipeline timing: which leg actually burns the CPU?
     if (!corpusOnly) {
       import org.apache.spark.storage.StorageLevel
