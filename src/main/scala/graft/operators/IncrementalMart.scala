@@ -29,17 +29,22 @@ object IncrementalMart {
     * dynamic-overwrite those partitions of the mart at `martPath`.
     *
     * `fact` must already contain the batch (load order: fact first, then
-    * refresh). `dayCol` is the event-time column; the mart output gains a
-    * `p_day` partition column derived from it by the shared rule.
+    * refresh). `dayCol` is the fact's event-time column; `martDayCol`
+    * names the mart output's day column, which MUST carry
+    * `to_date(dayCol)` — the same rule the semi-join uses to pick the
+    * affected days — or the recomputed set and the overwritten partitions
+    * would diverge. The mart output gains a `p_day` partition column
+    * derived from it.
     */
   def refresh(spark: SparkSession, fact: DataFrame, martPath: String,
               batch: DataFrame, dayCol: String,
-              martFn: DataFrame => DataFrame): Unit = {
+              martFn: DataFrame => DataFrame,
+              martDayCol: String = "day"): Unit = {
     val days = batch.select(to_date(col(dayCol)).as("p_day")).distinct()
     val affected = fact.join(broadcast(days),
       to_date(fact(dayCol)) === days("p_day"), "left_semi")
     val refreshed = martFn(affected)
-      .withColumn("p_day", col("day").cast("date"))
+      .withColumn("p_day", col(martDayCol).cast("date"))
       // one file per refreshed day (small-files discipline)
       .repartition(col("p_day"))
     refreshed.write
@@ -51,9 +56,10 @@ object IncrementalMart {
 
   /** Full (re)materialization — the bootstrap and the equivalence oracle. */
   def full(fact: DataFrame, martPath: String,
-           martFn: DataFrame => DataFrame): Unit =
+           martFn: DataFrame => DataFrame,
+           martDayCol: String = "day"): Unit =
     martFn(fact)
-      .withColumn("p_day", col("day").cast("date"))
+      .withColumn("p_day", col(martDayCol).cast("date"))
       .repartition(col("p_day"))
       .write.mode("overwrite").partitionBy("p_day").parquet(martPath)
 }

@@ -48,8 +48,11 @@ object QualityChecks {
     * dbt_recency_tests_dag.py runs with Airflow's logical date). */
   def recency(tsCol: String, asOf: String, maxHours: Int): AggCheck =
     AggCheck(s"recency_${tsCol}_${maxHours}h",
-      when(max(col(tsCol) ) <
-        to_timestamp(lit(asOf)) - expr(s"INTERVAL $maxHours HOURS"), 1L)
+      // an EMPTY table (max is NULL) is the most-stale state there is —
+      // NULL < cutoff would be NULL and fall through to "passed"
+      when(max(col(tsCol)).isNull ||
+        max(col(tsCol)) <
+          to_timestamp(lit(asOf)) - expr(s"INTERVAL $maxHours HOURS"), 1L)
         .otherwise(0L))
 
   def minRows(n: Long): AggCheck =

@@ -989,8 +989,8 @@ object WarehouseQueries {
         |  COUNT(CASE WHEN value < 0 THEN 1 END) AS non_negative_value,
         |  COUNT(*) - COUNT(DISTINCT event_id) AS unique_event_id,
         |  CASE WHEN COUNT(*) < 1000 THEN 1 ELSE 0 END AS min_rows_1000,
-        |  CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 48 HOUR THEN 1 ELSE 0 END AS recency_ts_48h,
-        |  CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS recency_ts_12h
+        |  CASE WHEN max(ts) IS NULL OR max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 48 HOUR THEN 1 ELSE 0 END AS recency_ts_48h,
+        |  CASE WHEN max(ts) IS NULL OR max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS recency_ts_12h
         |  FROM events),
         | ord AS (SELECT
         |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS not_null_o_orderkey,

@@ -79,13 +79,14 @@ object ScaleProbe {
           .groupBy(col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("n"))
           .count()
       }
+      // aggregates CONSUME the derived values — a bare count() lets the
+      // optimizer prune the md5/substr/regex work and time an empty scan
       val nChunks = time("chunk_text") {
         TF.chunk(big, "doc_id", "text", stride = 200, size = 256)
-          .select(md5(col("chunk"))).count()
+          .agg(countDistinct(md5(col("chunk")))).head().getLong(0)
       }
       val nScrub = time("scrub_pii") {
-        big.select(length(TF.scrubPii(col("text"))).as("l"))
-          .agg(sum(col("l"))).count()
+        big.agg(sum(length(TF.scrubPii(col("text"))))).head().getLong(0)
       }
       val nTfidf = time("tfidf_topterms") {
         val tok = big.select(col("doc_id"),
@@ -94,8 +95,8 @@ object ScaleProbe {
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         tf.join(dfreq, "token").count()
       }
-      println(s"[scale] text: bigram_vocab=$nBg chunks=$nChunks " +
-        s"scrub_rows=$nScrub tfidf_terms=$nTfidf")
+      println(s"[scale] text: bigram_vocab=$nBg uniq_chunks=$nChunks " +
+        s"scrubbed_chars=$nScrub tfidf_terms=$nTfidf")
       spark.stop(); return
     }
 
