@@ -59,6 +59,52 @@ object TextFunctions {
   def qualityKeep(text: Column): Column =
     (tokenCount(text) >= 5) && (punctRatio(text) < 0.3) && (meanTokenLen(text) >= 2.0)
 
+  // ---- Gopher-style quality-rule battery ----------------------------------
+
+  /** The Gopher/C4 repetition-free quality rules as one fused per-row
+    * battery (Rae et al. 2021 §A1.1 shape, thresholds scaled to the
+    * synthetic corpus): token-count bounds, mean-token-length bounds,
+    * symbol-to-token ratio, fraction of lines that start like bullets /
+    * end in ellipsis, fraction of words containing an alphabetic
+    * character, and a minimum stopword count. Every metric is a builtin
+    * codegen'd regexp/array expression over ONE scan of the text — no
+    * shuffle, no UDF — so the battery runs at scan bandwidth and the
+    * booleans compose into a single `keep` predicate a 100 TB filter
+    * pushes straight past.
+    */
+  def gopherMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_tok_len" -> meanTokenLen(text),
+      "symbol_ratio" ->
+        size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / nTok,
+      "bullet_line_ratio" ->
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLines,
+      "ellipsis_line_ratio" ->
+        size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines,
+      "alpha_word_ratio" ->
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok,
+      "n_stopwords" -> stopwordCount(text).cast("long"))
+  }
+
+  /** Rule verdicts over [[gopherMetrics]] plus the conjunction `keep`. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val m = gopherMetrics(text).toMap
+    val rules = Seq(
+      "r_tok_count" -> m("n_tokens").between(5, 5000),
+      "r_mean_len" -> m("mean_tok_len").between(2.0, 12.0),
+      "r_symbols" -> (m("symbol_ratio") < 0.1),
+      "r_bullets" -> (m("bullet_line_ratio") <= 0.9),
+      "r_ellipsis" -> (m("ellipsis_line_ratio") <= 0.3),
+      "r_alpha" -> (m("alpha_word_ratio") >= 0.7),
+      "r_stopwords" -> (m("n_stopwords") >= 2L))
+    rules :+ ("keep" -> rules.map(_._2).reduce(_ && _))
+  }
+
   /** n-gram language-ID heuristic: score = stopword hits per language list,
     * highest wins, deterministic tie order, "und" when nothing matches.
     */

@@ -62,6 +62,19 @@ object CurrentState {
       if (keys.contains(c)) col(c) else col("__first").getField(c).as(c)): _*)
   }
 
+  /** Sort-free LATEST-per-key — [[firstByKeyAgg]]'s max_by twin, equivalent
+    * to [[latestByKey]] whenever the order tuple is unique per key. Same
+    * scale posture: partial aggregation bounds the shuffle by key
+    * cardinality, no per-partition sort.
+    */
+  def lastByKeyAgg(log: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = log.columns.filterNot(keys.contains)
+    val last = max_by(struct(payload.map(col): _*), struct(orderCols.map(col): _*))
+    val agg = log.groupBy(keys.map(col): _*).agg(last.as("__last"))
+    agg.select(log.columns.map(c =>
+      if (keys.contains(c)) col(c) else col("__last").getField(c).as(c)): _*)
+  }
+
   /** Current-state view: window dedup, tombstone filter, then attach the
     * ledger-close timestamp from the spine table (J1). The spine is
     * broadcast when small enough; for a 100 TB change log the spine

@@ -375,6 +375,42 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact substring-window duplication signal (the token-window dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", expressed relationally): every positional n-token window is
+    * digested in one fused pass (graft_shingles keeps ALL windows in
+    * order), a global digest → distinct-doc count is computed, and each
+    * document aggregates how many of its window positions are covered by a
+    * window that also occurs verbatim in ANOTHER document. `dup_ratio` is
+    * the fraction of the document that is cross-document boilerplate — the
+    * per-doc drop/trim signal substring dedup pipelines act on.
+    *
+    * Scale shape: both aggregates are map-side-combinable hash aggs over
+    * fixed-width 32-char digests, and the join back to window rows is a
+    * digest-keyed equi join — shuffles move digests and counts, never
+    * text. Window volume is ~one row per token, the same envelope as the
+    * explode-based text ops ([[shingleRows]]); no per-doc sort, no windows
+    * over unbounded partitions, no driver state.
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val wins = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle")).as("d"))
+    // digest → number of DISTINCT docs containing it (dedupe (id, d) first
+    // so in-doc repetition can't inflate the cross-doc count)
+    val ndocs = wins.distinct().groupBy("d")
+      .agg(count(lit(1)).as("nd"))
+    wins.join(ndocs, "d")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_windows"))
+      .select(col("doc_id"),
+        col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") /
+          greatest(col("n_windows"), lit(1L)), 6).as("dup_ratio"))
+  }
+
   /** Exact n-gram Jaccard for a pair of (distinct) shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /

@@ -78,6 +78,27 @@ object Sampling {
                     buckets: Int = 100): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < cutoff)
 
+  /** Per-key document cap (the RefinedWeb-style per-domain cap: no single
+    * site/source may contribute more than `cap` documents): keep the `cap`
+    * rows with the smallest deterministic md5 priority per key, so the
+    * retained subset is stable across runs, engines, and partitionings —
+    * NOT "first cap rows seen", which would depend on scan order.
+    *
+    * Scale shape: `row_number <= cap` compiles to a WindowGroupLimit —
+    * Spark inserts a PARTIAL per-input-partition top-`cap` pass before the
+    * shuffle (asserted in SamplingSpec), so a skewed giant key ships at
+    * most `cap` rows per upstream partition instead of materializing and
+    * sorting its full window. One shuffle on the key, bounded sort state.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(pri, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** Deterministic global shuffle for epoch ordering: sort by a salted
     * hash of the id. A different salt reshuffles; the same salt reproduces
     * the exact order. At scale prefer [[shuffledPartitions]] — a total

@@ -461,6 +461,40 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Exact substring-window dedup signal (Lee et al. shape): per doc, how
+    // many of its positional 8-token windows occur verbatim in ANOTHER doc
+    // — the boilerplate/trim signal substring dedup acts on. Digest-only
+    // shuffles, two map-side-combinable hash aggs, one digest-keyed join.
+    "t_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // Gopher-style quality-rule battery: every metric and rule verdict in
+    // ONE fused codegen'd scan (no shuffle, no UDF); `keep` is the
+    // conjunction a 100 TB filter pushes past the scan.
+    "t_quality_rules" -> ((s, dir) => {
+      val txt = col("text")
+      val mm = TF.gopherMetrics(txt).toMap
+      val metricCols = Seq(
+        mm("n_tokens").as("n_tokens"),
+        round(mm("mean_tok_len"), 6).as("mean_tok_len"),
+        round(mm("symbol_ratio"), 6).as("symbol_ratio"),
+        round(mm("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+        round(mm("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+        round(mm("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+        mm("n_stopwords").as("n_stopwords"))
+      val ruleCols = TF.gopherRules(txt).map { case (nm, c) => c.as(nm) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: (metricCols ++ ruleCols): _*)
+    }),
+
+    // Per-source document cap (RefinedWeb-style per-domain caps): at most
+    // 50 docs per source, chosen by deterministic md5 priority; the
+    // rank<=cap filter compiles to a partial WindowGroupLimit (asserted in
+    // SamplingSpec) so a skewed giant source never fully sorts.
+    "t_domain_cap" -> ((s, dir) =>
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "doc_id", cap = 50)
+        .select(col("doc_id"), col("source"), col("cap_rank"))),
+
     // KMV distinct-count sketch (graft.plans.KmvKthMin): per event type,
     // the 32 smallest distinct md5(user_id) hashes reduce map-side to O(k)
     // state; the (k-1)/U(k) estimate is a plain column over the sketch
@@ -1120,6 +1154,83 @@ object TrainingQueries {
         |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // 8-gram positional windows (same clamped-slice fallback as
+    // graft_shingles); a window is duplicated when its digest appears in
+    // >= 2 distinct documents.
+    "t_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS d
+        |  FROM toks),
+        |nd AS (SELECT d, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  COUNT(CASE WHEN nd.ndocs >= 2 THEN 1 END) AS n_dup_windows,
+        |  round(CAST(COUNT(CASE WHEN nd.ndocs >= 2 THEN 1 END) AS DOUBLE)
+        |        / greatest(COUNT(*), 1), 6) AS dup_ratio
+        |FROM w JOIN nd USING (d)
+        |GROUP BY w.doc_id""".stripMargin,
+
+    // Metric-for-metric mirror of TextFunctions.gopherMetrics/gopherRules;
+    // rules compare the UNROUNDED ratios (exact double divisions of small
+    // ints — identical IEEE results on both engines), rounding only the
+    // reported columns.
+    "t_quality_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+        |        t -> length(t))), 0) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_tok_len,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS symbol_ratio,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |      / greatest(len(string_split(text, chr(10))), 1) AS bullet_line_ratio,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE)
+        |      / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_line_ratio,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS alpha_word_ratio,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |        t -> list_contains(['the','a','an','of','and','or','to','in','is','it',
+        |                            'for','on','with','as','at','by','from','that','this'], t)))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    (n_tokens BETWEEN 5 AND 5000) AS r_tok_count,
+        |    (mean_tok_len BETWEEN 2.0 AND 12.0) AS r_mean_len,
+        |    (symbol_ratio < 0.1) AS r_symbols,
+        |    (bullet_line_ratio <= 0.9) AS r_bullets,
+        |    (ellipsis_line_ratio <= 0.3) AS r_ellipsis,
+        |    (alpha_word_ratio >= 0.7) AS r_alpha,
+        |    (n_stopwords >= 2) AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_tokens, round(mean_tok_len, 6) AS mean_tok_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_line_ratio, 6) AS bullet_line_ratio,
+        |  round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+        |  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+        |  n_stopwords, r_tok_count, r_mean_len, r_symbols, r_bullets,
+        |  r_ellipsis, r_alpha, r_stopwords,
+        |  (r_tok_count AND r_mean_len AND r_symbols AND r_bullets
+        |   AND r_ellipsis AND r_alpha AND r_stopwords) AS keep
+        |FROM r""".stripMargin,
+
+    // Same deterministic md5 priority re-derived; rank <= 50 per source.
+    "t_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 50""".stripMargin
   )
 }

@@ -56,6 +56,57 @@ object MicroBatchIngest {
     q.awaitTermination()
   }
 
+  /** Streaming upsert into a warehouse table: each micro-batch MERGES its
+    * change rows into the accumulated state (the reference's
+    * apply-changes MERGE, reference
+    * dags/stellar_etl_airflow/build_apply_gcs_changes_to_bq_task.py:116-149,
+    * driven by a stream instead of a cron batch).
+    *
+    * Semantics are latest-VERSION-wins with tombstones PRESERVED in state:
+    * the surviving row per key is the one with the highest `versionCol`
+    * (deletes included), and consumers filter `deletedCol` at read time.
+    * Keeping tombstones (rather than dropping rows on delete, as a naive
+    * MERGE drain would) makes the fold per-key commutative across
+    * micro-batches — a late-arriving lower-version update cannot resurrect
+    * a deleted key — so the drained result is independent of how the file
+    * source happened to slice files into batches. `versionCol` must be
+    * unique per key across the feed (the reference's
+    * last_modified_ledger+change ordering; equal versions tie-break
+    * arbitrarily and only the final max-version row is defined).
+    *
+    * State versions as parquet dirs (`state_v<batchId>`): each batch reads
+    * the previous version, folds, writes the next — never reading the dir
+    * it writes. Per-batch work is ONE hash shuffle on the key (min_by-style
+    * latest aggregation), proportional to accumulated keys; at warehouse
+    * scale the same fold runs partition-scoped via
+    * `DelIns.Warehouse.mergePartitioned`.
+    *
+    * Returns the path of the final state version.
+    */
+  def mergeDrain(changes: DataFrame, keys: Seq[String], versionCol: String,
+                 stateRoot: String, checkpoint: String): String = {
+    val spark = changes.sparkSession
+    // foreachBatch bodies run sequentially on the driver thread; the var
+    // only threads the previous version's path between batches.
+    @volatile var current: Option[String] = None
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = current.map(spark.read.parquet(_))
+        val union = prev.fold(batch)(_.unionByName(batch))
+        val next = graft.operators.CurrentState
+          .lastByKeyAgg(union, keys, Seq(versionCol))
+        val out = s"$stateRoot/state_v$batchId"
+        next.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    current.getOrElse(sys.error("mergeDrain: stream produced no batches"))
+  }
+
   /** Windowed per-event-type counts with a watermark — the aggregation shape
     * the reference's 10-minute batch stats table records per run
     * (reference dags/stellar_etl_airflow/build_batch_stats.py:9-43), kept

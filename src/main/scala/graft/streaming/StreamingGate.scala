@@ -135,10 +135,48 @@ object StreamingGate {
           .otherwise(round(col("fin.est_distinct"), 3)).as("est_distinct"))
   }
 
+  /** Streaming upsert (MERGE drain) into accumulated state: a change feed
+    * derived from `orders` — a full seed at version 1, then updates
+    * (doubled totalprice) and tombstones for key subsets at version 2 —
+    * streams through [[MicroBatchIngest.mergeDrain]]. The staged input is
+    * multi-file, so the file source slices it into arbitrary micro-batches;
+    * the latest-version-wins tombstone-preserving fold makes the final
+    * state independent of that slicing, and the oracle states it as plain
+    * batch SQL (max-version row per key, deletes filtered at read).
+    */
+  def upsertGate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val seed = orders.select(
+      col("o_orderkey"), col("o_totalprice"),
+      lit(1L).as("version"), lit(false).as("deleted"))
+    val changes = orders.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+      lit(2L).as("version"), (col("o_orderkey") % 21 === 0).as("deleted"))
+    val in = scratch("ups_in", dir)
+    val state = scratch("ups_state", dir)
+    val ck = scratch("ups_ck", dir)
+    cleanDir(spark, state)
+    // several staged files AND maxFilesPerTrigger=1 -> the fold really runs
+    // once per micro-batch (the default would drain all files in one)
+    val staged = seed.unionByName(changes).repartition(4)
+    cleanDir(spark, in)
+    staged.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val fin = MicroBatchIngest.mergeDrain(
+      stream, Seq("o_orderkey"), "version", state, ck)
+    spark.read.parquet(fin)
+      .filter(!col("deleted"))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("totalprice"),
+        col("version"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
-    "st_kmv_estimate" -> (kmvGate(_, _)))
+    "st_kmv_estimate" -> (kmvGate(_, _)),
+    "st_upsert" -> (upsertGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -170,6 +208,25 @@ object StreamingGate {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    "st_upsert" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS version,
+        |    false AS deleted
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |    CAST(2 AS BIGINT) AS version, (o_orderkey % 21 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM upd),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn
+        |  FROM allc)
+        |SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  version
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     "st_kmv_estimate" ->
       """WITH h AS (

@@ -55,6 +55,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("gopher rules: clean prose keeps, degenerate docs fail the right rule") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"), // clean
+      (2L, "a b"),                                    // too few tokens
+      (3L, "### ... ### ... the of and in is it on"), // symbol-heavy
+      (4L, Seq.fill(12)("- bullet item the of").mkString("\n")), // all bullets
+      (5L, "0x1f 0x2e 0x3d 0x4c 0x5b 0x6a 0x79 0x88") // no stopwords
+    ).toDF("doc_id", "text")
+    val rules = TextFunctions.gopherRules(col("text"))
+    val out = d.select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        rules.map(_._1).zipWithIndex.map { case (n, i) => n -> r.getBoolean(i + 1) }.toMap)
+      .toMap
+    assert(out(1L)("keep"))
+    assert(!out(2L)("r_tok_count") && !out(2L)("keep"))
+    assert(!out(3L)("r_symbols") && !out(3L)("keep"))
+    assert(!out(4L)("r_bullets") && !out(4L)("keep"))
+    assert(!out(5L)("r_stopwords") && !out(5L)("keep"))
+  }
+
   test("bigrams: count = tokens - 1, and degenerate texts yield none") {
     import spark.implicits._
     val fixture = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))

@@ -39,6 +39,25 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.8))
   }
 
+  test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
+    // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
+    // 9-token prefix -> windows at positions 1,2 match; position 3 differs.
+    val shared = (1 to 9).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, s"$shared endA"),
+      (2L, s"$shared endB"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"))
+    val st = Dedup.duplicateSpanStats(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st(1L) == ((3L, 2L)) && st(2L) == ((3L, 2L)))
+    assert(st(3L) == ((3L, 0L)))
+    // in-doc repetition alone is not cross-doc duplication
+    val rep = docs((7L, Seq.fill(3)("r1 r2 r3 r4 r5 r6 r7 r8").mkString(" ")))
+    val s7 = Dedup.duplicateSpanStats(rep, "doc_id", "text", n = 8)
+      .select("n_dup_windows").as[Long].head()
+    assert(s7 == 0L)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = docs((1L, base), (2L, base + " extra"), (3L, (1 to 60).map(i => s"q$i").mkString(" ")))

@@ -58,6 +58,26 @@ class SamplingSpec extends SparkSpec {
     assert(order("epoch1").sorted == (1L to 500L))
   }
 
+  test("capPerKey keeps at most cap rows per key, deterministically") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val capped = Sampling.capPerKey(docs, "source", "doc_id", cap = 10)
+    val perKey = capped.groupBy("source").count().collect()
+    assert(perKey.forall(_.getLong(1) <= 10))
+    // deterministic: same survivors regardless of input partitioning/order
+    val again = Sampling.capPerKey(
+      docs.repartition(13).orderBy(desc("n_chars")), "source", "doc_id", cap = 10)
+    assert(capped.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(capped.select("doc_id")).isEmpty)
+  }
+
+  test("capPerKey compiles to a partial WindowGroupLimit (no full per-key sort ships)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = Sampling.capPerKey(docs, "source", "doc_id", cap = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit in:\n$p")
+  }
+
   test("shuffledPartitions: one hash exchange, no global sort, content preserved") {
     val df = (1L to 5000L).toDF("id")
     val out = Sampling.shuffledPartitions(df, "id", "epoch1", n = 8)

@@ -70,6 +70,39 @@ class MicroBatchIngestSpec extends SparkSpec {
       .select("batch_insert_ts").distinct().count() == 1)
   }
 
+  test("mergeDrain: final state is independent of micro-batch slicing, tombstones hold") {
+    import spark.implicits._
+    val changes = Seq(
+      // key, value, version, deleted
+      (1L, "v1", 1L, false), (2L, "v1", 1L, false), (3L, "v1", 1L, false),
+      (2L, "v2", 2L, false),              // update
+      (3L, "gone", 2L, true),             // tombstone
+      (3L, "late", 1L, false),            // late lower-version redelivery
+      (4L, "new", 2L, false)
+    ).toDF("k", "v", "version", "deleted")
+
+    def drain(nFiles: Int, tag: String): Map[Long, (String, Long, Boolean)] = {
+      val root = Files.createTempDirectory(s"merge_drain_$tag").toString
+      changes.repartition(nFiles).write.parquet(s"$root/in")
+      val stream = spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val fin = MicroBatchIngest.mergeDrain(
+        stream, Seq("k"), "version", s"$root/state", s"$root/ck")
+      spark.read.parquet(fin).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+    }
+
+    val expected = Map(
+      1L -> (("v1", 1L, false)), 2L -> (("v2", 2L, false)),
+      3L -> (("gone", 2L, true)), 4L -> (("new", 2L, false)))
+    // every slicing folds to the same state: the late k=3 v1 row can land
+    // before OR after the tombstone's batch and must never resurrect it
+    assert(drain(1, "one") == expected)
+    assert(drain(3, "three") == expected)
+    assert(drain(7, "seven") == expected)
+  }
+
   test("windowed counts aggregate per 10-minute window with watermark") {
     import spark.implicits._
     val ev = Seq(
