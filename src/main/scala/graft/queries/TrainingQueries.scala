@@ -461,6 +461,47 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Incremental near-dup: the delta batch (doc_id % 10 == 0) verified
+    // against the indexed rest of the corpus — per-crawl dedup without
+    // re-processing existing documents. Provably equals the full
+    // recompute restricted to delta-touching pairs (banding is
+    // per-document), which is exactly what the oracle states.
+    "t_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val existing = d.filter(col("doc_id") % 10 =!= 0)
+      val delta = d.filter(col("doc_id") % 10 === 0)
+      val idx = Dedup.nearDupIndex(existing, "doc_id", "text", n = 3, k = 8, bands = 4)
+      Dedup.incrementalNearDupPairs(delta, "doc_id", "text", idx,
+        n = 3, k = 8, bands = 4, threshold = 0.3)
+    }),
+
+    // MinHash calibration: per candidate pair, the sketch's Jaccard
+    // estimate (fraction of equal signature slots) next to the exact
+    // verify — the diagnostic that sizes k/bands before a 100 TB run
+    // (confined to candidate pairs, so it costs one extra signature join
+    // over the verify pipeline, never a corpus-wide pass).
+    "t_minhash_est" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = 8
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", n = 3, k = k)
+      val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text", n = 3, k = k, bands = 4)
+      val sa = sigs.select(
+        col("id").as("doc_a") +: (0 until k).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+      val sb = sigs.select(
+        col("id").as("doc_b") +: (0 until k).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+      val nEq = (0 until k)
+        .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (nEq.cast("double") / k).as("est_jaccard"))
+      val exact = Dedup.nearDupPairs(d, "doc_id", "text",
+        n = 3, k = k, bands = 4, threshold = 0.0)
+      est.join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+    }),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -1155,6 +1196,41 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    // The full-recompute pair formulation (t_dedup_jaccard's) restricted
+    // to pairs touching the delta — the incremental path's contract.
+    "t_dedup_incremental" -> (shingleCtes +
+      """, scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |WHERE jaccard >= 0.3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin),
+
+    // Signature slots re-derived as in t_dedup_minhash's CTEs; the
+    // estimate is the equal-slot fraction, the exact leg is the
+    // t_dedup_jaccard formulation without its threshold.
+    "t_minhash_est" -> (shingleCtes +
+      """, est AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_filter(range(1, 9), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 8
+        |      AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.doc_a
+        |  JOIN sig sb ON sb.doc_id = p.doc_b),
+        |ex AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b)
+        |SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+        |  round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+        |FROM est e JOIN ex x USING (doc_a, doc_b)""".stripMargin),
 
     // 8-gram positional windows (same clamped-slice fallback as
     // graft_shingles); a window is duplicated when its digest appears in

@@ -382,6 +382,22 @@ object WarehouseQueries {
           max(col("o_totalprice")).as("fee_max"),
           (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("fee_avg"))),
 
+    // A5 (marts, scale path): the same percentile mart over a DETERMINISTIC
+    // 10% hash sample. Exact per-group percentiles hold the whole group's
+    // values in one aggregation buffer — fine per month, hostile at 100 TB
+    // when groups are huge; sampling by md5(o_orderkey) bounds that state
+    // 10x while staying reproducible on any engine (percentile_approx-style
+    // sketches can't cross-engine hash-match; a hash sample + exact
+    // interpolation can, and its error is similarly bounded). n_sampled
+    // reports the sample's own size so consumers can judge the estimate.
+    "a5_fee_stats_sampled" -> ((s, dir) =>
+      Sampling.deterministicSample(t(s, dir, "orders"), "o_orderkey", 10)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("fee_p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("fee_p95"))),
+
     // A5 (marts): asset_stats shape — per-asset-class distinct-entity
     // counts and decimal-disciplined volumes over the fact table.
     "a5_asset_stats" -> ((s, dir) => {
@@ -913,6 +929,17 @@ object WarehouseQueries {
         |  max(o_totalprice) AS fee_max,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS fee_avg
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "a5_fee_stats_sampled" ->
+      """WITH s AS (
+        |  SELECT o_orderdate, o_totalprice
+        |  FROM orders
+        |  WHERE CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) < 10)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_sampled,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS fee_p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS fee_p95
+        |FROM s GROUP BY 1""".stripMargin,
 
     "a5_asset_stats" ->
       """SELECT p_brand,

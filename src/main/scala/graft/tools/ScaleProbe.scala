@@ -95,8 +95,19 @@ object ScaleProbe {
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         tf.join(dfreq, "token").count()
       }
+      // the replicated corpus duplicates every doc mult-x, so every window
+      // is cross-doc duplicated — the digest agg + join legs at full load
+      val nDupWin = time("substring_dedup") {
+        Dedup.duplicateSpanStats(big, "doc_id", "text", n = 8)
+          .agg(sum("n_dup_windows")).head().getLong(0)
+      }
+      val nRules = time("gopher_rules") {
+        val keep = TF.gopherRules(col("text")).last._2
+        big.agg(count(when(keep, 1))).head().getLong(0)
+      }
       println(s"[scale] text: bigram_vocab=$nBg uniq_chunks=$nChunks " +
-        s"scrubbed_chars=$nScrub tfidf_terms=$nTfidf")
+        s"scrubbed_chars=$nScrub tfidf_terms=$nTfidf dup_windows=$nDupWin " +
+        s"gopher_keep=$nRules")
       spark.stop(); return
     }
 

@@ -39,6 +39,18 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.8))
   }
 
+  test("incremental near-dup == full recompute restricted to delta-touching pairs") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val idx = Dedup.nearDupIndex(existing, "doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(delta, "doc_id", "text", idx, threshold = 0.3)
+    val full = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.3)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
     // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
     // 9-token prefix -> windows at positions 1,2 match; position 3 differs.
