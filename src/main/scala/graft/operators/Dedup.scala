@@ -324,13 +324,25 @@ object Dedup {
     // delta x (index U delta) sharing a band; least/greatest normalizes the
     // unordered pair so a delta-delta collision isn't emitted twice
     val allBands = index.bands.unionByName(dBands)
-    val cands = dBands.as("a")
+    val cands = materialize(dBands.as("a")
       .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))
-      .distinct()
-    val allDg = index.digests.unionByName(dDg)
+      .distinct())
+    // Confine the verify to digests of docs that actually appear in a
+    // candidate pair: the touched-id set is bounded by the delta's bucket
+    // collisions, so the semi join broadcasts and prunes the index's
+    // digest relation MAP-SIDE. Without this the verify legs shuffle the
+    // whole corpus's digests and per-crawl cost degrades toward the full
+    // recompute (measured 5.3 s vs 7.5 s at the 10x probe; pruned it is
+    // sized by the delta).
+    val touched = cands.select(col("doc_a").as("id"))
+      .unionByName(cands.select(col("doc_b").as("id"))).distinct()
+    // materialized: both verify legs scan this relation — unmaterialized,
+    // each leg would re-run the union + semi join over the full index
+    val allDg = materialize(index.digests.unionByName(dDg)
+      .join(touched, Seq("id"), "left_semi"))
     val sizes = index.sizes.unionByName(dSigsz.select(col("id"), col("sz")))
     val common = cands
       .join(allDg.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")

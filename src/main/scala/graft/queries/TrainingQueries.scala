@@ -461,6 +461,24 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Per-key ordered sequence assembly: turn the event log into one
+    // ordered sequence row per user — the training-sample construction
+    // shape (conversation/history assembly). ONE shuffle on the key; the
+    // per-key payload is that key's history (users with outsized histories
+    // chunk via the same md5-shard trick as Packing). sort_array over
+    // (ts, id, type) structs normalizes collect_list's arrival order, so
+    // the assembled sequence is deterministic on any partitioning.
+    "t_seq_assemble" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          md5(concat_ws("|",
+            transform(col("seq"), e => e.getField("event_type")))).as("seq_hash"))
+    }),
+
     // Incremental near-dup: the delta batch (doc_id % 10 == 0) verified
     // against the indexed rest of the corpus — per-crawl dedup without
     // re-processing existing documents. Provably equals the full
@@ -1196,6 +1214,11 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    "t_seq_assemble" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS seq_hash
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // The full-recompute pair formulation (t_dedup_jaccard's) restricted
     // to pairs touching the delta — the incremental path's contract.

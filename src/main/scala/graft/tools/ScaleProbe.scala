@@ -135,6 +135,63 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=incremental: the per-crawl shape — index the
+    // first (mult-1) replicas once, then dedup ONLY the last replica (the
+    // "new crawl") against the index. The point of comparison: the delta
+    // probe should cost a fraction of the full-corpus recompute above,
+    // because per-crawl work is sized by the delta, not the corpus.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("incremental")) {
+      val existing = big.filter(col("doc_id") < (mult - 1).toLong * 10000000L)
+      val delta = big.filter(col("doc_id") >= (mult - 1).toLong * 10000000L)
+      val nEx = existing.count(); val nDelta = delta.count()
+      println(s"[scale] incremental: index=$nEx docs, delta=$nDelta docs")
+      import org.apache.spark.storage.StorageLevel
+      val idx0 = Dedup.nearDupIndex(existing, "doc_id", "text")
+      val idx = Dedup.NearDupIndex(
+        idx0.digests.persist(StorageLevel.MEMORY_AND_DISK),
+        idx0.bands.persist(StorageLevel.MEMORY_AND_DISK),
+        idx0.sizes.persist(StorageLevel.MEMORY_AND_DISK))
+      time("  index_build") {
+        idx.digests.count(); idx.bands.count(); idx.sizes.count()
+      }
+      val nInc = time("  delta_probe") {
+        Dedup.incrementalNearDupPairs(delta, "doc_id", "text", idx).count()
+      }
+      val nFull = time("  full_recompute") {
+        Dedup.nearDupPairs(big, "doc_id", "text").count()
+      }
+      println(s"[scale] incremental: delta_pairs=$nInc full_pairs=$nFull")
+      spark.catalog.clearCache()
+
+      // Novel-delta variant — the realistic crawl shape: the index holds
+      // the replicas of the EVEN base docs; the delta is the odd base
+      // docs, which mostly DON'T collide with the index. Here the
+      // touched-id semi join prunes the verify to a sliver of the index
+      // and per-crawl cost is sized by the delta, while the full
+      // recompute still pays for the whole corpus.
+      val idxDocs = big.filter(col("doc_id") % 2 === 0)
+      val deltaNovel = base.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val nIdx2 = idxDocs.count(); val nD2 = deltaNovel.count()
+      println(s"[scale] novel-delta: index=$nIdx2 docs, delta=$nD2 docs")
+      val idxN0 = Dedup.nearDupIndex(idxDocs, "doc_id", "text")
+      val idxN = Dedup.NearDupIndex(
+        idxN0.digests.persist(StorageLevel.MEMORY_AND_DISK),
+        idxN0.bands.persist(StorageLevel.MEMORY_AND_DISK),
+        idxN0.sizes.persist(StorageLevel.MEMORY_AND_DISK))
+      time("  index_build2") {
+        idxN.digests.count(); idxN.bands.count(); idxN.sizes.count()
+      }
+      val nInc2 = time("  delta_probe2") {
+        Dedup.incrementalNearDupPairs(deltaNovel, "doc_id", "text", idxN).count()
+      }
+      val nFull2 = time("  full_recompute2") {
+        Dedup.nearDupPairs(idxDocs.unionByName(deltaNovel), "doc_id", "text").count()
+      }
+      println(s"[scale] novel-delta: delta_pairs=$nInc2 full_pairs=$nFull2")
+      spark.stop(); return
+    }
+
     val nPairs = if (corpusOnly) -1L else time("minhash_pairs") {
       Dedup.minhashCandidatePairs(big, "doc_id", "text").count()
     }

@@ -184,6 +184,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t_substring_dedup: shuffles carry digests, never document text") {
+    val p = planOf("t_substring_dedup")
+    // every exchange key/payload is the 32-char digest + counts — the text
+    // column must be consumed by the shingle expression before any shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must not cross a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"digest join must stay equi-keyed:\n$p")
+  }
+
+  test("t_quality_rules is one fused scan: no shuffle, no join") {
+    val p = planOf("t_quality_rules")
+    assert(!p.contains("Exchange"), s"rule battery must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"rule battery must not join:\n$p")
+  }
+
   test("p1_struct_flatten_wide: the 120-leaf flatten stays one map-side projection") {
     val p = planOf("p1_struct_flatten_wide")
     assert(!p.contains("Exchange"), s"wide flatten must not shuffle:\n$p")
