@@ -51,6 +51,38 @@ object MergeOps {
   def newRows(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
     source.join(target.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Snapshot diff: classify every key as added / removed / changed /
+    * unchanged between two versions of a table (the audit a warehouse runs
+    * after a backfill or before promoting a rebuilt mart — dbt snapshot /
+    * data-diff shape). One full-outer join on the key; per-column
+    * comparison uses null-safe equality on the TYPED columns, never a
+    * stringified row hash (float-to-string formatting differs across
+    * engines and a hash would also hide WHICH column moved).
+    * `n_cols_changed` counts differing non-key columns for changed keys.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = before.columns.filterNot(keys.contains).toSeq
+    require(payload.toSet == after.columns.filterNot(keys.contains).toSet,
+      "snapshotDiff requires identical schemas; diff schema evolution separately")
+    val a = before.select(before.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"a_$c")): _*)
+      .withColumn("__in_a", lit(true))
+    val b = after.select(after.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"b_$c")): _*)
+      .withColumn("__in_b", lit(true))
+    val changedCols = payload.map(c =>
+      when(!(col(s"a_$c") <=> col(s"b_$c")), 1).otherwise(0))
+    val nChanged = changedCols.reduce(_ + _)
+    a.join(b, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(nChanged > 0, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type") :+
+        when(col("__in_a").isNotNull && col("__in_b").isNotNull, nChanged)
+          .otherwise(lit(0)).cast("long").as("n_cols_changed"): _*)
+  }
+
   /** D4: the reference's history_assets flow
     * (reference dags/queries/history_assets.sql:1-62) — dedup the staging
     * batch to its oldest row per key, then insert only keys the target

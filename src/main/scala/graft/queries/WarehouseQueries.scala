@@ -382,6 +382,41 @@ object WarehouseQueries {
           max(col("o_totalprice")).as("fee_max"),
           (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("fee_avg"))),
 
+    // D11: snapshot diff — classify every key added/removed/changed/
+    // unchanged between a table and its deterministically mutated next
+    // version (the post-backfill audit). One full-outer key join,
+    // typed null-safe column compares (never a stringified row hash).
+    "d11_snapshot_diff" -> ((s, dir) => {
+      val before = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val after = before.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionByName(before.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      MergeOps.snapshotDiff(before, after, Seq("o_orderkey"))
+    }),
+
+    // S10: schema evolution on the lake — a v2 batch lands with a new
+    // column, mergeSchema reconciles, old rows read NULL for it. The
+    // write-append-read roundtrip is the gate (same read-back pattern as
+    // the K5/K6 sink gates).
+    "s10_schema_evolution" -> ((s, dir) => {
+      val out = scratch("evo", dir)
+      val o = t(s, dir, "orders")
+      val v1 = o.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0)
+      val v2 = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderkey") % 2 =!= 0)
+      v1.write.mode("overwrite").parquet(out)
+      v2.write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("id_sum"))
+    }),
+
     // A5 (marts, scale path): the same percentile mart over a DETERMINISTIC
     // 10% hash sample. Exact per-group percentiles hold the whole group's
     // values in one aggregation buffer — fine per month, hostile at 100 TB
@@ -928,6 +963,36 @@ object WarehouseQueries {
         |  round(quantile_cont(o_totalprice, 0.99), 6) AS fee_p99,
         |  max(o_totalprice) AS fee_max,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS fee_avg
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "d11_snapshot_diff" ->
+      """WITH bf AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |af AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(bf.o_orderkey, af.o_orderkey) AS o_orderkey,
+        |    bf.o_orderkey IS NOT NULL AS in_bf,
+        |    af.o_orderkey IS NOT NULL AS in_af,
+        |    CAST(bf.o_orderstatus IS DISTINCT FROM af.o_orderstatus AS INTEGER) +
+        |    CAST(bf.o_totalprice IS DISTINCT FROM af.o_totalprice AS INTEGER) AS nch
+        |  FROM bf FULL OUTER JOIN af ON bf.o_orderkey = af.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_bf THEN 'added'
+        |       WHEN NOT in_af THEN 'removed'
+        |       WHEN nch > 0 THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |  CAST(CASE WHEN in_bf AND in_af THEN nch ELSE 0 END AS BIGINT) AS n_cols_changed
+        |FROM j""".stripMargin,
+
+    "s10_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
         |FROM orders GROUP BY 1""".stripMargin,
 
     "a5_fee_stats_sampled" ->

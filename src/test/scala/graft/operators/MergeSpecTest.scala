@@ -123,6 +123,22 @@ class MergeSpecTest extends SparkSpec {
       s"emptied 'north america' partition dir must be deleted, dirs=$leftDirs")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safely") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 2.0),
+      (3L, Some("c"), 3.0)).toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 9.0),
+      (4L, Some("d"), 4.0)).toDF("k", "s", "v")
+    val d = MergeOps.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(d(1L) == (("unchanged", 0L)))
+    assert(d(2L) == (("changed", 1L)))   // null == null must NOT count as change
+    assert(d(3L) == (("removed", 0L)))
+    assert(d(4L) == (("added", 0L)))
+    // diff of a table against itself is all-unchanged
+    val self = MergeOps.snapshotDiff(before, before, Seq("k"))
+    assert(self.filter(col("change_type") =!= "unchanged").isEmpty)
+  }
+
   test("dedupInsertNewRows keeps the oldest staging row per new key") {
     val staging = log(("a", 1, 1, false, 1.0), ("a", 2, 1, false, 2.0),
       ("d", 1, 1, false, 4.0), ("d", 2, 1, false, 5.0))
