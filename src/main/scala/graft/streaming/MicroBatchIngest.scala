@@ -107,6 +107,35 @@ object MicroBatchIngest {
     current.getOrElse(sys.error("mergeDrain: stream produced no batches"))
   }
 
+  /** Watermarked stream-stream interval join: attach to each purchase the
+    * same user's clicks from the preceding `windowSeconds` — last-touch
+    * attribution, the canonical TWO-SIDED streaming state shape (every
+    * prior stateful op here keeps state on one side only). The range
+    * predicate plus both watermarks is what lets Spark garbage-collect
+    * both join buffers: a click older than `watermark + windowSeconds`
+    * can never match a future purchase, so state stays bounded at any
+    * stream length — an unconstrained stream-stream join would buffer
+    * forever.
+    */
+  def streamStreamAttribution(purchases: DataFrame, clicks: DataFrame,
+                              windowSeconds: Long = 1800L,
+                              watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Windowed per-event-type counts with a watermark — the aggregation shape
     * the reference's 10-minute batch stats table records per run
     * (reference dags/stellar_etl_airflow/build_batch_stats.py:9-43), kept

@@ -172,11 +172,30 @@ object StreamingGate {
         col("version"))
   }
 
+  /** Stream-stream interval join drained to a table: purchases and clicks
+    * arrive as two file streams (staged from the same events table); each
+    * purchase picks up the user's clicks from the preceding 30 minutes.
+    * The oracle is the equivalent batch interval join.
+    */
+  def streamJoinGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val inP = scratch("sj_p", dir)
+    val inC = scratch("sj_c", dir)
+    val out = scratch("sj_out", dir)
+    val ck = scratch("sj_ck", dir)
+    val p = stage(spark, ev.filter(col("event_type") === "purchase"), inP)
+    val c = stage(spark, ev.filter(col("event_type") === "click"), inC)
+    drain(MicroBatchIngest.streamStreamAttribution(p, c), out, ck)
+    spark.read.parquet(out)
+      .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
     "st_kmv_estimate" -> (kmvGate(_, _)),
-    "st_upsert" -> (upsertGate(_, _)))
+    "st_upsert" -> (upsertGate(_, _)),
+    "st_stream_join" -> (streamJoinGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -208,6 +227,15 @@ object StreamingGate {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    "st_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+        |  p.ts AS p_ts, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1800 SECONDS
+        | AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
 
     "st_upsert" ->
       """WITH seed AS (

@@ -201,6 +201,33 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("stream-stream join matches a click buffered batches before its purchase") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(src: MemoryStream[(Long, String, Long)]) =
+      src.toDF().toDF("event_id", "ts_s", "user_id")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+    val clicks = MemoryStream[(Long, String, Long)]
+    val purchases = MemoryStream[(Long, String, Long)]
+    val out = MicroBatchIngest.streamStreamAttribution(ev(purchases), ev(clicks))
+    val q = out.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    // click arrives FIRST, alone in its micro-batch
+    clicks.addData((10L, "2024-01-01 00:05:00", 1L))
+    q.processAllAvailable()
+    // its purchase arrives 20 min later, in a LATER batch; a second user's
+    // click is outside the 30-min window and must not match
+    purchases.addData((20L, "2024-01-01 00:25:00", 1L))
+    clicks.addData((11L, "2024-01-01 08:00:00", 2L))
+    purchases.addData((21L, "2024-01-01 09:00:00", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sj_out").select("p_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 10L)), s"got $got")
+  }
+
   test("streaming KMV estimate converges across micro-batches with O(k) state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
