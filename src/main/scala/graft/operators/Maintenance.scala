@@ -55,6 +55,29 @@ object Maintenance {
   def dailyIncrement(src: DataFrame, tsCol: String, day: String): DataFrame =
     src.filter(to_date(col(tsCol)) === lit(day).cast("date"))
 
+  /** Small-file compaction: rewrite a table (or one partition's) directory
+    * into `n` files. Ten-minute micro-batches each appending a handful of
+    * files is the reference's layout; at cluster scale the accumulated
+    * small files dominate scan planning and NameNode/listing cost, so a
+    * periodic partition-scoped compact is part of the maintenance surface.
+    * Writes to a sibling tmp dir and swaps via rename — the read never
+    * overlaps the overwrite (reading and overwriting one path in a single
+    * job loses the data on failure mid-write).
+    */
+  def compact(spark: SparkSession, path: String, n: Int): Unit = {
+    require(n >= 1, s"compact needs n >= 1 files, got $n")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"compact: rename $tmp -> $dst failed")
+  }
+
   /** S6: newest file under `dir` whose name starts with `prefix`
     * (None when absent — the sensor's "not yet arrived" state).
     */

@@ -382,6 +382,25 @@ object WarehouseQueries {
           max(col("o_totalprice")).as("fee_max"),
           (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("fee_avg"))),
 
+    // S11: malformed-record quarantine — the middle ground between the
+    // reference's FAILFAST (max_bad_records=0) and silent drops: every
+    // 10th staged NDJSON line is corrupted, the permissive read routes
+    // those to the quarantine leg (raw text kept for replay), and the
+    // clean leg loads. Both legs are one scan.
+    "s11_quarantine" -> ((s, dir) => {
+      val stage = scratch("quar", dir)
+      val lines = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 === 0,
+          concat(lit("XX{\"o_orderkey\":"), col("o_orderkey"), lit("}")))
+          .otherwise(concat(lit("{\"o_orderkey\":"), col("o_orderkey"), lit("}")))
+          .as("value"))
+      lines.write.mode("overwrite").text(stage)
+      val schema = StructType(Seq(StructField("o_orderkey", LongType)))
+      val (good, bad) = graft.sources.Ndjson.readWithQuarantine(s, schema, stage)
+      good.agg(count(lit(1)).as("n_good"), sum(col("o_orderkey")).as("good_id_sum"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+    }),
+
     // D11: snapshot diff — classify every key added/removed/changed/
     // unchanged between a table and its deterministically mutated next
     // version (the post-backfill audit). One full-outer key join,
@@ -964,6 +983,13 @@ object WarehouseQueries {
         |  max(o_totalprice) AS fee_max,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS fee_avg
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "s11_quarantine" ->
+      """SELECT
+        |  COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS n_good,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END) AS BIGINT) AS good_id_sum,
+        |  COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_bad
+        |FROM orders""".stripMargin,
 
     "d11_snapshot_diff" ->
       """WITH bf AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -32,4 +32,27 @@ object Ndjson {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(paths: _*)
+
+  /** Quarantine split: the middle ground between FAILFAST (kill the batch
+    * on one bad byte) and silently dropping malformed lines — parse
+    * permissively, route malformed source lines to a quarantine relation
+    * (raw text preserved for replay after the upstream fix), and return
+    * clean rows without the bookkeeping column.
+    *
+    * The parsed batch is CACHED: Spark disallows plans whose referenced
+    * columns are only the internal corrupt-record column (the quarantine
+    * leg's shape), and the documented workaround — persist the parse — is
+    * also the right call here: the split runs per batch FILE (a bounded
+    * micro-batch, never the corpus), both legs read the one cached parse,
+    * and the caller unpersists (or clearCache()s) after draining them.
+    */
+  def readWithQuarantine(spark: SparkSession, schema: StructType, paths: String*)
+  : (DataFrame, DataFrame) = {
+    val raw = readPermissive(spark, schema, paths: _*).cache()
+    val good = raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    (good, bad)
+  }
 }

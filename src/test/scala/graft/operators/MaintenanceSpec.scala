@@ -38,6 +38,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(inc.filter(to_date(col("ts")) =!= "2024-01-15").count() == 0)
   }
 
+  test("compact rewrites the directory to n files with identical content") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("compact").toString + "/tbl"
+    spark.range(1000).toDF("id").repartition(37).write.parquet(p)
+    def files = new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files > 30)
+    Maintenance.compact(spark, p, 2)
+    assert(files == 2, s"expected 2 files after compact, got $files")
+    assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
+  }
+
   test("latestFileByPrefix picks the newest matching file") {
     val dir = Files.createTempDirectory("sensor")
     Files.writeString(dir.resolve("mgi_2024_01_01.csv"), "a")
