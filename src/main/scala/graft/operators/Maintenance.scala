@@ -68,6 +68,13 @@ object Maintenance {
     require(n >= 1, s"compact needs n >= 1 files, got $n")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // refuse a partitioned table ROOT: rewriting it unpartitioned would
+    // flatten `p=.../` directories into plain columns and lose pruning —
+    // compact runs per leaf (partition) directory, like retention does
+    val hasPartitionDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!hasPartitionDirs,
+      s"compact targets a leaf/partition dir; $path has partition subdirs — compact each")
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(path).repartition(n)

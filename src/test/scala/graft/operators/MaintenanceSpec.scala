@@ -49,6 +49,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
   }
 
+  test("compact refuses a partitioned table root (would flatten the layout)") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("compact_part").toString + "/tbl"
+    (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(p)
+    val e = intercept[IllegalArgumentException](Maintenance.compact(spark, p, 2))
+    assert(e.getMessage.contains("partition subdirs"))
+    // compacting one leaf partition dir is the supported shape
+    Maintenance.compact(spark, s"$p/p=0", 1)
+    assert(spark.read.parquet(s"$p/p=0").count() == 33)
+  }
+
   test("latestFileByPrefix picks the newest matching file") {
     val dir = Files.createTempDirectory("sensor")
     Files.writeString(dir.resolve("mgi_2024_01_01.csv"), "a")
