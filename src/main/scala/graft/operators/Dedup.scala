@@ -293,10 +293,17 @@ object Dedup {
 
   def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4): NearDupIndex = {
-    val dg = shingleRows(docs, idCol, textCol, n)
-      .select(col("id"), md5(col("shingle")).as("d"))
-      .distinct()
-    val sigsz = signatureAgg(dg, k, withSize = true)
+    // materialized: the probe scans digests once, bands once, and sizes
+    // TWICE (sz_a/sz_b joins) — lazy relations would re-tokenize the whole
+    // existing corpus on every scan, the exact cost the index exists to
+    // avoid. (In production these are bucketed TABLES; the eager persist
+    // is the in-session stand-in, released via Dedup.releasePinned /
+    // clearCache like every other pinned dedup relation.)
+    val dg = materialize(
+      shingleRows(docs, idCol, textCol, n)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct())
+    val sigsz = materialize(signatureAgg(dg, k, withSize = true))
     NearDupIndex(dg, bandRows(sigsz, k, bands), sigsz.select(col("id"), col("sz")))
   }
 
@@ -320,6 +327,16 @@ object Dedup {
         .select(col("id"), md5(col("shingle")).as("d"))
         .distinct())
     val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
+    // A delta id that already exists in the index would merge BOTH
+    // versions' shingles under one id (inflated intersections, duplicated
+    // size-join rows, garbage jaccards) — refuse it; a re-crawled doc must
+    // be removed from the index (rebuild/partition-rewrite) before its new
+    // version arrives as delta. One small probe of the delta's ids.
+    val nShared = dSigsz.select(col("id"))
+      .join(index.sizes, Seq("id"), "left_semi").limit(1).count()
+    require(nShared == 0,
+      "delta ids overlap the index: re-crawled docs must be dropped from " +
+        "the index before their new versions are probed as delta")
     val dBands = bandRows(dSigsz, k, bands)
     // delta x (index U delta) sharing a band; least/greatest normalizes the
     // unordered pair so a delta-delta collision isn't emitted twice

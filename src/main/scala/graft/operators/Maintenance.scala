@@ -60,29 +60,38 @@ object Maintenance {
     * files is the reference's layout; at cluster scale the accumulated
     * small files dominate scan planning and NameNode/listing cost, so a
     * periodic partition-scoped compact is part of the maintenance surface.
-    * Writes to a sibling tmp dir and swaps via rename — the read never
-    * overlaps the overwrite (reading and overwriting one path in a single
-    * job loses the data on failure mid-write).
+    * Writes to a sibling tmp dir and swaps by renaming the OLD dir aside
+    * first — the read never overlaps the overwrite, and at no point is
+    * the data deletable-only: a crash mid-swap leaves either the original
+    * (as `...__compact_old`) or the compacted copy on disk, never neither.
     */
   def compact(spark: SparkSession, path: String, n: Int): Unit = {
     require(n >= 1, s"compact needs n >= 1 files, got $n")
+    // normalize: a trailing slash would root the tmp/old siblings INSIDE
+    // the table dir, turning the swap into self-destruction
+    val norm = path.replaceAll("/+$", "")
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(norm), spark.sparkContext.hadoopConfiguration)
     // refuse a partitioned table ROOT: rewriting it unpartitioned would
     // flatten `p=.../` directories into plain columns and lose pruning —
     // compact runs per leaf (partition) directory, like retention does
-    val hasPartitionDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val hasPartitionDirs = fs.listStatus(new org.apache.hadoop.fs.Path(norm))
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(!hasPartitionDirs,
-      s"compact targets a leaf/partition dir; $path has partition subdirs — compact each")
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    fs.delete(tmp, true)
-    spark.read.parquet(path).repartition(n)
+      s"compact targets a leaf/partition dir; $norm has partition subdirs — compact each")
+    val tmp = new org.apache.hadoop.fs.Path(norm + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(norm + "__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(norm).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      sys.error(s"compact: rename $tmp -> $dst failed")
+    val dst = new org.apache.hadoop.fs.Path(norm)
+    if (!fs.rename(dst, old))
+      sys.error(s"compact: could not move $dst aside to $old")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore — the original is still intact
+      sys.error(s"compact: rename $tmp -> $dst failed; original restored")
+    }
+    fs.delete(old, true)
   }
 
   /** S6: newest file under `dir` whose name starts with `prefix`

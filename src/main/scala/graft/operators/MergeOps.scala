@@ -70,9 +70,11 @@ object MergeOps {
     val b = after.select(after.columns.map(c =>
       if (keys.contains(c)) col(c) else col(c).as(s"b_$c")): _*)
       .withColumn("__in_b", lit(true))
-    val changedCols = payload.map(c =>
-      when(!(col(s"a_$c") <=> col(s"b_$c")), 1).otherwise(0))
-    val nChanged = changedCols.reduce(_ + _)
+    // foldLeft, not reduce: a keys-only table (pure membership diff) has an
+    // empty payload and must classify added/removed/unchanged, not crash
+    val nChanged = payload.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(!(col(s"a_$c") <=> col(s"b_$c")), 1).otherwise(0)
+    }
     a.join(b, keys, "full_outer")
       .select(keys.map(col) :+
         when(col("__in_a").isNull, lit("added"))

@@ -396,9 +396,18 @@ object WarehouseQueries {
           .as("value"))
       lines.write.mode("overwrite").text(stage)
       val schema = StructType(Seq(StructField("o_orderkey", LongType)))
-      val (good, bad) = graft.sources.Ndjson.readWithQuarantine(s, schema, stage)
-      good.agg(count(lit(1)).as("n_good"), sum(col("o_orderkey")).as("good_id_sum"))
-        .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+      val split = graft.sources.Ndjson.readWithQuarantine(s, schema, stage)
+      // drain both legs eagerly so the shared parse cache can be RELEASED
+      // here — returned lazily it would stay pinned for the whole 119-query
+      // session; the gate then reads the drained result back (the K5-style
+      // roundtrip pattern)
+      val res = scratch("quar_res", dir)
+      split.good
+        .agg(count(lit(1)).as("n_good"), sum(col("o_orderkey")).as("good_id_sum"))
+        .crossJoin(split.quarantine.agg(count(lit(1)).as("n_bad")))
+        .write.mode("overwrite").parquet(res)
+      split.release()
+      s.read.parquet(res)
     }),
 
     // D11: snapshot diff — classify every key added/removed/changed/

@@ -46,13 +46,21 @@ object Ndjson {
     * micro-batch, never the corpus), both legs read the one cached parse,
     * and the caller unpersists (or clearCache()s) after draining them.
     */
+  final case class QuarantineSplit(good: DataFrame, quarantine: DataFrame,
+                                   private val raw: DataFrame) {
+    /** Unpersist the shared parse — call after BOTH legs' actions have
+      * run, or the cached batch stays pinned for the session's lifetime.
+      */
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
   def readWithQuarantine(spark: SparkSession, schema: StructType, paths: String*)
-  : (DataFrame, DataFrame) = {
+  : QuarantineSplit = {
     val raw = readPermissive(spark, schema, paths: _*).cache()
     val good = raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val bad = raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
       .select("_corrupt_record")
-    (good, bad)
+    QuarantineSplit(good, bad, raw)
   }
 }

@@ -86,9 +86,26 @@ object MicroBatchIngest {
   def mergeDrain(changes: DataFrame, keys: Seq[String], versionCol: String,
                  stateRoot: String, checkpoint: String): String = {
     val spark = changes.sparkSession
+    // Restart safety: when resuming from a durable checkpoint the file
+    // source SKIPS already-committed batches, so the previous state must
+    // be recovered from storage — an in-memory pointer alone would fold
+    // the first post-restart batch against nothing and silently drop
+    // every pre-restart key. The newest state_v<id> dir IS that state
+    // (each batch writes its full fold; a batch retried mid-write simply
+    // overwrites its own version dir).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateRoot), spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
+    val recovered =
+      if (!fs.exists(rootPath)) None
+      else fs.listStatus(rootPath).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("state_v\\d+"))
+        .sortBy(_.stripPrefix("state_v").toLong)
+        .lastOption.map(v => s"$stateRoot/$v")
     // foreachBatch bodies run sequentially on the driver thread; the var
     // only threads the previous version's path between batches.
-    @volatile var current: Option[String] = None
+    @volatile var current: Option[String] = recovered
     val q = changes.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -155,7 +155,10 @@ object StreamingGate {
     val in = scratch("ups_in", dir)
     val state = scratch("ups_state", dir)
     val ck = scratch("ups_ck", dir)
+    // the drain is the unit under test: fresh state AND a fresh checkpoint
+    // (a stale checkpoint would skip the re-staged input's batches)
     cleanDir(spark, state)
+    cleanDir(spark, ck)
     // several staged files AND maxFilesPerTrigger=1 -> the fold really runs
     // once per micro-batch (the default would drain all files in one)
     val staged = seed.unionByName(changes).repartition(4)

@@ -48,6 +48,13 @@ class DedupAndVectorSpec extends SparkSpec {
     val full = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.3)
       .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
     assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    // a delta id already present in the index would merge two versions'
+    // shingles under one id — must be refused, not silently mis-scored
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(existing.limit(1), "doc_id", "text", idx,
+        threshold = 0.3).count()
+    }
+    assert(bad.getMessage.contains("overlap the index"))
     spark.catalog.clearCache()
   }
 

@@ -47,6 +47,10 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.compact(spark, p, 2)
     assert(files == 2, s"expected 2 files after compact, got $files")
     assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
+    // a trailing slash must not root the tmp/old siblings inside the table
+    Maintenance.compact(spark, p + "/", 1)
+    assert(files == 1, s"expected 1 file after trailing-slash compact, got $files")
+    assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
   }
 
   test("compact refuses a partitioned table root (would flatten the layout)") {

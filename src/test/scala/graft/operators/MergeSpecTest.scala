@@ -137,6 +137,11 @@ class MergeSpecTest extends SparkSpec {
     // diff of a table against itself is all-unchanged
     val self = MergeOps.snapshotDiff(before, before, Seq("k"))
     assert(self.filter(col("change_type") =!= "unchanged").isEmpty)
+    // keys-only tables diff as pure membership (empty payload must not crash)
+    val m = MergeOps.snapshotDiff(
+      Seq(1L, 2L).toDF("k"), Seq(2L, 3L).toDF("k"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
 
   test("dedupInsertNewRows keeps the oldest staging row per new key") {

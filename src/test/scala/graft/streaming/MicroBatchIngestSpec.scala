@@ -103,6 +103,30 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(drain(7, "seven") == expected)
   }
 
+  test("mergeDrain resumes from a durable checkpoint without losing pre-restart state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("merge_resume").toString
+    // first run: seed arrives, commits, "process dies" (drain completes)
+    Seq((1L, "v1", 1L, false), (2L, "v1", 1L, false))
+      .toDF("k", "v", "version", "deleted")
+      .write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val s1 = spark.readStream.schema(schema).parquet(s"$root/in")
+    MicroBatchIngest.mergeDrain(s1, Seq("k"), "version", s"$root/state", s"$root/ck")
+    // restart: only NEW files are unprocessed; the committed seed batch is
+    // skipped by the source and must be recovered from state_v*
+    Seq((2L, "v2", 2L, false), (3L, "new", 1L, false))
+      .toDF("k", "v", "version", "deleted")
+      .write.mode("append").parquet(s"$root/in")
+    val s2 = spark.readStream.schema(schema).parquet(s"$root/in")
+    val fin = MicroBatchIngest.mergeDrain(s2, Seq("k"), "version",
+      s"$root/state", s"$root/ck")
+    val got = spark.read.parquet(fin).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "new"),
+      s"pre-restart keys must survive the resume, got $got")
+  }
+
   test("windowed counts aggregate per 10-minute window with watermark") {
     import spark.implicits._
     val ev = Seq(
