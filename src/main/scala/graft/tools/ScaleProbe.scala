@@ -145,14 +145,10 @@ object ScaleProbe {
       val delta = big.filter(col("doc_id") >= (mult - 1).toLong * 10000000L)
       val nEx = existing.count(); val nDelta = delta.count()
       println(s"[scale] incremental: index=$nEx docs, delta=$nDelta docs")
-      import org.apache.spark.storage.StorageLevel
-      val idx0 = Dedup.nearDupIndex(existing, "doc_id", "text")
-      val idx = Dedup.NearDupIndex(
-        idx0.digests.persist(StorageLevel.MEMORY_AND_DISK),
-        idx0.bands.persist(StorageLevel.MEMORY_AND_DISK),
-        idx0.sizes.persist(StorageLevel.MEMORY_AND_DISK))
-      time("  index_build") {
-        idx.digests.count(); idx.bands.count(); idx.sizes.count()
+      // nearDupIndex materializes its relations eagerly — the build cost
+      // is the call itself
+      val idx = time("  index_build") {
+        Dedup.nearDupIndex(existing, "doc_id", "text")
       }
       val nInc = time("  delta_probe") {
         Dedup.incrementalNearDupPairs(delta, "doc_id", "text", idx).count()
@@ -174,13 +170,8 @@ object ScaleProbe {
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       val nIdx2 = idxDocs.count(); val nD2 = deltaNovel.count()
       println(s"[scale] novel-delta: index=$nIdx2 docs, delta=$nD2 docs")
-      val idxN0 = Dedup.nearDupIndex(idxDocs, "doc_id", "text")
-      val idxN = Dedup.NearDupIndex(
-        idxN0.digests.persist(StorageLevel.MEMORY_AND_DISK),
-        idxN0.bands.persist(StorageLevel.MEMORY_AND_DISK),
-        idxN0.sizes.persist(StorageLevel.MEMORY_AND_DISK))
-      time("  index_build2") {
-        idxN.digests.count(); idxN.bands.count(); idxN.sizes.count()
+      val idxN = time("  index_build2") {
+        Dedup.nearDupIndex(idxDocs, "doc_id", "text")
       }
       val nInc2 = time("  delta_probe2") {
         Dedup.incrementalNearDupPairs(deltaNovel, "doc_id", "text", idxN).count()
