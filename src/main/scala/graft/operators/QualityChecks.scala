@@ -58,6 +58,25 @@ object QualityChecks {
   def minRows(n: Long): AggCheck =
     AggCheck(s"min_rows_$n", when(count(lit(1)) < n, 1L).otherwise(0L))
 
+  /** dbt relationships (FK integrity): child rows whose non-null key has
+    * no match in the parent — the one dbt test shape that inherently reads
+    * TWO tables, so it can't fuse into [[battery]]'s single scan. Shape:
+    * distinct-project the parent's key column (tiny vs the fact table →
+    * Catalyst broadcasts it), then a left-anti count on the child. Emits
+    * the same (table, check, violations, passed) row as the battery.
+    */
+  def relationship(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   childTable: String, parentTable: String): DataFrame = {
+    val name = s"rel_${childKey}_$parentTable"
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .select(lit(childTable).as("table_name"), lit(name).as("check_name"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+  }
+
   /** Run every check on `df` in a single fused aggregate, then unpivot to
     * one result row per check. */
   def battery(df: DataFrame, table: String,

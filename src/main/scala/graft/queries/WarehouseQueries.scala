@@ -665,6 +665,22 @@ object WarehouseQueries {
       ev.unionByName(ord)
     }),
 
+    // dbt relationships (FK integrity) — the two-table test shape: two
+    // green checks over real FKs, plus an exercised FAILING path (parents
+    // restricted to even suppkeys, so lineitems referencing odd suppliers
+    // count as violations).
+    "qa_relationships" -> ((s, dir) => {
+      import QualityChecks._
+      val li = t(s, dir, "lineitem")
+      relationship(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "orders", "customer")
+        .unionByName(relationship(li, "l_partkey",
+          t(s, dir, "part"), "p_partkey", "lineitem", "part"))
+        .unionByName(relationship(li, "l_suppkey",
+          t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0),
+          "s_suppkey", "lineitem", "supplier_even"))
+    }),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1141,6 +1157,31 @@ object WarehouseQueries {
         |SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM rows_""".stripMargin,
+
+    "qa_relationships" ->
+      """SELECT 'orders' AS table_name, 'rel_o_custkey_customer' AS check_name,
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey IS NOT NULL
+        |          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS violations,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey IS NOT NULL
+        |     AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 AS passed
+        |UNION ALL
+        |SELECT 'lineitem', 'rel_l_partkey_part',
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |        WHERE l.l_partkey IS NOT NULL
+        |          AND l.l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_partkey IS NOT NULL
+        |     AND l.l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+        |UNION ALL
+        |SELECT 'lineitem', 'rel_l_suppkey_supplier_even',
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |        WHERE l.l_suppkey IS NOT NULL
+        |          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 2 = 0)) AS BIGINT),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_suppkey IS NOT NULL
+        |     AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 2 = 0)) = 0""".stripMargin,
 
     "d8_daily_increment" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,

@@ -41,6 +41,24 @@ class QualityChecksSpec extends SparkSpec {
     assert(res.filter(!col("passed")).count() == 0)
   }
 
+  test("relationship counts orphaned child keys, broadcast anti join") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, Some(1L)), (11L, Some(2L)), (12L, Some(9L)),
+      (13L, None: Option[Long])).toDF("id", "fk")
+    val r = relationship(child, "fk", parent, "pk", "child", "parent")
+    val row = r.head()
+    assert(row.getString(1) == "rel_fk_parent")
+    assert(row.getLong(2) == 1L && !row.getBoolean(3)) // only fk=9; null fk exempt
+    val clean = relationship(child.filter(col("fk") =!= 9L), "fk",
+      parent, "pk", "child", "parent").head()
+    assert(clean.getLong(2) == 0L && clean.getBoolean(3))
+    // the parent side must broadcast: the check's cost is one child scan
+    val p = r.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"parent key set must broadcast into an anti join:\n$p")
+  }
+
   test("the whole battery fuses into a single scan of the table") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
     val res = battery(ev, "events",
