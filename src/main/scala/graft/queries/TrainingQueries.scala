@@ -461,6 +461,37 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Unit-L2 normalization — the standard pre-ANN / pre-clustering
+    // transform. The norm is MATERIALIZED into a column before the
+    // per-element lambda (splicing it inline would re-run the norm fold
+    // per element — the bigram/shingle trap); the gate checks the norm and
+    // the normalized component sum, both left-to-right double folds.
+    "t_embed_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("nrm", VF.norm(col("embedding")))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), col("label"),
+          round(col("nrm"), 6).as("l2_norm"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") / col("nrm")), 6).as("unit_sum"))),
+
+    // Dataset card: the per-source reporting mart a corpus release ships —
+    // doc counts, char/token volume, language mix, quality-keep rate —
+    // one fused aggregation pass over the documents table.
+    "t_dataset_card" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TF.tokenCount(txt).cast("long")).as("total_tokens"),
+          count(when(col("lang") === "en", 1)).as("n_en"),
+          count(when(TF.qualityKeep(txt), 1)).as("n_quality_keep"),
+          round(count(when(TF.qualityKeep(txt), 1)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"))
+    }),
+
     // Per-key ordered sequence assembly: turn the event log into one
     // ordered sequence row per user — the training-sample construction
     // shape (conversation/history assembly). ONE shuffle on the key; the
@@ -1214,6 +1245,38 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    "t_embed_norm" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, label, round(nrm, 6) AS l2_norm,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / nrm)), 6) AS unit_sum
+        |FROM n WHERE nrm > 0""".stripMargin,
+
+    "t_dataset_card" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+        |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        |  COUNT(CASE WHEN len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '\S+')), 1) < 0.3
+        |    AND CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+        |          t -> length(t))), 0) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '\S+')), 1) >= 2.0
+        |    THEN 1 END) AS n_quality_keep,
+        |  round(CAST(COUNT(CASE WHEN len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '\S+')), 1) < 0.3
+        |    AND CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+        |          t -> length(t))), 0) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '\S+')), 1) >= 2.0
+        |    THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     "t_seq_assemble" ->
       """SELECT user_id, COUNT(*) AS n_events,
