@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that pin relations (the dedup family's materialize,
+      // nearDupIndex) rely on the session dropping them between queries —
+      // Bench does the same; without this the pins accumulate across the
+      // full gate surface
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -322,21 +322,23 @@ object Dedup {
                               n: Int = 3, k: Int = 8, bands: Int = 4,
                               threshold: Double = 0.5): DataFrame = {
     require(threshold > 0, "incremental path requires a positive threshold")
+    // A delta id that already exists in the index would merge BOTH
+    // versions' shingles under one id (inflated intersections, duplicated
+    // size-join rows, garbage jaccards) — refuse it BEFORE any expensive
+    // work: this probe is a bare id projection, so a refused call has
+    // tokenized nothing and pinned nothing. A re-crawled doc must be
+    // removed from the index (rebuild/partition-rewrite) before its new
+    // version arrives as delta.
+    val nShared = delta.select(col(idCol).as("id")).distinct()
+      .join(index.sizes, Seq("id"), "left_semi").limit(1).count()
+    require(nShared == 0,
+      "delta ids overlap the index: re-crawled docs must be dropped from " +
+        "the index before their new versions are probed as delta")
     val dDg = materialize(
       shingleRows(delta, idCol, textCol, n)
         .select(col("id"), md5(col("shingle")).as("d"))
         .distinct())
     val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
-    // A delta id that already exists in the index would merge BOTH
-    // versions' shingles under one id (inflated intersections, duplicated
-    // size-join rows, garbage jaccards) — refuse it; a re-crawled doc must
-    // be removed from the index (rebuild/partition-rewrite) before its new
-    // version arrives as delta. One small probe of the delta's ids.
-    val nShared = dSigsz.select(col("id"))
-      .join(index.sizes, Seq("id"), "left_semi").limit(1).count()
-    require(nShared == 0,
-      "delta ids overlap the index: re-crawled docs must be dropped from " +
-        "the index before their new versions are probed as delta")
     val dBands = bandRows(dSigsz, k, bands)
     // delta x (index U delta) sharing a band; least/greatest normalizes the
     // unordered pair so a delta-delta collision isn't emitted twice

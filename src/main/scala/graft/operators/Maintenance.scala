@@ -72,15 +72,22 @@ object Maintenance {
     val norm = path.replaceAll("/+$", "")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(norm), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(norm + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(norm + "__compact_old")
+    val dst0 = new org.apache.hadoop.fs.Path(norm)
+    // crash recovery FIRST (before the guard's listing and the cleanup): a
+    // prior run that died between its two swap renames left the data only
+    // in __compact_old — restore it, or the cleanup below would delete the
+    // last surviving copy and the guard would choke on the missing dir
+    if (!fs.exists(dst0) && fs.exists(old) && !fs.rename(old, dst0))
+      sys.error(s"compact: could not restore $old to $dst0 after a prior crash")
     // refuse a partitioned table ROOT: rewriting it unpartitioned would
     // flatten `p=.../` directories into plain columns and lose pruning —
     // compact runs per leaf (partition) directory, like retention does
-    val hasPartitionDirs = fs.listStatus(new org.apache.hadoop.fs.Path(norm))
+    val hasPartitionDirs = fs.listStatus(dst0)
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(!hasPartitionDirs,
       s"compact targets a leaf/partition dir; $norm has partition subdirs — compact each")
-    val tmp = new org.apache.hadoop.fs.Path(norm + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(norm + "__compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(norm).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)

@@ -398,9 +398,9 @@ object WarehouseQueries {
       val schema = StructType(Seq(StructField("o_orderkey", LongType)))
       val split = graft.sources.Ndjson.readWithQuarantine(s, schema, stage)
       // drain both legs eagerly so the shared parse cache can be RELEASED
-      // here — returned lazily it would stay pinned for the whole 119-query
-      // session; the gate then reads the drained result back (the K5-style
-      // roundtrip pattern)
+      // here — returned lazily it would stay pinned for the rest of the
+      // gate session; the gate then reads the drained result back (the
+      // K5-style roundtrip pattern)
       val res = scratch("quar_res", dir)
       split.good
         .agg(count(lit(1)).as("n_good"), sum(col("o_orderkey")).as("good_id_sum"))

@@ -90,38 +90,44 @@ object MicroBatchIngest {
     // source SKIPS already-committed batches, so the previous state must
     // be recovered from storage — an in-memory pointer alone would fold
     // the first post-restart batch against nothing and silently drop
-    // every pre-restart key. The newest state_v<id> dir IS that state
-    // (each batch writes its full fold; a batch retried mid-write simply
-    // overwrites its own version dir).
+    // every pre-restart key. Each batch reads the newest state version
+    // STRICTLY BELOW its own batch id: a replayed batch (crash after its
+    // state write but before its checkpoint commit) then reads its
+    // predecessor and overwrites its own possibly-partial dir — never the
+    // dir it is reading — and batch 0 of a fresh checkpoint reads nothing
+    // even if the stateRoot holds leftovers from a dead run (ck and
+    // stateRoot form one logical stream; pair them).
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateRoot), spark.sparkContext.hadoopConfiguration)
     val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
-    val recovered =
+    def newestBelow(id: Long): Option[String] =
       if (!fs.exists(rootPath)) None
       else fs.listStatus(rootPath).toSeq
         .map(_.getPath.getName)
         .filter(_.matches("state_v\\d+"))
-        .sortBy(_.stripPrefix("state_v").toLong)
-        .lastOption.map(v => s"$stateRoot/$v")
-    // foreachBatch bodies run sequentially on the driver thread; the var
-    // only threads the previous version's path between batches.
-    @volatile var current: Option[String] = recovered
+        .map(_.stripPrefix("state_v").toLong)
+        .filter(_ < id)
+        .sorted.lastOption.map(v => s"$stateRoot/state_v$v")
+    // tracks the newest version THIS run wrote, for the return value only
+    @volatile var lastWritten: Option[String] = None
     val q = changes.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = current.map(spark.read.parquet(_))
+        val prev = newestBelow(batchId).map(spark.read.parquet(_))
         val union = prev.fold(batch)(_.unionByName(batch))
         val next = graft.operators.CurrentState
           .lastByKeyAgg(union, keys, Seq(versionCol))
         val out = s"$stateRoot/state_v$batchId"
         next.write.mode("overwrite").parquet(out)
-        current = Some(out)
+        lastWritten = Some(out)
         ()
       }
       .start()
     q.awaitTermination()
-    current.getOrElse(sys.error("mergeDrain: stream produced no batches"))
+    // no new batches on a resume: the newest committed version IS the state
+    lastWritten.orElse(newestBelow(Long.MaxValue))
+      .getOrElse(sys.error("mergeDrain: no batches and no prior state"))
   }
 
   /** Watermarked stream-stream interval join: attach to each purchase the

@@ -53,6 +53,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
   }
 
+  test("compact recovers a table stranded in __compact_old by a prior crash") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("compact_crash").toString + "/tbl"
+    spark.range(100).toDF("id").repartition(5).write.parquet(p)
+    // simulate a crash between the two swap renames: data only in old
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__compact_old")))
+    Maintenance.compact(spark, p, 1)
+    assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 4950L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__compact_old")))
+  }
+
   test("compact refuses a partitioned table root (would flatten the layout)") {
     import spark.implicits._
     val p = Files.createTempDirectory("compact_part").toString + "/tbl"

@@ -127,6 +127,24 @@ class MicroBatchIngestSpec extends SparkSpec {
       s"pre-restart keys must survive the resume, got $got")
   }
 
+  test("mergeDrain with a FRESH checkpoint ignores a dead run's leftover state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("merge_stale").toString
+    // a dead logical run left state behind in the same stateRoot
+    Seq((99L, "stale", 9L, false)).toDF("k", "v", "version", "deleted")
+      .write.parquet(s"$root/state/state_v7")
+    Seq((1L, "live", 1L, false)).toDF("k", "v", "version", "deleted")
+      .write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val st = spark.readStream.schema(schema).parquet(s"$root/in")
+    val fin = MicroBatchIngest.mergeDrain(st, Seq("k"), "version",
+      s"$root/state", s"$root/ck")
+    // batch 0 reads versions < 0 = nothing: the dead run's keys must NOT
+    // leak into the new stream's state
+    val keys = spark.read.parquet(fin).select("k").as[Long].collect().toSet
+    assert(keys == Set(1L), s"stale state leaked: $keys")
+  }
+
   test("windowed counts aggregate per 10-minute window with watermark") {
     import spark.implicits._
     val ev = Seq(
