@@ -237,6 +237,14 @@ object TrainingQueries {
           min(col("vec_id")).as("min_id"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cluster, then
+    // near-dup pairs ONLY within each cluster (cell-keyed self-join — the
+    // clustering is the LSH bucket), connected components, min-id
+    // survivor. Cross-cluster dups are the documented recall trade.
+    "t_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.semDedup(t(s, dir, "embeddings"),
+        nlist = 16, iters = 1, tau = 0.35)),
+
     // Multi-band hyperplane LSH ANN: 8 planes in 2 bands — a candidate
     // needs only ONE matching half-signature, so recall doesn't hinge on a
     // single 4-bit bucket.
@@ -769,6 +777,32 @@ object TrainingQueries {
        |JOIN qc ON af.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** SemDeDup oracle: the same generated Lloyd prefix re-derives the
+    * cells; same-cell pairs ≥ τ feed a recursive-CTE connected-components
+    * pass (mirroring dedupCcOracle), min-id canonical survivors.
+    */
+  private def semDedupOracle(nlist: Int, iters: Int, tau: Double): String =
+    kmeansCtePrefix(nlist, iters).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |sp AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${cosSql("ea.embedding", "eb.embedding", 64)} AS cos
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sedges AS (
+         |  SELECT va AS src, vb AS dst FROM sp WHERE cos >= $tau
+         |  UNION SELECT vb AS src, va AS dst FROM sp WHERE cos >= $tau),
+         |sreach(node, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM sreach r JOIN sedges e ON e.src = r.node),
+         |scc AS (SELECT node, MIN(lbl) AS canonical_id FROM sreach GROUP BY node)
+         |SELECT e.vec_id, af.cell, scc.canonical_id,
+         |  (e.vec_id = scc.canonical_id) AS keep
+         |FROM embeddings e JOIN af ON e.vec_id = af.vec_id
+         |JOIN scc ON e.vec_id = scc.node""".stripMargin
+
   /** Corpus clustering mart: per-cluster membership stats after the same
     * Lloyd rounds. */
   private def embedKmeansOracle(nlist: Int, iters: Int): String =
@@ -846,6 +880,7 @@ object TrainingQueries {
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
     "t_embed_kmeans" -> embedKmeansOracle(nlist = 16, iters = 2),
+    "t_semdedup" -> semDedupOracle(nlist = 16, iters = 1, tau = 0.35),
 
     "t_embed_pool" ->
       """SELECT label, dim, COUNT(*) AS n,
