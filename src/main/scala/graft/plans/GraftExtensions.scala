@@ -66,8 +66,18 @@ object GraftFunctions {
       KmvKthMin(children.head, litInt(children(1), "k"))
     })
 
+  private val kmvMinsDescriptor: Descriptor = (
+    FunctionIdentifier("graft_kmv_mins"),
+    new ExpressionInfo(classOf[KmvMins].getName, "graft_kmv_mins"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_kmv_mins(hash, k) takes a string column and an int literal")
+      KmvMins(children.head, litInt(children(1), "k"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
-    Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor, kmvDescriptor)
+    Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
+      kmvDescriptor, kmvMinsDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -114,6 +114,93 @@ case class KmvKthMin(
   override def prettyName: String = "graft_kmv_kth"
 }
 
+/** The MERGEABLE form of the KMV sketch: emits the full (≤k) sorted array
+  * of retained minimum hashes instead of just the k-th. Stored per
+  * partition (e.g. one row per day) it becomes a sketch MART: the union of
+  * per-partition sketches re-sketched to k is EXACTLY the sketch of the
+  * unioned raw data (each of the union's k smallest hashes is necessarily
+  * among its own partition's k smallest), so a range distinct-count query
+  * merges a handful of k-string arrays instead of rescanning history —
+  * the pre-aggregation pattern a 100 TB event log needs.
+  */
+case class KmvMins(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_mins requires a string hash column, got $dt")
+  }
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null)
+      KmvKthMin.boundedAdd(buf, v.asInstanceOf[UTF8String].toString, k)
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[String], other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvKthMin.boundedAdd(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "graft_kmv_mins"
+}
+
 object KmvKthMin {
 
   /** 2^52: 13 hex chars of a hash parse to a value exactly representable

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{IvfIndex, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, SketchMart}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -612,6 +612,19 @@ object TrainingQueries {
                 conv(substring(col("sk.kth"), 1, 13), 16, 10)
                   .cast("long").cast("double"),
               3)).as("est_distinct"))
+    }),
+
+    // KMV sketch MART: per-day mergeable sketches written once, then
+    // merged (sort + re-slice to k) into weekly distinct-user estimates —
+    // the merged sketch provably equals the sketch of the raw week, so
+    // range distinct queries never rescan the log.
+    "t_sketch_mart" -> ((s, dir) => {
+      val k = 32
+      val path = graft.core.Scratch.dir("kmvmart", dir)
+      SketchMart.buildDaily(t(s, dir, "events"), path, k,
+        md5(col("user_id").cast("string")), to_date(col("ts")))
+      SketchMart.mergedDistinct(s, path, k,
+        date_trunc("week", col("day")).cast("date"), "week")
     })
   )
 
@@ -1274,6 +1287,27 @@ object TrainingQueries {
         |    max(CASE WHEN rn = 32 THEN hv END) AS kth
         |  FROM r GROUP BY 1)
         |SELECT event_type,
+        |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM s""".stripMargin,
+
+    // the mart query merges per-day sketches; the oracle sketches each
+    // week's raw rows directly — equality IS the mergeability proof
+    "t_sketch_mart" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week,
+        |    md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+        |r AS (
+        |  SELECT week, hv,
+        |    row_number() OVER (PARTITION BY week ORDER BY hv) AS rn FROM h),
+        |s AS (
+        |  SELECT week, COUNT(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN hv END) AS kth
+        |  FROM r GROUP BY 1)
+        |SELECT week,
         |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
         |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
         |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)

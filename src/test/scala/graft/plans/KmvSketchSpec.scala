@@ -53,6 +53,32 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.2, s"estimate $est vs true $n")
   }
 
+  test("mins sketch is mergeable: merged per-part sketches == direct sketch") {
+    // split one keyspace across 4 disjoint "days", sketch each, merge by
+    // union+sort+slice — must equal the sketch of the whole
+    val df = (1L to 8000L).map(i => (i % 4, s"v$i")).toDF("part", "v")
+      .select(col("part"), md5(col("v")).as("h")).repartition(16)
+    val perPart = df.groupBy("part")
+      .agg(call_function("graft_kmv_mins", col("h"), lit(k)).as("mins"))
+    val merged = perPart
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+        1, k).as("u"))
+      .head.getSeq[String](0)
+    val direct = df
+      .agg(call_function("graft_kmv_mins", col("h"), lit(k)).as("mins"))
+      .head.getSeq[String](0)
+    assert(merged == direct)
+    assert(direct.length == k && direct == direct.sorted)
+  }
+
+  test("mins sketch below k retains every distinct hash exactly") {
+    val df = Seq.tabulate(500)(i => i % 9).toDF("v")
+      .select(md5(col("v").cast("string")).as("h")).repartition(8)
+    val mins = df.agg(call_function("graft_kmv_mins", col("h"), lit(k)).as("m"))
+      .head.getSeq[String](0)
+    assert(mins.length == 9 && mins == mins.sorted)
+  }
+
   test("duplicates never inflate the sketch") {
     val df = Seq.fill(1000)("same").toDF("v")
       .select(md5(col("v")).as("h")).repartition(10)
