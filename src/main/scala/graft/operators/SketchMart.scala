@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pre-aggregated distinct-count sketches as a MART: one KMV sketch row
@@ -50,5 +51,50 @@ object SketchMart {
               conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
                 .cast("long").cast("double"),
             3)).as("est_distinct"))
+  }
+
+  /** Build (overwrite) the daily fixed-bin histogram mart of a value
+    * column: (day, bin, cnt) with bin = floor(value / width). Histograms
+    * are the trivially-mergeable quantile summary: bin counts ADD, so a
+    * range quantile query sums mart rows instead of rescanning and
+    * re-sorting raw values — exact to within one bin width. The build is
+    * one map-side-combinable hash aggregate.
+    */
+  def buildValueHist(events: DataFrame, dir: String, width: Double,
+                     day: Column, value: Column): Unit =
+    events.groupBy(day.as("day"),
+        floor(value / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge daily histograms into per-`period` quantiles. Deterministic
+    * rule (reproducible on any engine, no sketch randomness): the q-th
+    * quantile lives in the first bin whose cumulative count reaches
+    * ceil(q*n), linearly interpolated inside the bin by rank. The window
+    * runs over MART rows (periods × bins), never raw data, so this stays
+    * cheap at any log size.
+    */
+  def mergedHistQuantiles(spark: SparkSession, dir: String, width: Double,
+                          period: Column, periodName: String,
+                          qs: Seq[Double]): DataFrame = {
+    val bins = spark.read.parquet(dir)
+      .groupBy(period.as(periodName), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byBin = Window.partitionBy(periodName).orderBy("bin")
+    val whole = Window.partitionBy(periodName)
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    qs.map { q =>
+      val name = s"p${math.round(q * 100)}"
+      val target = ceil(col("s.n") * lit(q))
+      cum.filter(col("cum") >= ceil(col("n") * lit(q)))
+        .groupBy(col(periodName))
+        .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("n"))).as("s"))
+        .select(col(periodName),
+          round(col("s.bin") * lit(width) +
+            lit(width) * (target - (col("s.cum") - col("s.cnt"))) / col("s.cnt"),
+            6).as(name))
+    }.reduce(_.join(_, periodName))
   }
 }

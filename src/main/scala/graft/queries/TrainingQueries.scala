@@ -625,6 +625,19 @@ object TrainingQueries {
         md5(col("user_id").cast("string")), to_date(col("ts")))
       SketchMart.mergedDistinct(s, path, k,
         date_trunc("week", col("day")).cast("date"), "week")
+    }),
+
+    // Histogram MART: per-day fixed-bin value histograms (bin counts ADD,
+    // the trivially-mergeable quantile summary) merged into weekly
+    // p50/p90/p99 by a deterministic rank-interpolation rule — range
+    // quantiles to within one bin width with no raw rescans.
+    "t_hist_mart" -> ((s, dir) => {
+      val path = graft.core.Scratch.dir("histmart", dir)
+      SketchMart.buildValueHist(t(s, dir, "events"), path, width = 5.0,
+        to_date(col("ts")), col("value"))
+      SketchMart.mergedHistQuantiles(s, path, width = 5.0,
+        date_trunc("week", col("day")).cast("date"), "week",
+        qs = Seq(0.5, 0.9, 0.99))
     })
   )
 
@@ -1293,6 +1306,27 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    // merged daily histograms vs direct weekly binning — bin counts add,
+    // so the two must agree exactly under the shared interpolation rule
+    "t_hist_mart" ->
+      """WITH b AS (
+        |  SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+        |    CAST(floor(value / 5.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT week, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY week ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY week) AS n
+        |  FROM b)
+        |SELECT week,
+        |  round(arg_min(bin * 5.0 + 5.0 * (ceil(n * 0.5) - (cum - cnt)) / cnt, bin)
+        |        FILTER (WHERE cum >= ceil(n * 0.5)), 6) AS p50,
+        |  round(arg_min(bin * 5.0 + 5.0 * (ceil(n * 0.9) - (cum - cnt)) / cnt, bin)
+        |        FILTER (WHERE cum >= ceil(n * 0.9)), 6) AS p90,
+        |  round(arg_min(bin * 5.0 + 5.0 * (ceil(n * 0.99) - (cum - cnt)) / cnt, bin)
+        |        FILTER (WHERE cum >= ceil(n * 0.99)), 6) AS p99
+        |FROM c GROUP BY week""".stripMargin,
 
     // the mart query merges per-day sketches; the oracle sketches each
     // week's raw rows directly — equality IS the mergeability proof

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchMartSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def scratch(tag: String) =
+    graft.core.Scratch.dir(tag, "sketchmartspec")
+
+  test("daily KMV mart merged to a range equals the direct range sketch") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val dir = scratch("kmv")
+    SketchMart.buildDaily(ev, dir, k = 16, col("h"), col("day"))
+    // merge ALL days into one range sketch
+    val merged = SketchMart.mergedDistinct(spark, dir, k = 16,
+      lit(1), "r").select("nd_capped", "est_distinct").head
+    val direct = ev
+      .agg(call_function("graft_kmv_mins", col("h"), lit(16)).as("m"))
+      .select(slice(col("m"), 1, 16).as("u"))
+      .select(size(col("u")).cast("long"),
+        try_element_at(col("u"), lit(16))).head
+    assert(merged.getLong(0) == direct.getLong(0))
+    // estimates derive from the same kth hash -> must agree
+    val est = graft.plans.KmvKthMin.estimate(
+      direct.getLong(0).toInt, Option(direct.getString(1)), 16)
+    if (merged.getLong(0) >= 16)
+      assert(math.abs(merged.getDouble(1) - est) < 0.5)
+  }
+
+  test("merged weekly histogram quantiles track the exact percentiles") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val dir = scratch("hist")
+    val width = 2.0
+    SketchMart.buildValueHist(ev, dir, width, to_date(col("ts")), col("value"))
+    val weekly = SketchMart.mergedHistQuantiles(spark, dir, width,
+      date_trunc("week", col("day")).cast("date"), "week", Seq(0.5, 0.9))
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the histogram rule targets the ceil(q*n)-th order statistic; the
+    // estimate lands in that element's bin, so it is exact to within one
+    // bin width OF THAT RANK VALUE (not of the interpolated percentile,
+    // which can sit a whole order-stat gap away in a sparse tail)
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy("week").orderBy("value")
+    val ranked = ev
+      .withColumn("week", date_trunc("week", to_date(col("ts"))).cast("date"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("week")))
+    val exact = ranked
+      .filter(col("rn") === ceil(col("n") * 0.5) ||
+        col("rn") === ceil(col("n") * 0.9))
+      .groupBy("week")
+      .agg(min(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("e50"),
+        min(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("e90"))
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(weekly.keySet == exact.keySet && weekly.nonEmpty)
+    weekly.foreach { case (wk, (p50, p90)) =>
+      assert(math.abs(p50 - exact(wk)._1) <= width, s"$wk p50 $p50 vs ${exact(wk)._1}")
+      assert(math.abs(p90 - exact(wk)._2) <= width, s"$wk p90 $p90 vs ${exact(wk)._2}")
+    }
+  }
+
+  test("histogram mart rows stay bounded by days x bins, not raw rows") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val dir = scratch("histsize")
+    SketchMart.buildValueHist(ev, dir, 5.0, to_date(col("ts")), col("value"))
+    val mart = spark.read.parquet(dir)
+    val days = ev.select(to_date(col("ts"))).distinct().count()
+    val maxBins = 100 // 0..500 at width 5
+    assert(mart.count() <= days * maxBins)
+    assert(mart.agg(sum("cnt")).head.getLong(0) == ev.count())
+  }
+}
