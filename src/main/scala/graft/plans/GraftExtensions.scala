@@ -75,9 +75,18 @@ object GraftFunctions {
       KmvMins(children.head, litInt(children(1), "k"))
     })
 
+  private val mgTopKDescriptor: Descriptor = (
+    FunctionIdentifier("graft_mg_topk"),
+    new ExpressionInfo(classOf[MgTopK].getName, "graft_mg_topk"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_mg_topk(value, k) takes a string column and an int literal")
+      MgTopK(children.head, litInt(children(1), "k"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
-      kmvDescriptor, kmvMinsDescriptor)
+      kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

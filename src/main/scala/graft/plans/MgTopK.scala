@@ -1,0 +1,152 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters summary: the k most frequent values of a
+  * string column per group, in O(k) bounded state.
+  *
+  * Update is the classic MG step (increment if tracked, insert if room,
+  * else decrement every counter); merge is the mergeable-summaries form
+  * (Agarwal et al., PODS'12): add counts, then subtract the (k+1)-th
+  * largest and drop non-positives. Both preserve the MG guarantee
+  *   true_count - n/(k+1)  <=  reported_count  <=  true_count
+  * so any value with frequency above n/(k+1) is guaranteed present.
+  *
+  * When a group's distinct-value count never exceeds k, no decrement ever
+  * fires and the counts are EXACT — that regime is what the oracle gate
+  * checks; the approximate regime's error bound is spec-asserted.
+  *
+  * Scale shape: the exact top-k-tokens query (explode → count → rank)
+  * shuffles the full per-group vocabulary; this summary reduces every
+  * partition to ≤ k (value, count) pairs before the shuffle, making
+  * per-group network cost independent of vocabulary size — the
+  * heavy-hitters path for URL/domain/token frequency over an unbounded
+  * keyspace.
+  */
+case class MgTopK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(k >= 1 && k <= 65536, s"graft_mg_topk needs 1 <= k <= 65536, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_mg_topk requires a string column, got $dt")
+  }
+
+  override def nullable: Boolean = false
+
+  /** Sorted (count desc, value asc) array of the retained summary. */
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(s)
+      if (cur != null) buf.put(s, cur + 1L)
+      else if (buf.size < k) buf.put(s, 1L)
+      else {
+        // decrement-all: k bounded counters, amortized O(1) per distinct
+        // absorbed (each decrement pass cancels k+1 item occurrences)
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[String, Long], other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count, drop non-positives — the
+      // summary shrinks back to <= k entries with the MG bound intact
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(buf.size - k - 1)
+      val es = buf.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortBy { case (item, cnt) => (-cnt, item) }
+    new GenericArrayData(sorted.map { case (item, cnt) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(item), cnt))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgTopK =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): MgTopK =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "graft_mg_topk"
+}

@@ -627,6 +627,22 @@ object TrainingQueries {
         date_trunc("week", col("day")).cast("date"), "week")
     }),
 
+    // Heavy hitters (Misra-Gries summary, graft.plans.MgTopK): per-source
+    // top tokens in O(k) bounded state — partitions reduce to <= k pairs
+    // before the shuffle, so per-group network cost is independent of
+    // vocabulary size. k=64 exceeds the fixture's distinct-token count,
+    // the regime where MG counts are provably exact (the approximate
+    // regime's n/(k+1) bound is spec-asserted).
+    "t_heavy_hitters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(lower(col("text")))).as("token"))
+      tok.groupBy("source")
+        .agg(call_function("graft_mg_topk", col("token"), lit(64)).as("hh"))
+        .select(col("source"), posexplode(slice(col("hh"), 1, 10)).as(Seq("r0", "e")))
+        .select(col("source"), (col("r0") + 1).cast("long").as("rank"),
+          col("e.item").as("token"), col("e.cnt").as("cnt"))
+    }),
+
     // Histogram MART: per-day fixed-bin value histograms (bin counts ADD,
     // the trivially-mergeable quantile summary) merged into weekly
     // p50/p90/p99 by a deterministic rank-interpolation rule — range
@@ -1306,6 +1322,19 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    // distinct-per-group <= k, so the MG summary is provably exact and
+    // the plain count/rank formulation is a true oracle
+    "t_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, token, cnt,
+        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rank
+        |      FROM c)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // merged daily histograms vs direct weekly binning — bin counts add,
     // so the two must agree exactly under the shared interpolation rule
