@@ -215,4 +215,18 @@ object TextFunctions {
       .withColumn("chunk",
         col(textCol).substr(col("chunk_idx") * stride + 1, lit(size)))
   }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): a
+    * token's coordinate and sign derive from its md5, so text vectorizes
+    * into a fixed `dims`-wide integer vector with NO vocabulary pass and
+    * no model artifact — the stateless featurizer shape for streaming or
+    * per-batch training data. md5-based, hence bit-reproducible in any
+    * engine (signed sums are exact integer arithmetic).
+    */
+  def featureHashBucket(token: Column, dims: Int): Column =
+    conv(substring(md5(token), 1, 4), 16, 10).cast("long") % dims
+
+  def featureHashSign(token: Column): Column =
+    when(conv(substring(md5(token), 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
+      .otherwise(-1L)
 }

@@ -643,6 +643,38 @@ object TrainingQueries {
           col("e.item").as("token"), col("e.cnt").as("cnt"))
     }),
 
+    // Feature hashing: text -> fixed-width integer vector with no
+    // vocabulary pass (token coordinate + sign from md5) — the stateless
+    // featurizer for per-batch training data; sums are exact integers.
+    "t_feature_hash" -> ((s, dir) => {
+      val dims = 16
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
+        .select(col("doc_id"),
+          TF.featureHashBucket(col("token"), dims).as("bucket"),
+          TF.featureHashSign(col("token")).as("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sign")).as("val"))
+    }),
+
+    // Distribution drift (dbt-elementary distribution-monitor analog):
+    // chi-square-style stat per event_type between the first and second
+    // half of the log's day range, per-bin terms fixed-pointed BEFORE the
+    // cross-bin sum so the aggregate is integer addition on both engines.
+    "t_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val rng = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("period",
+          when(col("day") < date_add(col("d0"),
+            (datediff(col("d1"), col("d0")) / 2).cast("int")), "A")
+            .otherwise("B"))
+        .withColumn("bin", floor(col("value") / 5.0).cast("long"))
+        .groupBy(col("event_type"), col("period"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Drift.histDrift(binned, "event_type")
+    }),
+
     // Histogram MART: per-day fixed-bin value histograms (bin counts ADD,
     // the trivially-mergeable quantile summary) merged into weekly
     // p50/p90/p99 by a deterministic rank-interpolation rule — range
@@ -1335,6 +1367,51 @@ object TrainingQueries {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "t_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) % 16 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(token), 5, 1) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "t_drift" ->
+      """WITH r AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS DATE) <
+        |           r.d0 + CAST(date_diff('day', r.d0, r.d1) // 2 AS INTEGER)
+        |         THEN 'A' ELSE 'B' END AS period,
+        |    CAST(floor(value / 5.0) AS BIGINT) AS bin
+        |  FROM events, r),
+        |b AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN period = 'A' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN period = 'B' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT b.event_type,
+        |    CAST(b.ca AS DOUBLE) / t.na AS pa,
+        |    CAST(b.cb AS DOUBLE) / t.nb AS pb
+        |  FROM b JOIN t USING (event_type)),
+        |f AS (
+        |  SELECT event_type,
+        |    CAST(floor((pb - pa) * (pb - pa) / greatest(pa, 0.000001) * 10000000) AS BIGINT) AS chi_fx,
+        |    CAST(floor(abs(pb - pa) * 10000000) AS BIGINT) AS ad_fx
+        |  FROM s)
+        |SELECT event_type, COUNT(*) AS n_bins,
+        |  CAST(CAST(SUM(chi_fx) AS BIGINT) AS DOUBLE) / 10000000 AS drift_stat,
+        |  CAST(MAX(ad_fx) AS DOUBLE) / 10000000 AS max_delta
+        |FROM f GROUP BY 1""".stripMargin,
 
     // merged daily histograms vs direct weekly binning — bin counts add,
     // so the two must agree exactly under the shared interpolation rule

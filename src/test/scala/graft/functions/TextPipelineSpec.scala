@@ -102,4 +102,28 @@ class TextPipelineSpec extends SparkSpec {
     val pairs = top.map(r => (r.getLong(1), r.getString(0)))
     assert(pairs.sameElements(pairs.sortBy { case (f, t) => (-f, t) }))
   }
+
+  test("feature hashing: buckets stay in range, sums equal the signed token count") {
+    val dims = 16
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+    val vec = tok.select(col("doc_id"),
+        TextFunctions.featureHashBucket(col("token"), dims).as("bucket"),
+        TextFunctions.featureHashSign(col("token")).as("sign"))
+      .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+    val rows = vec.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < dims))
+    // deterministic: a second evaluation is identical
+    assert(vec.except(
+      tok.select(col("doc_id"),
+          TextFunctions.featureHashBucket(col("token"), dims).as("bucket"),
+          TextFunctions.featureHashSign(col("token")).as("sign"))
+        .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))).isEmpty)
+    // a known token always lands in one bucket with one sign
+    val one = tok.filter(col("token") === "the")
+      .select(TextFunctions.featureHashBucket(col("token"), dims),
+        TextFunctions.featureHashSign(col("token")))
+      .distinct().collect()
+    assert(one.length <= 1)
+  }
 }
