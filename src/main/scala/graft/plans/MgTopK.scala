@@ -66,48 +66,12 @@ case class MgTopK(
 
   override def update(buf: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(s)
-      if (cur != null) buf.put(s, cur + 1L)
-      else if (buf.size < k) buf.put(s, 1L)
-      else {
-        // decrement-all: k bounded counters, amortized O(1) per distinct
-        // absorbed (each decrement pass cancels k+1 item occurrences)
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
-    }
+    if (v != null) MgTopK.updateMap(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
-  override def merge(buf: java.util.HashMap[String, Long], other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val it = other.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = buf.get(e.getKey)
-      buf.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
-    }
-    if (buf.size > k) {
-      // subtract the (k+1)-th largest count, drop non-positives — the
-      // summary shrinks back to <= k entries with the MG bound intact
-      val counts = new Array[Long](buf.size)
-      var i = 0
-      val vs = buf.values().iterator()
-      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val sub = counts(buf.size - k - 1)
-      val es = buf.entrySet().iterator()
-      while (es.hasNext) {
-        val e = es.next()
-        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
-      }
-    }
-    buf
-  }
+  override def merge(buf: java.util.HashMap[String, Long], other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
+    MgTopK.mergeInto(buf, other, k)
 
   override def eval(buf: java.util.HashMap[String, Long]): Any = {
     val entries = new Array[(String, Long)](buf.size)
@@ -149,4 +113,53 @@ case class MgTopK(
     copy(inputAggBufferOffset = newOffset)
 
   override def prettyName: String = "graft_mg_topk"
+}
+
+object MgTopK {
+
+  /** One MG update step: increment if tracked, insert if room, else
+    * decrement every counter (amortized O(1) per absorbed occurrence —
+    * each decrement pass cancels k+1 item occurrences). Shared by the
+    * batch aggregate and the streaming keyed state.
+    */
+  def updateMap(buf: java.util.HashMap[String, Long], s: String, k: Int): Unit = {
+    val cur = buf.get(s)
+    if (cur != null) { buf.put(s, cur + 1L); () }
+    else if (buf.size < k) { buf.put(s, 1L); () }
+    else {
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Mergeable-summaries combine: add counts, then subtract the (k+1)-th
+    * largest and drop non-positives — back to <= k entries with the MG
+    * bound intact.
+    */
+  def mergeInto(buf: java.util.HashMap[String, Long],
+                other: java.util.HashMap[String, Long], k: Int): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (buf.size > k) {
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(buf.size - k - 1)
+      val es = buf.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buf
+  }
 }

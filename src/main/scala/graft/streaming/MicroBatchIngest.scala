@@ -295,4 +295,36 @@ object MicroBatchIngest {
             graft.plans.KmvKthMin.estimate(buf.size, kth, k))
       }
   }
+
+  /** Streaming Misra-Gries heavy hitters per key: the keyed state is one
+    * O(k) counter map folded batch-by-batch with the same MG update the
+    * batch aggregate ([[graft.plans.MgTopK]]) runs, emitting the current
+    * (count desc, item asc)-sorted summary each trigger — "top items per
+    * key so far" over an unbounded stream in bounded state. Below k
+    * distinct items per key the counts are exact and order-independent,
+    * which is the regime the oracle gate pins.
+    */
+  def streamingHeavyHitters(
+      pairs: org.apache.spark.sql.Dataset[(Long, String)], k: Int)
+  : org.apache.spark.sql.Dataset[(Long, Seq[(String, Long)])] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, String)], state: GroupState[Map[String, Long]]) =>
+          val buf = new java.util.HashMap[String, Long]()
+          state.getOption.foreach(_.foreach { case (s, c) => buf.put(s, c) })
+          it.foreach { case (_, v) =>
+            if (v != null) graft.plans.MgTopK.updateMap(buf, v, k)
+          }
+          val snap = {
+            val b = Map.newBuilder[String, Long]
+            val es = buf.entrySet().iterator()
+            while (es.hasNext) { val e = es.next(); b += (e.getKey -> e.getValue) }
+            b.result()
+          }
+          state.update(snap)
+          (key, snap.toSeq.sortBy { case (item, cnt) => (-cnt, item) })
+      }
+  }
 }

@@ -193,12 +193,36 @@ object StreamingGate {
       .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Streaming Misra-Gries heavy hitters drained to a table: per user,
+    * the O(k) keyed counter map folds each batch; the LAST emitted row per
+    * key is the final summary. k exceeds the per-user distinct event-type
+    * count, so MG is exact and the plain count/rank SQL is a true oracle.
+    */
+  def heavyHittersGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("_1"), col("event_type").as("_2"))
+    val in = scratch("hh_in", dir)
+    val out = scratch("hh_out", dir)
+    val ck = scratch("hh_ck", dir)
+    val stream = stage(spark, pairs.toDF(), in).as[(Long, String)]
+    drain(MicroBatchIngest.streamingHeavyHitters(stream, k = 8), out, ck,
+      withBatchId = true, outputMode = "update")
+    spark.read.parquet(out)
+      .groupBy(col("_1").as("user_id"))
+      .agg(max_by(col("_2"), col("__batch")).as("items"))
+      .select(col("user_id"), posexplode(slice(col("items"), 1, 3)).as(Seq("r0", "e")))
+      .select(col("user_id"), (col("r0") + 1).cast("long").as("rank"),
+        col("e._1").as("event_type"), col("e._2").as("cnt"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
     "st_kmv_estimate" -> (kmvGate(_, _)),
     "st_upsert" -> (upsertGate(_, _)),
-    "st_stream_join" -> (streamJoinGate(_, _)))
+    "st_stream_join" -> (streamJoinGate(_, _)),
+    "st_heavy_hitters" -> (heavyHittersGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -258,6 +282,16 @@ object StreamingGate {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
         |  version
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "st_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rank
+        |  FROM c)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, event_type, cnt
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "st_kmv_estimate" ->
       """WITH h AS (

@@ -303,4 +303,26 @@ class MicroBatchIngestSpec extends SparkSpec {
       batch.getInt(0), Option(batch.getString(1)), 32)
     assert(math.abs(rows(1).est_distinct - batchEst) < 1e-9)
   }
+
+  test("streaming heavy hitters fold exactly across micro-batches below k distinct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val out = MicroBatchIngest.streamingHeavyHitters(src.toDS(), k = 4)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    src.addData(Seq.fill(5)((1L, "a")) ++ Seq.fill(2)((1L, "b")): _*)
+    q.processAllAvailable()
+    // second batch extends existing counters and adds a third item
+    src.addData(Seq.fill(3)((1L, "b")) ++ Seq.fill(4)((1L, "c")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table("hh_out").as[(Long, Seq[(String, Long)])]
+      .collect().sortBy(_._2.map(_._2).sum)
+    assert(snaps.length == 2)
+    assert(snaps(0)._2 == Seq(("a", 5L), ("b", 2L)))
+    // cumulative, exact, sorted (cnt desc, item asc)
+    assert(snaps(1)._2 == Seq(("a", 5L), ("b", 5L), ("c", 4L)))
+  }
 }
