@@ -643,6 +643,43 @@ object TrainingQueries {
           col("e.item").as("token"), col("e.cnt").as("cnt"))
     }),
 
+    // File-level data skipping: range-clustered write, per-file min/max
+    // manifest, manifest-pruned read. Pruning is sound (skipped files'
+    // envelopes are disjoint from the box) so the result must equal the
+    // full-scan filter — which is what the oracle states.
+    "t_skip_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = graft.core.Scratch.dir("skip", dir)
+      graft.operators.DataSkipping.writeClustered(ev, path, col("user_id"), 16)
+      val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
+      graft.operators.DataSkipping
+        .prunedRead(s, mf, Seq(("user_id", 100L, 300L), ("value", 10.0, 120.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("value_sum"))
+    }),
+
+    // Z-order clustering: interleave the bit ranks of (user_id, value
+    // bucket) so BOTH box predicates prune files, then the same
+    // manifest-pruned read. Same soundness, same oracle shape.
+    "t_zorder_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = graft.core.Scratch.dir("zorder", dir)
+      val z = graft.operators.DataSkipping.zValue(
+        col("user_id"), floor(col("value")).cast("long"), bits = 20)
+      graft.operators.DataSkipping.writeClustered(ev, path, z, 16)
+      val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
+      graft.operators.DataSkipping
+        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("value_sum"))
+    }),
+
     // Feature hashing: text -> fixed-width integer vector with no
     // vocabulary pass (token coordinate + sign from md5) — the stateless
     // featurizer for per-batch training data; sums are exact integers.
@@ -1367,6 +1404,22 @@ object TrainingQueries {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // pruning must be invisible to results: the oracle is the plain
+    // full-scan filter
+    "t_skip_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 120.0
+        |GROUP BY 1""".stripMargin,
+
+    "t_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE user_id BETWEEN 0 AND 150 AND value BETWEEN 0.0 AND 60.0
+        |GROUP BY 1""".stripMargin,
 
     "t_feature_hash" ->
       """WITH tok AS (

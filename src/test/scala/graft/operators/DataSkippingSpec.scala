@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataSkippingSpec extends SparkSpec {
+
+  private lazy val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  private def scratch(tag: String) =
+    graft.core.Scratch.dir(tag, "dataskipspec")
+
+  test("zValue interleaves bits like the reference Morton code") {
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 511L))
+    val got = cases.toDF("a", "b")
+      .select(DataSkipping.zValue(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => morton(a, b, 10) })
+    // z-order locality: adjacent (a,b) cells share high bits
+    assert(morton(2L, 2L, 10) < morton(0L, 4L, 10))
+  }
+
+  test("manifest-pruned read equals the full-scan filter exactly") {
+    val dir = scratch("lin")
+    DataSkipping.writeClustered(ev, dir, col("user_id"), 12)
+    val mf = DataSkipping.manifest(spark, dir, Seq("user_id", "value"))
+    // range partitions with no rows write no file, so <= nFiles
+    val nFiles = mf.count()
+    assert(nFiles >= 8 && nFiles <= 12)
+    val boxes = Seq[(String, Any, Any)](("user_id", 20L, 60L), ("value", 5.0, 200.0))
+    val pruned = DataSkipping.prunedRead(spark, mf, boxes)
+    val full = ev.filter(col("user_id").between(20L, 60L) &&
+      col("value").between(5.0, 200.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // and it actually skipped files
+    assert(DataSkipping.pruneFiles(mf, boxes).size < nFiles)
+  }
+
+  test("an empty candidate set still returns a correctly-typed empty result") {
+    val dir = scratch("empty")
+    DataSkipping.writeClustered(ev, dir, col("user_id"), 6)
+    val mf = DataSkipping.manifest(spark, dir, Seq("user_id"))
+    val out = DataSkipping.prunedRead(spark, mf,
+      Seq(("user_id", -100L, -1L)))
+    assert(out.count() == 0)
+    assert(out.columns.contains("event_type"))
+  }
+
+  test("z-order prunes on BOTH dimensions where a linear sort prunes on one") {
+    val linDir = scratch("lin2")
+    val zDir = scratch("z2")
+    DataSkipping.writeClustered(ev, linDir, col("user_id"), 16)
+    val z = DataSkipping.zValue(col("user_id"), floor(col("value")).cast("long"), 20)
+    DataSkipping.writeClustered(ev, zDir, z, 16)
+    val linMf = DataSkipping.manifest(spark, linDir, Seq("user_id", "value"))
+    val zMf = DataSkipping.manifest(spark, zDir, Seq("user_id", "value"))
+    // a value-only predicate: the user_id-sorted layout cannot prune at
+    // all (every file spans the full value range), z-order can
+    val valueBox = Seq[(String, Any, Any)](("value", 0.0, 30.0))
+    val linHit = DataSkipping.pruneFiles(linMf, valueBox).size
+    val zHit = DataSkipping.pruneFiles(zMf, valueBox).size
+    assert(zHit < linHit,
+      s"z-order should prune a value-only box: z=$zHit vs linear=$linHit")
+    // both layouts return identical rows for the same 2-d box
+    val box = Seq[(String, Any, Any)](("user_id", 0L, 80L), ("value", 0.0, 50.0))
+    val a = DataSkipping.prunedRead(spark, linMf, box)
+    val b = DataSkipping.prunedRead(spark, zMf, box)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
