@@ -77,6 +77,81 @@ object QualityChecks {
         col("violations"), (col("violations") === 0L).as("passed"))
   }
 
+  /** Volume-anomaly audit (the dbt-elementary volume monitor analog):
+    * per-day row counts z-scored against the TRAILING `window` days. A
+    * day with |z| above the threshold — or with no history yet — is
+    * flagged for review before its batch propagates downstream.
+    *
+    * Determinism: daily counts are integers, so the trailing mean and
+    * variance stay in exact integer arithmetic
+    * (var = (w·Σc² − (Σc)²) / w², computed over BIGINTs) until the final
+    * sqrt/division, which are single correctly-rounded IEEE ops — the
+    * statistic hashes identically on any engine. The window runs over
+    * DAILY rows (one per partition), never raw data.
+    */
+  def volumeAnomaly(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                    window: Int, zThreshold: Double): DataFrame = {
+    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+    val trail = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-window, -1)
+    daily
+      .withColumn("w", count(lit(1)).over(trail))
+      .withColumn("s1", sum(col("n")).over(trail))
+      .withColumn("s2", sum(col("n") * col("n")).over(trail))
+      .withColumn("mean_prev",
+        round(col("s1").cast("double") / col("w"), 6))
+      .withColumn("z", when(col("w") < lit(window.toLong), lit(null))
+        .otherwise(round(
+          (col("n") - col("s1").cast("double") / col("w")) /
+            sqrt(greatest(
+              (col("w") * col("s2") - col("s1") * col("s1")).cast("double") /
+                (col("w") * col("w")),
+              lit(1.0))),
+          6)))
+      .select(col("day"), col("n"), col("mean_prev"), col("z"),
+        (col("z").isNull || abs(col("z")) > zThreshold).as("flagged"))
+  }
+
+  /** Numeric column profile (the dbt-profiler / data-card shape): one
+    * FUSED aggregate pass emitting, per column: row count, null count,
+    * min, max, mean, population stddev.
+    *
+    * Determinism: each value is fixed-pointed (×10^scale, rounded, BIGINT)
+    * so Σv and Σv² are DECIMAL(38,0) integer sums — order-independent —
+    * and variance is the exact integer form (n·Σv² − (Σv)²) / n² scaled
+    * back; only the final sqrt/divisions are floating point (single
+    * correctly-rounded ops). A float Σ would hash differently per
+    * partitioning; this profile is bit-stable on any engine.
+    */
+  def numericProfile(df: DataFrame, table: String, cols: Seq[String],
+                     scale: Int): DataFrame = {
+    val fx = math.pow(10.0, scale)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val aggs = cols.flatMap { c =>
+      val v = round(col(c).cast("double") * fx).cast(dec)
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        min(col(c).cast("double")).as(s"${c}_min"),
+        max(col(c).cast("double")).as(s"${c}_max"),
+        sum(v).as(s"${c}_s1"),
+        sum(v * v).as(s"${c}_s2"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      val n = col(s"${c}_n").cast("double")
+      val s1 = col(s"${c}_s1").cast("double")
+      val s2 = col(s"${c}_s2").cast("double")
+      struct(
+        lit(table).as("table_name"), lit(c).as("column_name"),
+        col(s"${c}_n").as("n"), col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
+        round(s1 / n / fx, 6).as("mean_v"),
+        round(sqrt((n * s2 - s1 * s1)) / n / fx, 6).as("std_v"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Run every check on `df` in a single fused aggregate, then unpivot to
     * one result row per check. */
   def battery(df: DataFrame, table: String,

@@ -681,6 +681,23 @@ object WarehouseQueries {
           "s_suppkey", "lineitem", "supplier_even"))
     }),
 
+    // Volume-anomaly audit (data-observability volume monitor): per-day
+    // row counts z-scored against the trailing 7 days. Integer window
+    // sums until the final sqrt/division; the ordered window runs over
+    // ONE row per day (calendar-bounded), never raw rows.
+    "qa_volume_anomaly" -> ((s, dir) =>
+      QualityChecks.volumeAnomaly(t(s, dir, "events"),
+        to_date(col("ts")), window = 7, zThreshold = 3.0)),
+
+    // Numeric column profile (dbt-profiler / data-card shape): one fused
+    // scan per table; Σv and Σv² are fixed-point DECIMAL sums so mean and
+    // population stddev hash identically on any engine.
+    "qa_profile" -> ((s, dir) =>
+      QualityChecks.numericProfile(t(s, dir, "events"), "events",
+          Seq("value", "user_id"), scale = 2)
+        .unionByName(QualityChecks.numericProfile(t(s, dir, "lineitem"),
+          "lineitem", Seq("l_quantity", "l_extendedprice"), scale = 2))),
+
     // Set op: unionByName of heterogeneous sources.
     "set_union_by_name" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1157,6 +1174,76 @@ object WarehouseQueries {
         |SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM rows_""".stripMargin,
+
+    "qa_profile" ->
+      """WITH ea AS (
+        |  SELECT
+        |    COUNT(value) AS v_n, COUNT(*) - COUNT(value) AS v_nulls,
+        |    min(CAST(value AS DOUBLE)) AS v_min, max(CAST(value AS DOUBLE)) AS v_max,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS v_s1,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS v_s2,
+        |    COUNT(user_id) AS u_n, COUNT(*) - COUNT(user_id) AS u_nulls,
+        |    min(CAST(user_id AS DOUBLE)) AS u_min, max(CAST(user_id AS DOUBLE)) AS u_max,
+        |    CAST(SUM(CAST(round(CAST(user_id AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS u_s1,
+        |    CAST(SUM(CAST(round(CAST(user_id AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(round(CAST(user_id AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS u_s2
+        |  FROM events),
+        |la AS (
+        |  SELECT
+        |    COUNT(l_quantity) AS q_n, COUNT(*) - COUNT(l_quantity) AS q_nulls,
+        |    min(CAST(l_quantity AS DOUBLE)) AS q_min, max(CAST(l_quantity AS DOUBLE)) AS q_max,
+        |    CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS q_s1,
+        |    CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS q_s2,
+        |    COUNT(l_extendedprice) AS p_n, COUNT(*) - COUNT(l_extendedprice) AS p_nulls,
+        |    min(CAST(l_extendedprice AS DOUBLE)) AS p_min, max(CAST(l_extendedprice AS DOUBLE)) AS p_max,
+        |    CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS p_s1,
+        |    CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+        |           * CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) AS p_s2
+        |  FROM lineitem)
+        |SELECT 'events' AS table_name, 'value' AS column_name,
+        |  v_n AS n, v_nulls AS n_null, v_min AS min_v, v_max AS max_v,
+        |  round(v_s1 / v_n / 100, 6) AS mean_v,
+        |  round(sqrt(CAST(v_n AS DOUBLE) * v_s2 - v_s1 * v_s1) / v_n / 100, 6) AS std_v
+        |FROM ea
+        |UNION ALL
+        |SELECT 'events', 'user_id', u_n, u_nulls, u_min, u_max,
+        |  round(u_s1 / u_n / 100, 6),
+        |  round(sqrt(CAST(u_n AS DOUBLE) * u_s2 - u_s1 * u_s1) / u_n / 100, 6)
+        |FROM ea
+        |UNION ALL
+        |SELECT 'lineitem', 'l_quantity', q_n, q_nulls, q_min, q_max,
+        |  round(q_s1 / q_n / 100, 6),
+        |  round(sqrt(CAST(q_n AS DOUBLE) * q_s2 - q_s1 * q_s1) / q_n / 100, 6)
+        |FROM la
+        |UNION ALL
+        |SELECT 'lineitem', 'l_extendedprice', p_n, p_nulls, p_min, p_max,
+        |  round(p_s1 / p_n / 100, 6),
+        |  round(sqrt(CAST(p_n AS DOUBLE) * p_s2 - p_s1 * p_s1) / p_n / 100, 6)
+        |FROM la""".stripMargin,
+
+    "qa_volume_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |    COUNT(*) OVER w AS w,
+        |    SUM(n) OVER w AS s1,
+        |    SUM(n * n) OVER w AS s2
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, n,
+        |    round(CAST(s1 AS DOUBLE) / w, 6) AS mean_prev,
+        |    CASE WHEN w < 7 THEN NULL
+        |         ELSE round((n - CAST(s1 AS DOUBLE) / w) /
+        |                sqrt(greatest(CAST(w * s2 - s1 * s1 AS DOUBLE) / (w * w), 1.0)), 6)
+        |    END AS z
+        |  FROM t)
+        |SELECT day, n, mean_prev, z,
+        |  (z IS NULL OR abs(z) > 3.0) AS flagged
+        |FROM z""".stripMargin,
 
     "qa_relationships" ->
       """SELECT 'orders' AS table_name, 'rel_o_custkey_customer' AS check_name,

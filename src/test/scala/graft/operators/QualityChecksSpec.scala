@@ -68,4 +68,47 @@ class QualityChecksSpec extends SparkSpec {
       .split("\n").count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 scan, got $scans")
   }
+
+  test("volume anomaly flags the spike day and only the spike day after warmup") {
+    import spark.implicits._
+    // 10 steady days of 10 rows, then a 100-row spike, then steady again
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d == 11) 100 else 10
+      Seq.fill(n)(java.sql.Date.valueOf(f"2024-03-$d%02d"))
+    }
+    val df = rows.toDF("day")
+    val out = QualityChecks.volumeAnomaly(df, col("day"), window = 7, zThreshold = 3.0)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))).toList
+    assert(out.length == 12)
+    // first 7 days: no full history -> z null, flagged for review
+    out.take(7).foreach { case (_, _, z, fl) => assert(z.isEmpty && fl) }
+    // steady post-warmup days are unflagged with z == 0
+    out.drop(7).filter(_._1 != "2024-03-11").foreach { case (d, _, z, fl) =>
+      if (d < "2024-03-12") { assert(z.contains(0.0) && !fl, d) }
+    }
+    // the spike: mean_prev 10, variance floored at 1 -> z = 90
+    val spike = out.find(_._1 == "2024-03-11").get
+    assert(spike._2 == 100 && spike._3.contains(90.0) && spike._4)
+    // the day after the spike sees an inflated trailing mean but stays
+    // inside 3 sigma of its window's own variance
+    val after = out.find(_._1 == "2024-03-12").get
+    assert(!after._4, s"post-spike day wrongly flagged: $after")
+  }
+
+  test("numeric profile matches float stddev_pop within fixed-point resolution") {
+    import spark.implicits._
+    val df = Seq(Some(1.25), Some(2.5), None, Some(10.0), Some(4.75))
+      .toDF("value").repartition(4)
+    val p = QualityChecks.numericProfile(df, "t", Seq("value"), scale = 2).head
+    assert(p.getLong(2) == 4 && p.getLong(3) == 1)   // n, n_null
+    assert(p.getDouble(4) == 1.25 && p.getDouble(5) == 10.0)
+    val (mean, std) = (p.getDouble(6), p.getDouble(7))
+    val ref = df.agg(avg("value"), expr("stddev_pop(value)")).head
+    assert(math.abs(mean - ref.getDouble(0)) < 0.005)
+    assert(math.abs(std - ref.getDouble(1)) < 0.005)
+    // and the fixed-point result is partitioning-independent
+    val p1 = QualityChecks.numericProfile(df.coalesce(1), "t", Seq("value"), 2).head
+    assert(p1.getDouble(6) == mean && p1.getDouble(7) == std)
+  }
 }
