@@ -111,6 +111,98 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=summary: the mergeable-summary layer at
+    // mult-x (shifted user/event ids, so distinct-cardinality really grows
+    // mult-x): sketch/histogram mart builds are one aggregate pass over
+    // the log, range queries touch ONLY mart rows, the MG top-k is
+    // compared wall-clock against the exact full-vocabulary shuffle on a
+    // 200k-key keyspace, and the fused profile/anomaly audits run at the
+    // same scale.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("summary")) {
+      import graft.operators.{QualityChecks, SketchMart}
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      val bigEv = (0 until mult).map { m =>
+        ev.select((col("event_id") + lit(m.toLong * 100000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(m.toLong * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_.unionByName(_))
+      val nEv = bigEv.count()
+      println(s"[scale] summary: $nEv events, user cardinality x$mult")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val kdir = s"$tmp/graft_probe_kmvmart"
+      time("  kmv_mart_build") {
+        SketchMart.buildDaily(bigEv, kdir, 256,
+          md5(col("user_id").cast("string")), to_date(col("ts")))
+      }
+      val est = time("  kmv_mart_merge") {
+        SketchMart.mergedDistinct(spark, kdir, 256, lit(1), "r")
+          .head.getDouble(2)
+      }
+      val exact = time("  exact_distinct") {
+        bigEv.select(countDistinct(col("user_id"))).head.getLong(0)
+      }
+      println(f"[scale] range distinct: est=$est%.0f exact=$exact err=${math.abs(est - exact) / exact}%.3f")
+      val hdir = s"$tmp/graft_probe_histmart"
+      time("  hist_mart_build") {
+        SketchMart.buildValueHist(bigEv, hdir, 5.0, to_date(col("ts")), col("value"))
+      }
+      time("  hist_quantiles") {
+        SketchMart.mergedHistQuantiles(spark, hdir, 5.0, lit(1), "r",
+          Seq(0.5, 0.9, 0.99)).collect()
+      }
+      // 200k-key keyspace with 8 genuinely hot keys per group (10% of
+      // traffic; event_id%10==0 keeps %16 even): the exact path shuffles
+      // the full per-group vocabulary; MG ships <= k pairs per partition
+      // and must surface every key above the n/(k+1) frequency bound
+      // (~780 here; hot keys sit at ~2500, the long tail at ~5)
+      val urls = bigEv.select(col("event_type"),
+        md5(when(col("event_id") % 10 === 0, col("event_id") % 16)
+          .otherwise(col("event_id") % 200000L).cast("string")).as("url"))
+      val nMg = time("  mg_topk") {
+        urls.groupBy("event_type")
+          .agg(call_function("graft_mg_topk", col("url"), lit(256)).as("hh"))
+          .select(col("event_type"), explode(col("hh")).as("e"))
+          .filter(col("e.cnt") > lit(780L)).count()
+      }
+      val nTrueHot = time("  exact_hot") {
+        urls.groupBy("event_type", "url").agg(count(lit(1)).as("c"))
+          .filter(col("c") > lit(780L)).count()
+      }
+      println(s"[scale] hot keys: mg_found=$nMg true=$nTrueHot " +
+        s"(MG state: 256 entries/group vs 40k-key exact shuffle)")
+      time("  profile") {
+        QualityChecks.numericProfile(bigEv, "events",
+          Seq("value", "user_id"), scale = 2).collect()
+      }
+      time("  volume_anomaly") {
+        QualityChecks.volumeAnomaly(bigEv, to_date(col("ts")), 7, 3.0).count()
+      }
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=semdedup: SemDeDup at mult-x embeddings. The
+    // replicas are exact duplicates, so duplicate groups are as dense as
+    // they get; nlist scales up with the corpus (the knob that keeps the
+    // within-cell quadratic term bounded).
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("semdedup")) {
+      val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigEmb = (0 until mult).map { m =>
+        baseEmb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionByName(_))
+      val nVec = bigEmb.count()
+      println(s"[scale] semdedup corpus: $nVec vectors (every vector ${mult}x duplicated)")
+      val kept = time("  semdedup") {
+        graft.operators.SemDedup.semDedup(bigEmb, nlist = 64, iters = 1, tau = 0.35)
+          .filter(col("keep")).count()
+      }
+      println(s"[scale] semdedup kept=$kept of $nVec")
+      // exact replicas always share a cell -> at most one survivor per
+      // replica group
+      assert(kept <= nVec / mult, s"replicated dups must collapse: $kept")
+      spark.stop(); return
+    }
+
     // decomposed pipeline timing: which leg actually burns the CPU?
     if (!corpusOnly) {
       import org.apache.spark.storage.StorageLevel
