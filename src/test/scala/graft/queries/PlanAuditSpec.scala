@@ -131,6 +131,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sketch must not fall back to a window sort:\n$p")
   }
 
+  test("t_heavy_hitters runs MG as a partial object aggregate, no window sort") {
+    val p = planOf("t_heavy_hitters")
+    // partial + final ObjectHashAggregate: each map partition ships <= k
+    // (item, cnt) pairs per group — cost independent of vocabulary size
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"MG must not fall back to a ranked window:\n$p")
+  }
+
+  test("t_sketch_mart merges day sketches with partial aggregation on both levels") {
+    val p = planOf("t_sketch_mart")
+    // build level: graft_kmv_mins partial+final; merge level: the
+    // collect_list of <= k-string arrays partially aggregates too
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"mart merge must stay a partial object aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window sort in the mart path:\n$p")
+  }
+
   test("a5_balance_running: keyed window, no single-partition funnel") {
     val p = planOf("a5_balance_running")
     assert(p.contains("Window"), p)
