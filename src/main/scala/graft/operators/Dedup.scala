@@ -225,7 +225,36 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5): DataFrame =
+    scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = threshold <= 0)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT over the same LSH candidates: |A∩B| over the
+    * SMALLER set — near-1 when one document's shingles mostly live inside
+    * the other's (quotation, boilerplate inclusion, expanded revisions),
+    * even when Jaccard is low because the sizes differ wildly. Same
+    * shapes, same digest-only shuffles; only the scoring rule changes.
+    * Caveat shared with every MinHash recall statement: candidates come
+    * from Jaccard-tuned bands, so extreme-size-ratio containment needs
+    * more bands/permutations — the knobs are exposed.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 8, bands: Int = 4,
+                       threshold: Double = 0.6): DataFrame =
+    scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = false)
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          greatest(least(col("sz_a"), col("sz_b")), lit(1L)).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  private def scoredPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, k: Int, bands: Int,
+                          keepZeroOverlap: Boolean): DataFrame = {
     // One (id, digest) relation feeds the signature, set-size, and
     // intersection legs: the corpus is tokenized and md5'd exactly once,
     // deduped once (32-char digests shuffle, never shingle text), and the
@@ -247,10 +276,10 @@ object Dedup {
     val sigsz = materialize(signatureAgg(dg, k, withSize = true))
     // with a positive threshold the candidate pairs flow into exactly one
     // consumer (the common-count join), so an eager materialization would
-    // be a pure barrier + cache write; only the threshold <= 0 branch
+    // be a pure barrier + cache write; only the keepZeroOverlap branch
     // scans cands twice (common + the zero-overlap anti-join leg)
     val cands0 = selfJoinPairs(bandRows(sigsz, k, bands))
-    val cands = if (threshold > 0) cands0 else materialize(cands0)
+    val cands = if (!keepZeroOverlap) cands0 else materialize(cands0)
     val sizes = sigsz.select(col("id"), col("sz"))
     // Common digest count, restricted to candidate pairs. The second join
     // carries the digest in its equi-key, so per-pair work is the merge of
@@ -265,21 +294,16 @@ object Dedup {
       .join(dg.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     // A positive threshold implies n_common >= 1, so the scored pairs ARE
-    // `common` — no left-outer back onto cands. (threshold <= 0 keeps
+    // `common` — no left-outer back onto cands. (keepZeroOverlap keeps
     // zero-overlap candidate pairs via the union branch.)
     val scoredBase =
-      if (threshold > 0) common
+      if (!keepZeroOverlap) common
       else common.unionByName(
         cands.join(common.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
           .withColumn("n_common", lit(0L)))
     scoredBase
       .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** The per-corpus-version near-dup index: deduped (id, digest) shingle

@@ -43,6 +43,13 @@ object TrainingQueries {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 8, bands = 4, threshold = 0.3)),
 
+    // Asymmetric containment over the same LSH candidates: |A∩B| / min —
+    // quotation / boilerplate-inclusion detection where Jaccard stays low
+    // because the two sizes differ.
+    "t_dedup_contain" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.6)),
+
     // 32-bit SimHash per document.
     "t_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")),
@@ -1049,6 +1056,16 @@ object TrainingQueries {
         |  JOIN sh sa ON sa.doc_id = p.doc_a
         |  JOIN sh sb ON sb.doc_id = p.doc_b)
         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin),
+
+    "t_dedup_contain" -> (shingleCtes +
+      """, scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(least(len(sa.shingles), len(sb.shingles)), 1) AS containment
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, containment FROM scored WHERE containment >= 0.6""".stripMargin),
 
     "t_dedup_simhash" ->
       """WITH toks AS (

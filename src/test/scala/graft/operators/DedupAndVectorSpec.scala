@@ -39,6 +39,24 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.8))
   }
 
+  test("containment scores a quoted subset near 1.0 where jaccard stays low") {
+    val core = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val expansion = core + " " + (31 to 120).map(i => s"ext$i").mkString(" ")
+    val d = docs((1L, core), (2L, expansion), (3L, "unrelated words only here"))
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.6)
+      .select("doc_a", "doc_b", "containment").as[(Long, Long, Double)].collect()
+    // every shingle of doc 1 appears in doc 2 -> containment 1.0
+    val sub = cont.find(r => r._1 == 1L && r._2 == 2L)
+    assert(sub.exists(_._3 == 1.0), s"subset pair missing/low: ${cont.toSeq}")
+    // ...while symmetric jaccard on the same pair is far below the
+    // near-dup threshold (the case containment exists for)
+    val jac = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .find(r => r._1 == 1L && r._2 == 2L)
+    assert(jac.exists(_._3 < 0.3), s"jaccard should be small: $jac")
+    assert(!cont.exists(r => r._2 == 3L || r._1 == 3L))
+  }
+
   test("incremental near-dup == full recompute restricted to delta-touching pairs") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val existing = d.filter(col("doc_id") % 5 =!= 0)
