@@ -65,7 +65,21 @@ object Maintenance {
     * the data deletable-only: a crash mid-swap leaves either the original
     * (as `...__compact_old`) or the compacted copy on disk, never neither.
     */
-  def compact(spark: SparkSession, path: String, n: Int): Unit = {
+  /** [[compact]] that also CO-CLUSTERS while it rewrites (the OPTIMIZE ..
+    * ZORDER BY analog): files come out range-contiguous on `key` — e.g. a
+    * [[DataSkipping.zValue]] interleave — so the same maintenance pass
+    * that fixes small files also tightens every file's min/max envelope
+    * for manifest/row-group pruning. Identical crash-safety path.
+    */
+  def compactClustered(spark: SparkSession, path: String, n: Int,
+                       key: org.apache.spark.sql.Column): Unit =
+    compactImpl(spark, path, n, Some(key))
+
+  def compact(spark: SparkSession, path: String, n: Int): Unit =
+    compactImpl(spark, path, n, None)
+
+  private def compactImpl(spark: SparkSession, path: String, n: Int,
+                          clusterKey: Option[org.apache.spark.sql.Column]): Unit = {
     require(n >= 1, s"compact needs n >= 1 files, got $n")
     // normalize: a trailing slash would root the tmp/old siblings INSIDE
     // the table dir, turning the swap into self-destruction
@@ -89,8 +103,16 @@ object Maintenance {
     require(!hasPartitionDirs,
       s"compact targets a leaf/partition dir; $norm has partition subdirs — compact each")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(norm).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val src = spark.read.parquet(norm)
+    val shaped = clusterKey match {
+      case Some(k) =>
+        src.withColumn("__ck", k)
+          .repartitionByRange(n, org.apache.spark.sql.functions.col("__ck"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("__ck"))
+          .drop("__ck")
+      case None => src.repartition(n)
+    }
+    shaped.write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(norm)
     if (!fs.rename(dst, old))
       sys.error(s"compact: could not move $dst aside to $old")

@@ -53,6 +53,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(p).agg(sum("id")).head.getLong(0) == 499500L)
   }
 
+  test("compactClustered co-clusters while it compacts: same rows, tight envelopes") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("compactz").toString + "/tbl"
+    // write randomly-shuffled keys across many files: every file's key
+    // envelope spans the whole domain, so nothing can prune
+    (0 until 1000).map(i => (i * 7919) % 1000).toDF("k")
+      .repartition(20).write.parquet(p)
+    Maintenance.compactClustered(spark, p, 4, col("k"))
+    def files = new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files <= 4)
+    val back = spark.read.parquet(p)
+    assert(back.count() == 1000 &&
+      back.agg(sum("k")).head.getLong(0) == (0 until 1000).map(i => (i * 7919) % 1000).sum)
+    assert(!back.columns.contains("__ck"))
+    // post-compact, per-file [min,max] ranges are disjoint-ish: a point
+    // query's manifest prune hits exactly one file
+    val mf = DataSkipping.manifest(spark, p, Seq("k"))
+    assert(DataSkipping.pruneFiles(mf, Seq(("k", 10, 10))).size == 1)
+  }
+
   test("compact recovers a table stranded in __compact_old by a prior crash") {
     import spark.implicits._
     val p = Files.createTempDirectory("compact_crash").toString + "/tbl"
