@@ -45,6 +45,37 @@ object SketchMart {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(dir)
 
+  /** MERGE a batch into the daily mart: sketch the batch's rows, combine
+    * with each touched day's EXISTING sketch (union + sort + re-slice —
+    * the exact merge the soundness argument covers), dynamic-overwrite
+    * only those day partitions. Unlike [[upsertDaily]] this does not
+    * assume the batch carries a whole day, so it is the right fold for
+    * STREAMING maintenance (foreachBatch): KMV merge is associative,
+    * commutative, and idempotent (set union), so any micro-batch slicing
+    * — and any redelivery — converges to the same mart.
+    */
+  def mergeDaily(batch: DataFrame, dir: String, k: Int,
+                 hash: Column, day: Column): Unit = {
+    val spark = batch.sparkSession
+    val newSk = batch.groupBy(day.as("day"))
+      .agg(call_function("graft_kmv_mins", hash, lit(k)).as("mins"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) newSk
+      else newSk.unionByName(
+          spark.read.parquet(dir).join(newSk.select("day"), Seq("day"), "left_semi"))
+        .groupBy("day")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+          1, k).as("mins"))
+    // the plan READS the partitions the write replaces — cut lineage
+    // eagerly first (the mergePartitioned pattern) so the overwrite never
+    // scans what it is deleting
+    merged.localCheckpoint().write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+  }
+
   /** Merge daily sketches into per-`period` sketches and estimate. The
     * merged union is re-sketched with the same bounded rule (sort, slice
     * to k); below k retained values the size IS the exact distinct count,

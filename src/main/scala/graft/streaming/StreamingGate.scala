@@ -216,13 +216,49 @@ object StreamingGate {
         col("e._1").as("event_type"), col("e._2").as("cnt"))
   }
 
+  /** Streaming observability-mart maintenance: the event stream drains in
+    * single-file micro-batches, each folded into the daily KMV sketch
+    * mart by [[graft.operators.SketchMart.mergeDaily]] (union + re-slice
+    * — associative, commutative, idempotent, so the final mart is
+    * independent of the slicing and of redeliveries). The gate answers
+    * the weekly range-distinct question from the streamed mart; the
+    * oracle sketches each week's raw rows directly.
+    */
+  def sketchMartGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val in = scratch("skm_in", dir)
+    val mart = scratch("skm_mart", dir)
+    val ck = scratch("skm_ck", dir)
+    cleanDir(spark, mart); cleanDir(spark, ck); cleanDir(spark, in)
+    // several staged files + maxFilesPerTrigger=1 -> days really arrive
+    // split across micro-batches and the merge fold has to reconcile
+    ev.repartition(5).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.SketchMart.mergeDaily(b, mart, 32, col("h"), col("day"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.SketchMart.mergedDistinct(spark, mart, 32,
+      date_trunc("week", col("day")).cast("date"), "week")
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
     "st_kmv_estimate" -> (kmvGate(_, _)),
     "st_upsert" -> (upsertGate(_, _)),
     "st_stream_join" -> (streamJoinGate(_, _)),
-    "st_heavy_hitters" -> (heavyHittersGate(_, _)))
+    "st_heavy_hitters" -> (heavyHittersGate(_, _)),
+    "st_sketch_mart" -> (sketchMartGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -282,6 +318,27 @@ object StreamingGate {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
         |  version
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // identical to t_sketch_mart's oracle: the streamed fold must land on
+    // the same mart a batch build would
+    "st_sketch_mart" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week,
+        |    md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+        |r AS (
+        |  SELECT week, hv,
+        |    row_number() OVER (PARTITION BY week ORDER BY hv) AS rn FROM h),
+        |s AS (
+        |  SELECT week, COUNT(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN hv END) AS kth
+        |  FROM r GROUP BY 1)
+        |SELECT week,
+        |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM s""".stripMargin,
 
     "st_heavy_hitters" ->
       """WITH c AS (

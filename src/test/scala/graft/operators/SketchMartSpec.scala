@@ -7,8 +7,17 @@ class SketchMartSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def scratch(tag: String) =
-    graft.core.Scratch.dir(tag, "sketchmartspec")
+  /** Fresh per-test dir: Scratch paths are deterministic ACROSS suite
+    * runs, and dynamic-overwrite marts would merge with a previous run's
+    * leftovers.
+    */
+  private def scratch(tag: String) = {
+    val d = graft.core.Scratch.dir(tag, "sketchmartspec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    d
+  }
 
   test("daily KMV mart merged to a range equals the direct range sketch") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
@@ -98,6 +107,30 @@ class SketchMartSpec extends SparkSpec {
     val a = SketchMart.mergedDistinct(spark, dir, 16, lit(1), "r").head
     val b = SketchMart.mergedDistinct(spark, fullDir, 16, lit(1), "r").head
     assert(a.getLong(1) == b.getLong(1) && a.getDouble(2) == b.getDouble(2))
+  }
+
+  test("mergeDaily: any batch slicing and redelivery converge to the same mart") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+      .withColumn("slice", col("h").substr(1, 1))
+    def foldInto(dir: String, slices: Seq[Seq[String]]): Unit =
+      slices.foreach { ss =>
+        SketchMart.mergeDaily(ev.filter(col("slice").isin(ss: _*)), dir, 16,
+          col("h"), col("day"))
+      }
+    val hexs = "0123456789abcdef".map(_.toString)
+    val oneShot = scratch("m1")
+    val sliced = scratch("m2")
+    val redelivered = scratch("m3")
+    foldInto(oneShot, Seq(hexs))                     // everything at once
+    foldInto(sliced, hexs.grouped(3).toSeq)          // six tiny batches
+    foldInto(redelivered, hexs.grouped(3).toSeq ++ Seq(hexs.take(5)))  // replay
+    def martOf(dir: String) = spark.read.parquet(dir)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getSeq[String](0))).toSeq
+    assert(martOf(sliced) == martOf(oneShot))
+    assert(martOf(redelivered) == martOf(oneShot))
   }
 
   test("histogram mart rows stay bounded by days x bins, not raw rows") {
