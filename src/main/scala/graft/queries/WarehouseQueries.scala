@@ -689,6 +689,45 @@ object WarehouseQueries {
       QualityChecks.volumeAnomaly(t(s, dir, "events"),
         to_date(col("ts")), window = 7, zThreshold = 3.0)),
 
+    // Ordered funnel: users reaching view -> (later) click -> (later)
+    // purchase. Each stage is one min-ts aggregate joined forward —
+    // stage N's input is stage N-1's survivors, so work shrinks down the
+    // funnel and every join is keyed on user_id (no window over the log).
+    "a6_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      v.agg(count(lit(1)).as("n"))
+        .select(lit(1L).as("stage"), lit("view").as("stage_name"), col("n"))
+        .unionByName(c.agg(count(lit(1)).as("n"))
+          .select(lit(2L).as("stage"), lit("click").as("stage_name"), col("n")))
+        .unionByName(p.agg(count(lit(1)).as("n"))
+          .select(lit(3L).as("stage"), lit("purchase").as("stage_name"), col("n")))
+    }),
+
+    // Retention cohort matrix: users bucketed by first-active week, then
+    // distinct-active counts per (cohort, week offset). Two hash
+    // aggregates + one user-keyed join — the standard product-analytics
+    // mart over the raw event log.
+    "a7_retention" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min("week").as("cohort"))
+      uw.join(first, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort")) / 7).cast("long"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Numeric column profile (dbt-profiler / data-card shape): one fused
     // scan per table; Σv and Σv² are fixed-point DECIMAL sums so mean and
     // population stddev hash identically on any engine.
@@ -1174,6 +1213,33 @@ object WarehouseQueries {
         |SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM rows_""".stripMargin,
+
+    "a6_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |  (SELECT COUNT(*) FROM v) AS n
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)""".stripMargin,
+
+    "a7_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, uw.week) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT uw.user_id) AS n_active
+        |FROM uw JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "qa_profile" ->
       """WITH ea AS (
