@@ -122,5 +122,35 @@ object DelIns {
       dropped.foreach(st => fs.delete(st.getPath, true))
       dropped.map(_.getPath.getName)
     }
+
+    /** Retention with ARCHIVAL: expired partitions move to a cold-tier
+      * root (the GCS archive-class lifecycle analog) instead of being
+      * deleted — directory renames, never a data rewrite. An archived
+      * partition that already exists cold (a retried run) is replaced,
+      * keeping the move idempotent. Restore is the same rename back.
+      */
+    def archivePartitions(cutoff: String, partitionCol: String,
+                          archiveRoot: String): Seq[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(root)) return Seq.empty
+      val cold = new org.apache.hadoop.fs.Path(archiveRoot)
+      fs.mkdirs(cold)
+      val moved = fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(s"$partitionCol=") &&
+            java.net.URLDecoder.decode(n.stripPrefix(s"$partitionCol="), "UTF-8") < cutoff
+        }
+      moved.foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(cold, st.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          sys.error(s"archive: could not move ${st.getPath} to $dst")
+      }
+      moved.map(_.getPath.getName)
+    }
   }
 }

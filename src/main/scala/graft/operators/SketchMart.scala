@@ -83,21 +83,41 @@ object SketchMart {
     * single-shot [[graft.plans.KmvKthMin]] estimate rule.
     */
   def mergedDistinct(spark: SparkSession, dir: String, k: Int,
-                     period: Column, periodName: String): DataFrame = {
+                     period: Column, periodName: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(period.as(periodName))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
         1, k).as("u"))
-      .select(
-        col(periodName),
-        size(col("u")).cast("long").as("nd_capped"),
-        when(size(col("u")) < k, size(col("u")).cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
-              conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
-                .cast("long").cast("double"),
-            3)).as("est_distinct"))
+      .select((col(periodName) +: estimateCols(k)): _*)
+
+  /** Cumulative growth curve: distinct users SO FAR per day, from the
+    * mart alone — each day's row merges the expanding prefix of daily
+    * sketches (an ordered window over ONE row per day, calendar-bounded
+    * like the volume monitor, never over raw data). The curve every
+    * growth dashboard draws, priced at days × k strings.
+    */
+  def cumulativeDistinct(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(dir)
+      .withColumn("u",
+        slice(array_sort(array_distinct(flatten(collect_list(col("mins")).over(w)))),
+          1, k))
+      .select((col("day") +: estimateCols(k)): _*)
   }
+
+  /** The shared KMV read-out: retained-count (exact below k) and the
+    * (k-1)/U(k) estimate over a merged, sorted, k-sliced array column
+    * named `u`.
+    */
+  private def estimateCols(k: Int): Seq[Column] = Seq(
+    size(col("u")).cast("long").as("nd_capped"),
+    when(size(col("u")) < k, size(col("u")).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
+          conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
+            .cast("long").cast("double"),
+        3)).as("est_distinct"))
 
   /** Build (overwrite) the daily fixed-bin histogram mart of a value
     * column: (day, bin, cnt) with bin = floor(value / width). Histograms

@@ -719,6 +719,17 @@ object TrainingQueries {
       graft.operators.Drift.histDrift(binned, "event_type")
     }),
 
+    // Growth curve from the sketch mart alone: cumulative distinct users
+    // per day by merging the expanding prefix of daily sketches — the
+    // dashboard curve priced at days x k strings, no raw rescans.
+    "t_growth_curve" -> ((s, dir) => {
+      val k = 32
+      val path = graft.core.Scratch.dir("kmvmart", dir)
+      SketchMart.buildDaily(t(s, dir, "events"), path, k,
+        md5(col("user_id").cast("string")), to_date(col("ts")))
+      SketchMart.cumulativeDistinct(s, path, k)
+    }),
+
     // Histogram MART: per-day fixed-bin value histograms (bin counts ADD,
     // the trivially-mergeable quantile summary) merged into weekly
     // p50/p90/p99 by a deterministic rank-interpolation rule — range
@@ -1482,6 +1493,29 @@ object TrainingQueries {
         |  CAST(CAST(SUM(chi_fx) AS BIGINT) AS DOUBLE) / 10000000 AS drift_stat,
         |  CAST(MAX(ad_fx) AS DOUBLE) / 10000000 AS max_delta
         |FROM f GROUP BY 1""".stripMargin,
+
+    // each day's cumulative sketch must equal a direct sketch of all
+    // hashes up to that day
+    "t_growth_curve" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+        |days AS (SELECT DISTINCT day FROM d),
+        |cum AS (SELECT DISTINCT dd.day, h.hv FROM days dd JOIN d h ON h.day <= dd.day),
+        |r AS (
+        |  SELECT day, hv,
+        |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM cum),
+        |s AS (
+        |  SELECT day, COUNT(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN hv END) AS kth
+        |  FROM r GROUP BY 1)
+        |SELECT day,
+        |  CAST(LEAST(nd, 32) AS BIGINT) AS nd_capped,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM s""".stripMargin,
 
     // merged daily histograms vs direct weekly binning — bin counts add,
     // so the two must agree exactly under the shared interpolation rule

@@ -52,4 +52,32 @@ class IdempotencySpec extends SparkSpec {
     assert(left.filter(col("p_day") < "2024-01-05").count() === 0)
     assert(left.count() === ev.filter(col("p_day") >= "2024-01-05").count())
   }
+
+  test("warehouse: archival moves expired partitions cold, idempotently, restorably") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    val wh = new DelIns.Warehouse(spark, s"$dir/events", Seq("p_day"))
+    val cold = s"$dir/archive"
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("p_day", to_date(col("ts")).cast("string"))
+    wh.loadBatch(ev)
+    val nTotal = ev.count()
+    val nOld = ev.filter(col("p_day") < "2024-01-05").count()
+    val moved = wh.archivePartitions("2024-01-05", "p_day", cold)
+    assert(moved.nonEmpty)
+    // hot tier lost exactly the old rows; cold tier holds exactly them
+    assert(wh.read().count() === nTotal - nOld)
+    val coldDf = spark.read.option("basePath", cold).parquet(
+      moved.map(m => s"$cold/$m"): _*)
+    assert(coldDf.count() === nOld)
+    // a retried archive of the remaining data is a no-op
+    assert(wh.archivePartitions("2024-01-05", "p_day", cold).isEmpty)
+    // restore = rename back: union of tiers is the original table
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    moved.foreach { m =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cold/$m"),
+        new org.apache.hadoop.fs.Path(s"$dir/events/$m")))
+    }
+    assert(wh.read().count() === nTotal)
+  }
 }

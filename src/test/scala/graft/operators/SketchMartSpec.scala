@@ -109,6 +109,26 @@ class SketchMartSpec extends SparkSpec {
     assert(a.getLong(1) == b.getLong(1) && a.getDouble(2) == b.getDouble(2))
   }
 
+  test("cumulative curve: each day equals a direct sketch of its prefix") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val dir = scratch("cum")
+    SketchMart.buildDaily(ev, dir, 16, col("h"), col("day"))
+    val curve = SketchMart.cumulativeDistinct(spark, dir, 16)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val days = ev.select("day").distinct().collect().map(_.getDate(0)).sorted
+    days.foreach { d =>
+      val direct = ev.filter(col("day") <= lit(d))
+        .agg(call_function("graft_kmv_mins", col("h"), lit(16)).as("m"))
+        .select(size(slice(col("m"), 1, 16))).head.getInt(0)
+      assert(curve(d.toString) == direct.toLong, s"day $d")
+    }
+    // monotone non-decreasing by construction
+    val ordered = days.map(d => curve(d.toString))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+  }
+
   test("mergeDaily: any batch slicing and redelivery converge to the same mart") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select(to_date(col("ts")).as("day"),
