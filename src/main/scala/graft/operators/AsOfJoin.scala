@@ -78,4 +78,98 @@ object AsOfJoin {
     */
   def globalLatest(df: DataFrame, orderCols: Seq[String]): DataFrame =
     df.orderBy(orderCols.map(c => col(c).desc): _*).limit(1)
+
+  /** Union-window as-of join — the LARGE-intervals scale path for [[asOf]].
+    *
+    * [[asOf]] runs as an equi join on the key with the range predicate as a
+    * residual filter. That is linear in network cost, but the join itself
+    * materializes |facts(k)| x |intervals(k)| candidate pairs per key before
+    * the residual prunes them — a key with 10^4 facts and 10^4 price changes
+    * produces 10^8 intermediate pairs. This form instead UNIONs the event
+    * (interval-start) rows into the fact stream and takes, per fact, the
+    * most recent preceding event via `last(..., ignoreNulls)` over a
+    * running window: ONE shuffle + sort on the key, strictly linear in
+    * |facts| + |events| with O(1) window state (no frame buffering), no
+    * pair blowup. Semantics are identical to
+    * `asOf(facts, scd2Intervals(events, ...), ...)`: at equal timestamps the
+    * event sorts before the fact (interval start is inclusive), and among
+    * events tied on ts the last by `eventTieBreak` wins (its SCD2 interval
+    * is the non-empty one). The event payload rides in a struct so a NULL
+    * payload value still overrides an older event (ignoreNulls skips only
+    * rows with no event, never events carrying nulls).
+    */
+  def asOfUnion(facts: DataFrame, events: DataFrame,
+                equi: Seq[(String, String)], factTs: String, eventTs: String,
+                payload: Seq[(String, String)],
+                eventTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val factCols = facts.columns.toSeq
+    val keyNames = equi.map(_._1)
+    val tieNames = eventTieBreak.zipWithIndex.map { case (_, i) => s"__tie$i" }
+
+    // aligned union schema: keys, __ts, __side, tie columns (native event
+    // types — casting would corrupt numeric tie order), payload struct,
+    // fact struct. Null legs are typed from the source DataFrames' schemas;
+    // payload columns are renamed inside the struct so an output name may
+    // collide with a fact column without ambiguity until the caller picks.
+    val payType = StructType(payload.map { case (e, out) =>
+      StructField(out, events.schema(e).dataType, nullable = true) })
+    val factType = StructType(facts.schema.fields)
+    val factLeg = facts.select(
+      keyNames.map(c => facts(c).as(c)) ++
+        Seq(facts(factTs).as("__ts"), lit(1).as("__side")) ++
+        eventTieBreak.zipWithIndex.map { case (c, i) =>
+          lit(null).cast(events.schema(c).dataType).as(s"__tie$i") } ++
+        Seq(lit(null).cast(payType).as("__pay"),
+          struct(factCols.map(facts(_)): _*).as("__fact")): _*)
+    val eventLeg = events.select(
+      equi.map { case (f, e) => events(e).as(f) } ++
+        Seq(events(eventTs).as("__ts"), lit(0).as("__side")) ++
+        eventTieBreak.zipWithIndex.map { case (c, i) => events(c).as(s"__tie$i") } ++
+        Seq(struct(payload.map { case (e, out) => events(e).as(out) }: _*).as("__pay"),
+          lit(null).cast(factType).as("__fact")): _*)
+
+    val order = col("__ts") +: col("__side") +: tieNames.map(col)
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    factLeg.unionByName(eventLeg)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(factCols.map(c => col(s"__fact.$c").as(c)) ++
+        payload.map { case (_, out) => col(s"__asof.$out").as(out) }: _*)
+  }
+
+  /** Binned interval join — the LARGE-intervals scale path for
+    * [[asOfGlobal]]: point-in-interval when the interval side is too big to
+    * broadcast and there is no equi key to shuffle on. Each interval is
+    * replicated to the fixed-width time bins it spans (`binSeconds`), each
+    * fact lands in exactly one bin, and the join becomes an ordinary equi
+    * join on the bin id with the range predicate as residual — a uniform
+    * shuffle on time, no cartesian, no broadcast-size requirement.
+    * Replication factor is interval_length / binSeconds + 1, so pick
+    * `binSeconds` near the median interval length. Open-ended intervals
+    * (the [[EndOfTime]] sentinel) are clamped to the facts' max timestamp
+    * before binning — the clamp is a broadcast one-row scalar, and it only
+    * removes bins no fact can occupy, so results are unchanged.
+    */
+  def intervalJoinBinned(facts: DataFrame, intervals: DataFrame, factTs: String,
+                         binSeconds: Long): DataFrame = {
+    require(binSeconds >= 1, s"binSeconds must be >= 1, got $binSeconds")
+    val hi = facts.agg(max(col(factTs)).as("__maxTs"))
+    val ivl = intervals
+      .crossJoin(broadcast(hi))
+      .withColumn("__end",
+        least(col("valid_to"), col("__maxTs") + expr("INTERVAL 1 SECOND")))
+      .withColumn("__b", explode(sequence(
+        floor(unix_timestamp(col("valid_from")) / binSeconds).cast("long"),
+        floor(unix_timestamp(col("__end")) / binSeconds).cast("long"))))
+      .drop("__maxTs", "__end")
+    val f = facts.withColumn("__b",
+      floor(unix_timestamp(col(factTs)) / binSeconds).cast("long"))
+    f.join(ivl,
+        f("__b") === ivl("__b") &&
+          f(factTs) >= ivl("valid_from") && f(factTs) < ivl("valid_to"),
+        "left_outer")
+      .drop("__b")
+  }
 }

@@ -202,6 +202,36 @@ object WarehouseQueries {
         .select(views("event_id"), views("ts"), col("global_price"))
     }),
 
+    // J3 scale path (keyed): SAME semantics as j3_asof_join, but via the
+    // union-window form — one shuffle, linear, no facts x intervals pair
+    // blowup on hot keys. The oracle is j3_asof_join's, verbatim.
+    "j3_asof_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.asOfUnion(clicks, purchases,
+          Seq("user_id" -> "user_id"), "ts", "ts",
+          payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("price"))
+    }),
+
+    // J3 scale path (keyless): SAME semantics as j3_asof_global, but via
+    // bin replication — an equi join on fixed-width time bins instead of a
+    // broadcast nested loop, for when the interval side outgrows broadcast.
+    "j3_interval_binned" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gp = ev.filter(col("event_type") === "purchase" && col("user_id") === 42)
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts"), 1).over(w),
+            lit(AsOfJoin.EndOfTime).cast("timestamp")))
+        .select(col("value").as("global_price"), col("valid_from"), col("valid_to"))
+      val views = ev.filter(col("event_type") === "view")
+      AsOfJoin.intervalJoinBinned(views, gp, "ts", binSeconds = 6L * 3600)
+        .select(views("event_id"), views("ts"), col("global_price"))
+    }),
+
     // J1: change-log x spine equi join (attach closed_at).
     "j1_state_ledger_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -941,6 +971,31 @@ object WarehouseQueries {
         |WHERE e.event_type = 'click'""".stripMargin,
 
     "j3_asof_global" ->
+      """WITH gp AS (
+        |  SELECT value AS global_price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (ORDER BY ts, event_id),
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase' AND user_id = 42)
+        |SELECT e.event_id, e.ts, g.global_price
+        |FROM events e LEFT JOIN gp g ON e.ts >= g.valid_from AND e.ts < g.valid_to
+        |WHERE e.event_type = 'view'""".stripMargin,
+
+    // Identical semantics to j3_asof_join — the union-window execution must
+    // be invisible to results.
+    "j3_asof_union" ->
+      """WITH intervals AS (
+        |  SELECT user_id AS p_user, value AS price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts, p.price
+        |FROM events e LEFT JOIN intervals p
+        |  ON e.user_id = p.p_user AND e.ts >= p.valid_from AND e.ts < p.valid_to
+        |WHERE e.event_type = 'click'""".stripMargin,
+
+    // Identical semantics to j3_asof_global — bin replication must be
+    // invisible to results.
+    "j3_interval_binned" ->
       """WITH gp AS (
         |  SELECT value AS global_price, ts AS valid_from,
         |    coalesce(lead(ts, 1) OVER (ORDER BY ts, event_id),

@@ -51,6 +51,70 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("asOfUnion == asOf over ties, null payloads, and uncovered facts") {
+    val events = Seq(
+      // two events tied on ts for user 1: the later event_id's interval wins
+      (1L, ts("2024-01-02 00:00:00"), 10L, Some(1.0)),
+      (1L, ts("2024-01-02 00:00:00"), 11L, Some(2.0)),
+      // a later event carrying a NULL payload must still override
+      (1L, ts("2024-01-04 00:00:00"), 12L, None: Option[Double]),
+      (2L, ts("2024-01-01 00:00:00"), 20L, Some(9.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 00:00:00")), // before first event -> null
+      (101L, 1L, ts("2024-01-02 00:00:00")), // exactly at event ts -> covered
+      (102L, 1L, ts("2024-01-03 00:00:00")), // between events
+      (103L, 1L, ts("2024-01-05 00:00:00")), // after the null-payload event
+      (104L, 2L, ts("2024-01-02 00:00:00")),
+      (105L, 3L, ts("2024-01-02 00:00:00"))) // key with no events
+      .toDF("fact_id", "user_id", "ts")
+
+    val viaJoin = {
+      val iv = AsOfJoin.scd2Intervals(events, Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id").as("e_user"), col("value").as("price"),
+          col("valid_from"), col("valid_to"))
+      AsOfJoin.asOf(facts, iv, Seq("user_id" -> "e_user"), "ts")
+        .select(col("fact_id"), col("price"))
+    }
+    val viaUnion = AsOfJoin.asOfUnion(facts, events,
+        Seq("user_id" -> "user_id"), "ts", "ts",
+        payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"))
+      .select(col("fact_id"), col("price"))
+
+    val a = viaJoin.as[(Long, Option[Double])].collect().toMap
+    val b = viaUnion.as[(Long, Option[Double])].collect().toMap
+    assert(b == a)
+    assert(b(100L).isEmpty && b(105L).isEmpty)
+    assert(b(101L).contains(2.0), "later event_id wins the ts tie")
+    assert(b(103L).isEmpty, "null payload from the latest event overrides")
+
+    // the scale claim: no join operator at all — one window over a union
+    val plan = viaUnion.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
+  }
+
+  test("intervalJoinBinned == asOfGlobal and plans as an equi join") {
+    val iv = Seq(
+      (1.0, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      (2.0, ts("2024-01-03 00:00:00"), ts("2200-01-01 00:00:00")))
+      .toDF("price", "valid_from", "valid_to")
+    val facts = (1 to 200).map(i =>
+      (i.toLong, ts(f"2024-01-0${1 + i % 5}%d ${i % 24}%02d:00:00")))
+      .toDF("id", "t") // includes days 4-5, past the first interval
+    val expect = AsOfJoin.asOfGlobal(facts, iv, "t")
+      .select("id", "price").as[(Long, Option[Double])].collect().toMap
+    val binned = AsOfJoin.intervalJoinBinned(facts, iv, "t", binSeconds = 3600)
+    val got = binned.select("id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(got == expect)
+    // the fact x interval join must be an equi join on the bin key (the
+    // one-row scalar clamp legitimately plans as a 1-row broadcast cross)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[__b".r
+      .findFirstIn(plan).isDefined,
+      s"bin replication must become an equi join on __b:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("globalLatest avoids a single-partition global window") {
     val log = (1 to 1000).map(i => (i.toLong, ts("2024-01-01 00:00:00"), i.toDouble))
       .toDF("id", "t", "v")
