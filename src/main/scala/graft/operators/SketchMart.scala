@@ -163,4 +163,55 @@ object SketchMart {
             6).as(name))
     }.reduce(_.join(_, periodName))
   }
+
+  /** Count-Min frequency mart: per-day counter grids answering "how often
+    * did key X occur in day range R" from d×w counters per day — the
+    * point-FREQUENCY companion to the KMV mart's distinct counts and the
+    * Misra-Gries top-k (MG finds the heavy keys, CM prices an arbitrary
+    * one). Each input row increments one counter per hash row r (bucket =
+    * md5(key|r) mod w), so a day's sketch is ≤ d×w rows no matter how many
+    * events the day saw, counters merge across days by addition, and the
+    * estimate min_r(counter[r][h_r(x)]) never undercounts (every counter
+    * the key touches holds its true count plus nonnegative collisions).
+    * The md5-derived buckets make the whole computation engine-reproducible
+    * — the DuckDB oracle rebuilds the grid from the same rule.
+    *
+    * Scale shape: the build is one narrow explode (d rows per event)
+    * into a map-side-combinable hash aggregate bounded by d×w groups per
+    * partition; point queries touch days×d×w mart rows and the counter
+    * sum broadcasts (d×w rows) into the probe join.
+    */
+  def cmBucket(key: Column, row: Int, w: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("|"), lit(row))), 1, 13),
+      16, 10).cast("long") % w
+
+  /** Build (overwrite) the daily CM mart: (day, r, c, n), day-partitioned. */
+  def buildCmDaily(events: DataFrame, dir: String, d: Int, w: Int,
+                   key: Column, day: Column): Unit =
+    events.select(day.as("day"), key.cast("string").as("k"))
+      .select(col("day"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmBucket(col("k"), r, w).as("c"))): _*)).as("rc"))
+      .groupBy(col("day"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+  /** Estimate each probe key's occurrence count over the mart days that
+    * pass `dayFilter`: merge counters by addition, probe min over rows.
+    * Probes that hash to counters no day ever touched read as 0.
+    */
+  def cmEstimates(spark: SparkSession, dir: String, d: Int, w: Int,
+                  probes: DataFrame, probeKey: String,
+                  dayFilter: Column = lit(true)): DataFrame = {
+    val counters = spark.read.parquet(dir).filter(dayFilter)
+      .groupBy("r", "c").agg(sum("n").as("n"))
+    val rc = probes.select(col(probeKey),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            cmBucket(col(probeKey), r, w).as("c"))): _*)).as("rc"))
+      .select(col(probeKey), col("rc.r").as("r"), col("rc.c").as("c"))
+    rc.join(broadcast(counters), Seq("r", "c"), "left_outer")
+      .na.fill(0L, Seq("n"))
+      .groupBy(probeKey)
+      .agg(min(col("n")).cast("long").as("est_count"))
+  }
 }

@@ -634,6 +634,18 @@ object TrainingQueries {
         date_trunc("week", col("day")).cast("date"), "week")
     }),
 
+    // Count-Min frequency mart: per-day d x w counter grids, merged by
+    // addition over the full day range, probed for every user_id < 50.
+    // Deterministic md5 buckets -> the oracle rebuilds the same grid.
+    "t_cm_sketch" -> ((s, dir) => {
+      val (d, w) = (4, 64)
+      val path = graft.core.Scratch.dir("cmmart", dir)
+      val ev = t(s, dir, "events")
+      SketchMart.buildCmDaily(ev, path, d, w, col("user_id"), to_date(col("ts")))
+      val probes = ev.select(col("user_id")).filter(col("user_id") < 50).distinct()
+      SketchMart.cmEstimates(s, path, d, w, probes, "user_id")
+    }),
+
     // Heavy hitters (Misra-Gries summary, graft.plans.MgTopK): per-source
     // top tokens in O(k) bounded state — partitions reduce to <= k pairs
     // before the shuffle, so per-group network cost is independent of
@@ -1558,6 +1570,25 @@ object TrainingQueries {
         |                  / CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT) AS DOUBLE), 3)
         |  END AS est_distinct
         |FROM s""".stripMargin,
+
+    // CM grid rebuilt from the same md5 bucket rule: counter (r,c) = count
+    // of events whose key hashes there; estimate = min over the d rows.
+    "t_cm_sketch" ->
+      """WITH rows_ AS (SELECT unnest(range(4)) AS r),
+        |base AS (SELECT user_id FROM events),
+        |counters AS (
+        |  SELECT r,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)), 1, 13) AS BIGINT) % 64 AS c,
+        |    COUNT(*) AS n
+        |  FROM base CROSS JOIN rows_ GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+        |prc AS (
+        |  SELECT user_id, r,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)), 1, 13) AS BIGINT) % 64 AS c
+        |  FROM probes CROSS JOIN rows_)
+        |SELECT p.user_id, CAST(MIN(coalesce(ct.n, 0)) AS BIGINT) AS est_count
+        |FROM prc p LEFT JOIN counters ct USING (r, c)
+        |GROUP BY 1""".stripMargin,
 
     "t_embed_norm" ->
       """WITH n AS (

@@ -163,4 +163,38 @@ class SketchMartSpec extends SparkSpec {
     assert(mart.count() <= days * maxBins)
     assert(mart.agg(sum("cnt")).head.getLong(0) == ev.count())
   }
+
+  test("CM mart: bounded per-day size, never-undercount, day-range merge") {
+    val (d, w) = (4, 32)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val dir = scratch("cm")
+    SketchMart.buildCmDaily(ev, dir, d, w, col("user_id"), to_date(col("ts")))
+    val mart = spark.read.parquet(dir)
+    val days = ev.select(to_date(col("ts"))).distinct().count()
+    assert(mart.count() <= days * d * w, "a day's sketch is at most d x w rows")
+    // every counter row's total equals the event count (each event lands
+    // in exactly one counter per hash row)
+    assert(mart.agg(sum("n")).head.getLong(0) == ev.count() * d)
+
+    val probes = ev.select(col("user_id")).distinct()
+    val est = SketchMart.cmEstimates(spark, dir, d, w, probes, "user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+    val joined = est.join(exact, Seq("user_id"))
+      .select(col("user_id"), col("est_count"), col("true_n"))
+      .as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (u, e, t) =>
+      assert(e >= t, s"CM undercounted user $u: est $e < true $t") }
+
+    // a restricted day range must equal a CM built over just those days
+    val someDay = ev.select(to_date(col("ts")).as("d0")).orderBy("d0").head.getDate(0)
+    val ranged = SketchMart.cmEstimates(spark, dir, d, w, probes, "user_id",
+      col("day") === lit(someDay))
+    val dir2 = scratch("cm1day")
+    SketchMart.buildCmDaily(ev.filter(to_date(col("ts")) === lit(someDay)),
+      dir2, d, w, col("user_id"), to_date(col("ts")))
+    val direct = SketchMart.cmEstimates(spark, dir2, d, w, probes, "user_id")
+    assert(ranged.orderBy("user_id").collect().toSeq ==
+      direct.orderBy("user_id").collect().toSeq)
+  }
 }
