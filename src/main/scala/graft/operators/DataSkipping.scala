@@ -85,4 +85,75 @@ object DataSkipping {
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
+
+  // ---- Bloom-filter manifest: point/IN-list skipping ----
+  //
+  // Zone maps prune RANGE predicates on the cluster key; they are useless
+  // for point lookups on a column the layout is NOT ordered by (every
+  // file's [min,max] spans the domain). The bloom manifest stores, per
+  // file, the set of set-bit positions of an m-bit k-hash Bloom filter
+  // over the column — a file can be skipped when ANY of a probe value's k
+  // bits is absent. A contained value always has all its bits set, so
+  // skipping has no false negatives: the pruned read equals the full-scan
+  // filter exactly (false positives only cost extra candidate files).
+  // This is the Delta/Iceberg bloom-skipping analog, maintained as a
+  // plain table; md5-derived bit positions keep it engine-reproducible.
+
+  /** The k bit positions of one value (Spark-side, codegen'd). */
+  def bloomBits(value: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      conv(substring(md5(concat(value.cast("string"), lit("#"), lit(i))), 1, 13),
+        16, 10).cast("long").mod(m).cast("int")): _*)
+
+  /** The same k positions computed driver-side for a probe literal —
+    * byte-identical to [[bloomBits]] (same md5, same slice, same mod).
+    */
+  def bloomBitsOf(value: String, m: Int, k: Int): Seq[Int] =
+    (0 until k).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$value#$i".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+
+  /** One manifest row per file: the sorted distinct set-bit positions of
+    * the file's Bloom filter over `colName`. One narrow explode + one
+    * per-file set-collect; size is bounded by min(m, k x rows_per_file).
+    */
+  def bloomManifest(spark: SparkSession, dir: String, colName: String,
+                    m: Int, k: Int): DataFrame =
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"),
+        explode(bloomBits(col(colName), m, k)).as("bit"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("bit"))).as("bits"))
+
+  /** Files that may contain at least one of `values`: all k (distinct)
+    * bits of some value present in the file's bit set.
+    */
+  def bloomPruneFiles(manifest: DataFrame, values: Seq[String],
+                      m: Int, k: Int): Seq[String] = {
+    require(values.nonEmpty, "bloomPruneFiles needs at least one probe value")
+    val hit = values.map { v =>
+      val bits = bloomBitsOf(v, m, k).distinct
+      size(array_intersect(col("bits"),
+        lit(bits.toArray))) === bits.length
+    }.reduce(_ || _)
+    manifest.filter(hit).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Bloom-pruned IN-list read: only candidate files are opened, then the
+    * exact IN predicate applies (false positives filtered here).
+    */
+  def bloomPrunedRead(spark: SparkSession, manifest: DataFrame, colName: String,
+                      values: Seq[String], m: Int, k: Int): DataFrame = {
+    val files = bloomPruneFiles(manifest, values, m, k)
+    val df =
+      if (files.isEmpty) {
+        val probe = manifest.sparkSession.read.parquet(
+          manifest.select(col("file")).head.getString(0))
+        probe.filter(lit(false))
+      } else spark.read.parquet(files: _*)
+    df.filter(col(colName).cast("string").isin(values: _*))
+  }
 }

@@ -680,6 +680,24 @@ object TrainingQueries {
             .cast("double").as("value_sum"))
     }),
 
+    // Bloom-filter file skipping: point lookups on a HIGH-CARDINALITY
+    // column the files are NOT clustered by (event_id, with the layout
+    // clustered on user_id) — the zone-map manifest cannot prune those
+    // (every file's event_id range spans the domain), the bloom manifest
+    // can. Pruning has no false negatives, so the result must equal the
+    // full-scan IN filter — which is what the oracle states.
+    "t_bloom_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = graft.core.Scratch.dir("bloom", dir)
+      graft.operators.DataSkipping.writeClustered(ev, path, col("user_id"), 16)
+      val mf = graft.operators.DataSkipping.bloomManifest(
+        s, path, "event_id", m = 65536, k = 3)
+      graft.operators.DataSkipping.bloomPrunedRead(
+          s, mf, "event_id", Seq("7", "123", "901", "999999"), m = 65536, k = 3)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
     // Z-order clustering: interleave the bit ranks of (user_id, value
     // bucket) so BOTH box predicates prune files, then the same
     // manifest-pruned read. Same soundness, same oracle shape.
@@ -1453,6 +1471,12 @@ object TrainingQueries {
         |FROM events
         |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 120.0
         |GROUP BY 1""".stripMargin,
+
+    // bloom pruning must be invisible to results: the oracle is the plain
+    // full-scan IN filter
+    "t_bloom_scan" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id IN (7, 123, 901, 999999)""".stripMargin,
 
     "t_zorder_scan" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -72,4 +72,42 @@ class DataSkippingSpec extends SparkSpec {
     val b = DataSkipping.prunedRead(spark, zMf, box)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("bloom manifest prunes point lookups zone maps cannot") {
+    val dir = scratch("bloom")
+    val (m, k) = (65536, 3)
+    // layout clustered by user_id; probe column is event_id
+    DataSkipping.writeClustered(ev, dir, col("user_id"), 16)
+    val zoneMf = DataSkipping.manifest(spark, dir, Seq("event_id"))
+    val bloomMf = DataSkipping.bloomManifest(spark, dir, "event_id", m, k)
+    val nFiles = bloomMf.count()
+
+    // driver-side and Spark-side bit rules are byte-identical
+    import spark.implicits._
+    val sparkBits = Seq("42").toDF("v")
+      .select(DataSkipping.bloomBits(col("v"), m, k))
+      .head.getSeq[Int](0).toSeq
+    assert(sparkBits == DataSkipping.bloomBitsOf("42", m, k))
+
+    // an existing event_id lives in exactly one clustered file: the zone
+    // manifest keeps every file (each spans the whole event_id domain),
+    // bloom narrows to (almost) just the containing file
+    val probe = Seq("17")
+    val zoneHit = DataSkipping.pruneFiles(zoneMf,
+      Seq(("event_id", 17L, 17L))).size
+    val bloomHit = DataSkipping.bloomPruneFiles(bloomMf, probe, m, k).size
+    assert(bloomHit < zoneHit,
+      s"bloom ($bloomHit) should out-prune event_id zone maps ($zoneHit)")
+    assert(bloomHit <= 1 + nFiles / 4,
+      s"bloom should prune to near the one containing file: $bloomHit of $nFiles")
+
+    // no false negatives: pruned read == full-scan IN filter, including a
+    // value that exists nowhere
+    val vals = Seq("17", "423", "999999")
+    val got = DataSkipping.bloomPrunedRead(spark, bloomMf, "event_id", vals, m, k)
+    val want = spark.read.parquet(dir)
+      .filter(col("event_id").cast("string").isin(vals: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 2)
+  }
 }
