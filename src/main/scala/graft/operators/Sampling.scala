@@ -78,6 +78,34 @@ object Sampling {
                     buckets: Int = 100): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < cutoff)
 
+  /** Deterministic FRACTIONAL upsampling — the other half of mixture
+    * targeting. [[mixtureSample]] hits rates below 1 by dropping rows;
+    * training mixtures also run sources ABOVE 1 ("2.4 epochs of wiki"),
+    * which means floor(w) full copies of every row plus one extra copy for
+    * a deterministic frac(w) slice, selected by the same md5 bucket rule
+    * as every other sampler here so the multiset is reproducible across
+    * runs, engines, and partitionings. Each copy is tagged with an
+    * `epoch` column (1-based) so downstream epoch-wise shuffling
+    * ([[deterministicShuffle]] salted by epoch) de-correlates the
+    * repeats. weight < 1 degenerates to exactly [[mixtureSample]]'s
+    * semantics (0 full copies, a frac(w) sample).
+    *
+    * Scale shape: a narrow per-row transform — no shuffle, no join;
+    * array_repeat + posexplode multiplies rows map-side, so the operator
+    * composes with whatever partitioning the downstream writer wants.
+    */
+  def upsample(df: DataFrame, idCol: String, weight: Column,
+               buckets: Int = 100): DataFrame = {
+    val whole = floor(weight).cast("int")
+    val extraBuckets = round((weight - floor(weight)) * buckets)
+    val copies = whole +
+      when(hashBucket(col(idCol), buckets) < extraBuckets, 1).otherwise(0)
+    df.select(col("*"),
+        posexplode(array_repeat(lit(1), greatest(copies, lit(0)))).as(Seq("__e", "__x")))
+      .withColumn("epoch", (col("__e") + 1).cast("long"))
+      .drop("__e", "__x")
+  }
+
   /** Per-key document cap (the RefinedWeb-style per-domain cap: no single
     * site/source may contribute more than `cap` documents): keep the `cap`
     * rows with the smallest deterministic md5 priority per key, so the

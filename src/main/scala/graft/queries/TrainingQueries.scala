@@ -378,6 +378,21 @@ object TrainingQueries {
             .as("achieved_rate"))
     }),
 
+    // Fractional upsampling: per-lang mixture weights above AND below 1 —
+    // en runs 2.4 epochs (2 full copies + a deterministic 40% third), de
+    // is downsampled to 0.5, fr passes through. The per-(lang, epoch)
+    // id_sum pins the exact multiset, not just the counts.
+    "t_sample_upsample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val wt = when(col("lang") === "en", 2.4)
+        .when(col("lang") === "de", 0.5)
+        .when(col("lang") === "fr", 1.0)
+        .otherwise(1.5)
+      Sampling.upsample(d, "doc_id", wt)
+        .groupBy("lang", "epoch")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // PII scrubbing: deterministic emails/phones injected (testdata has
     // none), then the chained-regexp_replace scrub — counts before, digest
     // and shrinkage after. Pure narrow projection, no UDF.
@@ -1352,6 +1367,25 @@ object TrainingQueries {
         |  CAST(MAX(rate) AS BIGINT) AS target_pct,
         |  CAST(COUNT(CASE WHEN bkt < rate THEN 1 END) AS DOUBLE) / COUNT(*) AS achieved_rate
         |FROM b GROUP BY source""".stripMargin,
+
+    // Same md5 bucket + floor/frac copy rule; generate_series replays the
+    // epoch explosion.
+    "t_sample_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.4 WHEN 'de' THEN 0.5
+        |              WHEN 'fr' THEN 1.0 ELSE 1.5 END AS wt,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS bkt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(wt) AS INTEGER) +
+        |      CASE WHEN bkt < round((wt - floor(wt)) * 100) THEN 1 ELSE 0 END AS copies
+        |  FROM w),
+        |e AS (SELECT doc_id, lang, unnest(generate_series(1, copies)) AS epoch FROM c)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "t_scrub_pii" ->
       """WITH p AS (

@@ -86,4 +86,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 8)
     assert(out.select(sum("id")).head.getLong(0) == 5000L * 5001 / 2)
   }
+
+  test("upsample: epoch copies, sub-1 weights match mixtureSample, no shuffle") {
+    val df = (1L to 10000L).toDF("id")
+
+    // weight 1.0: identity multiset, every row epoch 1
+    val w1 = Sampling.upsample(df, "id", lit(1.0))
+    assert(w1.count() == 10000L)
+    assert(w1.agg(max("epoch")).head.getLong(0) == 1L)
+
+    // weight 2.4: every id appears 2 or 3 times; overall rate ~2.4; the
+    // third copy is exactly mixtureSample's 40% slice
+    val w24 = Sampling.upsample(df, "id", lit(2.4))
+    val perId = w24.groupBy("id").count()
+    assert(perId.filter(col("count") < 2 || col("count") > 3).count() == 0)
+    val total = w24.count()
+    assert(math.abs(total / 10000.0 - 2.4) < 0.05, s"rate ${total / 10000.0}")
+    val third = w24.filter(col("epoch") === 3).select("id")
+    val slice = Sampling.mixtureSample(df, "id", lit(40)).select("id")
+    assert(third.exceptAll(slice).isEmpty && slice.exceptAll(third).isEmpty)
+
+    // weight 0.5 == mixtureSample(50): pure downsample, epoch always 1
+    val half = Sampling.upsample(df, "id", lit(0.5))
+    val mix = Sampling.mixtureSample(df, "id", lit(50))
+    assert(half.agg(max("epoch")).head.getLong(0) == 1L)
+    assert(half.select("id").exceptAll(mix.select("id")).isEmpty &&
+      mix.select("id").exceptAll(half.select("id")).isEmpty)
+
+    // narrow: no exchange anywhere in the row-multiplying plan
+    val plan = w24.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsample must not shuffle:\n$plan")
+  }
 }
