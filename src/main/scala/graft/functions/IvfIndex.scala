@@ -203,6 +203,84 @@ object IvfIndex {
     cents
   }
 
+  // ---- Product quantization (PQ) ----
+  //
+  // The int8 path compresses 4x but still stores every dimension. PQ
+  // compresses to m BYTES per vector: the dim-space splits into m
+  // subspaces of dsub dims, each subspace gets its own ksub-entry
+  // codebook, and a vector is stored as its m nearest-codeword ids.
+  // A query builds an m x ksub lookup table of subspace dot products
+  // ONCE (asymmetric distance computation), after which scoring a vector
+  // is m table lookups + integer-ish adds — the scan reads m bytes per
+  // vector instead of 4*dims. 64 dims, m=8, ksub=16: 256 bytes -> 8
+  // bytes, 32x. Codebooks follow the same deterministic seed rule as the
+  // IVF coarse quantizer (subspace slices of vectors id < ksub; codes by
+  // round-6 L2 with min-id ties), so the DuckDB oracle replays the whole
+  // pipeline. ADC scores are fixed-pointed (round(dot*1e6) as long)
+  // before the cross-subspace sum so the 8-term addition is
+  // order-independent and engine-exact.
+
+  /** Seed codebooks: (u, j, cvec) — subspace u's codeword j is dims
+    * [u*dsub, (u+1)*dsub) of the vector with id j.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, dsub: Int, ksub: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    validateSeeds(corpus, ksub, idCol)
+    corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).as("j"), explode(array((0 until m).map(u =>
+        struct(lit(u).as("u"),
+          transform(slice(col(vecCol), u * dsub + 1, dsub), _.cast("double"))
+            .as("cvec"))): _*)).as("s"))
+      .select(col("s.u").as("u"), col("j"), col("s.cvec").as("cvec"))
+  }
+
+  /** Encode: each vector's m codes (nearest codeword per subspace by
+    * round-6 L2, ties to the smallest codeword id). One narrow explode
+    * (rows x m), a broadcast join against the m x ksub codebook, two
+    * hash aggregates — no shuffle of vector data beyond the code rows.
+    */
+  def pqCodes(corpus: DataFrame, codebooks: DataFrame, m: Int, dsub: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), explode(array((0 until m).map(u =>
+        struct(lit(u).as("u"), slice(col(vecCol), u * dsub + 1, dsub).as("sv"))): _*)).as("s"))
+      .select(col(idCol), col("s.u").as("u"), col("s.sv").as("sv"))
+      .join(broadcast(codebooks), "u")
+      .withColumn("l2", round(aggregate(
+        zip_with(col("sv"), col("cvec"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), _ + _), 6))
+      .groupBy(col(idCol), col("u"))
+      .agg(min(struct(col("l2"), col("j"))).getField("j").as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("u"), col("code")))),
+        _.getField("code")).as("codes"))
+
+  /** ADC top-k: score = sum over subspaces of LUT[u][code_u], the lookup
+    * table being the query's round-6 subspace dot products fixed-pointed
+    * to micro-units. The LUT is m x ksub rows and broadcasts; the scan
+    * touches only (id, codes).
+    */
+  def pqTopK(corpus: DataFrame, codes: DataFrame, codebooks: DataFrame,
+             queryVec: DataFrame, k: Int, m: Int, dsub: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lut = codebooks
+      .crossJoin(broadcast(queryVec.select(col(vecCol).as("__qv"))))
+      .withColumn("s6", round(aggregate(
+        zip_with(slice(col("__qv"), col("u") * dsub + 1, lit(dsub)), col("cvec"),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), _ + _) * 1e6).cast("long"))
+      .select(col("u"), col("j"), col("s6"))
+    val adc = codes
+      .select(col(idCol), posexplode(col("codes")).as(Seq("cu", "code")))
+      .join(broadcast(lut), col("cu") === col("u") && col("code") === col("j"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s6")).cast("double") / 1e6, 3).as("score"))
+    corpus.select(col(idCol), col("label"))
+      .join(adc, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cents = seedCentroids(corpus, nlist, idCol, vecCol)

@@ -184,6 +184,19 @@ object TrainingQueries {
         .select("vec_id", "label", "dp", "score")
     }),
 
+    // Product quantization: 64 dims -> 8 one-byte codes (32x smaller than
+    // the floats), scored via the query's 8 x 16 ADC lookup table. The
+    // whole pipeline (seed codebooks, round-6 L2 encoding, fixed-point
+    // ADC) is deterministic, so the oracle replays it relationally.
+    "t_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val cb = IvfIndex.pqCodebooks(emb, m = 8, dsub = 8, ksub = 16)
+      val codes = IvfIndex.pqCodes(emb, cb, m = 8, dsub = 8)
+      IvfIndex.pqTopK(emb, codes, cb, q, k = 10, m = 8, dsub = 8)
+        .select(col("vec_id"), col("label"), col("score"))
+    }),
+
     // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
     // (ordered-fold means, round-6) sharpen the seed cells, then the
     // standard probe. The oracle replays both rounds relationally.
@@ -940,6 +953,40 @@ object TrainingQueries {
        |  GROUP BY a.cell, d.i),
        |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
 
+  /** PQ oracle: seed codebooks as subspace slices of vectors id < ksub,
+    * codes by round-6 L2 argmin (min-j ties), ADC scores fixed-pointed to
+    * micro-units before the cross-subspace sum — every step replays the
+    * Spark pipeline exactly.
+    */
+  private def annPqOracle(m: Int, dsub: Int, ksub: Int, k: Int): String =
+    s"""WITH subs AS (SELECT unnest(range($m)) AS u),
+       |cb AS (
+       |  SELECT s.u, e.vec_id AS j,
+       |    list_transform(e.embedding[s.u*$dsub+1 : s.u*$dsub+$dsub],
+       |      x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings e, subs s WHERE e.vec_id < $ksub),
+       |codes AS (
+       |  SELECT e.vec_id, c.u,
+       |    first(c.j ORDER BY round(list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> (CAST(e.embedding[c.u*$dsub+i] AS DOUBLE) - c.cvec[i])
+       |         * (CAST(e.embedding[c.u*$dsub+i] AS DOUBLE) - c.cvec[i]))), 6) ASC,
+       |      c.j) AS code
+       |  FROM embeddings e, cb c
+       |  GROUP BY e.vec_id, c.u),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.u, c.j,
+       |    CAST(round(list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> CAST(q.qv[c.u*$dsub+i] AS DOUBLE) * c.cvec[i])) * 1000000) AS BIGINT) AS s6
+       |  FROM cb c, q),
+       |adc AS (
+       |  SELECT cd.vec_id, round(CAST(SUM(l.s6) AS DOUBLE) / 1000000, 3) AS score
+       |  FROM codes cd JOIN lut l ON l.u = cd.u AND l.j = cd.code
+       |  GROUP BY cd.vec_id)
+       |SELECT e.vec_id, e.label, a.score
+       |FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
+       |ORDER BY a.score DESC, e.vec_id LIMIT $k""".stripMargin
+
   private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String =
     s"""${kmeansCtePrefix(nlist, iters)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1052,6 +1099,7 @@ object TrainingQueries {
     // the materialized index must reproduce the composable formulation
     "t_ann_ivf_indexed" -> annIvfOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
+    "t_ann_pq" -> annPqOracle(m = 8, dsub = 8, ksub = 16, k = 10),
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
     "t_embed_kmeans" -> embedKmeansOracle(nlist = 16, iters = 2),
     "t_semdedup" -> semDedupOracle(nlist = 16, iters = 1, tau = 0.35),

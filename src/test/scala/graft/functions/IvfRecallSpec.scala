@@ -52,4 +52,41 @@ class IvfRecallSpec extends SparkSpec {
       .agg(max(abs(col("v") - col("vf")))).head().getDouble(0)
     assert(maxDiff <= 1e-6, s"fast/exact centroid divergence $maxDiff")
   }
+
+  test("PQ: m bounded codes per vector, deterministic, useful ADC recall") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (m, dsub, ksub) = (8, 8, 16)
+    val cb = IvfIndex.pqCodebooks(emb, m, dsub, ksub)
+    assert(cb.count() == m.toLong * ksub)
+    val codes = IvfIndex.pqCodes(emb, cb, m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    // every vector compresses to exactly m codes, each a valid codeword id
+    assert(codes.filter(size(col("codes")) =!= m).count() == 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= ksub)).count() == 0)
+
+    def dotTop(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("__qv"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("dot", aggregate(
+          zip_with(col("embedding"), col("__qv"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(k).select("vec_id").as[Long].collect().toSet
+    }
+    val recalls = heldOut.map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding"))
+      val pq = topIds(IvfIndex.pqTopK(emb, codes, cb, q, k, m, dsub))
+      val pq2 = topIds(IvfIndex.pqTopK(emb, codes, cb, q, k, m, dsub))
+      assert(pq == pq2, s"PQ ranking not deterministic for query $qid")
+      (dotTop(qid) & pq).size.toDouble / k
+    }
+    codes.unpersist()
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC recall@10 vs exact dot = $mean%.3f")
+    // 32x compression keeps a usable candidate list on the fixture
+    assert(mean >= 0.3, f"PQ recall collapsed: $mean%.3f (per-query $recalls)")
+  }
 }
