@@ -36,4 +36,29 @@ object Skew {
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Bloom semi-join reduction: shrink the FACT side before the shuffle
+    * when the other side is too selective to ignore but its distinct key
+    * set is too large to broadcast exactly. The dim keys fold into an
+    * m-bucket k-hash Bloom bit set (≤ m int rows — broadcastable no
+    * matter how many keys); the fact side passes through k broadcast
+    * LEFT SEMI joins, one per hash, each map-side, so fact rows whose key
+    * cannot match never enter the real join's exchange. False positives
+    * just ride through to the exact join; no true match is ever dropped,
+    * so the result EQUALS the plain join — the classic distributed
+    * semi-join reduction (Spark's AQE runtime bloom filter, made explicit
+    * and deterministic).
+    */
+  def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      m: Int, k: Int, joinType: String = "inner"): DataFrame = {
+    val bits = dim
+      .select(explode(DataSkipping.bloomBits(col(dimKey), m, k)).as("__bit"))
+      .distinct()
+    val reduced = (0 until k).foldLeft(fact) { (f, i) =>
+      val bitI = DataSkipping.bloomBits(col(factKey), m, k).getItem(i)
+      f.join(broadcast(bits), bitI === col("__bit"), "left_semi")
+    }
+    reduced.join(dim, reduced(factKey) === dim(dimKey), joinType)
+  }
 }

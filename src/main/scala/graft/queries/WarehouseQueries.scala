@@ -232,6 +232,50 @@ object WarehouseQueries {
         .select(views("event_id"), views("ts"), col("global_price"))
     }),
 
+    // Semi-join reduction: the urgent-orders key set folds into a Bloom
+    // bit table (broadcastable at ANY dim cardinality); the fact side is
+    // pre-filtered map-side through k broadcast semi joins before the real
+    // join's shuffle. No true match can drop, so the result equals the
+    // plain join — which is what the oracle states.
+    "j10_bloom_reduce" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Skew.bloomReduceJoin(li, urgent, "l_orderkey", "o_orderkey",
+          m = 1 << 16, k = 2)
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("qty_sum"))
+    }),
+
+    // §2.8 reshape: unpivot (melt) measures to long form — the generic
+    // metrics-table shape every monitoring mart lands in.
+    "p12_unpivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("l_quantity"),
+            col("l_extendedprice").as("l_extendedprice"),
+            col("l_discount").as("l_discount")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("val_sum"))
+    }),
+
+    // §2.8 reshape: pivot — per-day counts widened to one column per
+    // event type (explicit value list, so the schema is deterministic).
+    "p13_pivot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // J1: change-log x spine equi join (attach closed_at).
     "j1_state_ledger_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1008,6 +1052,33 @@ object WarehouseQueries {
     "j1_state_ledger_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate AS closed_at
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    // the bloom pre-filter must be invisible to results: plain join oracle
+    "j10_bloom_reduce" ->
+      """SELECT o.o_orderdate, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "p12_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // pivot == conditional aggregation, stated as such
+    "p13_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
 
     "j2_dim_join" ->
       """SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,

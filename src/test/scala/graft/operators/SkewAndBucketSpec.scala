@@ -49,4 +49,33 @@ class SkewAndBucketSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("bloomReduceJoin: equals the plain join, prunes fact rows pre-shuffle") {
+    import spark.implicits._
+    val fact = (1L to 20000L).map(i => (i, i % 997)).toDF("fid", "key")
+    // a selective dim: 20 distinct keys
+    val dim = (0L until 997L by 50L).map(k => (k, s"d$k")).toDF("dkey", "payload")
+    val (m, k) = (1 << 12, 2)
+    val got = Skew.bloomReduceJoin(fact, dim, "key", "dkey", m, k)
+    val want = fact.join(dim, fact("key") === dim("dkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // the semi reduction really shrinks the fact side before the join
+    val bits = dim.select(explode(
+      DataSkipping.bloomBits(col("dkey"), m, k)).as("__bit")).distinct()
+    val reduced = (0 until k).foldLeft(fact) { (f, i) =>
+      f.join(broadcast(bits),
+        DataSkipping.bloomBits(col("key"), m, k).getItem(i) === col("__bit"),
+        "left_semi")
+    }
+    val (nFact, nReduced) = (fact.count(), reduced.count())
+    assert(nReduced < nFact / 2,
+      s"bloom reduction kept $nReduced of $nFact fact rows")
+    // and the reduction itself is broadcast semi joins (map-side, no
+    // exchange of the fact side)
+    val plan = reduced.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), s"expected semi joins in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(fid"),
+      s"fact side must not shuffle for the reduction:\n$plan")
+  }
 }
