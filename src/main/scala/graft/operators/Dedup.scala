@@ -401,6 +401,69 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Raw delta-touching CANDIDATE pairs (no Jaccard verify): banding is
+    * per-document, so the full corpus's candidate relation restricted to
+    * pairs touching the delta equals "delta bands joined against
+    * index+delta bands" — the edge feed for [[incrementalComponents]].
+    */
+  def incrementalCandidatePairs(delta: DataFrame, idCol: String, textCol: String,
+                                index: NearDupIndex,
+                                n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val dDg = materialize(
+      shingleRows(delta, idCol, textCol, n)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct())
+    val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
+    val dBands = bandRows(dSigsz, k, bands)
+    val allBands = index.bands.unionByName(dBands)
+    dBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Incremental connected components — fold a delta crawl's edges into an
+    * EXISTING component mapping without touching the old graph. Because
+    * the old components are connected, each can contract to its canonical
+    * id (a supernode); CC over {contracted new edges} on {supernodes ∪
+    * delta ids} then yields exactly the components of the union graph,
+    * and since every label rule here is "min member id", the composed
+    * labels equal a full recompute's (min is associative across the
+    * contraction) — the oracle states precisely that.
+    *
+    * Scale shape per crawl: the contraction joins shuffle only the delta's
+    * edges; the component solve runs on the contracted graph (supernodes,
+    * not documents); the final expansion is ONE join of the mapping
+    * against the supernode relabeling. Nothing rescans or re-pairs the
+    * existing corpus — the complement of [[incrementalNearDupPairs]] /
+    * [[incrementalCandidatePairs]] on the component side.
+    *
+    * `mapping` is (idCol, canonical_id) for the indexed corpus; `deltaIds`
+    * the new ids; `newPairs` (doc_a, doc_b) edges touching the delta.
+    */
+  def incrementalComponents(mapping: DataFrame, deltaIds: DataFrame,
+                            newPairs: DataFrame, idCol: String): DataFrame = {
+    val full = mapping.select(col(idCol), col("canonical_id"))
+      .unionByName(deltaIds.select(col(idCol), col(idCol).as("canonical_id")))
+    val canon = full.select(col(idCol).as("__n"), col("canonical_id").as("__c"))
+    val ca = canon.select(col("__n").as("__na"), col("__c").as("__ca"))
+    val cb = canon.select(col("__n").as("__nb"), col("__c").as("__cb"))
+    val contracted = newPairs
+      .join(ca, newPairs("doc_a") === col("__na"))
+      .join(cb, newPairs("doc_b") === col("__nb"))
+      .select(least(col("__ca"), col("__cb")).as("doc_a"),
+        greatest(col("__ca"), col("__cb")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val supernodes = full.select(col("canonical_id").as("node")).distinct()
+    val superLabels = connectedComponents(supernodes, "node", contracted)
+      .select(col("node"), col("canonical_id").as("__final"))
+    full.join(superLabels, full("canonical_id") === col("node"))
+      .select(full(idCol), col("__final").as("canonical_id"))
+  }
+
   /** 32-bit SimHash per doc: bit b of the hash is the sign of the sum over
     * tokens of ±1 according to bit b of the token's md5 (first 8 hex
     * nibbles). Token digests are computed once on exploded rows; all 32 bit

@@ -135,6 +135,23 @@ object TrainingQueries {
       Dedup.connectedComponents(docs, "doc_id", pairs)
     }),
 
+    // Incremental CC: the indexed corpus's component mapping is folded
+    // with ONLY the delta-touching candidate edges — no re-pairing of the
+    // existing corpus. The oracle is the FULL-corpus recompute, which the
+    // contraction argument proves this equals.
+    "t_dedup_cc_inc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val existing = d.filter(col("doc_id") % 10 =!= 0)
+      val delta = d.filter(col("doc_id") % 10 === 0)
+      val mapping = Dedup.connectedComponents(existing, "doc_id",
+        Dedup.minhashCandidatePairs(existing, "doc_id", "text", n = 3, k = 8, bands = 4))
+      val idx = Dedup.nearDupIndex(existing, "doc_id", "text", n = 3, k = 8, bands = 4)
+      val deltaPairs = Dedup.incrementalCandidatePairs(delta, "doc_id", "text",
+        idx, n = 3, k = 8, bands = 4)
+      Dedup.incrementalComponents(mapping, delta.select(col("doc_id")),
+        deltaPairs, "doc_id")
+    }),
+
     // Brute-force cosine top-k vs a fixed query vector (exact baseline).
     "t_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1132,6 +1149,8 @@ object TrainingQueries {
     "t_ann_lsh_multiband" -> annLshMultibandOracle,
     "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,
+    // incremental must be indistinguishable from the full recompute
+    "t_dedup_cc_inc" -> dedupCcOracle,
     "t_dedup_stats" -> {
       val ccSelect = "SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node"
       require(dedupCcOracle.contains(ccSelect),

@@ -76,6 +76,33 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incrementalComponents == full-recompute CC, including cross-component merges") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val mapping = Dedup.connectedComponents(existing, "doc_id",
+      Dedup.minhashCandidatePairs(existing, "doc_id", "text"))
+    val idx = Dedup.nearDupIndex(existing, "doc_id", "text")
+    val deltaPairs = Dedup.incrementalCandidatePairs(delta, "doc_id", "text", idx)
+    val inc = Dedup.incrementalComponents(mapping, delta.select(col("doc_id")),
+      deltaPairs, "doc_id")
+    val full = Dedup.connectedComponents(d, "doc_id",
+      Dedup.minhashCandidatePairs(d, "doc_id", "text"))
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    spark.catalog.clearCache()
+
+    // constructed case: a delta doc BRIDGES two existing components — the
+    // supernode contraction must merge them under the global min id
+    import spark.implicits._
+    val mapping2 = Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "canonical_id")
+    val delta2 = Seq(Tuple1(30L)).toDF("doc_id")
+    val pairs2 = Seq((11L, 30L), (21L, 30L)).toDF("doc_a", "doc_b")
+    val out = Dedup.incrementalComponents(mapping2, delta2, pairs2, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L, 30L -> 10L))
+  }
+
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
     // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
     // 9-token prefix -> windows at positions 1,2 match; position 3 differs.
