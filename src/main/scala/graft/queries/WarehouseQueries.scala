@@ -421,6 +421,47 @@ object WarehouseQueries {
           col("g_day").cast("long").as("g_day"),
           col("g_type").cast("long").as("g_type"))),
 
+    // A5 (marts): full CUBE lattice — every grouping-set combination of
+    // (day, type) in one pass, subtotals keyed on grouping() sentinels
+    // exactly like the ROLLUP mart.
+    "a5_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .cube(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          grouping(col("day")).as("g_day"),
+          grouping(col("event_type")).as("g_type"))
+        .select(
+          when(col("g_day") === 1, to_date(lit("1900-01-01")))
+            .otherwise(col("day")).as("day"),
+          when(col("g_type") === 1, lit("ALL"))
+            .otherwise(col("event_type")).as("event_type"),
+          col("n"), col("value_sum"),
+          col("g_day").cast("long").as("g_day"),
+          col("g_type").cast("long").as("g_type"))),
+
+    // A8: batch sessionization mart (gaps-and-islands) — the batch
+    // formulation of the streaming sessionize drain: a new session opens
+    // where the gap from the previous event exceeds 30 minutes.
+    "a8_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(ws))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"),
+          sum(dec2(coalesce(col("value"), lit(0)))).cast("double").as("value_sum"))
+        .drop("sid")
+    }),
+
     // A5 (marts): trade_agg shape — per (month, asset) OHLCV over unit
     // prices, open/close picked by a unique (ts, order, line) tuple so ties
     // are deterministic. Dimension join broadcast; one map-side-combinable
@@ -1154,6 +1195,38 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a5_cube" ->
+      """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,
+        |  CASE WHEN g_type = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |  n, value_sum, g_day, g_type
+        |FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |    CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS g_day,
+        |    CAST(GROUPING(event_type) AS BIGINT) AS g_type
+        |  FROM events GROUP BY CUBE(1, 2)) t""".stripMargin,
+
+    "a8_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev IS NULL
+        |           OR date_diff('second', prev, ts) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM z GROUP BY user_id, grp""".stripMargin,
 
     "a5_rollup" ->
       """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,
