@@ -12,11 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run each query once at the smallest SF so the timed run
-    // measures steady-state execution, not Janino/JIT compilation of each
-    // plan family (which otherwise lands entirely on the first heavy query).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && warmDir != sfDir) {
+    // Warm-up: run each query once at the TARGET scale so the timed run
+    // measures steady-state execution. A small-SF warm-up is not enough:
+    // AQE picks different physical plans (hence new codegen) once real
+    // data sizes are in play, so the first heavy query otherwise pays
+    // multi-second Janino/JIT costs (measured 21 s cold vs 7 s warm on
+    // t_dedup_corpus at sf0.1). Scratch-writing queries are idempotent
+    // (overwrite), so the double run is safe.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    if (warmDir.nonEmpty) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }

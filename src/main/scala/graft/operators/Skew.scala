@@ -49,15 +49,25 @@ object Skew {
     * semi-join reduction (Spark's AQE runtime bloom filter, made explicit
     * and deterministic).
     */
+  /** The i-th Bloom bit of a join key. xxhash64, not md5: these bits
+    * never face the DuckDB oracle (the reduction's oracle is the plain
+    * join itself), so the cheap codegen'd hash wins — the per-row filter
+    * cost is what the reduction has to amortize against saved shuffle
+    * bytes.
+    */
+  def bloomJoinBit(key: Column, i: Int, m: Int): Column =
+    pmod(xxhash64(key, lit(i)), lit(m.toLong))
+
   def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       m: Int, k: Int, joinType: String = "inner"): DataFrame = {
     val bits = dim
-      .select(explode(DataSkipping.bloomBits(col(dimKey), m, k)).as("__bit"))
+      .select(explode(array((0 until k).map(i =>
+        bloomJoinBit(col(dimKey), i, m)): _*)).as("__bit"))
       .distinct()
     val reduced = (0 until k).foldLeft(fact) { (f, i) =>
-      val bitI = DataSkipping.bloomBits(col(factKey), m, k).getItem(i)
-      f.join(broadcast(bits), bitI === col("__bit"), "left_semi")
+      f.join(broadcast(bits), bloomJoinBit(col(factKey), i, m) === col("__bit"),
+        "left_semi")
     }
     reduced.join(dim, reduced(factKey) === dim(dimKey), joinType)
   }

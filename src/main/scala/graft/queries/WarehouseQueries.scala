@@ -335,6 +335,41 @@ object WarehouseQueries {
         .crossJoin(broadcast(latest))
     }),
 
+    // W5: ntile quartiles — per-type value quartile boundaries, the
+    // ranking-window family member the marts use for cohort bucketing.
+    "w5_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("q", ntile(4).over(w))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+    }),
+
+    // A5 (marts): calendar gap-filling — a generated day spine left-joined
+    // to a sparse daily aggregate so missing days surface as explicit
+    // zeros (every dashboard's line chart needs this; at scale the spine
+    // is days-sized, never data-sized).
+    "a5_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 140)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val spine = ev
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("day"), "left_outer").na.fill(0L, Seq("n"))
+    }),
+
+    // Record linkage: blocked edit-distance candidate pairs over the part
+    // dimension — blocking on (brand, size) bounds the quadratic
+    // comparator to within-block pairs.
+    "t_linkage" -> ((s, dir) =>
+      graft.operators.Linkage.blockedEditDistancePairs(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        Seq("p_brand", "p_size"), maxDist = 3)),
+
     // W4: latest-per-key via rank desc = 1.
     "w4_rank_latest" -> ((s, dir) =>
       AsOfJoin.latest(t(s, dir, "events"), Seq("event_type"), Seq("ts", "event_id"))
@@ -1206,6 +1241,35 @@ object WarehouseQueries {
         |    CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS g_day,
         |    CAST(GROUPING(event_type) AS BIGINT) AS g_type
         |  FROM events GROUP BY CUBE(1, 2)) t""".stripMargin,
+
+    "w5_ntile" ->
+      """WITH t AS (
+        |  SELECT event_type, NTILE(4) OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id) AS q,
+        |    value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(q AS INTEGER) AS q, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "a5_gapfill" ->
+      """WITH r AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM r),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+        |  WHERE event_type = 'purchase' AND value > 140 GROUP BY 1)
+        |SELECT s.day, coalesce(d.n, 0) AS n
+        |FROM spine s LEFT JOIN daily d USING (day)""".stripMargin,
+
+    "t_linkage" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
 
     "a8_sessionize" ->
       """WITH x AS (

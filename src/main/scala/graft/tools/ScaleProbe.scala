@@ -42,6 +42,7 @@ object ScaleProbe {
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
     val jobStart = scala.collection.mutable.Map.empty[Int, Long]
+    val shuffleWritten = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -52,6 +53,7 @@ object ScaleProbe {
           .distinct.take(6).mkString(">")
         stages += ((si.stageId, wall, si.taskMetrics.executorCpuTime / 1000000L,
           si.numTasks, ops))
+        shuffleWritten.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobStart(j.jobId) = j.time
@@ -200,6 +202,83 @@ object ScaleProbe {
       // exact replicas always share a cell -> at most one survivor per
       // replica group
       assert(kept <= nVec / mult, s"replicated dups must collapse: $kept")
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=joins: the join scale paths in their target
+    // regime. Events replicate mult-x with the SAME user ids, so per-key
+    // density grows mult-x — the regime where the equi+residual as-of
+    // join materializes facts x intervals pairs per key while the
+    // union-window form stays linear. The bloom probe joins the replicated
+    // facts against a selective dim and measures the semi-reduction.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("joins")) {
+      import graft.operators.{AsOfJoin, Skew}
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      // keep the props payload: shuffle SAVINGS scale with row width, and
+      // real fact rows are wide
+      val bigEv = (0 until mult).map { m =>
+        ev.select((col("event_id") + lit(m.toLong * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      }.reduce(_.unionByName(_))
+      val purchases = bigEv.filter(col("event_type") === "purchase")
+      val clicks = bigEv.filter(col("event_type") === "click")
+      println(s"[scale] joins: ${clicks.count()} facts, ${purchases.count()} events, " +
+        s"per-key density x$mult both sides")
+      val nJoin = time("  asof_equi_residual") {
+        val iv = AsOfJoin.scd2Intervals(purchases, Seq("user_id"), "ts", Seq("event_id"))
+          .select(col("user_id").as("p_user"), col("value").as("price"),
+            col("valid_from"), col("valid_to"))
+        AsOfJoin.asOf(clicks, iv, Seq("user_id" -> "p_user"), "ts").count()
+      }
+      val nUnion = time("  asof_union_window") {
+        AsOfJoin.asOfUnion(clicks, purchases, Seq("user_id" -> "user_id"),
+          "ts", "ts", Seq("value" -> "price"), Seq("event_id")).count()
+      }
+      assert(nJoin == nUnion, s"as-of forms disagree: $nJoin vs $nUnion")
+
+      // Bloom reduction targets the regime where the dim CANNOT broadcast
+      // (else the join is already map-side and there is nothing to save):
+      // force the shuffled-join path and measure the fact-side exchange
+      // with and without the semi reduction. The bit table itself still
+      // broadcasts — explicit broadcast() ignores the threshold.
+      val dim = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 20 === 0)
+        .withColumn("seg", concat(lit("seg"), col("user_id") % 7))
+        .withColumnRenamed("user_id", "d_user")
+      // What the reduction buys on a cluster is fact rows kept OUT of the
+      // join exchange (local in-memory shuffles compress narrow rows to
+      // almost nothing, so wall time here reflects the pre-filter's cost,
+      // not the saved network volume — the spec asserts semantic equality
+      // and the map-side no-exchange shape).
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val nPlain = time("  join_plain_shuffled") {
+          bigEv.join(dim, col("user_id") === col("d_user")).count()
+        }
+        val nBloom = time("  join_bloom_reduced") {
+          Skew.bloomReduceJoin(bigEv, dim, "user_id", "d_user",
+            m = 1 << 16, k = 2).count()
+        }
+        assert(nPlain == nBloom, s"bloom reduction changed the join: $nPlain vs $nBloom")
+        val nFacts = bigEv.count()
+        val bits = dim.select(explode(array((0 until 2).map(i =>
+          Skew.bloomJoinBit(col("d_user"), i, 1 << 16)): _*)).as("__bit")).distinct()
+        val nReduced = (0 until 2).foldLeft(bigEv) { (f, i) =>
+          f.join(broadcast(bits),
+            Skew.bloomJoinBit(col("user_id"), i, 1 << 16) === col("__bit"), "left_semi")
+        }.count()
+        println(f"[scale] bloom reduction: $nFacts fact rows -> $nReduced into the " +
+          f"join exchange (${nFacts.toDouble / math.max(nReduced, 1)}%.1fx fewer)")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
       spark.stop(); return
     }
 

@@ -61,11 +61,11 @@ class SkewAndBucketSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
 
     // the semi reduction really shrinks the fact side before the join
-    val bits = dim.select(explode(
-      DataSkipping.bloomBits(col("dkey"), m, k)).as("__bit")).distinct()
+    val bits = dim.select(explode(array((0 until k).map(i =>
+      Skew.bloomJoinBit(col("dkey"), i, m)): _*)).as("__bit")).distinct()
     val reduced = (0 until k).foldLeft(fact) { (f, i) =>
       f.join(broadcast(bits),
-        DataSkipping.bloomBits(col("key"), m, k).getItem(i) === col("__bit"),
+        Skew.bloomJoinBit(col("key"), i, m) === col("__bit"),
         "left_semi")
     }
     val (nFact, nReduced) = (fact.count(), reduced.count())
