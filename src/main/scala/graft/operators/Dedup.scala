@@ -401,6 +401,55 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash calibration in ONE tokenize pass: per candidate pair, the
+    * sketch's Jaccard estimate (equal-signature-slot fraction) next to
+    * the exact digest-intersection Jaccard — the diagnostic that sizes
+    * k/bands before a big run. The naive formulation (signatures +
+    * candidate pairs + verify as three separate operator calls) tokenizes
+    * the corpus three times; here digests, signatures, bands, pairs and
+    * both verify legs all derive from one materialized digest relation,
+    * and the verify joins stay digest-keyed shuffle-hash confined to
+    * candidate-touching docs.
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val dg = materialize(
+      shingleRows(docs, idCol, textCol, n)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct())
+    val sigsz = materialize(signatureAgg(dg, k, withSize = true))
+    val pairs = materialize(selfJoinPairs(bandRows(sigsz, k, bands)))
+
+    val sa = sigsz.select(
+      col("id").as("doc_a") +: (0 until k).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+    val sb = sigsz.select(
+      col("id").as("doc_b") +: (0 until k).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+    val nEq = (0 until k)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), (nEq.cast("double") / k).as("est_jaccard"))
+
+    val touched = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    val dgT = materialize(dg.join(touched, Seq("id"), "left_semi"))
+    val common = pairs
+      .join(dgT.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
+      .join(dgT.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val sizes = sigsz.select(col("id"), col("sz"))
+    val exact = common
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+          .as("jaccard"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Raw delta-touching CANDIDATE pairs (no Jaccard verify): banding is
     * per-document, so the full corpus's candidate relation restricted to
     * pairs touching the delta equals "delta bands joined against

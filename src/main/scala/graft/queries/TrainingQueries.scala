@@ -589,27 +589,9 @@ object TrainingQueries {
     // verify — the diagnostic that sizes k/bands before a 100 TB run
     // (confined to candidate pairs, so it costs one extra signature join
     // over the verify pipeline, never a corpus-wide pass).
-    "t_minhash_est" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val k = 8
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", n = 3, k = k)
-      val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text", n = 3, k = k, bands = 4)
-      val sa = sigs.select(
-        col("id").as("doc_a") +: (0 until k).map(j => col(s"sig_$j").as(s"a_$j")): _*)
-      val sb = sigs.select(
-        col("id").as("doc_b") +: (0 until k).map(j => col(s"sig_$j").as(s"b_$j")): _*)
-      val nEq = (0 until k)
-        .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (nEq.cast("double") / k).as("est_jaccard"))
-      val exact = Dedup.nearDupPairs(d, "doc_id", "text",
-        n = 3, k = k, bands = 4, threshold = 0.0)
-      est.join(exact, Seq("doc_a", "doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
-          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
-    }),
+    "t_minhash_est" -> ((s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, bands = 4)),
 
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
