@@ -9,6 +9,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, must be set at session build: the default generated-
+      // class cache holds 100 entries, but this suite compiles far more
+      // distinct codegen units — with the default, the warm-up pass evicts
+      // its own classes and every TIMED query re-pays Janino+JIT (measured
+      // 16.6 s vs 2.5 s warm on t_dedup_contain)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       // Timestamps stay INT96 parquet (default): pyarrow reads INT96 as
       // tz-naive, matching the DuckDB oracle; INT64 micros would read back

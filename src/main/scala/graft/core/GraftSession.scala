@@ -20,6 +20,9 @@ object GraftSession {
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", "32")
+      // static conf: the default 100-entry generated-class cache evicts
+      // under a many-query session and every re-run re-pays Janino+JIT
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenizer TRAINING as relational dataflow — the
+  * map-reduce BPE shape a 100 TB corpus actually runs (Sennrich et al.
+  * 2016 learns merges over a word-frequency table, not the raw corpus).
+  *
+  * Scale posture:
+  *   - The corpus is scanned ONCE: explode → hash-agg with map-side
+  *     combine; the shuffle moves (token, count) pairs, never text. The
+  *     training state after that is VOCABULARY-bounded (top-V words ×
+  *     word length symbol rows), independent of corpus size.
+  *   - Each merge round is two window passes over word-partitioned
+  *     symbol sequences (word is the partition key — high cardinality,
+  *     short per-word sequences, no unpartitioned window) plus one tiny
+  *     pair-count aggregate.
+  *   - The per-round argmax is a ONE-ROW collect — a scalar driver
+  *     decision of the same class as the connected-components
+  *     convergence scalar, not a data collect. Merge application then
+  *     runs with the pair inlined as literals, so the comparison stays
+  *     inside whole-stage codegen.
+  *   - Round state is persisted eagerly and the previous round released,
+  *     so lineage stays flat across rounds and nothing stays pinned after
+  *     the operator returns.
+  *
+  * Greedy left-to-right application (the classic BPE apply) is exact:
+  * overlapping matches only arise for self-pairs (l == r), and a run of
+  * equal symbols merges at even offsets from the run start — expressed
+  * with a run-grouping window, no iteration.
+  */
+object Bpe {
+
+  /** Deterministic top-V word-frequency table: lowercase whitespace
+    * tokens, alphabetic words only, ties broken by word. One corpus scan.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String, topV: Int): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topV)
+
+  /** Initial symbolization: one row per (word, char position). */
+  def initialSymbols(wf: DataFrame): DataFrame =
+    wf.select(col("word"), col("freq"),
+      posexplode(split(col("word"), "(?!$)")).as(Seq("pos", "sym")))
+
+  private val byWord = Window.partitionBy("word").orderBy("pos")
+
+  /** Adjacent-pair candidates of the current symbolization (freq-weighted,
+    * overlapping occurrences counted — the classic BPE statistic). */
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms
+      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      .filter(col("nxt").isNotNull)
+      .groupBy("sym", "nxt").agg(sum("freq").as("cnt"))
+
+  /** One greedy merge application of the literal pair (l, r): mark match
+    * starts, resolve self-pair runs at even offsets from the run start,
+    * drop consumed successors, renumber positions. */
+  def mergeStep(syms: DataFrame, l: String, r: String): DataFrame = {
+    val cum = Window.partitionBy("word").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = syms
+      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      .withColumn("m", col("sym") === lit(l) && col("nxt") === lit(r))
+      // run id: pos minus the running count of matches is constant inside
+      // a run of consecutive match starts (only self-pairs produce runs)
+      .withColumn("grp",
+        when(col("m"), col("pos") - sum(when(col("m"), 1).otherwise(0)).over(cum)))
+    val runStart = Window.partitionBy("word", "grp")
+    flagged
+      .withColumn("take",
+        col("m") && (col("pos") - min(col("pos")).over(runStart)) % 2 === 0)
+      .withColumn("dropped", lag(col("take"), 1).over(byWord))
+      .filter(!coalesce(col("dropped"), lit(false)))
+      .select(col("word"), col("freq"),
+        (row_number().over(byWord) - 1).as("pos"),
+        when(col("take"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+          .as("sym"))
+  }
+
+  /** Run the training loop. Returns the merge list and the FINAL
+    * symbolization, still pinned — the caller aggregates it and then
+    * unpersists. */
+  private def learn(wf: DataFrame, rounds: Int):
+      (List[(Int, String, String, Long)], DataFrame) = {
+    var syms = initialSymbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
+    syms.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rnd <- 1 to rounds) {
+      val top = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val row = top(0)
+        val (l, r) = (row.getString(0), row.getString(1))
+        merges += ((rnd, l, r, row.getLong(2)))
+        val next = mergeStep(syms, l, r).persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        syms.unpersist(false)
+        syms = next
+      }
+    }
+    (merges.toList, syms)
+  }
+
+  /** Learn `rounds` merges over a word-frequency table. Returns one row
+    * per round: (round, left_sym, right_sym, merged, pair_count) — the
+    * merge table a tokenizer ships. */
+  def learnMerges(spark: SparkSession, wf: DataFrame, rounds: Int): DataFrame = {
+    val (merges, syms) = learn(wf, rounds)
+    syms.unpersist(false)
+    import spark.implicits._
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"), col("pair_count"))
+  }
+
+  /** Apply an ordered merge list (a tokenizer's merge table is KB-sized
+    * by construction, so a local Seq is the right representation) to any
+    * word table: the BPE-tokenize path for new text against a trained
+    * vocabulary. Returns the final symbolization (word, freq, pos, sym). */
+  def applyMerges(wf: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(initialSymbols(wf)) { case (syms, (l, r)) => mergeStep(syms, l, r) }
+
+  /** Trained-vocabulary token distribution: the top symbols by token
+    * volume after `rounds` merges — the sanity mart read before shipping
+    * a tokenizer. Aggregates the training loop's final state directly
+    * (result is ≤ `topK` rows, collected so every pinned relation can be
+    * released before returning). */
+  def vocabDistribution(spark: SparkSession, wf: DataFrame, rounds: Int,
+                        topK: Int = 50): DataFrame = {
+    val (_, syms) = learn(wf, rounds)
+    val out = syms
+      .groupBy("sym").agg(sum("freq").as("n_tokens"), count(lit(1)).as("n_words"))
+      .orderBy(col("n_tokens").desc, col("sym")).limit(topK)
+    val rows = out.collect()
+    syms.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+}

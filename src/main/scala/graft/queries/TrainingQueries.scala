@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{IvfIndex, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, SketchMart}
+import graft.operators.{Bpe, Dedup, Multimodal, Packing, Sampling, SketchMart}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -593,6 +593,36 @@ object TrainingQueries {
       Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 8, bands = 4)),
 
+    // BPE tokenizer TRAINING as relational dataflow (Sennrich et al. 2016
+    // learns merges over a word-frequency table, not the raw corpus): one
+    // corpus scan builds the deterministic top-V word table, then every
+    // round is vocabulary-bounded — pair stats, a one-row argmax, greedy
+    // merge application via run-parity windows. The oracle replays every
+    // round relationally.
+    "t_bpe_train" -> ((s, dir) =>
+      Bpe.learnMerges(s,
+        Bpe.wordFreqs(t(s, dir, "documents"), "text", topV = 80), rounds = 6)),
+
+    // Trained-vocabulary token distribution: the learned merge table
+    // applied back over the word table (the BPE-tokenize path), symbol
+    // frequencies out — the sanity mart read before shipping a tokenizer.
+    "t_bpe_vocab" -> ((s, dir) =>
+      Bpe.vocabDistribution(s,
+        Bpe.wordFreqs(t(s, dir, "documents"), "text", topV = 80), rounds = 6)),
+
+    // Link-analysis authority ranking (integer PageRank, 3 rounds) over
+    // the user -> topic graph derived from the event log — the
+    // domain/host scoring pass crawl curation runs. Every step is bigint
+    // fixed-point, so the oracle replays the rounds exactly; topic nodes
+    // have no out-edges, exercising the dangling-mass redistribution.
+    "t_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "events").select(
+        col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      graft.operators.LinkAnalysis.pageRankTopK(s, edges, "src", "dst",
+        iters = 3, k = 25)
+    }),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -923,6 +953,108 @@ object TrainingQueries {
     * vec_id + list_sum == the engine's sorted collect_list fold) rounded
     * to 6 — bit-identical centroids, hence identical cells.
     */
+  /** Shared BPE oracle prefix: the deterministic top-V word table, the
+    * char symbolization s0, and one CTE chain per merge round — pair
+    * stats, a one-row argmax (count desc, then pair lexicographic), and
+    * the greedy merge with self-pair runs resolved at even offsets from
+    * the run start: the exact relational form of `Bpe.mergeStep`.
+    */
+  private def bpeCtePrefix(topV: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $topV),
+       |s0 AS (
+       |  SELECT word, freq, i AS pos, substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
+       |  FROM (SELECT word, freq, unnest(range(length(word))) AS i FROM wf)),
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeRoundCtes(rn: Int): String = {
+    val p = rn - 1
+    s"""p$rn AS (
+       |  SELECT word, freq, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM s$p),
+       |best$rn AS (
+       |  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM p$rn WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |g$rn AS (
+       |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |    (p.sym = b.l AND p.nxt = b.r) AS m,
+       |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN p.pos -
+       |      SUM(CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY p.word ORDER BY p.pos ROWS UNBOUNDED PRECEDING)
+       |    END AS grp
+       |  FROM p$rn p, best$rn b),
+       |t$rn AS (
+       |  SELECT *, m AND (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS take
+       |  FROM g$rn),
+       |s$rn AS (
+       |  SELECT word, freq,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN take THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(take) OVER (PARTITION BY word ORDER BY pos) AS dropped
+       |        FROM t$rn)
+       |  WHERE NOT COALESCE(dropped, FALSE))""".stripMargin
+  }
+
+  private def bpeTrainOracle(topV: Int, rounds: Int): String = {
+    val sel = (1 to rounds).map(rn =>
+      s"""SELECT CAST($rn AS INTEGER) AS "round", l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM best$rn""")
+      .mkString("\nUNION ALL\n")
+    bpeCtePrefix(topV, rounds) + "\n" + sel
+  }
+
+  private def bpeVocabOracle(topV: Int, rounds: Int, topK: Int): String =
+    bpeCtePrefix(topV, rounds) +
+      s"""
+         |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words
+         |FROM s$rounds GROUP BY sym ORDER BY n_tokens DESC, sym LIMIT $topK""".stripMargin
+
+  /** Integer-PageRank oracle: replays every power-iteration round with
+    * the same bigint fixed-point ops as `LinkAnalysis.iterate` (scale
+    * 1e9, damping 85/100, all `div` integer). Each round's CTE chain is
+    * contrib-sum / dangling-mass / rank-update, exactly mirroring the
+    * engine, so the result is bit-identical with no float tolerance. */
+  private def pageRankOracle(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { rn =>
+      val p = rn - 1
+      s"""c$rn AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.rk // d.deg) AS BIGINT) AS insum
+         |  FROM e JOIN r$p r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |dm$rn AS (
+         |  SELECT CAST(COALESCE(SUM(r.rk), 0) AS BIGINT) AS dm
+         |  FROM r$p r LEFT JOIN outdeg d ON r.node = d.src WHERE d.src IS NULL),
+         |r$rn AS (
+         |  SELECT nodes.node,
+         |    CAST((150000000 // n) +
+         |      ((COALESCE(c.insum, 0) + (dm // n)) * 85 // 100) AS BIGINT) AS rk
+         |  FROM nodes LEFT JOIN c$rn c ON nodes.node = c.node, nt, dm$rn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) + 10000 AS dst
+       |  FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS rk FROM nodes, nt),
+       |$rounds
+       |SELECT node, rk AS rank_scaled,
+       |  CAST(rk AS DOUBLE) / 1000000000.0 AS "rank"
+       |FROM r$iters ORDER BY rk DESC, node LIMIT $k""".stripMargin
+  }
+
   /** Shared CTE prefix for the Lloyd-refined oracles: seed centroids, the
     * per-round assign+mean CTEs, and the final assignment `af` against the
     * last round's centroids `c<iters>`. */
@@ -1464,6 +1596,12 @@ object TrainingQueries {
         |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "t_bpe_train" -> bpeTrainOracle(topV = 80, rounds = 6),
+
+    "t_bpe_vocab" -> bpeVocabOracle(topV = 80, rounds = 6, topK = 50),
+
+    "t_pagerank" -> pageRankOracle(iters = 3, k = 25),
 
     "t_bigram_lm" ->
       """WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
