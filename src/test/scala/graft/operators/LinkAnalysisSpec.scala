@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("src", "dst")
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one round on a hand-computable triangle matches the fixed-point formula") {
+    // 1->2, 2->3, 3->1: symmetric cycle, every node keeps rank scale/3.
+    // rank0 = 10^9 div 3 = 333333333; contrib = 333333333 (deg 1)
+    // rank1 = (150000000 div 3) + (333333333 * 85 div 100)
+    //       = 50000000 + 283333333 = 333333333  (fixed point of the cycle)
+    val r = ranks(LinkAnalysis.pageRank(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 1L), "src", "dst", iters = 1))
+    assert(r == Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
+  }
+
+  test("dangling mass is redistributed uniformly") {
+    // 1->3, 2->3: node 3 has no out-edges. n=3, rank0 = 333333333.
+    // round 1: contrib(3) = 333333333 + 333333333 = 666666666
+    //   dangling dm = 333333333 (node 3), dm div n = 111111111
+    //   base = 150000000 div 3 = 50000000
+    //   rank(3) = 50000000 + (666666666 + 111111111) * 85 div 100
+    //           = 50000000 + 661111110 = 711111110
+    //   rank(1) = rank(2) = 50000000 + (0 + 111111111) * 85 div 100
+    //           = 50000000 + 94444444 = 144444444
+    val r = ranks(LinkAnalysis.pageRank(
+      edges(1L -> 3L, 2L -> 3L), "src", "dst", iters = 1))
+    assert(r == Map(1L -> 144444444L, 2L -> 144444444L, 3L -> 711111110L))
+  }
+
+  test("duplicate edges collapse to one; hub outranks spokes") {
+    // star: spokes 2..5 all point at 1 (one duplicated edge); 1 is dangling
+    val e = edges(2L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val r = ranks(LinkAnalysis.pageRank(e, "src", "dst", iters = 3))
+    assert(r(1L) > r(2L))
+    assert(Set(2L, 3L, 4L, 5L).map(r).size == 1) // spokes identical
+  }
+
+  test("total mass is conserved up to integer-division truncation") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 1L -> 4L, 5L -> 2L)
+    val total = LinkAnalysis.pageRank(e, "src", "dst", iters = 4)
+      .agg(sum("rank_scaled")).head.getLong(0)
+    // each of the 4 rounds can truncate at most ~1 unit per node per div;
+    // mass stays within a few dozen units of the scale
+    assert(math.abs(total - 1000000000L) < 200L)
+  }
+
+  test("topK orders by rank then node id, deterministically") {
+    val e = edges(2L -> 1L, 3L -> 1L, 1L -> 9L, 9L -> 1L, 5L -> 9L)
+    val full = LinkAnalysis.pageRank(e, "src", "dst", iters = 2)
+    val top = LinkAnalysis.topK(full, 3).collect().map(_.getLong(0)).toSeq
+    val expect = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (n, rk) => (-rk, n) }.take(3).map(_._1).toSeq
+    assert(top == expect)
+  }
+
+  test("pageRankTopK equals pageRank + topK and leaves no cached state") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 2L)
+    val viaCompose = LinkAnalysis.topK(
+      LinkAnalysis.pageRank(e, "src", "dst", iters = 2), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pageRank documents that the backing rank state stays pinned
+    spark.sharedState.cacheManager.clearCache()
+    val viaOp = LinkAnalysis.pageRankTopK(spark, e, "src", "dst", iters = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaOp == viaCompose)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("nulls and self-loops flow through the documented semantics") {
+    // null src/dst rows are dropped; the self-loop keeps node 1 fed
+    val e = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)), (Some(3L), Some(1L)),
+        (None, Some(9L)), (Some(9L), None))
+      .toDF("src", "dst")
+    val r = ranks(LinkAnalysis.pageRank(e, "src", "dst", iters = 1))
+    // node 9 appears only on null-partnered rows -> not in the graph;
+    // 1 self-feeds + takes 3's mass, 2 is dangling, 3 gets only base+share
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+  }
+}
