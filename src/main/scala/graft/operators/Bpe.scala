@@ -130,6 +130,39 @@ object Bpe {
   def applyMerges(wf: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(initialSymbols(wf)) { case (syms, (l, r)) => mergeStep(syms, l, r) }
 
+  /** Corpus tokenization under a trained vocabulary — the 100 TB path:
+    * the corpus text is NEVER re-scanned per merge round. One scan
+    * produces per-doc word counts; merges apply to the DISTINCT word
+    * table only (vocabulary-bounded, like training); per-word token
+    * counts then join back to the doc×word table. Cost: one corpus
+    * scan + one word-keyed shuffle + `rounds` window passes over the
+    * vocabulary — independent of how many times each word occurs.
+    *
+    * Returns per-doc token accounting: (id, n_words, n_tokens,
+    * n_chars) over the same alphabetic-lowercase word rule as
+    * [[wordFreqs]].
+    */
+  def tokenizeCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, topV: Int, rounds: Int): DataFrame = {
+    val (merges, syms) = learn(wordFreqs(docs, textCol, topV), rounds)
+    syms.unpersist(false)
+    val docWords = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+          .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n_occ"))
+    val vocab = docWords.select("word").distinct()
+      .withColumn("freq", lit(1L))
+    val perWord = applyMerges(vocab, merges.map(m => (m._2, m._3)))
+      .groupBy("word").agg(count(lit(1)).as("word_tokens"))
+    docWords.join(perWord, "word")
+      .groupBy(col(idCol)).agg(
+        sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("word_tokens")).as("n_tokens"),
+        sum(col("n_occ") * length(col("word"))).as("n_chars"))
+  }
+
   /** Trained-vocabulary token distribution: the top symbols by token
     * volume after `rounds` merges — the sanity mart read before shipping
     * a tokenizer. Aggregates the training loop's final state directly

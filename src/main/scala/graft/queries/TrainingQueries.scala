@@ -610,6 +610,14 @@ object TrainingQueries {
       Bpe.vocabDistribution(s,
         Bpe.wordFreqs(t(s, dir, "documents"), "text", topV = 80), rounds = 6)),
 
+    // Corpus tokenization under the trained vocabulary — the 100 TB
+    // shape: merges apply to the DISTINCT word table only, per-word
+    // token counts join back to doc×word occurrences; the text is
+    // scanned once and never re-touched per round.
+    "t_bpe_tokenize" -> ((s, dir) =>
+      Bpe.tokenizeCorpus(s, t(s, dir, "documents"), "doc_id", "text",
+        topV = 80, rounds = 6)),
+
     // Link-analysis authority ranking (integer PageRank, 3 rounds) over
     // the user -> topic graph derived from the event log — the
     // domain/host scoring pass crawl curation runs. Every step is bigint
@@ -1016,6 +1024,63 @@ object TrainingQueries {
          |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_tokens,
          |  CAST(COUNT(*) AS BIGINT) AS n_words
          |FROM s$rounds GROUP BY sym ORDER BY n_tokens DESC, sym LIMIT $topK""".stripMargin
+
+  /** Apply-side BPE round: same greedy-merge relational form as
+    * [[bpeRoundCtes]] but consuming the already-learned `best$rn` pair
+    * (no pair-count argmax of its own), over the full-vocabulary chain
+    * `y0..y<rounds>`. */
+  private def bpeApplyCtes(rn: Int): String = {
+    val p = rn - 1
+    s"""yp$rn AS (
+       |  SELECT word, freq, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM y$p),
+       |yg$rn AS (
+       |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |    (p.sym = b.l AND p.nxt = b.r) AS m,
+       |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN p.pos -
+       |      SUM(CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY p.word ORDER BY p.pos ROWS UNBOUNDED PRECEDING)
+       |    END AS grp
+       |  FROM yp$rn p, best$rn b),
+       |yt$rn AS (
+       |  SELECT *, m AND (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS take
+       |  FROM yg$rn),
+       |y$rn AS (
+       |  SELECT word, freq,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN take THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(take) OVER (PARTITION BY word ORDER BY pos) AS dropped
+       |        FROM yt$rn)
+       |  WHERE NOT COALESCE(dropped, FALSE))""".stripMargin
+  }
+
+  /** Corpus-tokenization oracle: the learning prefix (top-V words,
+    * rounds of argmax+merge) followed by the apply chain over ALL
+    * distinct corpus words, per-word token counts, and the join back to
+    * per-doc word occurrences — mirroring `Bpe.tokenizeCorpus`. */
+  private def bpeTokenizeOracle(topV: Int, rounds: Int): String = {
+    val applies = (1 to rounds).map(bpeApplyCtes).mkString(",\n")
+    bpeCtePrefix(topV, rounds) + ",\n" +
+      s"""dw AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |  GROUP BY doc_id, word),
+         |aw AS (SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM dw),
+         |y0 AS (
+         |  SELECT word, freq, i AS pos, substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
+         |  FROM (SELECT word, freq, unnest(range(length(word))) AS i FROM aw)),
+         |$applies,
+         |wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_tokens
+         |       FROM y$rounds GROUP BY word)
+         |SELECT doc_id,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_occ * word_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_occ * length(word)) AS BIGINT) AS n_chars
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
+  }
 
   /** Integer-PageRank oracle: replays every power-iteration round with
     * the same bigint fixed-point ops as `LinkAnalysis.iterate` (scale
@@ -1602,6 +1667,8 @@ object TrainingQueries {
     "t_bpe_vocab" -> bpeVocabOracle(topV = 80, rounds = 6, topK = 50),
 
     "t_pagerank" -> pageRankOracle(iters = 3, k = 25),
+
+    "t_bpe_tokenize" -> bpeTokenizeOracle(topV = 80, rounds = 6),
 
     "t_bigram_lm" ->
       """WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),

@@ -62,6 +62,19 @@ class BpeSpec extends SparkSpec {
     assert(dist == Set(("aa", 3L, 1L), ("ab", 5L, 2L)))
   }
 
+  test("tokenizeCorpus tokenizes the vocabulary once and joins back per doc") {
+    // corpus: doc1 = "aaab aaab ab", doc2 = "ab xy". Training (topV=2 ->
+    // {aaab, ab}) learns aa then ab (see the classic example above, rounds=2).
+    // Apply over distinct words {aaab, ab, xy}: aaab -> [aa, ab] (2 tokens),
+    // ab -> [ab] (1), xy -> [x, y] (2: no learned pair matches).
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab xy")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeCorpus(spark, docs, "doc_id", "text", topV = 2, rounds = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 3 words, 2+2+1 tokens, 4+4+2 chars; doc2: 2 words, 1+2 tokens, 2+2 chars
+    assert(out.toSeq == Seq((1L, 3L, 5L, 10L), (2L, 2L, 3L, 4L)))
+  }
+
   test("wordFreqs keeps only alphabetic lowercase tokens, deterministic top-V") {
     val docs = Seq("The cat cat! sat 42 ok", "cat ok ok").toDF("text")
     val out = Bpe.wordFreqs(docs, "text", topV = 2).collect()
