@@ -123,8 +123,12 @@ object MgTopK {
     * batch aggregate and the streaming keyed state.
     */
   def updateMap(buf: java.util.HashMap[String, Long], s: String, k: Int): Unit = {
-    val cur = buf.get(s)
-    if (cur != null) { buf.put(s, cur + 1L); () }
+    // containsKey, NOT a get-against-null test: the map's values erase to
+    // boxed longs, and Scala unboxes a missing key's null to 0L — a null
+    // comparison on the unboxed value is always-true/always-false, which
+    // would route every miss through the increment branch and let the
+    // buffer grow without bound (the decrement step would never fire).
+    if (buf.containsKey(s)) { buf.put(s, buf.get(s) + 1L); () }
     else if (buf.size < k) { buf.put(s, 1L); () }
     else {
       val it = buf.entrySet().iterator()
@@ -144,8 +148,7 @@ object MgTopK {
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = buf.get(e.getKey)
-      buf.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+      buf.put(e.getKey, buf.getOrDefault(e.getKey, 0L) + e.getValue)
     }
     if (buf.size > k) {
       val counts = new Array[Long](buf.size)

@@ -54,6 +54,25 @@ class MgTopKSpec extends SparkSpec {
       Seq(("a", 5L), ("b", 5L), ("c", 2L)))
   }
 
+  test("update state is bounded by k even under an adversarial distinct stream") {
+    // Regression: buf.get on a missing key unboxes null to 0L, so a
+    // null-test on the result routed every miss through the increment
+    // branch — state grew one entry per distinct value and the decrement
+    // step never ran. Drive the raw update step with 10k distinct values
+    // and assert the buffer never exceeds k.
+    val k = 8
+    val buf = new java.util.HashMap[String, Long]()
+    (1 to 10000).foreach { i =>
+      MgTopK.updateMap(buf, s"d$i", k)
+      assert(buf.size <= k, s"state grew past k: ${buf.size}")
+    }
+    // and the decrement branch actually cancels occurrences: a stream of
+    // k+1 distinct singletons leaves room for later inserts again
+    buf.clear()
+    (1 to k + 1).foreach(i => MgTopK.updateMap(buf, s"s$i", k))
+    assert(buf.size < k, "decrement pass should have evicted singletons")
+  }
+
   test("nulls are ignored and never counted") {
     val df = Seq(Some("x"), None, Some("x"), None).toDF("v").repartition(4)
     val got = summary(df, 4)
