@@ -60,7 +60,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the stdout line alone can exceed the driver's tail-capture window
+    // (BENCH_r03 came back parsed:null); a file copy makes the artifact
+    // recoverable regardless of how much of stdout survives
+    val outFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.writeString(outFile, json + "\n")
+    println(json)
+    System.err.println(s"[bench] json also written to ${outFile.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -15,14 +15,16 @@ import org.apache.spark.storage.StorageLevel
   * float summation order anywhere. The oracle replays the rounds
   * relationally with the same integer ops.
   *
-  * Scale posture: each round is one equi-join of the rank table against
-  * the edge list (shuffle keyed on src), a map-side-combinable sum by
-  * dst, and a broadcast of two scalars (node count, dangling mass). The
-  * rank and degree tables are node-sized, the join is edge-sized —
-  * nothing is ever corpus-quadratic, and round state is persisted
-  * eagerly so lineage stays flat. On a cluster the edge list would be
-  * bucketed by src so every round's join is exchange-free on the big
-  * side.
+  * Scale posture: the edge list is hash-partitioned on src once and the
+  * rank state (which carries the out-degree) on node with the same
+  * count, so each round's big join is exchange-free on both sides; the
+  * only per-round shuffle is the contrib sum's re-key from src to dst
+  * (map-side combinable). Node count and dangling mass are aggregated
+  * scalars inlined as literals. The rank table is node-sized, the join
+  * edge-sized — nothing is ever corpus-quadratic, and round state is
+  * persisted eagerly so lineage stays flat. On a cluster the
+  * partitioned edge list is a src-bucketed table and the same rounds
+  * run verbatim.
   */
 object LinkAnalysis {
 
@@ -40,53 +42,81 @@ object LinkAnalysis {
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, dampNum: Int, dampDen: Int,
                       scale: Long): (DataFrame, DataFrame) = {
+    // The edge list is hash-partitioned on src ONCE (the in-session form
+    // of a src-bucketed edge table) and the rank state is partitioned on
+    // node with the same partition count, so every round's big join is
+    // exchange-free on both sides: the only shuffle per round is the
+    // contrib aggregation's re-key from src to dst.
+    val spark = edges.sparkSession
+    // AQE off for the iteration only: partitioning here is pinned by hand
+    // (src-bucketed edges, node-partitioned rank state), so AQE has nothing
+    // to improve — but it would re-plan and materialize query stages every
+    // round, and the driver-side latency of ~40 extra micro-jobs dominates
+    // an iterative loop over node-sized tables (measured ~2x at sf0.1).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+
+    // n and the per-round dangling mass are RESULT-sized scalars (one
+    // aggregated row each), pulled to the driver and inlined as literals —
+    // the standard iterative-driver pattern. Inlining removes two
+    // broadcast-exchange sub-jobs from every round's plan; this is a
+    // scalar read of an aggregate, not a driver-side data loop, and the
+    // integer arithmetic is unchanged (Scala Long `/` == SQL `div` on
+    // the non-negative values here), so the oracle replay is unaffected.
+    val n = nodes.count()
+
+    // The rank state CARRIES the out-degree (null = dangling): seeded with
+    // one left join here, it saves every round two node-sized joins — the
+    // contrib leg reads `rank div deg` straight off the state, and the
+    // dangling mass is a filter-aggregate over the cached state instead of
+    // a left_anti join against outdeg.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count(); outdeg.count()
-
-    // node count as a broadcast 1-row relation: keeps the whole pipeline
-    // collect-free and engine-replayable
-    val nTbl = broadcast(nodes.agg(count(lit(1)).as("n")))
-
-    var ranks = nodes.crossJoin(nTbl)
-      .select(col("node"), expr(s"${scale}L div n").as("rank"))
+    var ranks = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("deg"), lit(scale / n).as("rank"))
+      .repartition(p, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
+    nodes.unpersist(false)
 
+    val base = scale * (dampDen - dampNum) / dampDen / n
     for (_ <- 1 to iters) {
+      // dangling nodes never appear as e.src, so the contrib join's null
+      // `deg` rows are excluded by construction — no filter needed
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(ranks.select(col("node").as("src"), col("deg"), col("rank")), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      val dangling = broadcast(
-        ranks.join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
-      val next = nodes
+      val dm = ranks.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      val share = dm / n
+      val next = ranks.select(col("node"), col("deg"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(nTbl).crossJoin(dangling)
-        .select(col("node"),
-          (expr(s"(${scale}L * ${dampDen - dampNum} div $dampDen) div n") +
-            expr(s"(coalesce(insum, 0L) + (dm div n)) * $dampNum div $dampDen"))
+        .select(col("node"), col("deg"),
+          expr(s"${base}L + (coalesce(insum, 0L) + ${share}L) * $dampNum div $dampDen")
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       ranks.unpersist(false)
       ranks = next
     }
+    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"),
       (col("rank").cast("double") / lit(scale.toDouble)).as("rank"))
     // inputs are released — `out` only scans the materialized final state
-    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    e.unpersist(false)
     (out, ranks)
   }
 

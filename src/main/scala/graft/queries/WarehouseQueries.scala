@@ -44,6 +44,16 @@ object WarehouseQueries {
     org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, conf)
   }
 
+  /** Remove a scratch dir so append-mode gate queries stay idempotent
+    * per run (overwrite-mode roundtrips don't need it).
+    */
+  private def cleanDir(s: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
@@ -745,6 +755,101 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // K1 through the gate: TWO partitioned+clustered appends into one
+    // table (the month-partitioned, custkey-clustered layout of the
+    // reference's history tables); the read-back must equal the union of
+    // both appends — append semantics, partition layout, and write-time
+    // clustering all survive the storage round-trip.
+    "k1_partitioned_append" -> ((s, dir) => {
+      val tbl = scratch("k1tbl", dir)
+      cleanDir(s, tbl)
+      val o = t(s, dir, "orders")
+        .withColumn("p_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sinks.Sinks.partitionedAppend(
+        o.filter(col("o_orderkey") % 2 === 0), tbl,
+        Seq("p_month"), clusterCols = Seq("o_custkey"))
+      graft.sinks.Sinks.partitionedAppend(
+        o.filter(col("o_orderkey") % 2 === 1), tbl,
+        Seq("p_month"), clusterCols = Seq("o_custkey"))
+      s.read.parquet(tbl)
+        .groupBy(col("p_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("price_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // K2 through the gate: seed the table with one population, then
+    // truncate-replace (WRITE_TRUNCATE) with another — the read-back must
+    // see ONLY the replacement, proving the truncate leg actually dropped
+    // the seed rather than appending beside it.
+    "k2_truncate_replace" -> ((s, dir) => {
+      val tbl = scratch("k2tbl", dir)
+      val c = t(s, dir, "customer")
+      graft.sinks.Sinks.truncateReplace(c.filter(col("c_custkey") % 2 === 0), tbl)
+      graft.sinks.Sinks.truncateReplace(c.filter(col("c_custkey") % 7 === 0), tbl)
+      s.read.parquet(tbl)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"),
+          sum(col("c_custkey")).as("key_sum"))
+    }),
+
+    // K8 through the gate: a view over a join chain, queried through the
+    // SQL surface — the view must be a faithful relational alias, not a
+    // materialized copy that could go stale.
+    "k8_view" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("k8_orders")
+      t(s, dir, "customer").createOrReplaceTempView("k8_customer")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW k8_cust_orders AS
+               SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey
+               FROM k8_orders o JOIN k8_customer c ON o.o_custkey = c.c_custkey
+               WHERE o.o_orderstatus = 'F'""")
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+                 SUM(o_orderkey) AS key_sum
+               FROM k8_cust_orders GROUP BY c_mktsegment""")
+    }),
+
+    // D6 through the gate: seed -> truncate (schema-preserving, in place)
+    // -> reload a disjoint population. The read-back must equal ONLY the
+    // reload: any seed row surviving the truncate, or a schema lost by
+    // it, breaks the oracle.
+    "d6_truncate_reset" -> ((s, dir) => {
+      val tbl = scratch("d6tbl", dir)
+      val sup = t(s, dir, "supplier")
+      graft.sinks.Sinks.truncateReplace(sup.filter(col("s_suppkey") % 2 === 0), tbl)
+      Maintenance.truncate(s, tbl)
+      graft.sinks.Sinks.partitionedAppend(
+        sup.filter(col("s_suppkey") % 2 === 1), tbl, Seq.empty)
+      s.read.parquet(tbl)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("s_acctbal"))).cast("double").as("bal_sum"),
+          sum(col("s_suppkey")).as("key_sum"))
+    }),
+
+    // D7 through the gate: two completed batches append their audit rows
+    // to the run-stats ledger; the read-back (minus the wall-clock insert
+    // stamp) must equal the declared lineage — the run ledger that makes
+    // gap/overlap reconciliation possible.
+    "d7_run_stats" -> ((s, dir) => {
+      val ledger = scratch("d7stats", dir)
+      cleanDir(s, ledger)
+      val w1 = graft.core.BatchWindow(
+        java.time.Instant.parse("2024-01-01T00:00:00Z"),
+        java.time.Instant.parse("2024-01-01T00:10:00Z"))
+      val w2 = graft.core.BatchWindow(
+        java.time.Instant.parse("2024-01-01T00:10:00Z"),
+        java.time.Instant.parse("2024-01-01T00:20:00Z"))
+      Maintenance.appendRunStats(s, ledger,
+        graft.core.BatchId("run1", "ledgers"), w1, 100L, 200L, "ledgers")
+      Maintenance.appendRunStats(s, ledger,
+        graft.core.BatchId("run2", "ledgers"), w2, 200L, 300L, "ledgers")
+      s.read.parquet(ledger)
+        .select(col("batch_id"), col("batch_run_date"),
+          col("start_ledger"), col("end_ledger"), col("table_name"))
+    }),
+
     // S5+S6 through the gate: two partner CSV drops land in the inbox;
     // the sensor picks the NEWEST by (mtime, name), the declared-schema
     // CSV load truncate-replaces the target, and the read-back must equal
@@ -1430,6 +1535,39 @@ object WarehouseQueries {
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |GROUP BY 1""".stripMargin,
+
+    "k1_partitioned_append" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS p_month, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "k2_truncate_replace" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 7 = 0 GROUP BY 1""".stripMargin,
+
+    "k8_view" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+
+    "d6_truncate_reset" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+        |FROM supplier WHERE s_suppkey % 2 = 1 GROUP BY 1""".stripMargin,
+
+    "d7_run_stats" ->
+      """SELECT * FROM (VALUES
+        |  ('run1-ledgers', TIMESTAMP '2023-12-31 23:50:00',
+        |   CAST(100 AS BIGINT), CAST(200 AS BIGINT), 'ledgers'),
+        |  ('run2-ledgers', TIMESTAMP '2024-01-01 00:00:00',
+        |   CAST(200 AS BIGINT), CAST(300 AS BIGINT), 'ledgers'))
+        |AS t(batch_id, batch_run_date, start_ledger, end_ledger, table_name)""".stripMargin,
 
     "s5_partner_csv" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

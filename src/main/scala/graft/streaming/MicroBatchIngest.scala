@@ -5,7 +5,7 @@ import graft.operators.DelIns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** Micro-batch ingestion as Structured Streaming.
   *
@@ -19,6 +19,26 @@ import org.apache.spark.sql.types.StructType
   * without any new machinery.
   */
 object MicroBatchIngest {
+
+  /** Event-time adapter: Spark's watermark machinery (withWatermark,
+    * stream-stream join ranges, EventTimeTimeout) accepts only TIMESTAMP,
+    * but the reference's DATETIME columns are timezone-naive (SURVEY §1.2,
+    * reference dags/stellar_etl_airflow/build_del_ins_from_gcs_to_bq_task.py:77-83)
+    * and so is the driver's `events.ts` (parquet timestamp[us] without
+    * isAdjustedToUTC reads as TIMESTAMP_NTZ). Under the engine's pinned UTC
+    * session zone (GraftSession.tune) NTZ↔TIMESTAMP casting is a wall-clock
+    * bijection, so every event-time operator here adapts NTZ inputs at the
+    * boundary and casts back on output — callers keep the type they
+    * supplied end-to-end.
+    */
+  private[streaming] def toEventTime(df: DataFrame, cols: Seq[String])
+  : (DataFrame, Seq[String]) = {
+    val ntz = cols.filter(c => df.schema(c).dataType == TimestampNTZType)
+    (ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType))), ntz)
+  }
+
+  private[streaming] def fromEventTime(df: DataFrame, ntz: Seq[String]): DataFrame =
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampNTZType)))
 
   /** Drain all currently-available NDJSON files into the warehouse, one
     * del-ins batch per micro-batch. Blocks until the drain completes.
@@ -143,20 +163,23 @@ object MicroBatchIngest {
   def streamStreamAttribution(purchases: DataFrame, clicks: DataFrame,
                               windowSeconds: Long = 1800L,
                               watermark: String = "30 minutes"): DataFrame = {
-    val p = purchases
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
-        col("user_id").as("p_user"))
-      .withWatermark("p_ts", watermark)
-    val c = clicks
-      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
-        col("user_id").as("c_user"))
-      .withWatermark("c_ts", watermark)
-    p.join(c,
+    val (p0, pNtz) = toEventTime(
+      purchases.select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user")),
+      Seq("p_ts"))
+    val p = p0.withWatermark("p_ts", watermark)
+    val (c0, cNtz) = toEventTime(
+      clicks.select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user")),
+      Seq("c_ts"))
+    val c = c0.withWatermark("c_ts", watermark)
+    val joined = p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
         col("c_ts") <= col("p_ts"))
       .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
         col("p_ts"), col("c_ts"))
+    fromEventTime(joined, pNtz ++ cNtz)
   }
 
   /** Windowed per-event-type counts with a watermark — the aggregation shape
@@ -166,11 +189,15 @@ object MicroBatchIngest {
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLen: String = "10 minutes",
-                     watermark: String = "30 minutes"): DataFrame =
-    events
+                     watermark: String = "30 minutes"): DataFrame = {
+    // output window bounds stay TIMESTAMP even for NTZ input: the struct is
+    // a derived bucket label, not the caller's column
+    val (adapted, _) = toEventTime(events, Seq(tsCol))
+    adapted
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+  }
 
   /** Streaming exact dedup: drop redelivered events by id, with state
     * bounded by the watermark. The reference gets the same guarantee from
@@ -180,10 +207,14 @@ object MicroBatchIngest {
     * dropDuplicates without a watermark would grow state forever.
     */
   def streamingDedup(events: DataFrame, tsCol: String, idCols: Seq[String],
-                     watermark: String = "30 minutes"): DataFrame =
-    events
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(idCols)
+                     watermark: String = "30 minutes"): DataFrame = {
+    val (adapted, ntz) = toEventTime(events, Seq(tsCol))
+    fromEventTime(
+      adapted
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols),
+      ntz)
+  }
 
   /** Sessionization via flatMapGroupsWithState: group a user's events into
     * activity sessions separated by >= `gapSeconds` of silence, emitting a

@@ -5,7 +5,7 @@ import graft.typed.{Event, Session}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
 
 /** Batch-callable drains of the streaming pipelines, so the stateful
   * operators go through the SAME oracle hash gate as the batch ones.
@@ -71,8 +71,15 @@ object StreamingGate {
   def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gap = 1800L
-    val ev = Tables.load(spark, dir, "events")
+    val ev0 = Tables.load(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // NTZ→TIMESTAMP at the gate boundary: the typed Event encoder and the
+    // event-time state machine need TIMESTAMP (the driver's events.ts is
+    // naive). UTC session zone makes the cast a wall-clock bijection; the
+    // output projection casts back so the drained result keeps the
+    // source's type and the DuckDB oracle hashes match.
+    val tsWasNtz = ev0.schema("ts").dataType == TimestampNTZType
+    val ev = if (tsWasNtz) ev0.withColumn("ts", col("ts").cast(TimestampType)) else ev0
     val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
     val flushTs = new java.sql.Timestamp(maxTs.getTime + gap * 1000L * 10)
     val flush = ev.select(col("user_id")).distinct()
@@ -84,9 +91,11 @@ object StreamingGate {
     val ck = scratch("sess_ck", dir)
     val stream = stage(spark, ev.unionByName(flush), in).as[Event]
     drain(MicroBatchIngest.sessionize(stream, gap), out, ck)
+    def back(c: String) =
+      (if (tsWasNtz) col(c).cast(TimestampNTZType) else col(c)).as(c)
     spark.read.parquet(out)
       .filter(col("start_ts") < lit(flushTs))
-      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+      .select(col("user_id"), back("start_ts"), back("end_ts"), col("n_events"))
   }
 
   /** Watermarked streaming dedup drained to a table: the input redelivers

@@ -206,6 +206,39 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=pagerank: the iterative link-analysis rounds
+    // at mult-x edges (shifted user ids, shared topic nodes — in-degree
+    // hubs grow mult-x, the web-graph shape). The probe pins the scale
+    // property the bench can't: per-round shuffle volume must stay
+    // edge-linear (the contrib re-key is the ONLY per-round exchange —
+    // the rank join runs exchange-free on the co-partitioned edge list),
+    // so doubling edges must not super-linearly grow shuffle bytes.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("pagerank")) {
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      def edgesAt(m: Int): DataFrame = (0 until m).map { i =>
+        ev.select((col("user_id") + lit(i.toLong * 10000000L)).as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      }.reduce(_.unionByName(_))
+      def runAt(m: Int): (Long, Double, Long) = {
+        shuffleWritten.set(0L)
+        val t0 = System.nanoTime()
+        val topNode = graft.operators.LinkAnalysis
+          .pageRankTopK(spark, edgesAt(m), "src", "dst", iters = 3, k = 25)
+          .orderBy(col("rank_scaled").desc).head.getLong(0)
+        (topNode, (System.nanoTime() - t0) / 1e9, shuffleWritten.get())
+      }
+      val (top1, t1, sh1) = runAt(1)
+      println(f"[scale] pagerank 1x:  top=$top1 ${t1}%.2f s shuffle=${sh1 / 1e6}%.1f MB")
+      val (topM, tM, shM) = runAt(mult)
+      println(f"[scale] pagerank ${mult}x: top=$topM ${tM}%.2f s shuffle=${shM / 1e6}%.1f MB " +
+        f"(bytes ratio ${shM.toDouble / sh1}%.1f vs ${mult}x edges)")
+      // edge-linear shuffle: the ratio must stay within 2x of the edge
+      // multiplier (slack for the one-time build shuffles)
+      assert(shM.toDouble / sh1 < 2.0 * mult,
+        s"per-round shuffle grew super-linearly: $sh1 -> $shM at ${mult}x")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=joins: the join scale paths in their target
     // regime. Events replicate mult-x with the SAME user ids, so per-key
     // density grows mult-x — the regime where the equi+residual as-of

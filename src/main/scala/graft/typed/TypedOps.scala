@@ -1,6 +1,8 @@
 package graft.typed
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Typed (Dataset[T]) surface for the hot warehouse rows.
   *
@@ -41,7 +43,20 @@ object TypedOps {
 
   def events(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import graft.sources.Tables
-    Tables.load(spark, sfDir, "events").as[Event]
+    asTyped(Tables.load(spark, sfDir, "events"))
+  }
+
+  /** NTZ-tolerant typed view: the `Event` encoder needs TIMESTAMP
+    * (java.sql.Timestamp), but naive parquet timestamps load as
+    * TIMESTAMP_NTZ. Under the engine's pinned UTC session zone the cast is
+    * a wall-clock bijection, so adapting here loses nothing.
+    */
+  def asTyped(df: DataFrame): Dataset[Event] = {
+    val fixed = df.schema("ts").dataType match {
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+    fixed.as[Event](eventEnc)
   }
 
   /** Latest event per user, ordered by (ts, event_id) — typed reduction,

@@ -76,6 +76,31 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged (saved+loaded) near-dup index == rebuilt index, and probes agree") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val idx = Dedup.nearDupIndex(existing, "doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    Dedup.saveNearDupIndex(idx, root)
+    val loaded = Dedup.loadNearDupIndex(spark, root)
+    // table-level equality of the persisted artifact
+    assert(loaded.digests.except(idx.digests).isEmpty &&
+      idx.digests.except(loaded.digests).isEmpty)
+    assert(loaded.bands.except(idx.bands).isEmpty &&
+      idx.bands.except(loaded.bands).isEmpty)
+    assert(loaded.sizes.except(idx.sizes).isEmpty &&
+      idx.sizes.except(loaded.sizes).isEmpty)
+    // probe-level equality: the incremental verify over the loaded index
+    // is byte-for-byte the one over the freshly built index
+    val viaLoaded = Dedup.incrementalNearDupPairs(delta, "doc_id", "text",
+      loaded, threshold = 0.3)
+    val viaBuilt = Dedup.incrementalNearDupPairs(delta, "doc_id", "text",
+      idx, threshold = 0.3)
+    assert(viaLoaded.except(viaBuilt).isEmpty && viaBuilt.except(viaLoaded).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("incrementalComponents == full-recompute CC, including cross-component merges") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val existing = d.filter(col("doc_id") % 5 =!= 0)

@@ -70,6 +70,57 @@ class MicroBatchIngestSpec extends SparkSpec {
       .select("batch_insert_ts").distinct().count() == 1)
   }
 
+  test("NTZ ingest proof: batch_run_date lands TIMESTAMP_NTZ and del-ins " +
+      "delete predicates match NTZ batches byte-identically") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val root = Files.createTempDirectory("stream_ntz").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.writeString(java.nio.file.Paths.get(s"$in/100-200-ledgers.txt"),
+      """{"sequence": 100, "closed_at": "2026-01-13T00:05:07Z"}
+        |{"sequence": 101, "closed_at": "2026-01-13T00:05:12Z"}""".stripMargin)
+    val schema = SchemaRegistry.fromJson(schemaJson)
+    MicroBatchIngest.runAvailableNow(spark, schema, s"$in/*.txt",
+      s"$root/wh", s"$root/ck1", "run1", "ledgers", window)
+    val wh = spark.read.parquet(s"$root/wh")
+    // the reference's batch_run_date is DATETIME (timezone-naive, SURVEY
+    // §1.2) — the stamped column must survive the streaming write as NTZ,
+    // not silently widen to an instant type
+    assert(wh.schema("batch_run_date").dataType == TimestampNTZType)
+    assert(wh.select("batch_run_date").distinct().count() == 1)
+
+    // the pure del-ins path keyed on the NTZ lineage: a re-export of the
+    // SAME logical batch (same run + window -> same NTZ batch_run_date)
+    // must replace the old rows exactly — the delete predicate comparing
+    // NTZ values byte-for-byte, never dropping or doubling a batch
+    val target = wh
+    val rerun = graft.core.Batch.stampLineage(
+      spark.read.schema(schema).json(s"$in/*.txt"),
+      graft.core.BatchId("run1", "ledgers"), window, insertTs = window.end)
+      .withColumn("p_batch", lit("run1-000000"))
+    val afterRetry = graft.operators.DelIns.delIns(target, rerun,
+      Seq("batch_run_date", "batch_id"))
+    assert(afterRetry.count() == target.count(),
+      "same NTZ batch key must replace, not append")
+    // the using-column anti join inside delIns reorders columns (keys
+    // first), so pin one explicit order on both sides of the compare
+    val cols = target.columns.map(col).toSeq
+    assert(afterRetry.select(cols: _*).exceptAll(rerun.select(cols: _*)).isEmpty,
+      "retried NTZ batch must land byte-identical")
+
+    // a DIFFERENT window (next interval) gets a different NTZ run date and
+    // must append alongside, not delete the prior batch
+    val w2 = graft.core.BatchWindow(
+      window.start.plusSeconds(600), window.end.plusSeconds(600))
+    val nextBatch = graft.core.Batch.stampLineage(
+      spark.read.schema(schema).json(s"$in/*.txt"),
+      graft.core.BatchId("run1", "ledgers"), w2, insertTs = w2.end)
+      .withColumn("p_batch", lit("run1-000000"))
+    val appended = graft.operators.DelIns.delIns(target, nextBatch,
+      Seq("batch_run_date", "batch_id"))
+    assert(appended.count() == target.count() + nextBatch.count(),
+      "a different NTZ run date is a different batch — both survive")
+  }
+
   test("mergeDrain: final state is independent of micro-batch slicing, tombstones hold") {
     import spark.implicits._
     val changes = Seq(
