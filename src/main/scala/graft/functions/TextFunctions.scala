@@ -229,4 +229,57 @@ object TextFunctions {
   def featureHashSign(token: Column): Column =
     when(conv(substring(md5(token), 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
       .otherwise(-1L)
+
+  /** BM25-style relevance top-k for one query's terms — the retrieval
+    * primitive data curation uses (decontamination by retrieval, targeted
+    * quality audits, nearest-document lookups without embeddings).
+    *
+    * Engine-reproducibility: the idf is the UN-LOGGED BM25 rational
+    * ((N − df + 0.5)/(df + 0.5)) so every step is +,−,×,÷ on doubles —
+    * IEEE-exact on any engine, where ln() differs in the last ulp between
+    * libms — and per-term weights are fixed-pointed (⌊w·1e9⌋ as bigint)
+    * before the cross-term sum so addition order can't perturb totals.
+    * Omitting the log compresses nothing the RANKING needs for a single
+    * query's term set; the oracle replays the identical expression tree.
+    *
+    * Scale shape: one tokenize scan; tf is confined to the query's terms
+    * by a pushed-down isin filter before any shuffle; df and the
+    * (N, avgdl) scalars are term-/corpus-level aggregates broadcast into
+    * the scoring join; the final top-k is a TakeOrdered, never a full
+    * sort of the corpus.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+      .select(col("nd"),
+        (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // constants combined as COLUMN arithmetic (not Scala), so both engines
+    // round the same IEEE operations in the same order
+    val k1p1 = lit(k1) + lit(1.0)
+    val oneMinusB = lit(1.0) - lit(b)
+    tf.join(dl, "id")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idfr",
+        (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("w",
+        col("idfr") * (col("tf").cast("double") * k1p1) /
+          (col("tf").cast("double") +
+            lit(k1) * (oneMinusB + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("id")
+      .agg(sum(floor(col("w") * lit(1.0e9)).cast("long")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score_fp"),
+        (col("score_fp").cast("double") / lit(1.0e9)).as("score"))
+  }
 }

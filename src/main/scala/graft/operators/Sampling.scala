@@ -52,6 +52,30 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-guarded split: the hash split keyed on the dedup COMPONENT's
+    * canonical id instead of the document id, so every member of a
+    * near-dup group lands in the SAME split — near-duplicate train/test
+    * leakage (the classic eval-contamination failure of id-keyed splits)
+    * is impossible by construction. `mapping` is (idCol, canonical_id) as
+    * produced by [[Dedup.connectedComponents]]; singleton docs are their
+    * own canonical id, so their assignment matches what a plain id-keyed
+    * split of the canonical ids would give. The join is an id-keyed
+    * equi-join (mapping is node-sized) and the split itself stays a
+    * narrow md5 projection.
+    */
+  def leakageGuardedSplit(df: DataFrame, mapping: DataFrame, idCol: String,
+                          trainBuckets: Int = 80, valBuckets: Int = 10,
+                          buckets: Int = 100): DataFrame = {
+    require(trainBuckets + valBuckets < buckets,
+      "train + val must leave room for the test split")
+    val b = hashBucket(col("canonical_id"), buckets)
+    df.join(mapping.select(col(idCol), col("canonical_id")), Seq(idCol))
+      .withColumn("split",
+        when(b < trainBuckets, lit("train"))
+          .when(b < trainBuckets + valBuckets, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Per-stratum sampling rates (bucket thresholds out of `buckets`), e.g.
     * downsample dominant languages while keeping the tail: a row survives
     * iff its bucket < the threshold for its stratum (`default` when the

@@ -606,6 +606,28 @@ object TrainingQueries {
         n = 3, k = 8, bands = 4, threshold = 0.3)
     }),
 
+    // BM25 retrieval top-k: rank the corpus for one query's terms — the
+    // retrieval primitive curation uses for decontamination-by-retrieval
+    // and targeted audits. Un-logged rational idf + fixed-point per-term
+    // sums keep every arithmetic step engine-exact (TextFunctions.bm25TopK).
+    "t_bm25" -> ((s, dir) =>
+      TF.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "window"), k = 10)),
+
+    // Leakage-guarded split: train/val/test assignment keyed on the
+    // near-dup COMPONENT's canonical id, so no near-duplicate pair can
+    // straddle train and test — the eval-contamination guard an id-keyed
+    // split cannot give. The oracle replays CC + the md5 bucket on the
+    // canonical id.
+    "t_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mapping = Dedup.connectedComponents(d, "doc_id",
+        Dedup.minhashCandidatePairs(d, "doc_id", "text", n = 3, k = 8, bands = 4))
+      Sampling.leakageGuardedSplit(d, mapping, "doc_id")
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // MinHash calibration: per candidate pair, the sketch's Jaccard
     // estimate (fraction of equal signature slots) next to the exact
     // verify — the diagnostic that sizes k/bands before a 100 TB run
@@ -1290,6 +1312,56 @@ object TrainingQueries {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node""".stripMargin
 
+  private val splitLeakageOracle: String =
+    shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node),
+        |b AS (
+        |  SELECT d.lang, d.doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(cc.canonical_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS bkt
+        |  FROM documents d JOIN cc ON d.doc_id = cc.doc_id)
+        |SELECT lang,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1, 2""".stripMargin
+
+  private val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (
+      |  SELECT COUNT(*) AS nd,
+      |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    ((CAST(s.nd AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+      |     (CAST(f.df AS DOUBLE) + 0.5))
+      |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE)
+      |        + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)) AS w
+      |  FROM tf t
+      |  JOIN dl d ON t.doc_id = d.doc_id
+      |  JOIN dfq f ON t.tok = f.tok
+      |  CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(floor(w * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, score_fp, CAST(score_fp AS DOUBLE) / 1000000000.0 AS score
+      |FROM agg ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
+
   private val dedupCorpusOracle: String =
     shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, scored AS (
@@ -1973,6 +2045,10 @@ object TrainingQueries {
         |  JOIN sh sb ON sb.doc_id = p.doc_b)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin),
+
+    "t_bm25" -> bm25Oracle,
+
+    "t_split_leakage" -> splitLeakageOracle,
 
     // Signature slots re-derived as in t_dedup_minhash's CTEs; the
     // estimate is the equal-slot fraction, the exact leg is the

@@ -441,6 +441,25 @@ object WarehouseQueries {
           sum(col("payload")).as("payload_sum"),
           max(col("payload")).as("payload_max"))),
 
+    // S9+ (audit breadth): the reference audit mart's minute-bucket
+    // expansion (reference dags/queries/audit_log.sql:446-474 —
+    // UNNEST(GENERATE_ARRAY(1, jobStatsExecutionMinuteBuckets))): each
+    // job fans out one row per execution minute, aggregated to
+    // per-minute-of-day concurrency — the slot-contention view the ops
+    // mart serves. Runtime minutes derive deterministically from the
+    // event value (ceil(value/60), capped at 10).
+    "s9_audit_minutes" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("m0"),
+          least(ceil(coalesce(col("value"), lit(0.0)) / lit(60.0)), lit(10L)).as("mins"))
+        .filter(col("mins") >= 1)
+        .select(col("event_type"), col("m0"),
+          explode(sequence(lit(1L), col("mins"))).as("bk"))
+        .groupBy(col("event_type"),
+          ((col("m0") + col("bk") - lit(1L)) % lit(1440L)).as("minute_of_day"))
+        .agg(count(lit(1)).as("concurrency"))),
+
     // A5 (marts, beyond the reference): ROLLUP subtotal lattice — the
     // day x type activity mart with per-day and grand-total rows in one
     // map-side-combinable pass.
@@ -1535,6 +1554,19 @@ object WarehouseQueries {
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |GROUP BY 1""".stripMargin,
+
+    "s9_audit_minutes" ->
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(HOUR FROM ts) * 60 + EXTRACT(MINUTE FROM ts) AS BIGINT) AS m0,
+        |    LEAST(CAST(ceil(coalesce(value, 0) / 60.0) AS BIGINT), 10) AS mins
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, m0, unnest(generate_series(1, mins)) AS bk
+        |  FROM j WHERE mins >= 1)
+        |SELECT event_type, CAST((m0 + bk - 1) % 1440 AS BIGINT) AS minute_of_day,
+        |  COUNT(*) AS concurrency
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "k1_partitioned_append" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS p_month, COUNT(*) AS n,

@@ -126,4 +126,29 @@ class TextPipelineSpec extends SparkSpec {
       .distinct().collect()
     assert(one.length <= 1)
   }
+
+  test("bm25TopK: rarer terms and shorter docs outrank, scores hand-verifiable") {
+    import spark.implicits._
+    // 4 docs: "rare" appears only in doc 1 (short) and doc 2 (long);
+    // "common" appears everywhere
+    val d = Seq(
+      (1L, "rare common alpha"),
+      (2L, "rare common alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "common alpha beta"),
+      (4L, "common alpha beta gamma")).toDF("doc_id", "text")
+    val top = TextFunctions.bm25TopK(d, "doc_id", "text", Seq("rare"), k = 4)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    // only the two docs containing the term score; the SHORTER one first
+    assert(top.map(_._1).toSeq == Seq(1L, 2L), s"got ${top.toSeq}")
+    assert(top.forall(_._2 > 0))
+    // hand check doc 1: N=4, df=2 -> idfr=(4-2+0.5)/(2+0.5)=1.0;
+    // tf=1, dl=3, avgdl=(3+10+3+4)/4=5 -> w=1*2.2/(1+1.2*(0.25+0.75*3/5))
+    val expected1 = 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 3.0 / 5.0))
+    assert(math.abs(top.head._2 - expected1) < 1e-6, s"${top.head._2} vs $expected1")
+    // a query term absent from the corpus contributes nothing, present
+    // terms still rank
+    val mixed = TextFunctions.bm25TopK(d, "doc_id", "text",
+      Seq("rare", "zzz_absent"), k = 4)
+    assert(mixed.count() == 2)
+  }
 }

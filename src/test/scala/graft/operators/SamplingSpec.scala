@@ -117,4 +117,25 @@ class SamplingSpec extends SparkSpec {
     val plan = w24.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"upsample must not shuffle:\n$plan")
   }
+
+  test("leakageGuardedSplit: near-dup groups land whole; singletons match id-keyed split of canonical") {
+    // components: {1,2,3} one group, {10}, {20} singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 20L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val mapping = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (20L, 20L))
+      .toDF("doc_id", "canonical_id")
+    val out = Sampling.leakageGuardedSplit(docs, mapping, "doc_id")
+    // every member of the {1,2,3} group gets ONE split — leakage impossible
+    assert(out.filter(col("canonical_id") === 1L)
+      .select("split").distinct().count() == 1)
+    // a singleton's split equals the plain hash split of its own id
+    // (canonical == id), so unclustered corpora degrade to hashSplit
+    val plain = Sampling.hashSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split").as("plain_split"))
+    assert(out.filter(col("doc_id").isin(10L, 20L))
+      .join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split")).count() == 0)
+    // all 5 docs present, payload columns survive the join
+    assert(out.count() == 5 && out.columns.contains("payload"))
+  }
 }
