@@ -174,6 +174,41 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** Batched IVF queries — the production fan-out shape: MANY query
+    * vectors probe the shared index in ONE plan. The single-query form
+    * re-runs per query; here the corpus is scanned once, the per-query
+    * probe list comes from a rank window over the (centroids × queries)
+    * cross (centroid-sized, broadcast), and the exact top-k per query is
+    * a row_number window partitioned by query id — bounded partitions,
+    * never a global sort. `queries` carries (qidCol, vecCol).
+    */
+  def ivfTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nlist: Int, nprobe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid",
+                   assignments: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(qidCol).as("__qid"), col(vecCol).as("__qv"))
+    val wProbe = Window.partitionBy("__qid").orderBy(col("qc").desc, col("cid"))
+    val probed = broadcast(cent.crossJoin(broadcast(q))
+      .withColumn("qc", round(cosineNative(col("cvec"), col("__qv")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("__qid").as("pqid"), col("cid").as("cell")))
+    val asn = assignments.getOrElse(ivfAssignments(corpus, nlist, idCol, vecCol))
+    val wTop = Window.partitionBy("pqid").orderBy(col("cos").desc, col(idCol))
+    corpus
+      .join(asn.join(probed, "cell").select(col(idCol), col("pqid")), idCol)
+      .join(broadcast(q), col("pqid") === col("__qid"))
+      .withColumn("cos", round(cosineNative(col(vecCol), col("__qv")), 6))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn(qidCol, col("pqid"))
+      .drop("pqid", "__qid", "__qv")
+  }
+
   /** Bucketed ANN: exact top-k within the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, planes: Int, dims: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

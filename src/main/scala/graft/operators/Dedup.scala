@@ -645,6 +645,30 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization/overlap signal (the doc-level complement of
+    * [[contaminationHits]]'s hit counts): the fraction of a doc's
+    * DISTINCT n-gram digests absent from the reference. Every doc gets a
+    * row (zero-overlap docs score 1.0), which is what a filter threshold
+    * needs — contaminationHits only reports docs with hits. The score is
+    * a ratio of two exact longs, so it is bit-identical on any engine.
+    * Same scale shape as decontamination: reference digests broadcast,
+    * one tokenize pass over the corpus, map-side left join.
+    */
+  def noveltyScores(docs: DataFrame, ref: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val refDigests = shingleRows(ref, idCol, textCol, n)
+      .select(md5(col("shingle")).as("d")).distinct()
+    shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle")).as("d")).distinct()
+      .join(broadcast(refDigests.withColumn("seen", lit(1))), Seq("d"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("seen")), lit(0)).cast("long").as("n_seen"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Exact substring-window duplication signal (the token-window dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", expressed relationally): every positional n-token window is

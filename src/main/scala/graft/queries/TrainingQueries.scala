@@ -198,6 +198,18 @@ object TrainingQueries {
       VF.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4).select("vec_id", "label", "cos")
     }),
 
+    // Batched IVF ANN: 5 query vectors probe the shared index in ONE
+    // plan — the production fan-out shape (per-query invocation would
+    // re-scan the corpus per query). Per-query probe lists and top-k come
+    // from rank windows partitioned by query id.
+    "t_ann_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      VF.ivfTopKBatch(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("vec_id"), col("label"), col("cos"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs (LSH candidates + native cosine verify).
     "t_dedup_embed" -> ((s, dir) =>
       VF.embedNearDupPairs(t(s, dir, "embeddings"), planes = 4, dims = 64, tau = 0.2)),
@@ -338,6 +350,18 @@ object TrainingQueries {
       val bench = d.filter(col("doc_id") % 10 === 0)
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
       Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Per-doc n-gram novelty vs the benchmark reference: 1 - seen/total
+    // over distinct 8-token windows — the memorization signal; every doc
+    // scores (zero-overlap docs = 1.0), unlike the hits-only
+    // decontamination report.
+    "t_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      Dedup.noveltyScores(corpus, ref, "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -963,6 +987,37 @@ object TrainingQueries {
        |JOIN qc ON a.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** Multi-query extension of annIvfOracle: probe lists and top-k become
+    * rank windows partitioned by query id — the batch operator's exact
+    * relational statement.
+    */
+  private val annIvfBatchOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |assign AS (
+       |  SELECT e.vec_id,
+       |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
+       |  FROM embeddings e, cent c GROUP BY e.vec_id),
+       |qcr AS (
+       |  SELECT q.qid, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid) AS rn
+       |  FROM cent c, q),
+       |qc AS (SELECT qid, cell FROM qcr WHERE rn <= 4),
+       |scored AS (
+       |  SELECT qc.qid, e.vec_id, e.label,
+       |    ${cosSql("e.embedding", "q.qv", 64)} AS cos
+       |  FROM embeddings e
+       |  JOIN assign a ON e.vec_id = a.vec_id
+       |  JOIN qc ON a.cell = qc.cell
+       |  JOIN q ON q.qid = qc.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, label, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id, label, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** The quant-over-probed-cells oracle: the annIvfOracle cell rule for
     * assignment + probing, the t_ann_quant quantization rule for scoring —
     * the composition IS the operator.
@@ -1388,6 +1443,7 @@ object TrainingQueries {
     // the index/query split changes WHERE the work happens, not the answer:
     // the materialized index must reproduce the composable formulation
     "t_ann_ivf_indexed" -> annIvfOracle,
+    "t_ann_batch" -> annIvfBatchOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_pq" -> annPqOracle(m = 8, dsub = 8, ksub = 16, k = 10),
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
@@ -1672,6 +1728,24 @@ object TrainingQueries {
         |FROM shrows r JOIN bench b USING (d)
         |WHERE r.doc_id % 10 <> 0
         |GROUP BY 1""".stripMargin,
+
+    "t_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS ds
+        |  FROM toks),
+        |shrows AS (SELECT doc_id, unnest(ds) AS d FROM sh),
+        |bench AS (SELECT DISTINCT d FROM shrows WHERE doc_id % 10 = 0),
+        |j AS (
+        |  SELECT r.doc_id, CASE WHEN b.d IS NOT NULL THEN 1 ELSE 0 END AS seen
+        |  FROM shrows r LEFT JOIN bench b ON r.d = b.d
+        |  WHERE r.doc_id % 10 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(seen) AS BIGINT) AS n_seen,
+        |  1.0 - CAST(SUM(seen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM j GROUP BY 1""".stripMargin,
 
     // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->

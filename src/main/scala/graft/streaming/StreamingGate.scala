@@ -117,6 +117,40 @@ object StreamingGate {
         sum(col("event_id")).as("id_sum"))
   }
 
+  /** Watermarked windowed aggregation drained to a table: per (10-minute
+    * tumbling window, event type) counts in append mode. A flush row per
+    * type far past max(ts) pushes the final watermark beyond every real
+    * window (append mode only emits a window once the watermark passes
+    * its end; without the flush the last 30 minutes of windows would
+    * stay buffered when AvailableNow stops). Flush windows are filtered
+    * from the drained output. value_sum stays out of the projection —
+    * floats sum in arrival order inside the state and a cross-engine
+    * hash over that tests summation order, not windowing (specs cover
+    * it).
+    */
+  def windowedCountsGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.load(spark, dir, "events")
+      .select("ts", "event_type", "value")
+    val tsWasNtz = ev0.schema("ts").dataType == TimestampNTZType
+    val ev = if (tsWasNtz) ev0.withColumn("ts", col("ts").cast(TimestampType)) else ev0
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+    val flush = ev.select(col("event_type")).distinct()
+      .select(lit(flushTs).as("ts"), col("event_type"),
+        lit(null).cast("double").as("value"))
+    val in = scratch("wc_in", dir)
+    val out = scratch("wc_out", dir)
+    val ck = scratch("wc_ck", dir)
+    val stream = stage(spark, ev.unionByName(flush), in)
+    drain(MicroBatchIngest.windowedCounts(stream, "ts", "event_type"), out, ck)
+    spark.read.parquet(out)
+      .filter(col("window.start") < lit(flushTs))
+      .select(
+        (if (tsWasNtz) col("window.start").cast(TimestampNTZType)
+         else col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
+  }
+
   /** Streaming KMV distinct-estimate drained to a table: per event type,
     * the keyed O(k) state folds each batch's hashes; the LAST emitted row
     * per key (max batch id) is the final sketch, compared against the
@@ -267,7 +301,8 @@ object StreamingGate {
     "st_upsert" -> (upsertGate(_, _)),
     "st_stream_join" -> (streamJoinGate(_, _)),
     "st_heavy_hitters" -> (heavyHittersGate(_, _)),
-    "st_sketch_mart" -> (sketchMartGate(_, _)))
+    "st_sketch_mart" -> (sketchMartGate(_, _)),
+    "st_windowed_counts" -> (windowedCountsGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -293,6 +328,13 @@ object StreamingGate {
         |SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
         |  COUNT(*) AS n_events
         |FROM z GROUP BY user_id, grp""".stripMargin,
+
+    // epoch-aligned 10-minute tumbling buckets, integer µs arithmetic so
+    // boundary rows can't drift through a double epoch
+    "st_windowed_counts" ->
+      """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "st_dedup" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -312,6 +312,25 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(got == want, s"probed-cell quant scan drifted: $got vs $want")
   }
 
+  test("ivfTopKBatch == per-query ivfTopK for every query in the batch") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = VectorFunctions.ivfTopKBatch(emb, queries, k = 5,
+      nlist = 16, nprobe = 4)
+      .select("qid", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    (0L until 3L).foreach { qid =>
+      val single = VectorFunctions.ivfTopK(emb,
+          emb.filter(col("vec_id") === qid).select(col("embedding")),
+          k = 5, nlist = 16, nprobe = 4)
+        .select("vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"qid=$qid: ${batch(qid)} vs $single")
+    }
+  }
+
   test("IVF seed validation rejects a corpus missing seed ids") {
     val emb = Seq((5L, Array.fill(4)(1.0f), 0)).toDF("vec_id", "embedding", "label")
     val e = intercept[IllegalArgumentException] {

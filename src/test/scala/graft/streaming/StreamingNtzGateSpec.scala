@@ -103,6 +103,18 @@ class StreamingNtzGateSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("st_windowed_counts drains NTZ events and matches the batch bucket counts") {
+    val got = StreamingGate.windowedCountsGate(spark, fixtureDir)
+    assert(got.schema("w_start").dataType == TimestampNTZType)
+    val want = events.groupBy(
+        (floor(col("ts").cast("timestamp").cast("long") / 600) * 600)
+          .cast("timestamp").cast("timestamp_ntz").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(want.count() > 1, "fixture must span multiple windows")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("the four stateful gates also run end-to-end on the NTZ fixture") {
     assert(StreamingGate.kmvGate(spark, fixtureDir).count() > 0)
     assert(StreamingGate.upsertGate(spark, fixtureDir).count() > 0)
