@@ -61,14 +61,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout FIRST — it is the primary contract and must survive even if
+    // the file write fails (read-only cwd, full disk)
+    println(json)
     // the stdout line alone can exceed the driver's tail-capture window
     // (BENCH_r03 came back parsed:null); a file copy makes the artifact
     // recoverable regardless of how much of stdout survives
-    val outFile = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(outFile.getParent)
-    java.nio.file.Files.writeString(outFile, json + "\n")
-    println(json)
-    System.err.println(s"[bench] json also written to ${outFile.toAbsolutePath}")
+    scala.util.Try {
+      val outFile = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(outFile.getParent)
+      java.nio.file.Files.writeString(outFile, json + "\n")
+      System.err.println(s"[bench] json also written to ${outFile.toAbsolutePath}")
+    }.failed.foreach(e => System.err.println(s"[bench] file write failed: $e"))
     spark.stop()
   }
 }

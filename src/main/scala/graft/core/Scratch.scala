@@ -13,4 +13,14 @@ object Scratch {
       .digest(s"$tag|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$h"
   }
+
+  /** Recursive scratch-dir delete — ONE definition of the Hadoop FS
+    * cleanup every append-mode or staged gate uses for idempotent reruns.
+    */
+  def clean(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
 }

@@ -139,17 +139,25 @@ object Dedup {
     dg.groupBy("id").agg(min(substring(col("d"), 1, 4)).as("sig_0"), aggs: _*)
   }
 
-  /** (id, band) rows: the k signature slots split into `bands` groups of
-    * k/bands, each hashed to one short bucket key.
+  /** The band bucket keys for a k-slot signature row — ONE definition of
+    * the banding scheme (separator, slot slicing, band-id prefix) shared
+    * by the index, probe, and calibration paths; a silent divergence here
+    * would have calibration estimating a different candidate relation
+    * than production dedup uses.
     */
-  def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private def bandCols(k: Int, bands: Int): Seq[Column] = {
     val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       md5(concat_ws("|",
         lit(b.toString) +: (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
     }
-    sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
   }
+
+  /** (id, band) rows: the k signature slots split into `bands` groups of
+    * k/bands, each hashed to one short bucket key.
+    */
+  def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.select(col("id"), explode(array(bandCols(k, bands): _*)).as("band"))
 
   /** Candidate duplicate pairs via MinHash LSH: docs sharing any band bucket,
     * each unordered pair emitted once. The join key is a 32-char digest — at
@@ -448,15 +456,11 @@ object Dedup {
     // computed ON the pair rows — versus re-joining the pair relation
     // against the signature table twice post-hoc, which re-shuffled the
     // k-wide signatures once per side (measured 7x the verify-only
-    // sibling's cost at sf0.1).
-    val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|",
-        lit(b.toString) +: (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
-    }
+    // sibling's cost at sf0.1). Band keys come from the same bandCols
+    // definition the index/probe paths use.
     val bandedSigs = sigsz.select(
       col("id") +: (0 until k).map(j => col(s"sig_$j")) :+
-        explode(array(bandCols: _*)).as("band"): _*)
+        explode(array(bandCols(k, bands): _*)).as("band"): _*)
     val nEq = (0 until k)
       .map(j => when(col(s"a.sig_$j") === col(s"b.sig_$j"), 1).otherwise(0))
       .reduce(_ + _)

@@ -55,6 +55,19 @@ object LinkAnalysis {
     // an iterative loop over node-sized tables (measured ~2x at sf0.1).
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      iterateNoAqe(spark, edges, srcCol, dstCol, iters, dampNum, dampDen, scale)
+    } finally {
+      // restore even when a round fails — a leaked adaptive=false would
+      // silently degrade every later query in a long-lived session
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  private def iterateNoAqe(spark: SparkSession, edges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           iters: Int, dampNum: Int, dampDen: Int,
+                           scale: Long): (DataFrame, DataFrame) = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -76,6 +89,15 @@ object LinkAnalysis {
     // integer arithmetic is unchanged (Scala Long `/` == SQL `div` on
     // the non-negative values here), so the oracle replay is unaffected.
     val n = nodes.count()
+    if (n == 0) {
+      // empty graph (every edge null-filtered): empty result, not a
+      // divide-by-zero — matching the old relational formulation's
+      // behavior over zero rows
+      e.unpersist(false); nodes.unpersist(false)
+      val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
+        lit(0.0).as("rank")).filter(lit(false))
+      return (empty, empty)
+    }
 
     // The rank state CARRIES the out-degree (null = dangling): seeded with
     // one left join here, it saves every round two node-sized joins — the
@@ -112,7 +134,6 @@ object LinkAnalysis {
       ranks.unpersist(false)
       ranks = next
     }
-    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"),
       (col("rank").cast("double") / lit(scale.toDouble)).as("rank"))
     // inputs are released — `out` only scans the materialized final state

@@ -69,7 +69,11 @@ object Sampling {
     require(trainBuckets + valBuckets < buckets,
       "train + val must leave room for the test split")
     val b = hashBucket(col("canonical_id"), buckets)
-    df.join(mapping.select(col(idCol), col("canonical_id")), Seq(idCol))
+    // LEFT join + own-id fallback: a doc absent from the mapping (e.g. a
+    // mapping built from the pairs relation only) is its own singleton
+    // component — an inner join would silently drop it from every split
+    df.join(mapping.select(col(idCol), col("canonical_id")), Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
       .withColumn("split",
         when(b < trainBuckets, lit("train"))
           .when(b < trainBuckets + valBuckets, lit("val"))

@@ -41,14 +41,30 @@ object TrainingQueries {
   : (Dedup.NearDupIndex, DataFrame) = {
     val root = graft.core.Scratch.dir("ndstage", dir)
     val marker = new java.io.File(s"$root/_staged")
-    if (!marker.exists()) {
+    // The marker RECORDS the source fingerprint (size + mtime of
+    // documents.parquet): scratch survives JVM exits, and a driver that
+    // regenerates the testdata at the same path must invalidate the
+    // staged index — a stale corpus artifact would silently diverge from
+    // the full-recompute oracle. Fingerprint mismatch (or a reaped
+    // parquet under an intact marker) rebuilds.
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      srcPath.toUri, s.sparkContext.hadoopConfiguration)
+    val fingerprint = fs.listStatus(srcPath)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val fresh = marker.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath))
+        .toOption.contains(fingerprint) &&
+      new java.io.File(s"$root/mapping").exists()
+    if (!fresh) {
       val existing = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
       Dedup.saveNearDupIndex(
         Dedup.nearDupIndex(existing, "doc_id", "text", n = 3, k = 8, bands = 4), root)
       Dedup.connectedComponents(existing, "doc_id",
           Dedup.minhashCandidatePairs(existing, "doc_id", "text", n = 3, k = 8, bands = 4))
         .write.mode("overwrite").parquet(s"$root/mapping")
-      marker.createNewFile()
+      java.nio.file.Files.writeString(marker.toPath, fingerprint)
       ()
     }
     (Dedup.loadNearDupIndex(s, root), s.read.parquet(s"$root/mapping"))

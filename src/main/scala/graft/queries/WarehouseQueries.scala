@@ -47,12 +47,8 @@ object WarehouseQueries {
   /** Remove a scratch dir so append-mode gate queries stay idempotent
     * per run (overwrite-mode roundtrips don't need it).
     */
-  private def cleanDir(s: SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    ()
-  }
+  private def cleanDir(s: SparkSession, path: String): Unit =
+    graft.core.Scratch.clean(s, path)
 
   type QFn = (SparkSession, String) => DataFrame
 

@@ -26,12 +26,8 @@ object StreamingGate {
   private def scratch(tag: String, dir: String): String =
     graft.core.Scratch.dir(s"stream_$tag", dir)
 
-  private def cleanDir(spark: SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    ()
-  }
+  private def cleanDir(spark: SparkSession, path: String): Unit =
+    graft.core.Scratch.clean(spark, path)
 
   /** Stage `df` to parquet and reopen it as a file stream (the shape real
     * ingest has: files arriving in a directory).
@@ -81,6 +77,7 @@ object StreamingGate {
     val tsWasNtz = ev0.schema("ts").dataType == TimestampNTZType
     val ev = if (tsWasNtz) ev0.withColumn("ts", col("ts").cast(TimestampType)) else ev0
     val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "sessionizeGate: events table is empty or all-null ts")
     val flushTs = new java.sql.Timestamp(maxTs.getTime + gap * 1000L * 10)
     val flush = ev.select(col("user_id")).distinct()
       .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"), col("user_id"),
@@ -134,6 +131,7 @@ object StreamingGate {
     val tsWasNtz = ev0.schema("ts").dataType == TimestampNTZType
     val ev = if (tsWasNtz) ev0.withColumn("ts", col("ts").cast(TimestampType)) else ev0
     val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "windowedCountsGate: events table is empty or all-null ts")
     val flushTs = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
     val flush = ev.select(col("event_type")).distinct()
       .select(lit(flushTs).as("ts"), col("event_type"),

@@ -137,5 +137,13 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") =!= col("plain_split")).count() == 0)
     // all 5 docs present, payload columns survive the join
     assert(out.count() == 5 && out.columns.contains("payload"))
+
+    // a doc MISSING from the mapping is not dropped: it degrades to its
+    // own singleton component (left join + own-id fallback)
+    val partial = mapping.filter(col("doc_id") =!= 10L)
+    val out2 = Sampling.leakageGuardedSplit(docs, partial, "doc_id")
+    assert(out2.count() == 5, "unmapped docs must survive the split")
+    assert(out2.filter(col("doc_id") === 10L)
+      .select("canonical_id").head.getLong(0) == 10L)
   }
 }
