@@ -82,6 +82,27 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
   }
 
+  /** Incremental index maintenance: fold a DELTA batch into an existing
+    * index without touching the indexed vectors — the per-crawl shape.
+    * Assignment depends only on the SAVED centroid table, so
+    * build(existing) followed by appendDelta(delta) produces exactly the
+    * index build(existing ∪ delta) would with those centroids
+    * (spec-pinned): one broadcast assignment pass over the delta rows
+    * only, quantize, append the files into their cell partitions.
+    * Re-seeding or re-training centroids remains a separate, rarer
+    * rebuild action — drifted centroids degrade recall, not correctness,
+    * exactly as in any IVF deployment.
+    */
+  def appendDelta(spark: SparkSession, dir: String, delta: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val asn = assign(delta, cents, idCol, vecCol)
+    delta.join(asn, idCol)
+      .withColumn("sc", VF.quantScale(col(vecCol)))
+      .withColumn("q8", VF.quantize(col(vecCol), col("sc")))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+  }
+
   /** The query's nprobe nearest cells. nlist rows reduce to nprobe scalars
     * on the driver BY DESIGN: partition pruning needs literal predicates,
     * and the centroid table is the one relation that is small at any

@@ -241,6 +241,23 @@ object TrainingQueries {
       IvfIndex.topK(s, d, q, k = 10, nprobe = 4).select("vec_id", "label", "cos")
     }),
 
+    // Incremental IVF maintenance: the index is built over 99% of the
+    // corpus, the remaining 1% arrives as a delta crawl and APPENDS into
+    // its cell partitions (assignment against the saved centroids only —
+    // no indexed vector is touched). The probe over the folded index must
+    // equal the full-build probe, which is exactly what the shared
+    // oracle states.
+    "t_ann_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val existing = emb.filter(col("vec_id") % 100 =!= 57)
+      val delta = emb.filter(col("vec_id") % 100 === 57)
+      val d = ivfScratch(dir) + "_app"
+      IvfIndex.build(existing, nlist = 16, d)
+      IvfIndex.appendDelta(s, d, delta)
+      IvfIndex.topK(s, d, q, k = 10, nprobe = 4).select("vec_id", "label", "cos")
+    }),
+
     // Quantized ANN composed with IVF pruning: integer dot products over
     // the stored int8 codes of the probed cells only — 4x less scan
     // bandwidth times nprobe/nlist of the corpus.
@@ -1459,6 +1476,9 @@ object TrainingQueries {
     // the index/query split changes WHERE the work happens, not the answer:
     // the materialized index must reproduce the composable formulation
     "t_ann_ivf_indexed" -> annIvfOracle,
+    // append-after-build == full build with the same centroids, so the
+    // incremental-maintenance query answers the same oracle
+    "t_ann_ivf_append" -> annIvfOracle,
     "t_ann_batch" -> annIvfBatchOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_pq" -> annPqOracle(m = 8, dsub = 8, ksub = 16, k = 10),

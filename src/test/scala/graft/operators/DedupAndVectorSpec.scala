@@ -312,6 +312,23 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(got == want, s"probed-cell quant scan drifted: $got vs $want")
   }
 
+  test("IvfIndex.appendDelta: folded index content == full build with same centroids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = emb.filter(col("vec_id") % 100 =!= 57)
+    val delta = emb.filter(col("vec_id") % 100 === 57)
+    assert(delta.count() > 0, "fixture must have a non-empty delta")
+    val dirApp = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    graft.functions.IvfIndex.build(existing, nlist = 16, dirApp)
+    graft.functions.IvfIndex.appendDelta(spark, dirApp, delta)
+    graft.functions.IvfIndex.build(emb, nlist = 16, dirFull)
+    val cols = Seq("vec_id", "cell", "sc", "q8").map(col)
+    val a = spark.read.parquet(s"$dirApp/index").select(cols: _*)
+    val f = spark.read.parquet(s"$dirFull/index").select(cols: _*)
+    assert(a.except(f).isEmpty && f.except(a).isEmpty,
+      "append-after-build must equal the full build")
+  }
+
   test("ivfTopKBatch == per-query ivfTopK for every query in the batch") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3)
