@@ -43,17 +43,31 @@ object StreamingGate {
                        outputMode: String = "append"): Unit = {
     val spark = ds.sparkSession
     cleanDir(spark, out); cleanDir(spark, ck)
-    val q = ds.writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[T], id: Long) =>
-        val df = if (withBatchId) b.toDF().withColumn("__batch", lit(id)) else b.toDF()
-        df.write.mode("append").parquet(out)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    // Stateful-operator partitions are fixed at the query's FIRST start
+    // from spark.sql.shuffle.partitions, and every state store instance
+    // pays open+commit fsyncs per micro-batch (a stream-stream join keeps
+    // FOUR stores per partition — measured taskSum 116 s vs cpuSum 3 s at
+    // 32 partitions on the drain volume). State partitioning is sized to
+    // the state volume, not the session's scan parallelism: 8 is ample
+    // for a gate drain; a cluster deployment sizes this in its own conf
+    // (the setting is scoped to the drain and restored).
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = ds.writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[T], id: Long) =>
+          val df = if (withBatchId) b.toDF().withColumn("__batch", lit(id)) else b.toDF()
+          df.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", pWas)
+    }
   }
 
   /** Sessionize drained to a table. A flush row per user at max(ts) +
