@@ -770,6 +770,26 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // K3 in the reference's ACTUAL lake format: the ordered export
+    // written as Avro CONTAINER FILES (avro-core based sink — the image
+    // ships no spark-avro connector), then read back through the
+    // declared schema. The round-trip must preserve every value
+    // bit-exactly, NTZ timestamps included (local-timestamp-micros).
+    "k3_avro_export" -> ((s, dir) => {
+      val out = scratch("k3avro", dir)
+      val sub = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      graft.sinks.AvroIO.write(sub.sortWithinPartitions(col("o_orderdate")), out)
+      graft.sinks.AvroIO.read(s, out, sub.schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("price_sum"),
+          sum(col("o_orderkey")).as("key_sum"),
+          max(col("o_orderdate")).as("max_date"))
+    }),
+
     // K1 through the gate: TWO partitioned+clustered appends into one
     // table (the month-partitioned, custkey-clustered layout of the
     // reference's history tables); the read-back must equal the union of
@@ -1563,6 +1583,13 @@ object WarehouseQueries {
         |SELECT event_type, CAST((m0 + bk - 1) % 1440 AS BIGINT) AS minute_of_day,
         |  COUNT(*) AS concurrency
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "k3_avro_export" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  MAX(o_orderdate) AS max_date
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
 
     "k1_partitioned_append" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS p_month, COUNT(*) AS n,
