@@ -753,6 +753,31 @@ object WarehouseQueries {
           sum(col("c_custkey")).as("key_sum"))
     }),
 
+    // K6 as METADATA-ONLY time travel: three commits build version
+    // history (overwrite, append, destructive overwrite), then a clone
+    // of the PRE-DESTRUCTION version materializes from manifest pointers
+    // alone — zero data bytes copied — and must read back exactly the
+    // v1 live set. The reference's staging-refresh CLONE FOR SYSTEM_TIME
+    // semantics without a table-format dependency.
+    "k6_timetravel" -> ((s, dir) => {
+      val root = scratch("k6tt", dir)
+      val cloneRoot = scratch("k6ttclone", dir)
+      cleanDir(s, root); cleanDir(s, cloneRoot)
+      val c = t(s, dir, "customer")
+      graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 0), root, overwrite = true)
+      val v1 = graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 1), root, overwrite = false)
+      graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 2), root, overwrite = true)
+      graft.sinks.VersionedTable.cloneAt(s, root, v1, cloneRoot)
+      graft.sinks.VersionedTable.read(s, cloneRoot)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"),
+          sum(col("c_custkey")).as("key_sum"))
+    }),
+
     // K7+D5 through the gate: sandbox CTAS (months window includes the
     // whole fixture regardless of wall-clock — the determinism lives in
     // the retention cutoff) then partition expiry drops the old days as
@@ -1583,6 +1608,12 @@ object WarehouseQueries {
         |SELECT event_type, CAST((m0 + bk - 1) % 1440 AS BIGINT) AS minute_of_day,
         |  COUNT(*) AS concurrency
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "k6_timetravel" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 3 IN (0, 1) GROUP BY 1""".stripMargin,
 
     "k3_avro_export" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
