@@ -48,18 +48,27 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(fs(spark, root), root).lastOption
 
-  private def readManifest(f: FileSystem, root: String, v: Long): Seq[String] = {
+  private def manifestLines(f: FileSystem, root: String, v: Long): Seq[String] = {
     val in = f.open(new Path(manifestDir(root), s"v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
     finally in.close()
   }
 
+  // '#'-prefixed lines are metadata (the txn header); the rest are files
+  private def readManifest(f: FileSystem, root: String, v: Long): Seq[String] =
+    manifestLines(f, root, v).filterNot(_.startsWith("#"))
+
+  private def manifestTxn(f: FileSystem, root: String, v: Long): Option[String] =
+    manifestLines(f, root, v).collectFirst {
+      case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }
+
   private def writeManifest(f: FileSystem, root: String, v: Long,
-                            files: Seq[String]): Unit = {
+                            files: Seq[String], txnId: Option[String] = None): Unit = {
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
     val out = f.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val body = txnId.map(t => s"#txn:$t\n").getOrElse("") + files.mkString("\n") + "\n"
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(root), s"v$v.manifest")))
       sys.error(s"VersionedTable: commit rename failed for $root v$v")
@@ -91,6 +100,59 @@ object VersionedTable {
     val v = prev.map(_ + 1).getOrElse(0L)
     writeManifest(f, root, v, live)
     v
+  }
+
+  /** Idempotent commit for exactly-once streaming sinks: the txn id
+    * (e.g. "checkpoint-name/batchId") rides IN the committed manifest,
+    * so a replayed foreachBatch — same data, same txn — sees its id in
+    * history and becomes a no-op instead of a duplicate append. The txn
+    * check and the commit share the manifest rename as their atomicity
+    * point: a crash before the rename leaves no txn recorded and the
+    * retry commits cleanly. This is the transactional-writer pattern
+    * table formats use for streaming exactly-once.
+    */
+  def commitBatch(df: DataFrame, root: String, overwrite: Boolean,
+                  txnId: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val existing = versions(f, root)
+    existing.find(v => manifestTxn(f, root, v).contains(txnId)) match {
+      case Some(_) => existing.last // replay: already committed, no-op
+      case None =>
+        val prev = existing.lastOption
+        val newFiles = writeDataFiles(df, root)
+        val live = if (overwrite) newFiles
+          else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
+        val v = prev.map(_ + 1).getOrElse(0L)
+        writeManifest(f, root, v, live, Some(txnId))
+        v
+    }
+  }
+
+  /** Drop history: keep the newest `keepLast` versions' manifests and
+    * delete every data file under this root referenced by NO kept
+    * manifest. Like any shallow-clone format, a source with live clones
+    * must not be vacuumed past the clone points — clones reference the
+    * source's files by path.
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val f = fs(spark, root)
+    val all = versions(f, root)
+    val (drop, keep) = all.splitAt(math.max(all.length - keepLast, 0))
+    val live = keep.flatMap(readManifest(f, root, _)).toSet
+    val dataRoot = new Path(root, "data")
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val doomed = scala.collection.mutable.ListBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !live.contains(st.getPath.toString) &&
+          !st.getPath.getName.startsWith("_")) doomed += st.getPath
+      }
+      doomed.foreach(f.delete(_, false))
+    }
+    drop.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.manifest"), false))
   }
 
   /** Read one version (default: latest). Scans exactly the manifest's

@@ -306,6 +306,45 @@ object StreamingGate {
       date_trunc("week", col("day")).cast("date"), "week")
   }
 
+  /** Exactly-once streaming ingest into the versioned table: every
+    * micro-batch commits through [[graft.sinks.VersionedTable.commitBatch]]
+    * with a deterministic txn id, and the gate then REPLAYS the whole
+    * drain from a fresh checkpoint — redelivering every batch with the
+    * same txn ids. If the idempotent commit were broken the replay would
+    * double every count and the oracle hash would catch it; the oracle
+    * states plain single-ingestion semantics.
+    */
+  def versionedIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val in = scratch("vi_in", dir)
+    val tbl = scratch("vi_tbl", dir)
+    cleanDir(spark, in); cleanDir(spark, tbl)
+    ev.repartition(4).write.mode("overwrite").parquet(in)
+    def drainOnce(ck: String): Unit = {
+      cleanDir(spark, ck)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            b, tbl, overwrite = false, txnId = s"ingest-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce(scratch("vi_ck1", dir))
+    drainOnce(scratch("vi_ck2", dir)) // full replay, same txn ids
+    graft.sinks.VersionedTable.read(spark, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -314,7 +353,8 @@ object StreamingGate {
     "st_stream_join" -> (streamJoinGate(_, _)),
     "st_heavy_hitters" -> (heavyHittersGate(_, _)),
     "st_sketch_mart" -> (sketchMartGate(_, _)),
-    "st_windowed_counts" -> (windowedCountsGate(_, _)))
+    "st_windowed_counts" -> (windowedCountsGate(_, _)),
+    "st_versioned_ingest" -> (versionedIngestGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -349,6 +389,14 @@ object StreamingGate {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "st_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // single-ingestion semantics: the gate ingests TWICE (full replay
+    // with identical txn ids) — only idempotent commits hash-match this
+    "st_versioned_ingest" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum

@@ -46,6 +46,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) == Set(99L))
   }
 
+  test("commitBatch: a replayed txn id is a no-op, not a duplicate append") {
+    val root = java.nio.file.Files.createTempDirectory("vt_txn").toString
+    VersionedTable.commitBatch(Seq(1L, 2L).toDF("id"), root,
+      overwrite = false, txnId = "b0")
+    VersionedTable.commitBatch(Seq(3L).toDF("id"), root,
+      overwrite = false, txnId = "b1")
+    // replay both batches (crash-retry shape): same ids, same data
+    VersionedTable.commitBatch(Seq(1L, 2L).toDF("id"), root,
+      overwrite = false, txnId = "b0")
+    VersionedTable.commitBatch(Seq(3L).toDF("id"), root,
+      overwrite = false, txnId = "b1")
+    assert(ids(root) == Set(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root).count() == 3,
+      "replays must not duplicate rows")
+    // a NEW txn still commits
+    VersionedTable.commitBatch(Seq(4L).toDF("id"), root,
+      overwrite = false, txnId = "b2")
+    assert(ids(root) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum drops unreferenced data files but keeps every retained version readable") {
+    val root = java.nio.file.Files.createTempDirectory("vt_vac").toString
+    VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
+    VersionedTable.commit(Seq(2L).toDF("id"), root, overwrite = true)
+    val v2 = VersionedTable.commit(Seq(3L).toDF("id"), root, overwrite = false)
+    def dataFileCount: Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try it.filter(p => p.toString.contains("part-") && !p.toString.endsWith(".crc"))
+        .count().toInt
+      finally it.close()
+    }
+    val before = dataFileCount
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(dataFileCount < before, "v0's orphaned file must be deleted")
+    // kept versions still read
+    assert(ids(root, Some(v2)) == Set(2L, 3L))
+    assert(ids(root, Some(v2 - 1)) == Set(2L))
+    // the dropped version's manifest is gone
+    intercept[Exception] { ids(root, Some(0L)) }
+  }
+
   test("rollback restores an old version as the newest, preserving history") {
     val root = java.nio.file.Files.createTempDirectory("vt_rb").toString
     val v0 = VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
