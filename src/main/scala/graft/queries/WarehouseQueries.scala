@@ -778,6 +778,30 @@ object WarehouseQueries {
           sum(col("c_custkey")).as("key_sum"))
     }),
 
+    // D12 (beyond the reference): change data feed PRODUCED from the
+    // versioned table's file-set diff — inserts from files added since
+    // the base version, deletes from files dropped. Seed (even keys) →
+    // append (÷3 keys) → destructive overwrite (÷5 keys); the v0→v2 feed
+    // must state exactly the net inserts and deletes, reading only
+    // changed files.
+    "d12_change_feed" -> ((s, dir) => {
+      val root = scratch("d12cdc", dir)
+      cleanDir(s, root)
+      val c = t(s, dir, "customer")
+      val v0 = graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 2 === 0), root, overwrite = true)
+      graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 2 =!= 0),
+        root, overwrite = false)
+      val v2 = graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 5 === 0), root, overwrite = true)
+      graft.sinks.VersionedTable.changesBetween(s, root, v0, v2)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"),
+          sum(col("c_custkey")).as("key_sum"))
+    }),
+
     // K7+D5 through the gate: sandbox CTAS (months window includes the
     // whole fixture regardless of wall-clock — the determinism lives in
     // the retention cutoff) then partition expiry drops the old days as
@@ -1608,6 +1632,19 @@ object WarehouseQueries {
         |SELECT event_type, CAST((m0 + bk - 1) % 1440 AS BIGINT) AS minute_of_day,
         |  COUNT(*) AS concurrency
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // endpoint diff: the transient v1 files (÷3-odd) are in neither
+    // endpoint manifest, so they are correctly absent from the feed
+    "d12_change_feed" ->
+      """SELECT 'insert' AS _change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT 'delete', COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
 
     "k6_timetravel" ->
       """SELECT c_nationkey, COUNT(*) AS n,

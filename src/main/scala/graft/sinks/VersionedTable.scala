@@ -180,6 +180,36 @@ object VersionedTable {
     writeManifest(f, dstRoot, 0L, readManifest(f, srcRoot, version))
   }
 
+  /** Change data feed between two versions — CDC-PRODUCE, the complement
+    * of the reference's apply-changes CDC consumption (reference
+    * dags/stellar_etl_airflow/build_apply_gcs_changes_to_bq_task.py):
+    * every row in a file added since `fromVersion` surfaces as an
+    * `insert`, every row in a file dropped since then as a `delete`.
+    * Because data files are immutable, the diff is a FILE-SET diff — the
+    * feed reads only changed files, never the table; an append-only
+    * history yields a pure insert feed sized by the delta.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, root)
+    val before = readManifest(f, root, fromVersion).toSet
+    val after = readManifest(f, root, toVersion).toSet
+    val added = (after -- before).toSeq.sorted
+    val removed = (before -- after).toSeq.sorted
+    def tagged(files: Seq[String], op: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*).withColumn("_change_type", lit(op)))
+    (tagged(added, "insert"), tagged(removed, "delete")) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None) =>
+        read(spark, root, Some(toVersion)).limit(0)
+          .withColumn("_change_type", lit(""))
+    }
+  }
+
   /** Roll the table back to `version` by committing its manifest as the
     * newest — history is preserved (roll-forward is another rollback).
     */

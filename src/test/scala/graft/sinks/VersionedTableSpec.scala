@@ -87,6 +87,28 @@ class VersionedTableSpec extends SparkSpec {
     intercept[Exception] { ids(root, Some(0L)) }
   }
 
+  test("changesBetween: file-set diff yields inserts/deletes; transient versions net out") {
+    val root = java.nio.file.Files.createTempDirectory("vt_cdc").toString
+    val v0 = VersionedTable.commit(Seq(1L, 2L).toDF("id"), root, overwrite = true)
+    val v1 = VersionedTable.commit(Seq(3L).toDF("id"), root, overwrite = false)
+    val v2 = VersionedTable.commit(Seq(9L).toDF("id"), root, overwrite = true)
+    def feed(a: Long, b: Long): Map[String, Set[Long]] =
+      VersionedTable.changesBetween(spark, root, a, b)
+        .select("_change_type", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // append-only step: pure insert feed sized by the delta
+    assert(feed(v0, v1) == Map("insert" -> Set(3L)))
+    // across the destructive overwrite: old files deleted, new inserted
+    assert(feed(v1, v2) ==
+      Map("insert" -> Set(9L), "delete" -> Set(1L, 2L, 3L)))
+    // endpoint diff nets out the transient v1 file entirely
+    assert(feed(v0, v2) ==
+      Map("insert" -> Set(9L), "delete" -> Set(1L, 2L)))
+    // identical endpoints: an EMPTY feed with the right schema
+    val same = VersionedTable.changesBetween(spark, root, v2, v2)
+    assert(same.count() == 0 && same.columns.contains("_change_type"))
+  }
+
   test("rollback restores an old version as the newest, preserving history") {
     val root = java.nio.file.Files.createTempDirectory("vt_rb").toString
     val v0 = VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
