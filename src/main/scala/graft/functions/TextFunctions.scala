@@ -252,14 +252,33 @@ object TextFunctions {
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    require(queryTerms.forall(!_.contains("'")), "query terms must not quote")
+    // ONE tokenize pass: doc length and every query term's tf come out of
+    // a single conditional hash aggregate (Spark re-evaluates shared
+    // subtrees per reference, so separate dl/tf/stats legs would each
+    // re-tokenize the corpus — 4 full scans in the naive formulation).
+    // df/avgdl then derive from the doc-sized aggregate, never the text.
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("tok"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"tf_$i") }
+    val perDoc = toks.groupBy("id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: the stats broadcast and the tf/dl legs build concurrently
+    // under one action, and concurrent scans of a LAZY persist race to
+    // compute the same partitions (the corpus would tokenize once per
+    // leg). Released by the session's per-query cache clear.
+    perDoc.count()
+    val dl = perDoc.select(col("id"), col("dl"))
+    val stats = perDoc.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
       .select(col("nd"),
         (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val stackExpr = queryTerms.zipWithIndex
+      .map { case (t, i) => s"'$t', tf_$i" }.mkString(", ")
+    val tf = perDoc
+      .selectExpr("id", s"stack(${queryTerms.length}, $stackExpr) AS (tok, tf)")
+      .filter(col("tf") > 0)
     val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // constants combined as COLUMN arithmetic (not Scala), so both engines
     // round the same IEEE operations in the same order
