@@ -386,6 +386,22 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Character-class mix per document (script/charset profile): the
+    // composition signal multilingual curation filters on (mojibake,
+    // digit-heavy tables, punctuation soup). Exact long counts from
+    // codegen'd regexp_replace lengths; ratios are long/long divisions.
+    "t_script_mix" -> ((s, dir) => {
+      def frac(pattern: String) =
+        (length(regexp_replace(lower(col("text")), pattern, "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars"),
+          round(frac("[^a-z]"), 6).as("alpha_frac"),
+          round(frac("[^0-9]"), 6).as("digit_frac"),
+          round(frac("[^ ]"), 6).as("space_frac"))
+    }),
+
     // Per-doc n-gram novelty vs the benchmark reference: 1 - seen/total
     // over distinct 8-token windows — the memorization signal; every doc
     // scores (zero-overlap docs = 1.0), unlike the hits-only
@@ -1764,6 +1780,16 @@ object TrainingQueries {
         |FROM shrows r JOIN bench b USING (d)
         |WHERE r.doc_id % 10 <> 0
         |GROUP BY 1""".stripMargin,
+
+    "t_script_mix" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS n_chars,
+        |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_frac,
+        |  round(CAST(length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_frac,
+        |  round(CAST(length(regexp_replace(lower(text), '[^ ]', '', 'g')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS space_frac
+        |FROM documents""".stripMargin,
 
     "t_novelty" ->
       """WITH toks AS (

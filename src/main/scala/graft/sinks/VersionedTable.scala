@@ -210,6 +210,18 @@ object VersionedTable {
     }
   }
 
+  /** DESCRIBE HISTORY analog: one row per version — its txn id (null for
+    * non-streaming commits) and live file count. Manifest-sized, never
+    * touches data files.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    import spark.implicits._
+    versions(f, root).map { v =>
+      (v, manifestTxn(f, root, v), readManifest(f, root, v).length.toLong)
+    }.toDF("version", "txn_id", "n_files")
+  }
+
   /** Roll the table back to `version` by committing its manifest as the
     * newest — history is preserved (roll-forward is another rollback).
     */

@@ -109,6 +109,16 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.count() == 0 && same.columns.contains("_change_type"))
   }
 
+  test("history lists every version with txn ids and file counts") {
+    val root = java.nio.file.Files.createTempDirectory("vt_hist").toString
+    VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
+    VersionedTable.commitBatch(Seq(2L).toDF("id"), root,
+      overwrite = false, txnId = "b7")
+    val h = VersionedTable.history(spark, root)
+      .select("version", "txn_id").as[(Long, Option[String])].collect().toSeq
+    assert(h == Seq((0L, None), (1L, Some("b7"))))
+  }
+
   test("rollback restores an old version as the newest, preserving history") {
     val root = java.nio.file.Files.createTempDirectory("vt_rb").toString
     val v0 = VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
