@@ -252,7 +252,9 @@ object TextFunctions {
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    require(queryTerms.forall(!_.contains("'")), "query terms must not quote")
+    // set semantics on the query (the pre-rewrite isin+groupBy behavior):
+    // a duplicated term must not double its df or sum its weight twice
+    val terms = queryTerms.distinct
     // ONE tokenize pass: doc length and every query term's tf come out of
     // a single conditional hash aggregate (Spark re-evaluates shared
     // subtrees per reference, so separate dl/tf/stats legs would each
@@ -260,7 +262,7 @@ object TextFunctions {
     // df/avgdl then derive from the doc-sized aggregate, never the text.
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("tok"))
-    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when(col("tok") === t, 1)).as(s"tf_$i") }
     val perDoc = toks.groupBy("id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
@@ -268,23 +270,25 @@ object TextFunctions {
     // eager: the stats broadcast and the tf/dl legs build concurrently
     // under one action, and concurrent scans of a LAZY persist race to
     // compute the same partitions (the corpus would tokenize once per
-    // leg). Released by the session's per-query cache clear.
+    // leg)
     perDoc.count()
     val dl = perDoc.select(col("id"), col("dl"))
     val stats = perDoc.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
       .select(col("nd"),
         (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
-    val stackExpr = queryTerms.zipWithIndex
-      .map { case (t, i) => s"'$t', tf_$i" }.mkString(", ")
+    // typed columns, not a selectExpr string: terms with quotes or
+    // backslashes are data, never SQL text to parse
     val tf = perDoc
-      .selectExpr("id", s"stack(${queryTerms.length}, $stackExpr) AS (tok, tf)")
+      .select(col("id"), explode(array(terms.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("tok"), col(s"tf_$i").as("tf")) }: _*)).as("e"))
+      .select(col("id"), col("e.tok").as("tok"), col("e.tf").as("tf"))
       .filter(col("tf") > 0)
     val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // constants combined as COLUMN arithmetic (not Scala), so both engines
     // round the same IEEE operations in the same order
     val k1p1 = lit(k1) + lit(1.0)
     val oneMinusB = lit(1.0) - lit(b)
-    tf.join(dl, "id")
+    val top = tf.join(dl, "id")
       .join(broadcast(dfq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("idfr",
@@ -300,5 +304,12 @@ object TextFunctions {
       .limit(k)
       .select(col("id").as(idCol), col("score_fp"),
         (col("score_fp").cast("double") / lit(1.0e9)).as("score"))
+    // the result is ≤ k rows BY CONSTRUCTION: collect it so the perDoc
+    // pin can be released here instead of leaking until some session-
+    // level cache clear (the pageRankTopK pattern)
+    val rows = top.collect()
+    perDoc.unpersist(false)
+    docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
   }
 }

@@ -90,8 +90,10 @@ object AvroIO {
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: java.lang.Long, TimestampType) =>
-      val t = new java.sql.Timestamp(l / 1000L)
-      t.setNanos(((l % 1000000L) * 1000L).toInt)
+      // floorDiv/floorMod, not truncating /%: pre-epoch micros are
+      // negative and a negative setNanos argument throws
+      val t = new java.sql.Timestamp(Math.floorDiv(l, 1000L))
+      t.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
       t
     case (l: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
@@ -129,12 +131,20 @@ object AvroIO {
       .mkdirs(new org.apache.hadoop.fs.Path(path))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val schema = new Schema.Parser().parse(avroJson)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(path), conf.value)
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        val out = fs.create(file, true)
+        // commit protocol: write to an attempt-unique temp name, rename
+        // to the final shard on success. A speculative/zombie second
+        // attempt writes its own temp; whichever renames first wins and
+        // the loser discards — no interleaved container bytes, no
+        // partial shard under the final name.
+        val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d.avro.attempt-${tc.taskAttemptId()}%d.tmp")
+        val out = fs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         writer.create(schema, out)
@@ -149,8 +159,17 @@ object AvroIO {
             writer.append(rec)
           }
         } finally writer.close()
+        if (!fs.rename(tmp, fin)) {
+          // another attempt committed first — keep its shard
+          fs.delete(tmp, false)
+          ()
+        }
       }
     }
+    // job-level commit marker: a reader must not mistake a partially
+    // written export (job died mid-way) for a complete one
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf.value)
+    f.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
 
   /** Read a directory of Avro container files back as a DataFrame with
@@ -161,8 +180,11 @@ object AvroIO {
   def read(spark: SparkSession, path: String, sparkSchema: StructType): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
+      s"AvroIO.read: $path has no _SUCCESS marker — incomplete or foreign export")
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath.toString).filter(_.endsWith(".avro")).sorted
+      .map(_.getPath.toString)
+      .filter(f => f.endsWith(".avro") && !f.contains(".tmp")).sorted
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val schemaFields = sparkSchema.fields

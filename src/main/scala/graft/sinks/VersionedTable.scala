@@ -54,20 +54,27 @@ object VersionedTable {
     finally in.close()
   }
 
-  // '#'-prefixed lines are metadata (the txn header); the rest are files
+  // '#'-prefixed lines are metadata (the txn ledger); the rest are files
   private def readManifest(f: FileSystem, root: String, v: Long): Seq[String] =
     manifestLines(f, root, v).filterNot(_.startsWith("#"))
 
-  private def manifestTxn(f: FileSystem, root: String, v: Long): Option[String] =
-    manifestLines(f, root, v).collectFirst {
+  /** The FULL txn ledger recorded in one manifest. Every commit carries
+    * the whole set forward (plus its own id), so the newest manifest
+    * alone answers "was this txn already committed?" — an O(1) check per
+    * commit instead of a walk over history, and vacuum can drop old
+    * manifests without losing the replay protection exactly-once needs.
+    */
+  private def manifestTxns(f: FileSystem, root: String, v: Long): Seq[String] =
+    manifestLines(f, root, v).collect {
       case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }
 
   private def writeManifest(f: FileSystem, root: String, v: Long,
-                            files: Seq[String], txnId: Option[String] = None): Unit = {
+                            files: Seq[String], txns: Seq[String] = Seq.empty): Unit = {
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
     val out = f.create(tmp, true)
-    val body = txnId.map(t => s"#txn:$t\n").getOrElse("") + files.mkString("\n") + "\n"
+    val body = txns.map(t => s"#txn:$t\n").mkString +
+      files.mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(root), s"v$v.manifest")))
@@ -98,7 +105,10 @@ object VersionedTable {
     val live = if (overwrite) newFiles
       else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
     val v = prev.map(_ + 1).getOrElse(0L)
-    writeManifest(f, root, v, live)
+    // the txn ledger rides through EVERY commit — a plain commit between
+    // streaming batches must not erase the replay protection
+    writeManifest(f, root, v, live,
+      prev.map(manifestTxns(f, root, _)).getOrElse(Seq.empty))
     v
   }
 
@@ -115,25 +125,26 @@ object VersionedTable {
                   txnId: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val existing = versions(f, root)
-    existing.find(v => manifestTxn(f, root, v).contains(txnId)) match {
-      case Some(_) => existing.last // replay: already committed, no-op
-      case None =>
-        val prev = existing.lastOption
-        val newFiles = writeDataFiles(df, root)
-        val live = if (overwrite) newFiles
-          else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
-        val v = prev.map(_ + 1).getOrElse(0L)
-        writeManifest(f, root, v, live, Some(txnId))
-        v
+    val prev = versions(f, root).lastOption
+    val prevTxns = prev.map(manifestTxns(f, root, _)).getOrElse(Seq.empty)
+    if (prevTxns.contains(txnId)) prev.get // replay: committed, no-op
+    else {
+      val newFiles = writeDataFiles(df, root)
+      val live = if (overwrite) newFiles
+        else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
+      val v = prev.map(_ + 1).getOrElse(0L)
+      writeManifest(f, root, v, live, prevTxns :+ txnId)
+      v
     }
   }
 
   /** Drop history: keep the newest `keepLast` versions' manifests and
     * delete every data file under this root referenced by NO kept
-    * manifest. Like any shallow-clone format, a source with live clones
-    * must not be vacuumed past the clone points — clones reference the
-    * source's files by path.
+    * manifest. Exactly-once survives vacuum — the full txn ledger rides
+    * in every manifest, so the kept newest one still refutes any replay.
+    * Like any shallow-clone format, a source with live clones must not
+    * be vacuumed past the clone points — clones reference the source's
+    * files by path.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -176,8 +187,14 @@ object VersionedTable {
     */
   def cloneAt(spark: SparkSession, srcRoot: String, version: Long,
               dstRoot: String): Unit = {
-    val f = fs(spark, srcRoot)
-    writeManifest(f, dstRoot, 0L, readManifest(f, srcRoot, version))
+    val srcFs = fs(spark, srcRoot)
+    // the manifest write resolves against the DESTINATION's filesystem —
+    // src and dst may live on different schemes
+    writeManifest(fs(spark, dstRoot), dstRoot, 0L,
+      readManifest(srcFs, srcRoot, version),
+      // the txn ledger clones too: replaying a cloned stream checkpoint
+      // against the clone must stay a no-op
+      manifestTxns(srcFs, srcRoot, version))
   }
 
   /** Change data feed between two versions — CDC-PRODUCE, the complement
@@ -210,15 +227,21 @@ object VersionedTable {
     }
   }
 
-  /** DESCRIBE HISTORY analog: one row per version — its txn id (null for
-    * non-streaming commits) and live file count. Manifest-sized, never
-    * touches data files.
+  /** DESCRIBE HISTORY analog: one row per version — the txn id THIS
+    * version introduced (null for non-streaming commits; the ledger
+    * itself accumulates, so "introduced" is the diff against the prior
+    * version) and its live file count. Manifest-sized, never touches
+    * data files.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
     import spark.implicits._
-    versions(f, root).map { v =>
-      (v, manifestTxn(f, root, v), readManifest(f, root, v).length.toLong)
+    val vs = versions(f, root)
+    val ledgers = vs.map(v => v -> manifestTxns(f, root, v).toSet).toMap
+    vs.map { v =>
+      val own = (ledgers(v) -- vs.filter(_ < v).lastOption
+        .map(ledgers).getOrElse(Set.empty)).headOption
+      (v, own, readManifest(f, root, v).length.toLong)
     }.toDF("version", "txn_id", "n_files")
   }
 
@@ -227,8 +250,12 @@ object VersionedTable {
     */
   def rollback(spark: SparkSession, root: String, version: Long): Long = {
     val f = fs(spark, root)
-    val v = versions(f, root).last + 1
-    writeManifest(f, root, v, readManifest(f, root, version))
+    val newest = versions(f, root).last
+    val v = newest + 1
+    // files roll back; the txn ledger does NOT — a replayed batch from
+    // before the rollback point is still a replay
+    writeManifest(f, root, v, readManifest(f, root, version),
+      manifestTxns(f, root, newest))
     v
   }
 }

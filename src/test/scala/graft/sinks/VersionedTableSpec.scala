@@ -64,6 +64,16 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commitBatch(Seq(4L).toDF("id"), root,
       overwrite = false, txnId = "b2")
     assert(ids(root) == Set(1L, 2L, 3L, 4L))
+    // the ledger survives a PLAIN commit in between...
+    VersionedTable.commit(Seq(5L).toDF("id"), root, overwrite = false)
+    VersionedTable.commitBatch(Seq(99L).toDF("id"), root,
+      overwrite = false, txnId = "b1")
+    assert(ids(root) == Set(1L, 2L, 3L, 4L, 5L), "replay after plain commit must no-op")
+    // ...and survives vacuum: old manifests drop, replay protection stays
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    VersionedTable.commitBatch(Seq(99L).toDF("id"), root,
+      overwrite = false, txnId = "b0")
+    assert(ids(root) == Set(1L, 2L, 3L, 4L, 5L), "replay after vacuum must no-op")
   }
 
   test("vacuum drops unreferenced data files but keeps every retained version readable") {
