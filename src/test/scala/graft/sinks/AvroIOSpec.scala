@@ -35,7 +35,14 @@ class AvroIOSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999"),
         java.time.LocalDateTime.parse("1999-12-31T23:59:59.999999"),
         java.sql.Date.valueOf("1970-01-01"),
-        new java.math.BigDecimal("-0.01"), Seq.empty[Any]))
+        new java.math.BigDecimal("-0.01"), Seq.empty[Any]),
+      // pre-epoch with sub-second: negative micros exercise the
+      // floorDiv/floorMod read path (truncating division crashed here)
+      Row(4L, 0, 0.0, "pre-epoch", true, Array[Byte](9),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.5"),
+        java.sql.Date.valueOf("1969-06-15"),
+        new java.math.BigDecimal("0.00"), Seq(0L)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => r: Row), 2), schema)
   }
