@@ -590,6 +590,53 @@ object TrainingQueries {
           count(when(col("p") < 0.01, 1)).as("n_rare"))
     }),
 
+    // DSIR-shape importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hashed-bigram
+    // importance weights — per-bucket smoothed probability ratio between
+    // a target domain (source = 'src0' as the in-domain proxy) and the
+    // raw corpus — averaged per document, then a deterministic md5-u01
+    // acceptance test (accept iff u01 * 2 < avg ratio, i.e. probability
+    // min(1, imp/2)). Everything stays engine-exact: bucket counts are
+    // integers, the per-bucket ratio is ONE double division of exact
+    // int64 products rounded to 6 dp and summed as DECIMAL, and the
+    // acceptance hash is the library-wide md5-52-bit rule — so the
+    // sampled SET (not just its size) is reproducible across runs,
+    // engines, and partitionings. Scale shape: two count aggregations
+    // over the bigram stream shuffle only (bucket, count) pairs, the
+    // ≤4096-row ratio table broadcasts, and the per-doc fold is one
+    // map-side-combinable agg — no text ever shuffles.
+    "t_dsir_sample" -> ((s, dir) => {
+      val nB = 4096
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(TF.bigramsFromTokens(col("toks"))).as("bg"))
+        .select(col("doc_id"), col("source"),
+          Sampling.hashBucket(
+            concat(col("bg.w1"), lit(" "), col("bg.w2")), nB).as("bk"))
+      val srcCnt = bg.groupBy("bk").agg(count(lit(1)).as("c_s"))
+      val tgtCnt = bg.filter(col("source") === "src0")
+        .groupBy("bk").agg(count(lit(1)).as("c_t"))
+      val totals = srcCnt.agg(sum(col("c_s")).as("s_tot"))
+        .crossJoin(tgtCnt.agg(sum(col("c_t")).as("t_tot")))
+      val ratio = srcCnt.join(tgtCnt, Seq("bk"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bk"),
+          round(((coalesce(col("c_t"), lit(0L)) + 1) * (col("s_tot") + nB))
+              .cast("double")
+            / ((col("c_s") + 1) * (col("t_tot") + nB)).cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("r"))
+      val u01 = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)
+      bg.join(broadcast(ratio), "bk")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rsum"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          (col("rsum").cast("double") / col("n_bigrams")).as("importance"),
+          (u01 * 2.0 < col("rsum").cast("double") / col("n_bigrams")).as("kept"))
+    }),
+
     // TF-IDF top terms per document (ratio idf = N/df: the log is a
     // monotone transform, so rankings match, and ratios hash-match across
     // engines where libm log ulps would not). N attaches as a broadcast
@@ -1918,6 +1965,31 @@ object TrainingQueries {
         |SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p) AS min_p,
         |  COUNT(CASE WHEN p < 0.01 THEN 1 END) AS n_rare
         |FROM b JOIN p USING (w1, w2) GROUP BY doc_id""".stripMargin,
+
+    "t_dsir_sample" ->
+      """WITH l AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+        | b AS (SELECT doc_id, source,
+        |         CAST(CAST('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 13) AS BIGINT)
+        |           % 4096 AS INTEGER) AS bk
+        |       FROM (SELECT doc_id, source, l, unnest(generate_series(1, len(l)-1)) AS i FROM l)),
+        | srcc AS (SELECT bk, COUNT(*) AS c_s FROM b GROUP BY 1),
+        | tgtc AS (SELECT bk, COUNT(*) AS c_t FROM b WHERE source = 'src0' GROUP BY 1),
+        | tot AS (SELECT (SELECT SUM(c_s) FROM srcc) AS s_tot,
+        |                (SELECT SUM(c_t) FROM tgtc) AS t_tot),
+        | ratio AS (
+        |   SELECT bk,
+        |     CAST(round(CAST((COALESCE(c_t, 0) + 1) * (s_tot + 4096) AS DOUBLE)
+        |       / CAST((c_s + 1) * (t_tot + 4096) AS DOUBLE), 6) AS DECIMAL(18,6)) AS r
+        |   FROM srcc LEFT JOIN tgtc USING (bk) CROSS JOIN tot),
+        | agg AS (
+        |   SELECT doc_id, source, COUNT(*) AS n_bigrams, SUM(r) AS rsum
+        |   FROM b JOIN ratio USING (bk) GROUP BY 1, 2)
+        |SELECT doc_id, source, n_bigrams,
+        |  CAST(rsum AS DOUBLE) / n_bigrams AS importance,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |     / 4503599627370496.0 * 2.0
+        |   < CAST(rsum AS DOUBLE) / n_bigrams) AS kept
+        |FROM agg""".stripMargin,
 
     "t_tfidf_topterms" ->
       """WITH tok AS (

@@ -456,6 +456,59 @@ object WarehouseQueries {
           ((col("m0") + col("bk") - lit(1L)) % lit(1440L)).as("minute_of_day"))
         .agg(count(lit(1)).as("concurrency"))),
 
+    // S9+ (audit breadth): the audit mart's WIDE multi-event coalesce —
+    // the actual shape of the reference's 427-line CTE stack (reference
+    // dags/queries/audit_log.sql:1-478): six per-event-type extraction
+    // legs over the same log, reconciled into ONE wide row per job with
+    // has*Event flags, a date-part STRUCT on the job start time,
+    // SAFE_DIVIDE(avg slots) and a billed-bytes cost estimate. The
+    // reference builds it as six CTEs LEFT-JOINed back together — six
+    // scans plus five joins; the Spark-first form is a single conditional
+    // aggregation pass (one scan, one shuffle on job_id, map-side
+    // combinable), which is the 100 TB-safe plan for the same semantics.
+    "s9_audit_wide" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("job_id", pmod(col("event_id"), lit(997L)))
+        .withColumn("slot_ms",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") * lit(100L))
+        .groupBy(col("job_id"))
+        .agg(
+          min(col("user_id")).as("principal"),
+          max(col("event_type") === "signup").as("has_job_change"),
+          max(col("event_type") === "view").as("has_table_creation"),
+          max(col("event_type") === "click").as("has_table_change"),
+          max(col("event_type") === "purchase").as("has_data_read"),
+          max(col("event_type") === "error").as("has_error"),
+          min(col("ts")).as("job_start"),
+          sum(when(col("event_type") === "purchase",
+            dec2(col("value") * 1000)).otherwise(lit(null))).cast("double").as("runtime_ms"),
+          sum(col("slot_ms")).as("slot_ms"))
+        .select(
+          col("job_id"), col("principal"),
+          col("has_job_change"), col("has_table_creation"),
+          col("has_table_change"), col("has_data_read"), col("has_error"),
+          // the jobStartDate STRUCT (audit_log.sql:445-454), flattened —
+          // dayofweek is 0-based Sunday like the reference's EXTRACT - 1
+          minute(col("job_start")).cast("long").as("start_minute"),
+          hour(col("job_start")).cast("long").as("start_hour"),
+          (dayofweek(col("job_start")) - 1).cast("long").as("start_dow"),
+          dayofyear(col("job_start")).cast("long").as("start_doy"),
+          month(col("job_start")).cast("long").as("start_month"),
+          quarter(col("job_start")).cast("long").as("start_quarter"),
+          year(col("job_start")).cast("long").as("start_year"),
+          col("runtime_ms"),
+          // SAFE_DIVIDE(jobStatsTotalSlotMs, jobStatsRuntimeMs): exact
+          // int/int division, engine-stable
+          when(col("runtime_ms").isNotNull && col("runtime_ms") =!= 0,
+            col("slot_ms").cast("double") / col("runtime_ms").cast("double"))
+            .as("avg_slots"),
+          // (billedBytes / 2^30) and * 5 cost estimate, billed bytes
+          // modeled as slot_ms * 2^20 so the division is exact
+          (col("slot_ms").cast("double") * lit(1048576.0) / lit(1073741824.0))
+            .as("billed_gb"),
+          (col("slot_ms").cast("double") * lit(1048576.0) / lit(1099511627776.0)
+            * lit(5.0)).as("est_cost_usd"))),
+
     // A5 (marts, beyond the reference): ROLLUP subtotal lattice — the
     // day x type activity mart with per-day and grand-total rows in one
     // map-side-combinable pass.
@@ -1419,6 +1472,40 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "s9_audit_wide" ->
+      """WITH base AS (
+        |  SELECT event_id % 997 AS job_id, user_id, event_type, ts, value,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 100 AS slot_ms
+        |  FROM events),
+        |j AS (
+        |  SELECT job_id,
+        |    MIN(user_id) AS principal,
+        |    bool_or(event_type = 'signup') AS has_job_change,
+        |    bool_or(event_type = 'view') AS has_table_creation,
+        |    bool_or(event_type = 'click') AS has_table_change,
+        |    bool_or(event_type = 'purchase') AS has_data_read,
+        |    bool_or(event_type = 'error') AS has_error,
+        |    MIN(ts) AS job_start,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value * 1000 AS DECIMAL(18,2)) END) AS DOUBLE) AS runtime_ms,
+        |    SUM(slot_ms) AS slot_ms
+        |  FROM base GROUP BY 1)
+        |SELECT job_id, principal, has_job_change, has_table_creation,
+        |  has_table_change, has_data_read, has_error,
+        |  CAST(minute(job_start) AS BIGINT) AS start_minute,
+        |  CAST(hour(job_start) AS BIGINT) AS start_hour,
+        |  CAST(dayofweek(job_start) AS BIGINT) AS start_dow,
+        |  CAST(dayofyear(job_start) AS BIGINT) AS start_doy,
+        |  CAST(month(job_start) AS BIGINT) AS start_month,
+        |  CAST(quarter(job_start) AS BIGINT) AS start_quarter,
+        |  CAST(year(job_start) AS BIGINT) AS start_year,
+        |  runtime_ms,
+        |  CASE WHEN runtime_ms IS NOT NULL AND runtime_ms <> 0
+        |       THEN slot_ms / runtime_ms END AS avg_slots,
+        |  slot_ms * 1048576.0 / 1073741824.0 AS billed_gb,
+        |  slot_ms * 1048576.0 / 1099511627776.0 * 5.0 AS est_cost_usd
+        |FROM j""".stripMargin,
 
     "a5_cube" ->
       """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,

@@ -225,4 +225,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"wide flatten must not shuffle:\n$p")
     assert(!p.contains("Join"), s"wide flatten must not join:\n$p")
   }
+
+  test("s9_audit_wide: the six-leg audit coalesce is ONE conditional-agg " +
+      "pass — no join, one shuffle") {
+    // the reference builds this as six CTEs LEFT-JOINed back together;
+    // the Spark-first plan must collapse to a single scan + single
+    // hash-aggregate exchange or the 100 TB claim is void
+    val p = planOf("s9_audit_wide")
+    assert(!p.contains("Join"), s"wide audit mart must not self-join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the job_id agg):\n$p")
+  }
+
+  test("t_dsir_sample: ratio table broadcasts — no sort-merge join " +
+      "anywhere in the scoring pass") {
+    val p = planOf("t_dsir_sample", "/root/testdata/sf0.01")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the <=4096-row ratio relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no bigram-stream-sized shuffle join is acceptable:\n$p")
+  }
 }
