@@ -433,6 +433,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** One crawl's worth of the STREAMING incremental-dedup ingest cycle,
+    * as a storage transaction: tokenize the delta ONCE; emit its candidate
+    * pairs against index ∪ delta; fold the component `mapping` with
+    * [[incrementalComponents]] and write it to `mappingOut`; append the
+    * delta's digest/band/size rows to the storage-backed index at
+    * `indexRoot` so the NEXT crawl probes this one's documents too.
+    *
+    * The fold is slicing-independent: a cross-crawl pair (p, q) is found
+    * when the LATER of the two arrives (its bands join the index that by
+    * then contains the earlier one), so the union of all crawls' pair sets
+    * equals the full-corpus candidate relation, and min-label CC over
+    * accumulated pairs is associative across the per-crawl contraction —
+    * the final mapping equals a full recompute no matter how ingestion
+    * was micro-batched. [[graft.streaming.StreamingGate.incrDedupGate]]
+    * drives this from foreachBatch and the driver's oracle pins exactly
+    * that equality.
+    *
+    * Per-crawl cost: one tokenize of the delta; candidate/verify joins
+    * sized by the delta's bucket collisions; index append is delta-sized.
+    * Nothing rescans the existing corpus.
+    */
+  def ingestDeltaCrawl(delta: DataFrame, idCol: String, textCol: String,
+                       indexRoot: String, mapping: DataFrame, mappingOut: String,
+                       n: Int = 3, k: Int = 8, bands: Int = 4): Unit = {
+    val spark = delta.sparkSession
+    val (_, pins) = pinScope {
+      val index = loadNearDupIndex(spark, indexRoot)
+      val dDg = materialize(
+        shingleRows(delta, idCol, textCol, n)
+          .select(col("id"), md5(col("shingle")).as("d"))
+          .distinct())
+      val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
+      val dBands = materialize(bandRows(dSigsz, k, bands))
+      val pairs = dBands.as("a")
+        .join(index.bands.unionByName(dBands).as("b"),
+          col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("doc_a"),
+          greatest(col("a.id"), col("b.id")).as("doc_b"))
+        .distinct()
+      incrementalComponents(mapping, delta.select(col(idCol)), pairs, idCol)
+        .write.mode("overwrite").parquet(mappingOut)
+      // append AFTER the mapping fold: the fold must see the PRE-crawl
+      // index (its own docs join via dBands), and a crash between the two
+      // writes leaves mappingOut unreferenced — the caller's version
+      // pointer only advances on full success
+      dDg.write.mode("append").parquet(s"$indexRoot/digests")
+      dBands.write.mode("append").parquet(s"$indexRoot/bands")
+      dSigsz.select(col("id"), col("sz")).write.mode("append")
+        .parquet(s"$indexRoot/sizes")
+    }
+    pins.foreach(_.unpersist(false))
+  }
+
   /** MinHash calibration in ONE tokenize pass: per candidate pair, the
     * sketch's Jaccard estimate (equal-signature-slot fraction) next to
     * the exact digest-intersection Jaccard — the diagnostic that sizes

@@ -37,7 +37,7 @@ object TrainingQueries {
     * (the bench warm-up / a cold Verify) builds them inline, so the
     * query's RESULT is identical either way.
     */
-  private def stagedIncrementalArtifacts(s: SparkSession, dir: String)
+  private[graft] def stagedIncrementalArtifacts(s: SparkSession, dir: String)
   : (Dedup.NearDupIndex, DataFrame) = {
     val root = graft.core.Scratch.dir("ndstage", dir)
     val marker = new java.io.File(s"$root/_staged")
@@ -1452,7 +1452,7 @@ object TrainingQueries {
        |   AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""".stripMargin
 
-  private val dedupCcOracle: String =
+  private[graft] val dedupCcOracle: String =
     shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs

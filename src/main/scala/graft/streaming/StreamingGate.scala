@@ -248,6 +248,72 @@ object StreamingGate {
       .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Streaming incremental near-dup ingest drained to a component mapping:
+    * the delta crawl (doc_id % 10 == 0, the same split the batch
+    * incremental gates use) arrives as a file stream in single-file
+    * micro-batches, and each batch folds through
+    * [[graft.operators.Dedup.ingestDeltaCrawl]] — candidate pairs against
+    * the evolving index, supernode-contracted component fold, delta-sized
+    * index append. The gate starts from the SAME staged index/mapping
+    * artifacts the batch gates amortize, and the drained result is the
+    * final mapping. The oracle is the FULL-corpus CC recompute
+    * ([[graft.queries.TrainingQueries.dedupCcOracle]]): cross-batch pairs
+    * are found when the later doc arrives, so the accumulated pair set
+    * equals the batch relation and min-label CC is associative across the
+    * per-crawl contraction — the mapping is independent of how the stream
+    * was sliced, and the gate proves it on real micro-batches.
+    */
+  def incrDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val (idx0, mapping0) =
+      graft.queries.TrainingQueries.stagedIncrementalArtifacts(spark, dir)
+    val delta = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val in = scratch("incr_in", dir)
+    val idxRoot = scratch("incr_idx", dir)
+    val mapRoot = scratch("incr_map", dir)
+    val ck = scratch("incr_ck", dir)
+    Seq(in, idxRoot, mapRoot, ck).foreach(cleanDir(spark, _))
+    // the gate gets its own EVOLVING copy of the index (appended per
+    // batch) so the shared staged artifact stays immutable for the batch
+    // gates
+    graft.operators.Dedup.saveNearDupIndex(idx0, idxRoot)
+    mapping0.write.mode("overwrite").parquet(s"$mapRoot/v_init")
+    // three deterministic files (hash-partitioned on doc_id % 3) +
+    // maxFilesPerTrigger=1 -> the fold really runs once per micro-batch,
+    // with near-dup pairs genuinely straddling batch boundaries
+    delta.withColumn("__b", pmod(col("doc_id"), lit(3)))
+      .repartition(3, col("__b")).drop("__b")
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // foreachBatch runs serially on the driver, so the version pointer is
+    // plain local state; it only advances after a batch fully commits
+    var cur = s"$mapRoot/v_init"
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val next = s"$mapRoot/v$id"
+            graft.operators.Dedup.ingestDeltaCrawl(
+              b, "doc_id", "text", idxRoot,
+              spark.read.parquet(cur), next)
+            cur = next
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", pWas)
+    }
+    spark.read.parquet(cur)
+  }
+
   /** Streaming Misra-Gries heavy hitters drained to a table: per user,
     * the O(k) keyed counter map folds each batch; the LAST emitted row per
     * key is the final summary. k exceeds the per-user distinct event-type
@@ -354,13 +420,18 @@ object StreamingGate {
     "st_heavy_hitters" -> (heavyHittersGate(_, _)),
     "st_sketch_mart" -> (sketchMartGate(_, _)),
     "st_windowed_counts" -> (windowedCountsGate(_, _)),
-    "st_versioned_ingest" -> (versionedIngestGate(_, _)))
+    "st_versioned_ingest" -> (versionedIngestGate(_, _)),
+    "st_incr_dedup" -> (incrDedupGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
     * break is a strictly-greater gap between consecutive ordered events.
     */
   val oracles: Map[String, String] = Map(
+    // the FULL-corpus CC recompute: only a slicing-independent incremental
+    // fold whose accumulated pairs equal the batch relation can match it
+    "st_incr_dedup" -> graft.queries.TrainingQueries.dedupCcOracle,
+
     "st_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

@@ -128,6 +128,51 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L, 30L -> 10L))
   }
 
+  test("ingestDeltaCrawl: final mapping is independent of crawl slicing " +
+      "and equals the full recompute") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val mapping0 = Dedup.connectedComponents(existing, "doc_id",
+      Dedup.minhashCandidatePairs(existing, "doc_id", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_crawl").toString
+    mapping0.write.parquet(s"$tmp/m0")
+
+    // slicing A: the whole delta as ONE crawl
+    Dedup.saveNearDupIndex(Dedup.nearDupIndex(existing, "doc_id", "text"),
+      s"$tmp/idxA")
+    Dedup.ingestDeltaCrawl(delta, "doc_id", "text", s"$tmp/idxA",
+      spark.read.parquet(s"$tmp/m0"), s"$tmp/mA")
+
+    // slicing B: three crawls split by doc_id % 3 — near-dup pairs
+    // genuinely straddle crawl boundaries
+    Dedup.saveNearDupIndex(Dedup.nearDupIndex(existing, "doc_id", "text"),
+      s"$tmp/idxB")
+    var cur = s"$tmp/m0"
+    (0 to 2).foreach { b =>
+      val slice = delta.filter(col("doc_id") % 3 === b)
+      val next = s"$tmp/mB$b"
+      Dedup.ingestDeltaCrawl(slice, "doc_id", "text", s"$tmp/idxB",
+        spark.read.parquet(cur), next)
+      cur = next
+    }
+
+    val full = Dedup.connectedComponents(d, "doc_id",
+      Dedup.minhashCandidatePairs(d, "doc_id", "text"))
+    val a = spark.read.parquet(s"$tmp/mA")
+    val b = spark.read.parquet(cur)
+    assert(a.except(full).isEmpty && full.except(a).isEmpty,
+      "one-crawl fold must equal the full recompute")
+    assert(b.except(full).isEmpty && full.except(b).isEmpty,
+      "three-crawl fold must equal the full recompute")
+    // the evolving index absorbed every crawl: both roots now hold the
+    // full corpus's per-doc size rows
+    val nAll = d.count()
+    assert(spark.read.parquet(s"$tmp/idxB/sizes").count() == nAll)
+    assert(spark.read.parquet(s"$tmp/idxA/sizes").count() == nAll)
+    spark.catalog.clearCache()
+  }
+
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
     // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
     // 9-token prefix -> windows at positions 1,2 match; position 3 differs.
