@@ -762,6 +762,68 @@ object Dedup {
           greatest(col("n_windows"), lit(1L)), 6).as("dup_ratio"))
   }
 
+  /** Duplicated-span SCRUBBING — the removal half of exact substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): [[duplicateSpanStats]] measures cross-doc duplicated
+    * windows; this produces the CLEANED corpus, dropping every token that
+    * falls inside any n-token window whose digest appears in ≥ 2 distinct
+    * documents, and reassembling the survivors in document order.
+    *
+    * Relational end to end: positional windows via lead() over the keyed
+    * token window, duplicated digests by one distinct+count, coverage as a
+    * position explode (each dup window covers [pos, pos+n)), survivors by
+    * a positional anti join, reassembly as a per-doc sort of (pos, tok)
+    * structs — bounded by document length, never by corpus size. Shuffles
+    * carry digests and (id, pos) pairs, never window text; the only text
+    * crossing an exchange is each doc's own surviving tokens converging
+    * on its reassembly group.
+    *
+    * Output: one row per document — kept-token count, total, and the
+    * cleaned text (empty string when every token was scrubbed).
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs)
+      .select(col(idCol).as("id"),
+        posexplode_outer(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = (0 until n).map(j =>
+      if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    val wins = toks
+      .select(col("id"), col("pos"),
+        md5(concat_ws(" ", parts: _*)).as("d"),
+        parts.last.isNotNull.as("full"))
+      .filter(col("full"))
+    // scrub rule: FULL windows only — a doc shorter than n tokens has no
+    // window and survives intact (a whole-doc duplicate that short is
+    // exact-dedup's job, not span scrubbing's)
+    val dup = wins.select(col("id"), col("d")).distinct()
+      .groupBy("d").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("d"))
+    val covered = wins.join(dup, "d")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    toks.filter(col("pos").isNotNull)
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+      // right join back onto the corpus: fully-scrubbed docs keep a row
+      // with empty text, and the total token count rides along
+      .join(docs.select(col(idCol).as("id"),
+          TextFunctions.tokenCount(lower(col(textCol))).cast("long")
+            .as("n_tokens")),
+        Seq("id"), "right")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard for a pair of (distinct) shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /

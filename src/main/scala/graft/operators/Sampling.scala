@@ -155,6 +155,29 @@ object Sampling {
       .filter(col("cap_rank") <= cap)
   }
 
+  /** Temperature-scaled mixture flattening (the multilingual-sampling
+    * alpha-smoothing of XLM-R / mBERT at alpha = 0.5): per-stratum keep
+    * rate sqrt(n_min / n_s), so retained counts scale as sqrt(n_s) — the
+    * dominant stratum's advantage is square-rooted while the smallest
+    * stratum keeps everything. sqrt is IEEE-correctly-rounded, which
+    * makes this the one fractional-exponent reweighting whose kept SET
+    * is bit-reproducible across engines (the DuckDB gate pins it);
+    * membership is the library-wide md5-u01 rule. Scale shape: a tiny
+    * per-stratum rate table broadcast onto a narrow per-row filter —
+    * no data row ever shuffles.
+    */
+  def temperatureFlatten(df: DataFrame, strataCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(strataCol), col("n_docs"),
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+          .as("rate"))
+    val u01 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    df.join(broadcast(rates), strataCol).withColumn("kept", u01 < col("rate"))
+  }
+
   /** Deterministic global shuffle for epoch ordering: sort by a salted
     * hash of the id. A different salt reshuffles; the same salt reproduces
     * the exact order. At scale prefer [[shuffledPartitions]] — a total

@@ -590,6 +590,13 @@ object TrainingQueries {
           count(when(col("p") < 0.01, 1)).as("n_rare"))
     }),
 
+    // Duplicated-span scrubbing — the REMOVAL half of exact substring
+    // dedup (t_substring_dedup measures; this one produces the cleaned
+    // corpus with every cross-doc duplicated 8-token span dropped and the
+    // survivors reassembled in document order).
+    "t_substring_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
     // DSIR-shape importance resampling (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): hashed-bigram
     // importance weights — per-bucket smoothed probability ratio between
@@ -636,6 +643,24 @@ object TrainingQueries {
           (col("rsum").cast("double") / col("n_bigrams")).as("importance"),
           (u01 * 2.0 < col("rsum").cast("double") / col("n_bigrams")).as("kept"))
     }),
+
+    // Temperature-scaled mixture flattening (the multilingual-sampling
+    // alpha-smoothing of XLM-R / mBERT, alpha = 0.5): per-source keep
+    // rate sqrt(n_min / n_s), so retained counts scale as sqrt(n_s) and
+    // the dominant source's advantage is square-rooted while the smallest
+    // source keeps everything. sqrt is IEEE-correctly-rounded — the ONE
+    // transcendental-free way to put a fractional exponent in a
+    // cross-engine hash gate — and membership is the md5-u01 rule, so the
+    // kept SET (pinned by kept_id_sum) is reproducible across engines and
+    // partitionings. Scale shape: a tiny per-source rate table broadcast
+    // onto a single map-side-combinable pass; no row ever shuffles.
+    "t_mixture_temp" -> ((s, dir) =>
+      Sampling.temperatureFlatten(t(s, dir, "documents"), "source", "doc_id")
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          round(max(col("rate")), 6).as("rate"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))),
 
     // TF-IDF top terms per document (ratio idf = N/df: the log is a
     // monotone transform, so rankings match, and ratios hash-match across
@@ -1966,6 +1991,27 @@ object TrainingQueries {
         |  COUNT(CASE WHEN p < 0.01 THEN 1 END) AS n_rare
         |FROM b JOIN p USING (w1, w2) GROUP BY doc_id""".stripMargin,
 
+    "t_substring_scrub" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |toks AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |         FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM tk)),
+        |w AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS d
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS i FROM tk)),
+        |dup AS (SELECT d FROM (
+        |  SELECT d, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1) WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 7)) AS pos
+        |        FROM w JOIN dup USING (d)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT tk.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "t_dsir_sample" ->
       """WITH l AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
         | b AS (SELECT doc_id, source,
@@ -1990,6 +2036,21 @@ object TrainingQueries {
         |     / 4503599627370496.0 * 2.0
         |   < CAST(rsum AS DOUBLE) / n_bigrams) AS kept
         |FROM agg""".stripMargin,
+
+    "t_mixture_temp" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT source, n_docs,
+        |        sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+        |      FROM c CROSS JOIN m),
+        |u AS (SELECT d.source, d.doc_id, r.n_docs, r.rate,
+        |        CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |          AS DOUBLE) / 4503599627370496.0 AS u01
+        |      FROM documents d JOIN r USING (source))
+        |SELECT source, n_docs, round(rate, 6) AS rate,
+        |  COUNT(CASE WHEN u01 < rate THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN u01 < rate THEN doc_id END) AS BIGINT) AS kept_id_sum
+        |FROM u GROUP BY 1, 2, 3""".stripMargin,
 
     "t_tfidf_topterms" ->
       """WITH tok AS (

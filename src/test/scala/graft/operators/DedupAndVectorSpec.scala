@@ -173,6 +173,25 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("scrubDuplicateSpans removes cross-doc spans from BOTH docs, keeps " +
+      "unique text and short docs intact") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one full 8-window
+    val d = docs(
+      1L -> s"alpha beta gamma $boiler delta",
+      2L -> s"$boiler omega psi chi phi",
+      3L -> "unique text that repeats nowhere at all today ok fine",
+      4L -> "short doc") // < 8 tokens: no window, never scrubbed
+    val out = Dedup.scrubDuplicateSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the shared 8-token run is dropped from both docs; their private
+    // prefix/suffix tokens survive in order
+    assert(out(1L) == ((12L, 4L, "alpha beta gamma delta")), out(1L))
+    assert(out(2L) == ((12L, 4L, "omega psi chi phi")), out(2L))
+    assert(out(3L)._2 == out(3L)._1 && out(3L)._3.startsWith("unique text"))
+    assert(out(4L) == ((2L, 2L, "short doc")), out(4L))
+  }
+
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
     // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
     // 9-token prefix -> windows at positions 1,2 match; position 3 differs.

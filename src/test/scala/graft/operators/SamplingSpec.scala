@@ -146,4 +146,25 @@ class SamplingSpec extends SparkSpec {
     assert(out2.filter(col("doc_id") === 10L)
       .select("canonical_id").head.getLong(0) == 10L)
   }
+
+  test("temperatureFlatten: alpha=0.5 square-roots the dominance ratio " +
+      "and keeps the smallest stratum whole") {
+    import spark.implicits._
+    // skewed synthetic mixture: 1600 web docs vs 100 wiki docs (16:1)
+    val d = ((0L until 1600L).map(i => (i, "web")) ++
+      (10000L until 10100L).map(i => (i, "wiki"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureFlatten(d, "source", "doc_id")
+    val kept = out.filter(col("kept")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate for the min-count stratum is exactly 1.0: it keeps every doc
+    assert(kept("wiki") == 100L, s"smallest stratum must keep all: $kept")
+    // web's rate is sqrt(100/1600) = 1/4: kept ~ 400, and the 16:1
+    // dominance flattens to ~4:1 (within md5-uniformity noise)
+    assert(kept("web") > 320 && kept("web") < 480,
+      s"alpha=0.5 must keep ~sqrt-scaled web count: $kept")
+    // determinism: the kept SET reproduces exactly
+    val again = Sampling.temperatureFlatten(d, "source", "doc_id")
+    assert(out.filter(col("kept")).select("doc_id")
+      .exceptAll(again.filter(col("kept")).select("doc_id")).count() == 0)
+  }
 }
