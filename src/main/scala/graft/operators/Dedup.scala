@@ -529,10 +529,17 @@ object Dedup {
     val touched = pairs.select(col("doc_a").as("id"))
       .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
     val dgT = materialize(dg.join(touched, Seq("id"), "left_semi"))
-    val common = pairs
+    val common0 = pairs
       .join(dgT.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
       .join(dgT.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    // a band collision does NOT imply a shared digest (equal min-hash
+    // slots can arise from disjoint digest sets), and calibration must
+    // score those candidates too — est > 0, exact = 0 is precisely the
+    // false-positive signal the diagnostic exists to surface. Left join
+    // back onto the candidate relation; absent pairs are 0-overlap.
+    val common = pairs.join(common0, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
     val sizes = sigsz.select(col("id"), col("sz"))
     val exact = common
       .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")

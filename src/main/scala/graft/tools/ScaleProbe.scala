@@ -388,6 +388,67 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=scrub: duplicated-span scrubbing at 1x vs
+    // mult-x. Every stage is digest-grouped or positional (windows via
+    // lead, coverage a bounded x8 explode, reassembly bounded by document
+    // length), so wall-clock must grow ~linearly in corpus size even
+    // though the corpus is duplicate-HEAVY — the shape that would blow up
+    // a pairwise formulation quadratically.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("scrub")) {
+      val tBase = { val t0 = System.nanoTime()
+        val n = Dedup.scrubDuplicateSpans(
+          base.select(col("doc_id"), col("text")), "doc_id", "text")
+          .agg(sum(col("n_kept"))).head.getLong(0)
+        (System.nanoTime() - t0) / 1e9 -> n }
+      spark.catalog.clearCache()
+      val tBig = { val t0 = System.nanoTime()
+        val n = Dedup.scrubDuplicateSpans(
+          big.select(col("doc_id"), col("text")), "doc_id", "text")
+          .agg(sum(col("n_kept"))).head.getLong(0)
+        (System.nanoTime() - t0) / 1e9 -> n }
+      println(f"[scale] scrub: 1x ${tBase._1}%.2f s (kept=${tBase._2}), " +
+        f"${mult}x ${tBig._1}%.2f s (kept=${tBig._2}), " +
+        f"growth ${tBig._1 / tBase._1}%.1fx for ${mult}x data")
+      // replicated corpus: EVERY window is cross-doc duplicated, so the
+      // mult-x kept count collapses to ~0 while the 1x corpus keeps its
+      // unique text — the scrub is doing real work in both regimes
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=crawlstream: the streaming-ingest claim —
+    // fold `mult` equal-size crawls into an EVOLVING index via
+    // ingestDeltaCrawl and check the per-crawl wall stays ~flat as the
+    // index grows mult-x: per-crawl cost is sized by the delta (its
+    // tokenize + its bucket collisions), not by the accumulated corpus.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("crawlstream")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_probe_crawl").toString
+      val crawl0 = base.select(col("doc_id"), col("text"))
+      Dedup.saveNearDupIndex(
+        Dedup.nearDupIndex(crawl0, "doc_id", "text"), s"$tmp/idx")
+      Dedup.connectedComponents(crawl0, "doc_id",
+          Dedup.minhashCandidatePairs(crawl0, "doc_id", "text"))
+        .write.parquet(s"$tmp/m0")
+      var cur = s"$tmp/m0"
+      val walls = (1 until mult).map { m =>
+        val crawl = base.select((col("doc_id") + lit(m.toLong * 10000000L))
+          .as("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        val next = s"$tmp/m$m"
+        Dedup.ingestDeltaCrawl(crawl, "doc_id", "text", s"$tmp/idx",
+          spark.read.parquet(cur), next)
+        cur = next
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale]   crawl $m%2d (index ${m}x base): ${dt}%6.2f s")
+        spark.catalog.clearCache()
+        dt
+      }
+      val nFinal = spark.read.parquet(cur).count()
+      println(f"[scale] crawlstream: first ${walls.head}%.2f s, " +
+        f"last ${walls.last}%.2f s (index grew ${mult - 1}x), " +
+        f"mapping rows=$nFinal")
+      spark.stop(); return
+    }
+
     val nPairs = if (corpusOnly) -1L else time("minhash_pairs") {
       Dedup.minhashCandidatePairs(big, "doc_id", "text").count()
     }

@@ -128,6 +128,23 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L, 30L -> 10L))
   }
 
+  test("minhashCalibration scores EVERY candidate pair, including band " +
+      "collisions with zero shared digests") {
+    // regression: a band collision does not imply a shared digest (equal
+    // min-hash slots can come from disjoint digest sets); the inner
+    // digest join used to drop those pairs (caught at sf0.1: 767 vs 775
+    // oracle rows). The invariant: calibration rows == candidate pairs.
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nPairs = Dedup.minhashCandidatePairs(d, "doc_id", "text").count()
+    val cal = Dedup.minhashCalibration(d, "doc_id", "text")
+    assert(cal.count() == nPairs,
+      "every candidate pair must get an (est, exact) row")
+    // zero-overlap candidates surface as est > 0, exact = 0 — never NULL
+    assert(cal.filter(col("jaccard").isNull || col("est_jaccard").isNull)
+      .count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("ingestDeltaCrawl: final mapping is independent of crawl slicing " +
       "and equals the full recompute") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
