@@ -317,7 +317,9 @@ object ScaleProbe {
     }
 
     // decomposed pipeline timing: which leg actually burns the CPU?
-    if (!corpusOnly) {
+    // (skipped under ANY targeted PROBE_ONLY mode — a focused probe must
+    // not pay, or have its caches polluted by, the generic decomposition)
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").isEmpty) {
       import org.apache.spark.storage.StorageLevel
       val dg = Dedup.shingleRows(big, "doc_id", "text", 3)
         .select(col("id"), md5(col("shingle")).as("d"))
