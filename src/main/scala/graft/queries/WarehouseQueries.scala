@@ -831,6 +831,33 @@ object WarehouseQueries {
           sum(col("c_custkey")).as("key_sum"))
     }),
 
+    // K6+ OPTIMIZE through the gate: many small streaming-style commits,
+    // then compaction+clustering as a metadata-only commit, then vacuum —
+    // and the read-back must still be value-identical to the plain batch
+    // derivation. Proves the maintenance job rewrites bytes without ever
+    // changing the table.
+    "k6_optimize" -> ((s, dir) => {
+      val root = scratch("k6opt", dir)
+      cleanDir(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // 5 appends sliced by event_id — the small-file shape a 10-minute
+      // ingest cadence accretes
+      (0 until 5).foreach { i =>
+        graft.sinks.VersionedTable.commitBatch(
+          ev.filter(pmod(col("event_id"), lit(5)) === i).repartition(3),
+          root, overwrite = false, txnId = s"slice-$i")
+      }
+      graft.sinks.VersionedTable.optimize(s, root, targetFiles = 2,
+        clusterBy = Seq("event_type"))
+      graft.sinks.VersionedTable.vacuum(s, root, keepLast = 1)
+      graft.sinks.VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // D12 (beyond the reference): change data feed PRODUCED from the
     // versioned table's file-set diff — inserts from files added since
     // the base version, deletes from files dropped. Seed (even keys) →
@@ -1472,6 +1499,12 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "k6_optimize" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin,
 
     "s9_audit_wide" ->
       """WITH base AS (

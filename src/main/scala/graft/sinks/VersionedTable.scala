@@ -245,6 +245,39 @@ object VersionedTable {
     }.toDF("version", "txn_id", "n_files")
   }
 
+  /** OPTIMIZE analog — compaction (and optional clustering) as a
+    * metadata-only table operation: rewrite the CURRENT live rows as
+    * `targetFiles` fresh immutable files, cluster-sorted when
+    * `clusterBy` is given (range-partitioned + sorted within files — the
+    * layout zone-map/min-max skipping prunes on, the OPTIMIZE ZORDER
+    * use case; pass a [[graft.operators.DataSkipping.zValue]] column
+    * through a projection first for true multi-dim interleaving), and
+    * commit the rewritten set as a NEW version. History is untouched:
+    * old versions keep reading the old files until [[vacuum]] reclaims
+    * them, the txn ledger rides forward, and a crash mid-rewrite leaves
+    * the previous version current. At 100 TB this is the nightly
+    * small-file/clustering maintenance job every streaming-ingested
+    * table needs — and because it is just another commit, it composes
+    * with time travel, clones, CDF, and rollback for free.
+    */
+  def optimize(spark: SparkSession, root: String, targetFiles: Int,
+               clusterBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val f = fs(spark, root)
+    val prev = versions(f, root).lastOption
+      .getOrElse(sys.error(s"VersionedTable: nothing to optimize at $root"))
+    val cur = read(spark, root, Some(prev))
+    val arranged =
+      if (clusterBy.isEmpty) cur.repartition(targetFiles)
+      else cur.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val newFiles = writeDataFiles(arranged, root)
+    val v = prev + 1
+    writeManifest(f, root, v, newFiles, manifestTxns(f, root, prev))
+    v
+  }
+
   /** Roll the table back to `version` by committing its manifest as the
     * newest — history is preserved (roll-forward is another rollback).
     */

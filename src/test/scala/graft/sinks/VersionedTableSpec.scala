@@ -129,6 +129,53 @@ class VersionedTableSpec extends SparkSpec {
     assert(h == Seq((0L, None), (1L, Some("b7"))))
   }
 
+  test("optimize compacts many small commits into few clustered files, " +
+      "content-identical, history intact, vacuum reclaims") {
+    val root = java.nio.file.Files.createTempDirectory("vt_opt").toString
+    // 6 tiny appends -> many small files
+    (0 until 6).foreach { i =>
+      VersionedTable.commitBatch(
+        Seq((i * 10L, i % 3), (i * 10L + 1, (i + 1) % 3)).toDF("id", "seg")
+          .repartition(2),
+        root, overwrite = false, txnId = s"b$i")
+    }
+    val before = VersionedTable.read(spark, root)
+      .select("id", "seg").as[(Long, Int)].collect().toSet
+    val vPre = VersionedTable.latestVersion(spark, root).get
+    val nFilesPre = VersionedTable.history(spark, root)
+      .filter($"version" === vPre).select("n_files").head.getLong(0)
+
+    val vOpt = VersionedTable.optimize(spark, root, targetFiles = 2,
+      clusterBy = Seq("seg"))
+    val after = VersionedTable.read(spark, root)
+      .select("id", "seg").as[(Long, Int)].collect().toSet
+    assert(after == before, "optimize must not change table content")
+    val nFilesPost = VersionedTable.history(spark, root)
+      .filter($"version" === vOpt).select("n_files").head.getLong(0)
+    assert(nFilesPost <= 2 && nFilesPost < nFilesPre,
+      s"compaction failed: $nFilesPre -> $nFilesPost files")
+    // clustering: each rewritten file holds a contiguous seg range — the
+    // layout min-max skipping prunes on
+    val perFile = VersionedTable.read(spark, root)
+      .select($"seg", org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .groupBy("f").agg(countDistinct($"seg").as("n")).select("n")
+      .as[Long].collect()
+    assert(perFile.forall(_ <= 2), s"files span too many segs: ${perFile.toSeq}")
+    // history intact: the pre-optimize version still reads its own files
+    assert(VersionedTable.read(spark, root, Some(vPre))
+      .select("id", "seg").as[(Long, Int)].collect().toSet == before)
+    // replay protection survives: re-sending an old txn is still a no-op
+    val vReplay = VersionedTable.commitBatch(Seq((999L, 9)).toDF("id", "seg"),
+      root, overwrite = false, txnId = "b3")
+    assert(vReplay == vOpt, "replayed txn after optimize must be a no-op")
+    // vacuum to the optimized version reclaims the small files; the
+    // current read is unaffected
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(VersionedTable.read(spark, root)
+      .select("id", "seg").as[(Long, Int)].collect().toSet == before)
+  }
+
   test("rollback restores an old version as the newest, preserving history") {
     val root = java.nio.file.Files.createTempDirectory("vt_rb").toString
     val v0 = VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
