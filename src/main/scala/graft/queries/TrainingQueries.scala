@@ -759,6 +759,38 @@ object TrainingQueries {
       TF.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "merge", "window"), k = 10)),
 
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // the BM25 lexical top-20 and the embedding-cosine semantic top-20 —
+    // the two-tower retrieval shape decontamination / curation pipelines
+    // run (a contaminated doc can match an eval benchmark lexically OR
+    // semantically; fusion catches both). RRF keeps the gate engine-exact:
+    // each leg contributes ONE division 1/(60+rank) and the fused score
+    // is the two-term sum in fixed order — no score normalization, no
+    // transcendental. Both legs are top-k-bounded, so the fusion join is
+    // a 20x20 full-outer over broadcastable relations regardless of
+    // corpus size.
+    "t_hybrid_rrf" -> ((s, dir) => {
+      val wLex = Window.orderBy(col("score_fp").desc, col("doc_id"))
+      val lex = TF.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "window"), k = 20)
+        .select(col("doc_id"), row_number().over(wLex).cast("long").as("r_lex"))
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val wSem = Window.orderBy(col("cos").desc, col("vec_id"))
+      val sem = VF.bruteForceTopK(emb, q, k = 20)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(wSem).cast("long").as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_sem").cast("double")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Leakage-guarded split: train/val/test assignment keyed on the
     // near-dup COMPONENT's canonical id, so no near-duplicate pair can
     // straddle train and test — the eval-contamination guard an id-keyed
@@ -2316,6 +2348,60 @@ object TrainingQueries {
         |WHERE jaccard >= 0.3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin),
 
     "t_bm25" -> bm25Oracle,
+
+    "t_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ((CAST(s.nd AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |     (CAST(f.df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(t.tf AS DOUBLE)
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)) AS w
+        |  FROM tf t
+        |  JOIN dl d ON t.doc_id = d.doc_id
+        |  JOIN dfq f ON t.tok = f.tok
+        |  CROSS JOIN stats s),
+        |bm AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(floor(w * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_fp
+        |  FROM scored GROUP BY 1),
+        |lexr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS r_lex
+        |  FROM bm ORDER BY score_fp DESC, doc_id LIMIT 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM embeddings, q),
+        |semr AS (
+        |  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+        |  FROM cs ORDER BY cos DESC, vec_id LIMIT 20),
+        |f AS (
+        |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |    COALESCE(l.r_lex, 0) AS r_lex, COALESCE(s.r_sem, 0) AS r_sem,
+        |    COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+        |      + COALESCE(1.0 / (60.0 + s.r_sem), 0.0) AS rrf
+        |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+        |  CAST(r_sem AS BIGINT) AS r_sem, rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "t_split_leakage" -> splitLeakageOracle,
 
