@@ -154,6 +154,89 @@ object LinkAnalysis {
   def topK(ranked: DataFrame, k: Int): DataFrame =
     ranked.orderBy(col("rank_scaled").desc, col("node")).limit(k)
 
+  /** Integer fixed-point HITS (Kleinberg 1999) — the hubs/authorities
+    * companion to [[pageRank]]: on a crawl graph, authorities are the
+    * link-endorsed content pages and hubs the directories pointing at
+    * them, the complementary prioritization signal to PageRank's random
+    * surfer. Scores live in `scale` units; each half-round is one
+    * edge-keyed join + bigint sum, then a MAX-normalization by integer
+    * division (`x div (max div scale)`) instead of the classical L2 norm
+    * — same fixed point direction, but every operation stays exact
+    * bigint, so results are bit-identical across engines and
+    * partitionings and the (max div scale) divisor keeps every
+    * intermediate below 2^63 by construction. The two max scalars per
+    * round are aggregated reads inlined as literals (the [[pageRank]]
+    * dangling-mass pattern). Same scale posture as PageRank: edges
+    * partitioned once, state node-sized, per-round shuffles are the two
+    * map-side-combinable sums.
+    */
+  def hitsTopK(spark: SparkSession, edges: DataFrame,
+               srcCol: String, dstCol: String, iters: Int, k: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .repartition(p, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .repartition(p, col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (nodes.count() == 0) {
+        e.unpersist(false)
+        return nodes.select(col("node"), lit(0L).as("auth_scaled"),
+          lit(0L).as("hub_scaled"), lit(0.0).as("auth")).filter(lit(false))
+      }
+      var hub = nodes.select(col("node"), lit(scale).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      hub.count()
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        val aRaw = e.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val aMax = aRaw.agg(coalesce(max(col("a")), lit(0L))).head.getLong(0)
+        val aDiv = math.max(aMax / scale, 1L)
+        val aNext = nodes
+          .join(aRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), expr(s"coalesce(a, 0L) div ${aDiv}L").as("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        aNext.count(); aRaw.unpersist(false)
+        if (auth != null) auth.unpersist(false)
+        auth = aNext
+        val hRaw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("hh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hMax = hRaw.agg(coalesce(max(col("hh")), lit(0L))).head.getLong(0)
+        val hDiv = math.max(hMax / scale, 1L)
+        val hNext = nodes
+          .join(hRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("node"), expr(s"coalesce(hh, 0L) div ${hDiv}L").as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hNext.count(); hRaw.unpersist(false)
+        hub.unpersist(false)
+        hub = hNext
+      }
+      val out = auth.join(hub, "node")
+        .select(col("node"), col("a").as("auth_scaled"), col("h").as("hub_scaled"),
+          (col("a").cast("double") / lit(scale.toDouble)).as("auth"))
+        .orderBy(col("auth_scaled").desc, col("node")).limit(k)
+      val rows = out.collect()
+      e.unpersist(false); nodes.unpersist(false)
+      auth.unpersist(false); hub.unpersist(false)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   /** Top-k with full cleanup: collects the k result rows (result-sized
     * by construction) so the iteration's node-sized rank pin can be
     * released before returning. */

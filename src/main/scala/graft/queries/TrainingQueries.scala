@@ -852,6 +852,18 @@ object TrainingQueries {
         iters = 3, k = 25)
     }),
 
+    // HITS hubs/authorities over the same user->item graph — PageRank's
+    // complementary crawl-prioritization signal (authorities = endorsed
+    // content, hubs = the directories pointing at them). Integer
+    // fixed-point with max-normalization so every round is exact bigint.
+    "t_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "events").select(
+        col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      graft.operators.LinkAnalysis.hitsTopK(s, edges, "src", "dst",
+        iters = 2, k = 25)
+    }),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -1339,6 +1351,45 @@ object TrainingQueries {
     * 1e9, damping 85/100, all `div` integer). Each round's CTE chain is
     * contrib-sum / dangling-mass / rank-update, exactly mirroring the
     * engine, so the result is bit-identical with no float tolerance. */
+  /** Unrolled integer HITS rounds — same edge derivation as the PageRank
+    * oracle; each half-round is a join-sum then an integer-division
+    * max-normalization, mirroring [[graft.operators.LinkAnalysis.hitsTopK]]
+    * op for op.
+    */
+  private def hitsOracle(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { rn =>
+      val p = rn - 1
+      s"""ar$rn AS (
+         |  SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM e JOIN h$p h ON e.src = h.node GROUP BY 1),
+         |am$rn AS (SELECT greatest(MAX(a) // 1000000000, 1) AS d FROM ar$rn),
+         |a$rn AS (
+         |  SELECT nodes.node, CAST(COALESCE(r.a, 0) // m.d AS BIGINT) AS a
+         |  FROM nodes LEFT JOIN ar$rn r ON nodes.node = r.node, am$rn m),
+         |hr$rn AS (
+         |  SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS hh
+         |  FROM e JOIN a$rn a ON e.dst = a.node GROUP BY 1),
+         |hm$rn AS (SELECT greatest(MAX(hh) // 1000000000, 1) AS d FROM hr$rn),
+         |h$rn AS (
+         |  SELECT nodes.node, CAST(COALESCE(r.hh, 0) // m.d AS BIGINT) AS h
+         |  FROM nodes LEFT JOIN hr$rn r ON nodes.node = r.node, hm$rn m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) + 10000 AS dst
+       |  FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT a.node, a.a AS auth_scaled, h.h AS hub_scaled,
+       |  CAST(a.a AS DOUBLE) / 1000000000.0 AS auth
+       |FROM a$iters a JOIN h$iters h ON a.node = h.node
+       |ORDER BY a.a DESC, a.node LIMIT $k""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int, k: Int): String = {
     val rounds = (1 to iters).map { rn =>
       val p = rn - 1
@@ -2001,6 +2052,8 @@ object TrainingQueries {
     "t_bpe_vocab" -> bpeVocabOracle(topV = 80, rounds = 6, topK = 50),
 
     "t_pagerank" -> pageRankOracle(iters = 3, k = 25),
+
+    "t_hits" -> hitsOracle(iters = 2, k = 25),
 
     "t_bpe_tokenize" -> bpeTokenizeOracle(topV = 80, rounds = 6),
 

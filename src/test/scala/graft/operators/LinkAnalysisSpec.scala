@@ -75,6 +75,28 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("hitsTopK: the consensus authority and the broad hub rank first, " +
+      "exact fixed-point values, no cached state left") {
+    // hubs 1,2,3 all endorse authority 10; only 1 endorses 11.
+    // Round 1: a(10) = 3*scale -> normalized a(10) = scale, a(11) = scale/3
+    //   (aDiv = 3e9 div 1e9 = 3). Hub 1 points at both -> top hub.
+    val e = edges(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 11L)
+    val out = LinkAnalysis.hitsTopK(spark, e, "src", "dst", iters = 1, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L)._1 == 1000000000L, s"consensus authority: ${out(10L)}")
+    assert(out(11L)._1 == 333333333L, s"single-endorsement authority: ${out(11L)}")
+    // hub scores: h(1) = a(10)+a(11) = 1333333333 -> max-normalized to
+    // scale; h(2) = h(3) = a(10) div 1 = 1e9 div 1 -> 1000000000
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 == out(3L)._2)
+    assert(out(1L)._1 == 0L, "pure hubs have zero authority")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "hitsTopK must release every pin")
+    // determinism: bit-identical on a second run
+    val again = LinkAnalysis.hitsTopK(spark, e, "src", "dst", iters = 1, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("nulls and self-loops flow through the documented semantics") {
     // null src/dst rows are dropped; the self-loop keeps node 1 fed
     val e = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)), (Some(3L), Some(1L)),
