@@ -178,6 +178,26 @@ object Sampling {
     df.join(broadcast(rates), strataCol).withColumn("kept", u01 < col("rate"))
   }
 
+  /** Token-budget-capped assembly — the "N tokens of source X" primitive
+    * a training-mixture spec compiles to: within each key, rows are
+    * ordered by the deterministic md5 priority (so the retained prefix is
+    * stable across runs, engines, and partitionings — never "first rows
+    * scanned") and kept while the running token total stays within
+    * `budget`. One shuffle on the key; the cumulative sum is a keyed
+    * window with an explicit ROWS frame (running totals over a unique
+    * ordering), exact integer arithmetic end to end.
+    */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
+                        tokCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic global shuffle for epoch ordering: sort by a salted
     * hash of the id. A different salt reshuffles; the same salt reproduces
     * the exact order. At scale prefer [[shuffledPartitions]] — a total

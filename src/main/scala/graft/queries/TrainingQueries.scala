@@ -662,6 +662,20 @@ object TrainingQueries {
           count(when(col("kept"), 1)).as("n_kept"),
           sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))),
 
+    // Token-budget-capped assembly: 2000 tokens of every source, the
+    // deterministic md5-priority prefix per key — what a mixture spec's
+    // "N tokens of source X" line compiles to.
+    "t_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetPerKey(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TF.tokenCount(lower(col("text"))).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 2000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum_tokens")).cast("long").as("tok_used"),
+          sum(col("doc_id")).as("id_sum"))),
+
     // TF-IDF top terms per document (ratio idf = N/df: the log is a
     // monotone transform, so rankings match, and ratios hash-match across
     // engines where libm log ulps would not). N attaches as a broadcast
@@ -2121,6 +2135,21 @@ object TrainingQueries {
         |     / 4503599627370496.0 * 2.0
         |   < CAST(rsum AS DOUBLE) / n_bigrams) AS kept
         |FROM agg""".stripMargin,
+
+    "t_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs, CAST(MAX(cum) AS BIGINT) AS tok_used,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= 2000 GROUP BY 1""".stripMargin,
 
     "t_mixture_temp" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),

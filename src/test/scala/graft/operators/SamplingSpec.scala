@@ -167,4 +167,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("kept")).select("doc_id")
       .exceptAll(again.filter(col("kept")).select("doc_id")).count() == 0)
   }
+
+  test("tokenBudgetPerKey keeps the deterministic md5-priority prefix " +
+      "within budget, per key") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),
+      (10L, "b", 900L), (11L, "b", 900L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Sampling.tokenBudgetPerKey(d, "source", "doc_id", "n_tok", 1000L)
+    val kept = out.select("source", "doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // budget 1000: source a fits 2 docs of 400 (3rd would hit 1200),
+    // source b fits exactly 1 of 900
+    assert(kept("a").size == 2 && kept("b").size == 1, kept.toString)
+    // the retained prefix follows md5 priority, NOT doc_id or scan order:
+    // recompute the expected order directly
+    val pri = d.filter(col("source") === "a")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("p"))
+      .orderBy("p").as[(Long, String)].collect().map(_._1)
+    assert(kept("a") == pri.take(2).toSet,
+      s"expected md5-prefix ${pri.take(2).toSet}, got ${kept("a")}")
+    // budget below the smallest row: nothing survives, no error
+    assert(Sampling.tokenBudgetPerKey(d, "source", "doc_id", "n_tok", 100L)
+      .count() == 0)
+  }
 }
