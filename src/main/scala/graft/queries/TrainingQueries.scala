@@ -704,6 +704,39 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Multimodal patch retrieval — the full plumbing a frame/patch
+    // similarity search needs, end to end: strided frame sampling, a
+    // per-frame embedding (here the deterministic STUB: 8 dims derived
+    // from the frame hash's hex — the real build swaps in the vision
+    // encoder at the same (doc, frame) granularity), then cosine top-k
+    // against a query frame. The embedding derivation and the cosine are
+    // explicit left-to-right folds on both engines, so the gate pins the
+    // whole frames->embed->retrieve path exactly. Scale shape: frames
+    // explode map-side, the 8-dim query broadcasts, top-k is
+    // TakeOrdered — no corpus-wide shuffle anywhere.
+    "t_multimodal_retrieve" -> ((s, dir) => {
+      val frames = Multimodal.sampleFrames(t(s, dir, "documents"),
+        "doc_id", "text", stride = 256, frameLen = 64)
+      val emb = frames.withColumn("vec",
+        // SQL-expr form: substring's start is per-element (j*4+1), which
+        // the typed functions.substring(Int, Int) can't express
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(cast(conv(substring(frame_hash, j * 4 + 1, 4), 16, 10) " +
+          "as bigint) as double) / 65536.0 - 0.5)"))
+      val q = emb.filter(col("doc_id") === 0 && col("frame_idx") === 0)
+        .select(col("vec").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("doc_id"), col("frame_idx"),
+          round(
+            aggregate(zip_with(col("vec"), col("qv"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)) *
+             sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x))),
+            6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"), col("frame_idx"))
+        .limit(10)
+    }),
+
     // Unit-L2 normalization — the standard pre-ANN / pre-clustering
     // transform. The norm is MATERIALIZED into a column before the
     // per-element lambda (splicing it inline would re-run the norm fold
@@ -2182,6 +2215,32 @@ object TrainingQueries {
         |    ORDER BY score DESC, token) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    "t_multimodal_retrieve" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (greatest(length(text), 1) - 1) // 256)) AS i
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |    md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS h
+        |  FROM f),
+        |e AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(range(0, 8), j ->
+        |      CAST(CAST('0x' || substr(h, CAST(j * 4 + 1 AS INTEGER), 4) AS BIGINT)
+        |        AS DOUBLE) / 65536.0 - 0.5) AS vec
+        |  FROM fr),
+        |q AS (SELECT vec AS qv FROM e WHERE doc_id = 0 AND frame_idx = 0),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |    round(
+        |      list_sum(list_transform(range(1, 9), i -> vec[i] * qv[i]))
+        |      / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+        |  FROM e, q)
+        |SELECT doc_id, frame_idx, cos FROM s
+        |ORDER BY cos DESC, doc_id, frame_idx LIMIT 10""".stripMargin,
 
     "t_multimodal_frames" ->
       """WITH f AS (
