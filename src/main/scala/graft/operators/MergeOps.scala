@@ -85,6 +85,50 @@ object MergeOps {
           .otherwise(lit(0)).cast("long").as("n_cols_changed"): _*)
   }
 
+  /** Incremental SCD2 maintenance — the dbt-snapshot shape (timestamp
+    * strategy) the reference's current-state views recompute from scratch
+    * every query: fold an update batch into a STORED interval table by
+    * closing touched keys' open intervals and appending the new ones,
+    * leaving closed history untouched.
+    *
+    * `target` is an [[AsOfJoin.scd2Intervals]]-shaped table (payload +
+    * `tsCol` + `valid_from`/`valid_to`, open rows at the
+    * [[AsOfJoin.EndOfTime]] sentinel); `updates` is log-shaped (payload +
+    * `tsCol`). Only keys present in the batch re-window, and only their
+    * OPEN rows join the re-window — closed rows and untouched keys pass
+    * through untouched, which on partitioned storage is a key-scoped
+    * rewrite, never a table rewrite. The result equals a full
+    * `scd2Intervals` recompute over (original log ∪ updates), which the
+    * driver oracle states verbatim; the precondition that makes the
+    * equality hold — no update older than a touched key's open
+    * `valid_from` (late data is a backfill rewrite, not this fold) — is
+    * enforced with a key-sized aggregate when `validate` is on.
+    */
+  def scd2Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                tsCol: String, tieBreak: Seq[String] = Seq.empty,
+                validate: Boolean = true): DataFrame = {
+    val sentinel = lit(AsOfJoin.EndOfTime).cast("timestamp")
+    val touched = updates.select(keys.map(col): _*).distinct()
+    val tTouched = target.join(touched, keys, "left_semi")
+    val tUntouched = target.join(touched, keys, "left_anti")
+    val open = tTouched.filter(col("valid_to") === sentinel)
+    val closed = tTouched.filter(col("valid_to") =!= sentinel)
+    if (validate) {
+      val late = updates.groupBy(keys.map(col): _*)
+        .agg(min(col(tsCol)).as("__min_ts"))
+        .join(open.groupBy(keys.map(col): _*)
+          .agg(max(col("valid_from")).as("__open_from")), keys)
+        .filter(col("__min_ts") < col("__open_from"))
+        .limit(1).count()
+      require(late == 0,
+        "scd2Merge: update batch contains rows older than a key's open " +
+          "interval — late data must go through a backfill rewrite")
+    }
+    val log = open.drop("valid_from", "valid_to").unionByName(updates)
+    closed.unionByName(AsOfJoin.scd2Intervals(log, keys, tsCol, tieBreak))
+      .unionByName(tUntouched)
+  }
+
   /** D4: the reference's history_assets flow
     * (reference dags/queries/history_assets.sql:1-62) — dedup the staging
     * batch to its oldest row per key, then insert only keys the target

@@ -858,6 +858,26 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // D13 (beyond the reference): incremental SCD2 maintenance — the
+    // dbt-snapshot fold. Seed the interval table from the pre-cut log
+    // (stored), then merge the post-cut batch: touched keys' OPEN rows
+    // close, new intervals append, closed history and untouched keys
+    // never rewind. The oracle is the FULL recompute over the whole log —
+    // only a correct incremental fold matches it.
+    "d13_scd2_merge" -> ((s, dir) => {
+      val store = scratch("d13scd2", dir)
+      cleanDir(s, store)
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      AsOfJoin.scd2Intervals(ev.filter(col("ts") < cut),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .write.mode("overwrite").parquet(store)
+      MergeOps.scd2Merge(s.read.parquet(store), ev.filter(col("ts") >= cut),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "value", "valid_from", "valid_to")
+    }),
+
     // D12 (beyond the reference): change data feed PRODUCED from the
     // versioned table's file-set diff — inserts from files added since
     // the base version, deletes from files dropped. Seed (even keys) →
@@ -1499,6 +1519,12 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "d13_scd2_merge" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "k6_optimize" ->
       """SELECT event_type, COUNT(*) AS n,

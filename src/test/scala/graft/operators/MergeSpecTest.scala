@@ -144,6 +144,37 @@ class MergeSpecTest extends SparkSpec {
     assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
 
+  test("scd2Merge: closes open intervals, chains in-batch updates, adds " +
+      "new keys, never rewinds history, rejects late data") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val logDf = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-05 00:00:00"), 11.0, 2L),
+      (2L, ts("2024-01-02 00:00:00"), 20.0, 3L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val target = AsOfJoin.scd2Intervals(logDf, Seq("user_id"), "ts", Seq("event_id"))
+    val updates = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 12.0, 4L), // closes key 1's open row
+      (1L, ts("2024-01-12 00:00:00"), 13.0, 5L), // chains within the batch
+      (3L, ts("2024-01-11 00:00:00"), 30.0, 6L)) // brand-new key
+      .toDF("user_id", "ts", "value", "event_id")
+    val merged = MergeOps.scd2Merge(target, updates, Seq("user_id"), "ts",
+      Seq("event_id"))
+    val full = AsOfJoin.scd2Intervals(logDf.unionByName(updates),
+      Seq("user_id"), "ts", Seq("event_id"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental fold must equal the full recompute")
+    // untouched key 2's open row is literally unchanged (still open)
+    assert(merged.filter($"user_id" === 2L && $"valid_to" ===
+      lit(AsOfJoin.EndOfTime).cast("timestamp")).count() == 1)
+    // late data (older than key 1's open valid_from) is refused
+    val late = Seq((1L, ts("2024-01-03 00:00:00"), 99.0, 7L))
+      .toDF("user_id", "ts", "value", "event_id")
+    intercept[IllegalArgumentException] {
+      MergeOps.scd2Merge(target, late, Seq("user_id"), "ts", Seq("event_id"))
+    }
+  }
+
   test("dedupInsertNewRows keeps the oldest staging row per new key") {
     val staging = log(("a", 1, 1, false, 1.0), ("a", 2, 1, false, 2.0),
       ("d", 1, 1, false, 4.0), ("d", 2, 1, false, 5.0))
