@@ -314,6 +314,80 @@ object StreamingGate {
     spark.read.parquet(cur)
   }
 
+  /** Streaming incremental SCD2 maintenance drained to the interval
+    * table: the post-cut purchase log arrives as a file stream in
+    * TIME-ORDERED single-file micro-batches (files staged sequentially so
+    * modification times ascend — the file source drains oldest-first,
+    * the shape real time-partitioned ingest has), and each batch folds
+    * through [[graft.operators.MergeOps.scd2Merge]] — touched keys' open
+    * intervals close, new ones append, closed history never rewinds, and
+    * the late-data guard stays ON (time-ordered arrival is exactly its
+    * precondition). The oracle is the FULL-recompute window over the
+    * whole log: only a correct N-fold incremental maintenance matches it.
+    */
+  def scd2Gate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AsOfJoin, MergeOps}
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+    val in = scratch("scd2_in", dir)
+    val store = scratch("scd2_store", dir)
+    val ck = scratch("scd2_ck", dir)
+    Seq(in, store, ck).foreach(cleanDir(spark, _))
+    AsOfJoin.scd2Intervals(ev.filter(col("ts") < cut),
+        Seq("user_id"), "ts", Seq("event_id"))
+      .write.mode("overwrite").parquet(s"$store/v_init")
+    // stage three ascending time windows as three files, written
+    // SEQUENTIALLY so file mtimes ascend and the stream replays them in
+    // event-time order
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(in), conf)
+    f.mkdirs(new org.apache.hadoop.fs.Path(in))
+    Seq("2024-01-25 00:00:00", "2024-01-28 00:00:00", "2200-01-01 00:00:00")
+      .zipWithIndex.foldLeft(cut: org.apache.spark.sql.Column) {
+        case (lo, (hiS, i)) =>
+          val hi = lit(hiS).cast("timestamp")
+          val tmp = s"$in/__stage$i"
+          ev.filter(col("ts") >= lo && col("ts") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          org.apache.hadoop.fs.FileUtil.copy(f, part, f,
+            new org.apache.hadoop.fs.Path(in, s"slice_$i.parquet"),
+            false, conf)
+          f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          hi
+      }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    var cur = s"$store/v_init"
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val next = s"$store/v$id"
+            MergeOps.scd2Merge(spark.read.parquet(cur), b,
+                Seq("user_id"), "ts", Seq("event_id"))
+              .write.mode("overwrite").parquet(next)
+            cur = next
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", pWas)
+    }
+    spark.read.parquet(cur)
+      .select("user_id", "event_id", "value", "valid_from", "valid_to")
+  }
+
   /** Streaming Misra-Gries heavy hitters drained to a table: per user,
     * the O(k) keyed counter map folds each batch; the LAST emitted row per
     * key is the final summary. k exceeds the per-user distinct event-type
@@ -421,7 +495,8 @@ object StreamingGate {
     "st_sketch_mart" -> (sketchMartGate(_, _)),
     "st_windowed_counts" -> (windowedCountsGate(_, _)),
     "st_versioned_ingest" -> (versionedIngestGate(_, _)),
-    "st_incr_dedup" -> (incrDedupGate(_, _)))
+    "st_incr_dedup" -> (incrDedupGate(_, _)),
+    "st_scd2" -> (scd2Gate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -431,6 +506,12 @@ object StreamingGate {
     // the FULL-corpus CC recompute: only a slicing-independent incremental
     // fold whose accumulated pairs equal the batch relation can match it
     "st_incr_dedup" -> graft.queries.TrainingQueries.dedupCcOracle,
+
+    "st_scd2" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "st_sessionize" ->
       """WITH x AS (
