@@ -237,6 +237,24 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly one shuffle (the job_id agg):\n$p")
   }
 
+  test("t_multimodal_retrieve: frames explode map-side, query broadcasts, " +
+      "top-k is TakeOrdered — no corpus-wide shuffle") {
+    val p = planOf("t_multimodal_retrieve")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame retrieval must not hash-shuffle the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row query frame must broadcast:\n$p")
+  }
+
+  test("t_token_budget: one shuffle (the keyed window), running total " +
+      "never funnels to a single partition") {
+    val p = planOf("t_token_budget")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"budget cap must stay keyed, not global:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("t_dsir_sample: ratio table broadcasts — no sort-merge join " +
       "anywhere in the scoring pass") {
     val p = planOf("t_dsir_sample", "/root/testdata/sf0.01")
