@@ -858,6 +858,42 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // S12/backfill through the gate: the reference's backfill controller
+    // (backfill_controller.py) slices an arbitrary range into fixed-size
+    // sub-windows and replays each through the SAME idempotent del-ins
+    // load as live ingest. The gate chunks January into three 11-day
+    // windows, loads each as its own batch partition-set, and RETRIES
+    // the middle chunk — dynamic partition overwrite keyed on the batch
+    // makes the retry byte-idempotent, so the read-back must equal the
+    // plain one-shot derivation.
+    "s12_backfill" -> ((s, dir) => {
+      import java.time.{Duration, Instant}
+      val wh = scratch("s12wh", dir)
+      cleanDir(s, wh)
+      val ev = t(s, dir, "events")
+      val warehouse = new DelIns.Warehouse(s, wh, Seq("p_day", "batch_id"))
+      val window = graft.core.BatchWindow(
+        Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
+      def naive(i: Instant): String =
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      window.chunks(Duration.ofDays(11)).zipWithIndex.foreach { case (w, i) =>
+        def load(): Unit = warehouse.loadBatch(
+          ev.filter(col("ts") >= lit(naive(w.start)).cast("timestamp") &&
+              col("ts") < lit(naive(w.end)).cast("timestamp"))
+            .withColumn("p_day", to_date(col("ts")))
+            .withColumn("batch_id", lit(s"bf-$i")))
+        load()
+        if (i == 1) load() // retried chunk: same batch, same partitions, no-op
+      }
+      s.read.parquet(wh)
+        .groupBy(col("p_day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // D13 (beyond the reference): incremental SCD2 maintenance — the
     // dbt-snapshot fold. Seed the interval table from the pre-cut log
     // (stored), then merge the post-cut batch: touched keys' OPEN rows
@@ -1519,6 +1555,15 @@ object WarehouseQueries {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_sum,
         |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS payload_max
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "s12_backfill" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS p_day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "d13_scd2_merge" ->
       """SELECT user_id, event_id, value, ts AS valid_from,
