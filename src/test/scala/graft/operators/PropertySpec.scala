@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Generator-driven invariants over randomized inputs — the properties the
+  * example-based specs assert once, checked across arbitrary shapes
+  * (duplicate keys, empty batches, ties, singleton tables). Raw scalacheck
+  * driving Spark: iterations are kept small because each case is a real
+  * distributed job.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withMaxSize(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rowGen: Gen[(Long, Long, Double)] = for {
+    key <- Gen.chooseNum(0L, 6L) // small key space forces collisions
+    batch <- Gen.chooseNum(0L, 2L)
+    v <- Gen.chooseNum(0, 999)
+  } yield (key, batch, v / 100.0)
+
+  private val tableGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOf(rowGen)
+
+  test("delIns is idempotent and exactly-once for ANY target/batch pair") {
+    check(Prop.forAll(tableGen, tableGen) { (t0, b0) =>
+      val target = t0.toDF("k", "batch_id", "v")
+      val batch = b0.map { case (k, _, v) => (k, 99L, v) }.toDF("k", "batch_id", "v")
+      val once = DelIns.delIns(target, batch, Seq("batch_id"))
+      val twice = DelIns.delIns(once, batch, Seq("batch_id"))
+      // retry is a no-op, batch rows land exactly once, foreign batches
+      // survive untouched
+      twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty &&
+        once.filter($"batch_id" === 99L).count() == batch.count() &&
+        once.filter($"batch_id" =!= 99L).count() ==
+          target.filter($"batch_id" =!= 99L).count()
+    })
+  }
+
+  private val logGen: Gen[List[(Long, Int, Double, Long)]] = for {
+    rows <- Gen.listOf(for {
+      key <- Gen.chooseNum(0L, 4L)
+      t <- Gen.chooseNum(1, 28)
+      v <- Gen.chooseNum(0, 99)
+    } yield (key, t, v / 10.0))
+  } yield rows.zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+
+  test("scd2Merge == full scd2Intervals recompute for ANY log and ANY cut") {
+    check(Prop.forAll(logGen, Gen.chooseNum(1, 28)) { (rows, cut) =>
+      def df(r: List[(Long, Int, Double, Long)]) = r
+        .map { case (k, t, v, id) =>
+          (k, java.sql.Timestamp.valueOf(f"2024-01-$t%02d 00:00:00"), v, id) }
+        .toDF("user_id", "ts", "value", "event_id")
+      val (pre, post) = rows.partition(_._2 < cut)
+      val target = AsOfJoin.scd2Intervals(df(pre), Seq("user_id"), "ts",
+        Seq("event_id"))
+      val merged =
+        if (post.isEmpty) target
+        else MergeOps.scd2Merge(target, df(post), Seq("user_id"), "ts",
+          Seq("event_id"))
+      val full = AsOfJoin.scd2Intervals(df(rows), Seq("user_id"), "ts",
+        Seq("event_id"))
+      merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+    })
+  }
+
+  test("hashSplit is partition-invariant, exhaustive, and disjoint for ANY ids") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      ids0 =>
+        val ids = ids0.distinct
+        val d = ids.toDF("doc_id")
+        val a = Sampling.hashSplit(d, "doc_id")
+          .select("doc_id", "split").as[(Long, String)].collect().toMap
+        // re-partitioning must not move a single row between splits
+        val b = Sampling.hashSplit(d.repartition(7), "doc_id")
+          .select("doc_id", "split").as[(Long, String)].collect().toMap
+        a == b && a.size == ids.size &&
+          a.values.forall(Set("train", "val", "test"))
+    })
+  }
+}
