@@ -37,9 +37,12 @@ object TrainingQueries {
     * (the bench warm-up / a cold Verify) builds them inline, so the
     * query's RESULT is identical either way.
     */
+  private[graft] def stagedIncrementalRoot(dir: String): String =
+    graft.core.Scratch.dir("ndstage", dir)
+
   private[graft] def stagedIncrementalArtifacts(s: SparkSession, dir: String)
   : (Dedup.NearDupIndex, DataFrame) = {
-    val root = graft.core.Scratch.dir("ndstage", dir)
+    val root = stagedIncrementalRoot(dir)
     val marker = new java.io.File(s"$root/_staged")
     // The marker RECORDS the source fingerprint (size + mtime of
     // documents.parquet): scratch survives JVM exits, and a driver that

@@ -276,8 +276,21 @@ object StreamingGate {
     Seq(in, idxRoot, mapRoot, ck).foreach(cleanDir(spark, _))
     // the gate gets its own EVOLVING copy of the index (appended per
     // batch) so the shared staged artifact stays immutable for the batch
-    // gates
-    graft.operators.Dedup.saveNearDupIndex(idx0, idxRoot)
+    // gates — a raw FILE copy of the immutable parquet dirs, not a Spark
+    // rewrite (the staged artifact is already in storage form; re-writing
+    // it through an executor plan cost ~2 s of the gate for nothing)
+    locally {
+      val _ = idx0 // staged artifacts are guaranteed built above
+      val src = graft.queries.TrainingQueries.stagedIncrementalRoot(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(src), conf)
+      Seq("digests", "bands", "sizes").foreach { part =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, new org.apache.hadoop.fs.Path(s"$src/$part"),
+          f, new org.apache.hadoop.fs.Path(s"$idxRoot/$part"),
+          false, conf)
+      }
+    }
     mapping0.write.mode("overwrite").parquet(s"$mapRoot/v_init")
     // three deterministic files (hash-partitioned on doc_id % 3) +
     // maxFilesPerTrigger=1 -> the fold really runs once per micro-batch,
