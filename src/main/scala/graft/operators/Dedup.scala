@@ -341,11 +341,16 @@ object Dedup {
     * tokenize — the amortized-cost regime the incremental operators are
     * designed for.
     */
-  def loadNearDupIndex(spark: SparkSession, root: String): NearDupIndex =
-    NearDupIndex(
-      spark.read.parquet(s"$root/digests"),
-      spark.read.parquet(s"$root/bands"),
-      spark.read.parquet(s"$root/sizes"))
+  def loadNearDupIndex(spark: SparkSession, root: String): NearDupIndex = {
+    // recursive lookup: reads both the flat base layout saveNearDupIndex
+    // writes (part files at the top) and the crawl-scoped subdirs
+    // ingestDeltaCrawl renames in; hidden (.tmp_* / _SUCCESS) entries are
+    // filtered by the file index, so a crashed append's tmp dir is
+    // invisible to readers
+    def part(p: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/$p")
+    NearDupIndex(part("digests"), part("bands"), part("sizes"))
+  }
 
   def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4): NearDupIndex = {
@@ -454,34 +459,71 @@ object Dedup {
     * sized by the delta's bucket collisions; index append is delta-sized.
     * Nothing rescans the existing corpus.
     */
+  /** The delta's derived relations plus its delta-touching candidate
+    * pairs, from ONE tokenize pass — shared by
+    * [[incrementalCandidatePairs]] and [[ingestDeltaCrawl]] so the
+    * band/pair rule cannot silently diverge between the batch and
+    * streaming incremental paths (the [[bandCols]] warning, one level
+    * up).
+    */
+  private def deltaBandPairs(delta: DataFrame, idCol: String, textCol: String,
+                             index: NearDupIndex, n: Int, k: Int, bands: Int)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dDg = materialize(
+      shingleRows(delta, idCol, textCol, n)
+        .select(col("id"), md5(col("shingle")).as("d"))
+        .distinct())
+    val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
+    val dBands = materialize(bandRows(dSigsz, k, bands))
+    val pairs = dBands.as("a")
+      .join(index.bands.unionByName(dBands).as("b"),
+        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    (dDg, dSigsz, dBands, pairs)
+  }
+
   def ingestDeltaCrawl(delta: DataFrame, idCol: String, textCol: String,
                        indexRoot: String, mapping: DataFrame, mappingOut: String,
+                       txnId: String,
                        n: Int = 3, k: Int = 8, bands: Int = 4): Unit = {
     val spark = delta.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(indexRoot), conf)
     val (_, pins) = pinScope {
       val index = loadNearDupIndex(spark, indexRoot)
-      val dDg = materialize(
-        shingleRows(delta, idCol, textCol, n)
-          .select(col("id"), md5(col("shingle")).as("d"))
-          .distinct())
-      val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
-      val dBands = materialize(bandRows(dSigsz, k, bands))
-      val pairs = dBands.as("a")
-        .join(index.bands.unionByName(dBands).as("b"),
-          col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
-        .select(least(col("a.id"), col("b.id")).as("doc_a"),
-          greatest(col("a.id"), col("b.id")).as("doc_b"))
-        .distinct()
+      val (dDg, dSigsz, dBands, pairs) =
+        deltaBandPairs(delta, idCol, textCol, index, n, k, bands)
+      // The mapping fold is safe on RETRY even if the previous attempt's
+      // index appends landed: a delta band already in the index collides
+      // only with other ids (a.id != b.id) and duplicate pairs distinct
+      // away, so the pair set is unchanged — and the overwrite makes the
+      // mapping write itself idempotent.
       incrementalComponents(mapping, delta.select(col(idCol)), pairs, idCol)
         .write.mode("overwrite").parquet(mappingOut)
-      // append AFTER the mapping fold: the fold must see the PRE-crawl
-      // index (its own docs join via dBands), and a crash between the two
-      // writes leaves mappingOut unreferenced — the caller's version
-      // pointer only advances on full success
-      dDg.write.mode("append").parquet(s"$indexRoot/digests")
-      dBands.write.mode("append").parquet(s"$indexRoot/bands")
-      dSigsz.select(col("id"), col("sz")).write.mode("append")
-        .parquet(s"$indexRoot/sizes")
+      // Index appends are crawl-scoped transactions: each part writes to
+      // a hidden tmp dir (invisible to loadNearDupIndex) and RENAMES to
+      // crawl_<txn> — the atomic commit point. A retry finds the
+      // committed dir and skips; a crash mid-write leaves only hidden
+      // tmp garbage. This runs AFTER the mapping fold so the fold sees
+      // the PRE-crawl index on the first attempt; the caller's version
+      // pointer only advances on full success.
+      def commitPart(part: String, df: DataFrame): Unit = {
+        val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/$part/crawl_$txnId")
+        if (!f.exists(dst)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$indexRoot/$part/.tmp_$txnId")
+          if (f.exists(tmp)) f.delete(tmp, true)
+          df.write.parquet(tmp.toString)
+          if (!f.rename(tmp, dst))
+            sys.error(s"ingestDeltaCrawl: commit rename failed for $dst")
+        }
+      }
+      commitPart("digests", dDg)
+      commitPart("bands", dBands)
+      commitPart("sizes", dSigsz.select(col("id"), col("sz")))
     }
     pins.foreach(_.unpersist(false))
   }
@@ -560,21 +602,8 @@ object Dedup {
     */
   def incrementalCandidatePairs(delta: DataFrame, idCol: String, textCol: String,
                                 index: NearDupIndex,
-                                n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val dDg = materialize(
-      shingleRows(delta, idCol, textCol, n)
-        .select(col("id"), md5(col("shingle")).as("d"))
-        .distinct())
-    val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
-    val dBands = bandRows(dSigsz, k, bands)
-    val allBands = index.bands.unionByName(dBands)
-    dBands.as("a")
-      .join(allBands.as("b"),
-        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("doc_a"),
-        greatest(col("a.id"), col("b.id")).as("doc_b"))
-      .distinct()
-  }
+                                n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    deltaBandPairs(delta, idCol, textCol, index, n, k, bands)._4
 
   /** Incremental connected components — fold a delta crawl's edges into an
     * EXISTING component mapping without touching the old graph. Because
@@ -791,10 +820,14 @@ object Dedup {
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = spread(docs)
+    // ONE tokenize pass (the file's standing rule): windows, coverage,
+    // survivors, and the per-doc total all scan this materialized token
+    // relation — recomputing it per leg would re-run the tokenizer over
+    // the corpus once per consumer.
+    val toks = materialize(spread(docs)
       .select(col(idCol).as("id"),
         posexplode_outer(TextFunctions.tokens(lower(col(textCol))))
-          .as(Seq("pos", "tok")))
+          .as(Seq("pos", "tok"))))
     val w = Window.partitionBy("id").orderBy("pos")
     val parts = (0 until n).map(j =>
       if (j == 0) col("tok") else lead(col("tok"), j).over(w))
@@ -813,6 +846,11 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
+    // per-doc totals from the SAME token relation (count(pos) skips the
+    // posexplode_outer null row, so empty docs total 0 but keep a row) —
+    // never a second tokenize of the corpus
+    val totals = toks.groupBy(col("id"))
+      .agg(count(col("pos")).as("n_tokens"))
     toks.filter(col("pos").isNotNull)
       .join(covered, Seq("id", "pos"), "left_anti")
       .groupBy(col("id"))
@@ -820,12 +858,9 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             x => x.getField("tok")), " ").as("clean_text"))
-      // right join back onto the corpus: fully-scrubbed docs keep a row
-      // with empty text, and the total token count rides along
-      .join(docs.select(col(idCol).as("id"),
-          TextFunctions.tokenCount(lower(col(textCol))).cast("long")
-            .as("n_tokens")),
-        Seq("id"), "right")
+      // right join back onto the totals: fully-scrubbed docs keep a row
+      // with empty text
+      .join(totals, Seq("id"), "right")
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

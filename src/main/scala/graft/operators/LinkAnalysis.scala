@@ -173,6 +173,7 @@ object LinkAnalysis {
   def hitsTopK(spark: SparkSession, edges: DataFrame,
                srcCol: String, dstCol: String, iters: Int, k: Int,
                scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"hitsTopK needs at least one iteration, got $iters")
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -189,9 +190,14 @@ object LinkAnalysis {
         .repartition(p, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (nodes.count() == 0) {
-        e.unpersist(false)
-        return nodes.select(col("node"), lit(0L).as("auth_scaled"),
-          lit(0L).as("hub_scaled"), lit(0.0).as("auth")).filter(lit(false))
+        // release BOTH pins: the empty-graph early exit must leave no
+        // cached state (the spec's invariant for every exit path)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          nodes.select(col("node"), lit(0L).as("auth_scaled"),
+            lit(0L).as("hub_scaled"), lit(0.0).as("auth")).schema)
+        e.unpersist(false); nodes.unpersist(false)
+        return empty
       }
       var hub = nodes.select(col("node"), lit(scale).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -186,6 +186,10 @@ object Sampling {
     * `budget`. One shuffle on the key; the cumulative sum is a keyed
     * window with an explicit ROWS frame (running totals over a unique
     * ordering), exact integer arithmetic end to end.
+    *
+    * Precondition (as for every md5-keyed sampler here): `idCol` is the
+    * dataset's unique row id. Duplicate ids tie the (md5, id) ordering
+    * and make the budget-boundary row partitioning-dependent.
     */
   def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
                         tokCol: String, budget: Long): DataFrame = {

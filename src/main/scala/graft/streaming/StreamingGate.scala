@@ -314,7 +314,7 @@ object StreamingGate {
             val next = s"$mapRoot/v$id"
             graft.operators.Dedup.ingestDeltaCrawl(
               b, "doc_id", "text", idxRoot,
-              spark.read.parquet(cur), next)
+              spark.read.parquet(cur), next, txnId = s"batch-$id")
             cur = next
           }
           ()

@@ -423,6 +423,7 @@ object ScaleProbe {
     // index grows mult-x: per-crawl cost is sized by the delta (its
     // tokenize + its bucket collisions), not by the accumulated corpus.
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("crawlstream")) {
+      require(mult >= 2, "crawlstream needs mult >= 2 (at least one delta crawl)")
       val tmp = java.nio.file.Files.createTempDirectory("graft_probe_crawl").toString
       val crawl0 = base.select(col("doc_id"), col("text"))
       Dedup.saveNearDupIndex(
@@ -437,7 +438,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val next = s"$tmp/m$m"
         Dedup.ingestDeltaCrawl(crawl, "doc_id", "text", s"$tmp/idx",
-          spark.read.parquet(cur), next)
+          spark.read.parquet(cur), next, txnId = s"crawl-$m")
         cur = next
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[scale]   crawl $m%2d (index ${m}x base): ${dt}%6.2f s")

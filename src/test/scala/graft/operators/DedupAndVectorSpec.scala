@@ -159,7 +159,7 @@ class DedupAndVectorSpec extends SparkSpec {
     Dedup.saveNearDupIndex(Dedup.nearDupIndex(existing, "doc_id", "text"),
       s"$tmp/idxA")
     Dedup.ingestDeltaCrawl(delta, "doc_id", "text", s"$tmp/idxA",
-      spark.read.parquet(s"$tmp/m0"), s"$tmp/mA")
+      spark.read.parquet(s"$tmp/m0"), s"$tmp/mA", txnId = "A0")
 
     // slicing B: three crawls split by doc_id % 3 — near-dup pairs
     // genuinely straddle crawl boundaries
@@ -170,7 +170,7 @@ class DedupAndVectorSpec extends SparkSpec {
       val slice = delta.filter(col("doc_id") % 3 === b)
       val next = s"$tmp/mB$b"
       Dedup.ingestDeltaCrawl(slice, "doc_id", "text", s"$tmp/idxB",
-        spark.read.parquet(cur), next)
+        spark.read.parquet(cur), next, txnId = s"B$b")
       cur = next
     }
 
@@ -185,8 +185,8 @@ class DedupAndVectorSpec extends SparkSpec {
     // the evolving index absorbed every crawl: both roots now hold the
     // full corpus's per-doc size rows
     val nAll = d.count()
-    assert(spark.read.parquet(s"$tmp/idxB/sizes").count() == nAll)
-    assert(spark.read.parquet(s"$tmp/idxA/sizes").count() == nAll)
+    assert(Dedup.loadNearDupIndex(spark, s"$tmp/idxB").sizes.count() == nAll)
+    assert(Dedup.loadNearDupIndex(spark, s"$tmp/idxA").sizes.count() == nAll)
     spark.catalog.clearCache()
   }
 
@@ -207,6 +207,39 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out(2L) == ((12L, 4L, "omega psi chi phi")), out(2L))
     assert(out(3L)._2 == out(3L)._1 && out(3L)._3.startsWith("unique text"))
     assert(out(4L) == ((2L, 2L, "short doc")), out(4L))
+  }
+
+  test("ingestDeltaCrawl retry with the same txn id is a no-op: index " +
+      "content and mapping byte-stable") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_retry").toString
+    Dedup.saveNearDupIndex(Dedup.nearDupIndex(existing, "doc_id", "text"),
+      s"$tmp/idx")
+    Dedup.connectedComponents(existing, "doc_id",
+        Dedup.minhashCandidatePairs(existing, "doc_id", "text"))
+      .write.parquet(s"$tmp/m0")
+    def run(): Unit = Dedup.ingestDeltaCrawl(delta, "doc_id", "text",
+      s"$tmp/idx", spark.read.parquet(s"$tmp/m0"), s"$tmp/m1", txnId = "c1")
+    run()
+    val dg1 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/idx/digests").count()
+    // snapshot BEFORE the rerun overwrites m1's files
+    val m1Rows = spark.read.parquet(s"$tmp/m1")
+      .as[(Long, Long)].collect().toSet
+    run() // foreachBatch redelivery after a crash: same batch, same txn
+    val dg2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/idx/digests").count()
+    assert(dg2 == dg1, s"retry must not double-append the index: $dg1 -> $dg2")
+    val m2 = spark.read.parquet(s"$tmp/m1")
+    assert(m2.as[(Long, Long)].collect().toSet == m1Rows)
+    // and the mapping fold run AGAINST the already-appended index (the
+    // crash-after-append case) still equals the full recompute
+    val full = Dedup.connectedComponents(d, "doc_id",
+      Dedup.minhashCandidatePairs(d, "doc_id", "text"))
+    assert(m2.exceptAll(full).isEmpty && full.exceptAll(m2).isEmpty)
+    spark.catalog.clearCache()
   }
 
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
