@@ -241,6 +241,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Hard-negative mining for contrastive training: candidate pairs that
+    * COLLIDED in an LSH band (so they look alike to the sketch — shared
+    * vocabulary, shared boilerplate) but whose exact n-gram Jaccard is
+    * BELOW the duplicate threshold. These are precisely the "close but not
+    * duplicate" pairs a retrieval/embedding model needs as negatives —
+    * random pairs are trivially separable, and true near-dups would be
+    * label noise. Same machinery and cost envelope as [[nearDupPairs]]
+    * (one tokenize pass, digest-only shuffles, candidate-confined verify):
+    * mining negatives is a byproduct of the dedup index build, not a new
+    * scan. Zero-overlap band collisions are kept — a pure hash-collision
+    * pair is still a valid (if easier) negative, and dropping it would
+    * bias the sample toward high-overlap pairs only.
+    */
+  def hardNegativePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 8, bands: Int = 4,
+                        threshold: Double = 0.5): DataFrame =
+    scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = true)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+      .filter(col("jaccard") < threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
   /** Asymmetric CONTAINMENT over the same LSH candidates: |A∩B| over the
     * SMALLER set — near-1 when one document's shingles mostly live inside
     * the other's (quotation, boilerplate inclusion, expanded revisions),

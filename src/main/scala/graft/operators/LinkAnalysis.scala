@@ -41,7 +41,8 @@ object LinkAnalysis {
     */
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, dampNum: Int, dampDen: Int,
-                      scale: Long): (DataFrame, DataFrame) = {
+                      scale: Long,
+                      seeds: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // The edge list is hash-partitioned on src ONCE (the in-session form
     // of a src-bucketed edge table) and the rank state is partitioned on
     // node with the same partition count, so every round's big join is
@@ -56,7 +57,7 @@ object LinkAnalysis {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      iterateNoAqe(spark, edges, srcCol, dstCol, iters, dampNum, dampDen, scale)
+      iterateNoAqe(spark, edges, srcCol, dstCol, iters, dampNum, dampDen, scale, seeds)
     } finally {
       // restore even when a round fails — a leaked adaptive=false would
       // silently degrade every later query in a long-lived session
@@ -67,7 +68,8 @@ object LinkAnalysis {
   private def iterateNoAqe(spark: SparkSession, edges: DataFrame,
                            srcCol: String, dstCol: String,
                            iters: Int, dampNum: Int, dampDen: Int,
-                           scale: Long): (DataFrame, DataFrame) = {
+                           scale: Long,
+                           seeds: Option[DataFrame]): (DataFrame, DataFrame) = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -99,21 +101,55 @@ object LinkAnalysis {
       return (empty, empty)
     }
 
-    // The rank state CARRIES the out-degree (null = dangling): seeded with
-    // one left join here, it saves every round two node-sized joins — the
-    // contrib leg reads `rank div deg` straight off the state, and the
-    // dangling mass is a filter-aggregate over the cached state instead of
-    // a left_anti join against outdeg.
+    // Personalization: the teleport vector is uniform over `denom` nodes —
+    // the whole graph for classic PageRank, the in-graph seed set for the
+    // personalized variant (teleports, the (1-d) base term, AND the
+    // dangling-mass redistribution all land on seeds only, per the
+    // standard PPR formulation). denom is a scalar count; the per-node
+    // seed flag rides in the rank state like the out-degree does.
+    val denom = seeds match {
+      case None => n
+      case Some(sd) =>
+        sd.select(col(sd.columns.head).cast("long").as("node"))
+          .filter(col("node").isNotNull).distinct()
+          .join(nodes, Seq("node"), "left_semi")
+          .count()
+    }
+    if (denom == 0) {
+      // a seed set disjoint from the graph: nothing can ever hold mass —
+      // empty result, mirroring the empty-graph exit
+      e.unpersist(false); nodes.unpersist(false)
+      val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
+        lit(0.0).as("rank")).filter(lit(false))
+      return (empty, empty)
+    }
+    val flagged = seeds match {
+      case None => nodes.withColumn("seed", lit(true))
+      case Some(sd) =>
+        nodes.join(
+            sd.select(col(sd.columns.head).cast("long").as("node"))
+              .filter(col("node").isNotNull).distinct()
+              .withColumn("s0", lit(true)),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("s0"), lit(false)).as("seed"))
+    }
+
+    // The rank state CARRIES the out-degree (null = dangling) and the seed
+    // flag: seeded with one left join here, it saves every round two
+    // node-sized joins — the contrib leg reads `rank div deg` straight off
+    // the state, and the dangling mass is a filter-aggregate over the
+    // cached state instead of a left_anti join against outdeg.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = nodes
+    var ranks = flagged
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), col("deg"), lit(scale / n).as("rank"))
+      .select(col("node"), col("deg"), col("seed"),
+        when(col("seed"), lit(scale / denom)).otherwise(lit(0L)).as("rank"))
       .repartition(p, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
     nodes.unpersist(false)
 
-    val base = scale * (dampDen - dampNum) / dampDen / n
+    val base = scale * (dampDen - dampNum) / dampDen / denom
     for (_ <- 1 to iters) {
       // dangling nodes never appear as e.src, so the contrib join's null
       // `deg` rows are excluded by construction — no filter needed
@@ -123,11 +159,13 @@ object LinkAnalysis {
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
       val dm = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
-      val share = dm / n
-      val next = ranks.select(col("node"), col("deg"))
+      val share = dm / denom
+      val next = ranks.select(col("node"), col("deg"), col("seed"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          expr(s"${base}L + (coalesce(insum, 0L) + ${share}L) * $dampNum div $dampDen")
+        .select(col("node"), col("deg"), col("seed"),
+          expr(s"if(seed, ${base}L, 0L) + " +
+              s"(coalesce(insum, 0L) + if(seed, ${share}L, 0L)) " +
+              s"* $dampNum div $dampDen")
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
@@ -249,8 +287,34 @@ object LinkAnalysis {
   def pageRankTopK(spark: SparkSession, edges: DataFrame,
                    srcCol: String, dstCol: String, iters: Int, k: Int,
                    dampNum: Int = 85, dampDen: Int = 100,
-                   scale: Long = 1000000000L): DataFrame = {
-    val (ranked, pin) = iterate(edges, srcCol, dstCol, iters, dampNum, dampDen, scale)
+                   scale: Long = 1000000000L): DataFrame =
+    rankTopK(spark, edges, srcCol, dstCol, iters, k, dampNum, dampDen, scale, None)
+
+  /** Personalized PageRank (Haveliwala's topic-sensitive variant, the
+    * "expand from these trusted hosts" crawl-frontier score): identical
+    * integer fixed-point rounds, but the teleport vector — the (1-d) base
+    * term, the initial mass, and the dangling-mass redistribution — is
+    * uniform over `seeds` (first column, cast to long; off-graph ids are
+    * ignored) instead of over all nodes. Rank concentrates around the
+    * seed neighborhood, and nodes unreachable from the seeds converge to
+    * exactly 0 — bigint arithmetic, so the oracle replays every round.
+    * Same scale posture as [[pageRankTopK]]: the seed flag rides in the
+    * node-sized rank state, adding no join and no shuffle to the rounds.
+    */
+  def personalizedPageRankTopK(spark: SparkSession, edges: DataFrame,
+                               srcCol: String, dstCol: String,
+                               seeds: DataFrame, iters: Int, k: Int,
+                               dampNum: Int = 85, dampDen: Int = 100,
+                               scale: Long = 1000000000L): DataFrame =
+    rankTopK(spark, edges, srcCol, dstCol, iters, k, dampNum, dampDen, scale,
+      Some(seeds))
+
+  private def rankTopK(spark: SparkSession, edges: DataFrame,
+                       srcCol: String, dstCol: String, iters: Int, k: Int,
+                       dampNum: Int, dampDen: Int, scale: Long,
+                       seeds: Option[DataFrame]): DataFrame = {
+    val (ranked, pin) = iterate(edges, srcCol, dstCol, iters, dampNum, dampDen,
+      scale, seeds)
     val out = topK(ranked, k)
     val rows = out.collect()
     pin.unpersist(false)

@@ -90,6 +90,13 @@ object TrainingQueries {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 8, bands = 4, threshold = 0.3)),
 
+    // The complement: band-colliding pairs that verify BELOW the dup
+    // threshold — contrastive hard negatives ("looks alike to the sketch,
+    // isn't a duplicate"), mined as a byproduct of the same dedup index.
+    "t_hard_negatives" -> ((s, dir) =>
+      Dedup.hardNegativePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.3)),
+
     // Asymmetric containment over the same LSH candidates: |A∩B| / min —
     // quotation / boilerplate-inclusion detection where Jaccard stays low
     // because the two sizes differ.
@@ -902,6 +909,22 @@ object TrainingQueries {
         iters = 3, k = 25)
     }),
 
+    // Personalized PageRank from a seed set (every 10th user): the
+    // "expand from these trusted hosts" crawl-frontier score. Teleport,
+    // base term, and dangling-mass redistribution land on seeds only —
+    // same integer fixed-point rounds, so the oracle replays them with a
+    // seeds CTE; off-seed unreachable nodes converge to exactly 0.
+    "t_pagerank_seeded" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.select(
+        col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      val seeds = ev.select(col("user_id").as("node"))
+        .filter(col("node") % 10 === 0)
+      graft.operators.LinkAnalysis.personalizedPageRankTopK(
+        s, edges, "src", "dst", seeds, iters = 3, k = 25)
+    }),
+
     // HITS hubs/authorities over the same user->item graph — PageRank's
     // complementary crawl-prioritization signal (authorities = endorsed
     // content, hubs = the directories pointing at them). Integer
@@ -1473,6 +1496,55 @@ object TrainingQueries {
        |FROM r$iters ORDER BY rk DESC, node LIMIT $k""".stripMargin
   }
 
+  /** Personalized-PageRank oracle: same integer round replay as
+    * [[pageRankOracle]], but r0, the (1-d) base, and the dangling share
+    * are CASE-gated on seed membership and divided by the SEED count
+    * (`sn`) instead of the node count. Seeds = graph sources with
+    * src % 10 = 0 — exactly the Spark side's seeds∩nodes (a user with no
+    * valid edge is absent from both). 150000000 // sn replays Scala's
+    * (scale·15/100)/denom: the numerator is exact, so the two integer
+    * divisions agree.
+    */
+  private def personalizedPageRankOracle(iters: Int, k: Int): String = {
+    val seedCase = "CASE WHEN s.node IS NOT NULL THEN"
+    val rounds = (1 to iters).map { rn =>
+      val p = rn - 1
+      s"""c$rn AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.rk // d.deg) AS BIGINT) AS insum
+         |  FROM e JOIN r$p r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |dm$rn AS (
+         |  SELECT CAST(COALESCE(SUM(r.rk), 0) AS BIGINT) AS dm
+         |  FROM r$p r LEFT JOIN outdeg d ON r.node = d.src WHERE d.src IS NULL),
+         |r$rn AS (
+         |  SELECT nodes.node,
+         |    CAST(($seedCase (150000000 // sn) ELSE 0 END) +
+         |      ((COALESCE(c.insum, 0) + ($seedCase dm // sn ELSE 0 END))
+         |        * 85 // 100) AS BIGINT) AS rk
+         |  FROM nodes LEFT JOIN c$rn c ON nodes.node = c.node
+         |    LEFT JOIN seeds s ON nodes.node = s.node, snt, dm$rn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) + 10000 AS dst
+       |  FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0),
+       |snt AS (SELECT CAST(COUNT(*) AS BIGINT) AS sn FROM seeds),
+       |r0 AS (
+       |  SELECT nodes.node,
+       |    CAST($seedCase 1000000000 // sn ELSE 0 END AS BIGINT) AS rk
+       |  FROM nodes LEFT JOIN seeds s ON nodes.node = s.node, snt),
+       |$rounds
+       |SELECT node, rk AS rank_scaled,
+       |  CAST(rk AS DOUBLE) / 1000000000.0 AS "rank"
+       |FROM r$iters ORDER BY rk DESC, node LIMIT $k""".stripMargin
+  }
+
   /** Shared CTE prefix for the Lloyd-refined oracles: seed centroids, the
     * per-round assign+mean CTEs, and the final assignment `af` against the
     * last round's centroids `c<iters>`. */
@@ -1765,6 +1837,18 @@ object TrainingQueries {
         |  JOIN sh sa ON sa.doc_id = p.doc_a
         |  JOIN sh sb ON sb.doc_id = p.doc_b)
         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin),
+
+    // the same banded candidates scored the same way, kept when they
+    // verify BELOW the threshold: the mined hard-negative pairs
+    "t_hard_negatives" -> (shingleCtes +
+      """, scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard < 0.3""".stripMargin),
 
     "t_dedup_contain" -> (shingleCtes +
       """, scored AS (
@@ -2102,6 +2186,8 @@ object TrainingQueries {
     "t_bpe_vocab" -> bpeVocabOracle(topV = 80, rounds = 6, topK = 50),
 
     "t_pagerank" -> pageRankOracle(iters = 3, k = 25),
+
+    "t_pagerank_seeded" -> personalizedPageRankOracle(iters = 3, k = 25),
 
     "t_hits" -> hitsOracle(iters = 2, k = 25),
 

@@ -256,6 +256,24 @@ object WarehouseQueries {
             .cast("double").as("qty_sum"))
     }),
 
+    // Skew-salted join: the fact side gets a deterministic row-derived
+    // salt, the dim side is replicated `salts` ways, and the join key
+    // becomes (key, salt) — each hot orderkey spreads over 8 reducers.
+    // Salting must be invisible to results (the oracle is the plain
+    // join); AQE's skew handling is the first answer at runtime, explicit
+    // salting the tool when a known-hot key must never stall a stage.
+    "j11_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, dim, Seq("l_orderkey"), salts = 8,
+          factSaltSource = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("price_sum"))
+    }),
+
     // §2.8 reshape: unpivot (melt) measures to long form — the generic
     // metrics-table shape every monitoring mart lands in.
     "p12_unpivot" -> ((s, dir) => {
@@ -1453,6 +1471,13 @@ object WarehouseQueries {
     "j1_state_ledger_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate AS closed_at
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    // salting must be invisible to results: plain join oracle
+    "j11_salted_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // the bloom pre-filter must be invisible to results: plain join oracle
     "j10_bloom_reduce" ->

@@ -39,6 +39,35 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.8))
   }
 
+  test("hardNegativePairs is the exact complement of nearDupPairs over the " +
+      "banded candidates: disjoint, and their union covers every candidate") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // 1/3 identical (positive pair), 2 near-identical to them (positive),
+    // 4 shares half the vocabulary (candidate-prone but sub-threshold),
+    // 5 unrelated
+    val d = docs(
+      (1L, base), (3L, base), (2L, base.replace("tok40", "tok40x")),
+      (4L, (1 to 20).map(i => s"tok$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"other$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"zzz$i").mkString(" ")))
+    val t = 0.5
+    val pos = Dedup.nearDupPairs(d, "doc_id", "text", threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val neg = Dedup.hardNegativePairs(d, "doc_id", "text", threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+        n = 3, k = 8, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert((pos & neg).isEmpty, s"overlap: ${pos & neg}")
+    assert((pos | neg) == cands,
+      s"union ${pos | neg} must equal candidates $cands")
+    assert(pos.contains((1L, 3L)), "identical docs are a positive pair")
+    // every mined negative really is sub-threshold
+    val negScores = Dedup.hardNegativePairs(d, "doc_id", "text", threshold = t)
+      .select("jaccard").as[Double].collect()
+    assert(negScores.forall(_ < t), negScores.toSeq.toString)
+  }
+
   test("containment scores a quoted subset near 1.0 where jaccard stays low") {
     val core = (1 to 30).map(i => s"tok$i").mkString(" ")
     val expansion = core + " " + (31 to 120).map(i => s"ext$i").mkString(" ")

@@ -75,6 +75,55 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("personalized: seed-only teleport on a chain, hand-computed rounds") {
+    // 1->2->3, seeds={1}: denom=1, r0 = (1e9, 0, 0); node 3 dangling.
+    // round 1: rank = (150000000, 850000000, 0)
+    // round 2: contrib(2)=150000000, contrib(3)=850000000, dm=0
+    //   rank(1)=150000000, rank(2)=127500000, rank(3)=722500000
+    val r = LinkAnalysis.personalizedPageRankTopK(spark,
+        edges(1L -> 2L, 2L -> 3L), "src", "dst",
+        Seq(1L).toDF("node"), iters = 2, k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 150000000L, 2L -> 127500000L, 3L -> 722500000L))
+  }
+
+  test("personalized: dangling mass teleports back to the seed set only") {
+    // 1->2, seeds={1}: round 2's dangling mass (node 2's 850000000)
+    // lands entirely on seed 1, not split across nodes.
+    //   rank(1) = 150000000 + (0 + 850000000) * 85 div 100 = 872500000
+    //   rank(2) = 0 + 150000000 * 85 div 100 = 127500000
+    val r = LinkAnalysis.personalizedPageRankTopK(spark,
+        edges(1L -> 2L), "src", "dst",
+        Seq(1L).toDF("node"), iters = 2, k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 872500000L, 2L -> 127500000L))
+  }
+
+  test("personalized with ALL nodes as seeds equals classic pageRank; " +
+      "off-graph seed ids are ignored; disjoint seeds yield empty") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 2L)
+    val classic = LinkAnalysis.pageRankTopK(spark, e, "src", "dst",
+        iters = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allSeeds = LinkAnalysis.personalizedPageRankTopK(spark, e, "src", "dst",
+        Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("node"), iters = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(allSeeds == classic)
+    assert(LinkAnalysis.personalizedPageRankTopK(spark, e, "src", "dst",
+      Seq(77L).toDF("node"), iters = 2, k = 5).count() == 0L)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("personalized: unreachable nodes converge to exactly zero rank") {
+    // two components; seeds in the first only
+    val e = edges(1L -> 2L, 2L -> 1L, 10L -> 11L, 11L -> 10L)
+    val r = LinkAnalysis.personalizedPageRankTopK(spark, e, "src", "dst",
+        Seq(1L).toDF("node"), iters = 3, k = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+  }
+
   test("hitsTopK: the consensus authority and the broad hub rank first, " +
       "exact fixed-point values, no cached state left") {
     // hubs 1,2,3 all endorse authority 10; only 1 endorses 11.

@@ -84,4 +84,27 @@ class PropertySpec extends SparkSpec {
           a.values.forall(Set("train", "val", "test"))
     })
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] = {
+    val word = Gen.chooseNum(0, 11).map(i => s"w$i") // tiny vocab → collisions
+    Gen.listOfN(6, Gen.listOfN(12, word).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("nearDupPairs + hardNegativePairs partition the LSH candidate set " +
+      "for ANY corpus and ANY threshold: disjoint and covering") {
+    check(Prop.forAll(corpusGen, Gen.chooseNum(1, 9).map(_ / 10.0)) {
+      (rows, thr) =>
+        val d = rows.toDF("doc_id", "text")
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        val pos = pairs(Dedup.nearDupPairs(d, "doc_id", "text",
+          n = 3, k = 8, bands = 4, threshold = thr))
+        val neg = pairs(Dedup.hardNegativePairs(d, "doc_id", "text",
+          n = 3, k = 8, bands = 4, threshold = thr))
+        val cands = pairs(Dedup.minhashCandidatePairs(d, "doc_id", "text",
+          n = 3, k = 8, bands = 4))
+        (pos & neg).isEmpty && (pos | neg) == cands
+    }, n = 6)
+  }
 }
