@@ -302,6 +302,31 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Two-stage retrieval, the production ANN pattern: the PQ-ADC scan
+    * produces a `shortlist`-sized candidate set from the 32x-compressed
+    * codes (bandwidth-bound, never touches a float vector), then ONLY
+    * those candidates' full vectors are fetched and scored with exact
+    * cosine. At 100 TB the first stage reads the code table (corpus/32
+    * bytes), the second a shortlist-sized point lookup — the full-vector
+    * corpus is never scanned. The shortlist is result-sized, so the
+    * rerank join broadcasts it and the final sort is over `shortlist`
+    * rows.
+    */
+  def pqRerankTopK(corpus: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                   queryVec: DataFrame, k: Int, shortlist: Int, m: Int, dsub: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqTopK(corpus, codes, codebooks, queryVec, shortlist, m, dsub,
+      idCol, vecCol).select(col(idCol))
+    corpus.join(broadcast(short), idCol)
+      .crossJoin(broadcast(queryVec.select(col(vecCol).as("__qv"))))
+      .withColumn("cos",
+        round(VectorFunctions.cosineNative(col(vecCol), col("__qv")), 6))
+      .select(col(idCol), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cents = seedCentroids(corpus, nlist, idCol, vecCol)

@@ -293,6 +293,19 @@ object TrainingQueries {
         .select(col("vec_id"), col("label"), col("score"))
     }),
 
+    // Two-stage retrieval: PQ-ADC shortlist (compressed-domain scan, 50
+    // candidates) -> exact-cosine rerank of only those 50 full vectors.
+    // The production ANN serving pattern: the float corpus is never
+    // scanned, only point-looked-up for the shortlist.
+    "t_ann_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val cb = IvfIndex.pqCodebooks(emb, m = 8, dsub = 8, ksub = 16)
+      val codes = IvfIndex.pqCodes(emb, cb, m = 8, dsub = 8)
+      IvfIndex.pqRerankTopK(emb, codes, cb, q, k = 10, shortlist = 50,
+        m = 8, dsub = 8)
+    }),
+
     // IVF with k-means-refined centroids: 2 deterministic Lloyd rounds
     // (ordered-fold means, round-6) sharpen the seed cells, then the
     // standard probe. The oracle replays both rounds relationally.
@@ -1608,6 +1621,23 @@ object TrainingQueries {
        |FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
        |ORDER BY a.score DESC, e.vec_id LIMIT $k""".stripMargin
 
+  /** The two-stage form: [[annPqOracle]]'s CTE stack up to `adc`, then an
+    * ADC shortlist of `shortN` ids and an exact-cosine rerank of only
+    * those — replaying `IvfIndex.pqRerankTopK` stage for stage.
+    */
+  private def annPqRerankOracle(m: Int, dsub: Int, ksub: Int,
+                                shortN: Int, k: Int): String = {
+    val base = annPqOracle(m, dsub, ksub, shortN)
+    val upToAdc = base.substring(0, base.lastIndexOf("SELECT e.vec_id"))
+    upToAdc +
+      s""",shortl AS (
+         |  SELECT e.vec_id FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
+         |  ORDER BY a.score DESC, e.vec_id LIMIT $shortN)
+         |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 64)} AS cos
+         |FROM embeddings e JOIN shortl s ON e.vec_id = s.vec_id, q
+         |ORDER BY cos DESC, e.vec_id LIMIT $k""".stripMargin
+  }
+
   private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String =
     s"""${kmeansCtePrefix(nlist, iters)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1775,6 +1805,9 @@ object TrainingQueries {
     "t_ann_batch" -> annIvfBatchOracle,
     "t_ann_ivf_quant" -> annIvfQuantOracle,
     "t_ann_pq" -> annPqOracle(m = 8, dsub = 8, ksub = 16, k = 10),
+
+    "t_ann_pq_rerank" ->
+      annPqRerankOracle(m = 8, dsub = 8, ksub = 16, shortN = 50, k = 10),
     "t_ann_ivf_kmeans" -> annIvfKmeansOracle(nlist = 16, iters = 2, nprobe = 4),
     "t_embed_kmeans" -> embedKmeansOracle(nlist = 16, iters = 2),
     "t_semdedup" -> semDedupOracle(nlist = 16, iters = 1, tau = 0.35),

@@ -89,4 +89,36 @@ class IvfRecallSpec extends SparkSpec {
     // 32x compression keeps a usable candidate list on the fixture
     assert(mean >= 0.3, f"PQ recall collapsed: $mean%.3f (per-query $recalls)")
   }
+
+  test("pqRerankTopK with a full-corpus shortlist equals brute force exactly; " +
+      "rerank recall >= raw ADC recall on held-out queries") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count().toInt
+    val cb = IvfIndex.pqCodebooks(emb, m = 8, dsub = 8, ksub = 16)
+    val codes = IvfIndex.pqCodes(emb, cb, m = 8, dsub = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    // degenerate shortlist = whole corpus: stage 2 IS brute force, so the
+    // ranked ids must match the exact baseline row for row
+    val q0 = emb.filter(col("vec_id") === 1L).select(col("embedding"))
+    val exact = VectorFunctions.bruteForceTopK(emb, q0, k)
+      .select("vec_id").as[Long].collect().toSeq
+    val degenerate = IvfIndex.pqRerankTopK(emb, codes, cb, q0, k, shortlist = n,
+        m = 8, dsub = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(degenerate == exact, s"$degenerate != $exact")
+    val (adcR, rerankR) = heldOut.map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding"))
+      val truth = topIds(VectorFunctions.bruteForceTopK(emb, q, k))
+      val adc = topIds(IvfIndex.pqTopK(emb, codes, cb, q, k, m = 8, dsub = 8))
+      val rr = topIds(IvfIndex.pqRerankTopK(emb, codes, cb, q, k,
+        shortlist = 5 * k, m = 8, dsub = 8))
+      ((truth & adc).size.toDouble / k, (truth & rr).size.toDouble / k)
+    }.unzip
+    codes.unpersist()
+    val (adcMean, rrMean) = (adcR.sum / adcR.size, rerankR.sum / rerankR.size)
+    info(f"ADC recall@10 = $adcMean%.3f, rerank(50) recall@10 = $rrMean%.3f")
+    assert(rrMean >= adcMean,
+      f"exact rerank lost recall vs raw ADC: $rrMean%.3f < $adcMean%.3f")
+  }
 }
