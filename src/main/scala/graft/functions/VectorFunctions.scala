@@ -105,6 +105,25 @@ object VectorFunctions {
     concat_ws("", bits: _*)
   }
 
+  /** Deterministic Johnson–Lindenstrauss random projection: `outDims`
+    * pseudo-random weight rows (the [[planeWeight]] grid — exact halves,
+    * so they survive SQL literals bit-exactly) map a `dims` embedding to
+    * `outDims` doubles. The 4x-16x-smaller projected table is the scan
+    * side for coarse ANN / clustering at scale, with the full vectors
+    * point-looked-up only for reranking (same storage split as PQ). Each
+    * output slot is one zip_with/aggregate fold — single Literal array
+    * per plane, so the expression tree stays small and plans in constant
+    * time (a dims-term sum tree per plane would take Catalyst minutes at
+    * 16x64). Left-to-right double fold + round(6): engine-exact, the
+    * oracle replays it with list_sum.
+    */
+  def randomProject(vec: Column, outDims: Int, dims: Int): Column =
+    array((0 until outDims).map { p =>
+      val w = typedLit((0 until dims).map(d => planeWeight(p, d)))
+      round(aggregate(zip_with(vec, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket join for candidates,
     * native cosine for the verify — the embedding analog of MinHash+Jaccard.
     * Output: (vec_a, vec_b, cos) for bucket-sharing pairs with cos >= tau.

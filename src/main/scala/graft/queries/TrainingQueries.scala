@@ -774,6 +774,16 @@ object TrainingQueries {
           round(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double") / col("nrm")), 6).as("unit_sum"))),
 
+    // Johnson–Lindenstrauss random projection: 64 dims -> 16 via the
+    // deterministic exact-half weight grid (the hyperplane-LSH weights,
+    // reused as a dense projection). The projected table is the 4x-smaller
+    // scan side for coarse ANN/clustering at scale; exploded to rows so
+    // the gate checks every projected component.
+    "t_embed_project" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(VF.randomProject(col("embedding"), outDims = 16, dims = 64))
+          .as(Seq("p", "proj")))),
+
     // Dataset card: the per-source reporting mart a corpus release ships —
     // doc counts, char/token volume, language mix, quality-keep rate —
     // one fused aggregation pass over the documents table.
@@ -2570,6 +2580,14 @@ object TrainingQueries {
         |  round(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) / nrm)), 6) AS unit_sum
         |FROM n WHERE nrm > 0""".stripMargin,
+
+    "t_embed_project" -> (
+      s"""WITH w AS (SELECT ${weightsLiteral(16, 64)} AS m),
+         |ps AS (SELECT unnest(range(16)) AS p)
+         |SELECT e.vec_id, CAST(ps.p AS INTEGER) AS p,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * m[ps.p + 1][i])), 6) AS proj
+         |FROM embeddings e, w, ps""".stripMargin),
 
     "t_dataset_card" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -311,6 +311,41 @@ class DedupAndVectorSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L), s"got ${kept.toSeq}")
   }
 
+  test("randomProject: a one-hot vector reads back its weight row exactly; " +
+      "projected-space neighbors overlap full-space neighbors") {
+    import graft.functions.VectorFunctions
+    val dims = 64
+    // e_5 projected = column 5 of the weight grid, bit-exact
+    val oneHot = Seq((1L, Array.tabulate(dims)(d => if (d == 5) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val proj = oneHot.select(
+        VectorFunctions.randomProject(col("embedding"), 16, dims).as("pr"))
+      .as[Seq[Double]].head
+    (0 until 16).foreach { p =>
+      assert(proj(p) == VectorFunctions.planeWeight(p, 5), s"plane $p")
+    }
+    // JL sanity on the real fixture: top-10 by projected cosine overlaps
+    // top-10 by full cosine for a held-out query
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    // graft_cosine takes array<float>; the float cast is fine for a
+    // neighborhood-overlap check. JL preserves the coarse neighborhood,
+    // not the exact ranking: assert the 32-dim top-10 lands inside the
+    // full-space top-30 (the slack-window recall a projected coarse
+    // search + full-vector rerank relies on).
+    val projected = emb.select(col("vec_id"), col("label"),
+      VectorFunctions.randomProject(col("embedding"), 32, dims)
+        .cast("array<float>").as("embedding"))
+    val q64 = emb.filter(col("vec_id") === 3L).select(col("embedding"))
+    val q32 = projected.filter(col("vec_id") === 3L).select(col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val full30 = ids(VectorFunctions.bruteForceTopK(emb, q64, 30))
+    val low = ids(VectorFunctions.bruteForceTopK(projected, q32, 10))
+    assert((full30 & low).size >= 5,
+      s"32-dim projection lost the neighborhood: ${(full30 & low).size}/10 " +
+        s"of projected top-10 inside full top-30")
+  }
+
   test("brute-force top-k cosine: self-similarity ranks first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
