@@ -220,4 +220,38 @@ object Sampling {
     val h = md5(concat(lit(salt), col(idCol).cast("string")))
     df.repartition(n, h).sortWithinPartitions(h)
   }
+
+  /** MATERIALIZED epoch order: (epoch, id, position) with position the
+    * exact global rank of md5(epoch || '|' || id) — the shard-able
+    * "which example is step k of epoch e" table a reproducible training
+    * run needs (checkpoint resume, example-order audits), where
+    * [[deterministicShuffle]] only emits rows in order. The global
+    * position is computed WITHOUT a single-partition window: the order
+    * key's first hex digit buckets rows 16 ways consistently with the
+    * global order (the bucket is a prefix of the sort key), each
+    * bucket's window ranks 1/16 of the data, and bucket offsets come
+    * from a 16-row cumulative count that broadcasts. offset + pos ==
+    * the global row_number exactly — the oracle states it with one
+    * ROW_NUMBER while this shape survives any scale.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Seq[Int]): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(col(idCol), explode(array(epochs.map(lit(_)): _*)).as("epoch"))
+      .withColumn("h", md5(concat_ws("|", col("epoch"), col(idCol))))
+      .withColumn("bucket", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+    val wb = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("h"), col(idCol))
+    val pos = keyed.withColumn("pos", row_number().over(wb).cast("long") - 1L)
+    val wo = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("offset"))
+    pos.join(broadcast(offsets), Seq("epoch", "bucket"))
+      .select(col("epoch"), col(idCol),
+        (col("offset") + col("pos")).as("position"))
+  }
 }

@@ -489,6 +489,14 @@ object TrainingQueries {
       Packing.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8)
     }),
 
+    // Materialized epoch order: the exact global training position of
+    // every doc for epochs 0 and 1 (a different reproducible permutation
+    // each). Positions are built scalably — per-hex-digit-bucket windows
+    // + a broadcast 16-row offset table, no single-partition window —
+    // and must equal the oracle's one global ROW_NUMBER.
+    "t_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochOrder(t(s, dir, "documents"), "doc_id", Seq(0, 1))),
+
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable under re-partitioning/re-loading and reproducible by any
     // engine; checked via per-(lang, split) counts and id sums.
@@ -2140,6 +2148,18 @@ object TrainingQueries {
         |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(seen) AS BIGINT) AS n_seen,
         |  1.0 - CAST(SUM(seen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM j GROUP BY 1""".stripMargin,
+
+    // the two-level bucket construction must equal one global ROW_NUMBER
+    "t_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0, 1]) AS epoch),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d, e)
+        |SELECT epoch, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS position
+        |FROM k""".stripMargin,
 
     // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->

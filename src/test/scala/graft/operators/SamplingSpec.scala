@@ -58,6 +58,34 @@ class SamplingSpec extends SparkSpec {
     assert(order("epoch1").sorted == (1L to 500L))
   }
 
+  test("epochOrder: positions are an exact permutation per epoch, equal to " +
+      "the global rank, partition-invariant, distinct across epochs") {
+    val df = (1L to 700L).toDF("id")
+    val out = Sampling.epochOrder(df, "id", Seq(0, 1))
+      .select("epoch", "id", "position")
+      .as[(Int, Long, Long)].collect()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until 700L)) // permutation
+    }
+    // position == global rank of the order key (the single-window oracle)
+    val e0 = byEpoch(0).sortBy(_._3).map(_._2).toSeq
+    val expect0 = (1L to 700L).sortBy { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h, id)
+    }
+    assert(e0 == expect0)
+    // a different epoch is a different permutation
+    assert(e0 != byEpoch(1).sortBy(_._3).map(_._2).toSeq)
+    // partitioning must not move a single position
+    val again = Sampling.epochOrder(df.repartition(17), "id", Seq(0, 1))
+      .select("epoch", "id", "position")
+      .as[(Int, Long, Long)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
   test("capPerKey keeps at most cap rows per key, deterministically") {
     val docs = Tables.load(spark, sfDir, "documents")
     val capped = Sampling.capPerKey(docs, "source", "doc_id", cap = 10)
