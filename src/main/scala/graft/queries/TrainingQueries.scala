@@ -489,6 +489,28 @@ object TrainingQueries {
       Packing.packSequences(d, "doc_id", "n_tokens", budget = 512, shards = 8)
     }),
 
+    // The whole curation pipeline as ONE composed query — the "switch
+    // your pipeline to this library" proof: Gopher-rule quality gate ->
+    // exact+near-dup collapse (LSH/verify/CC survivors) -> 8-gram
+    // benchmark decontamination -> deterministic md5 split, reported as
+    // per-(split, lang) counts + id sums. Every stage is the standalone
+    // operator, unchanged; the oracle composes the standalone oracles.
+    "t_curation_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = TF.gopherRules(col("text")).toMap.apply("keep")
+      val kept = d.filter(keep)
+      val survivors = Dedup.dedupCorpus(kept, "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.3)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val corpus = survivors.filter(col("doc_id") % 10 =!= 0)
+      val hits = Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 8)
+      val clean = corpus.join(hits.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      Sampling.hashSplit(clean, "doc_id", trainBuckets = 80, valBuckets = 10)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Materialized epoch order: the exact global training position of
     // every doc for epochs 0 and 1 (a different reproducible permutation
     // each). Positions are built scalably — per-hex-digit-bucket windows
@@ -1791,6 +1813,90 @@ object TrainingQueries {
       |SELECT doc_id, score_fp, CAST(score_fp AS DOUBLE) / 1000000000.0 AS score
       |FROM agg ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
 
+  /** The end-to-end curation oracle: the quality-rule battery gates which
+    * docs enter dedup, the standard shingle/band/verify/CC stack picks
+    * survivors, the 8-gram benchmark probe drops contaminated docs, and
+    * the md5 split buckets the result — each stage verbatim from its
+    * standalone oracle, composed. */
+  private val curationE2eOracle: String = {
+    val dedupPart = shingleCtes.stripPrefix("WITH ")
+      .replace("FROM documents", "FROM kept")
+    s"""WITH RECURSIVE qm AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+       |        t -> length(t))), 0) AS DOUBLE)
+       |      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS mean_tok_len,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS symbol_ratio,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+       |      / greatest(len(string_split(text, chr(10))), 1) AS bullet_line_ratio,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+       |      / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_line_ratio,
+       |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+       |      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS alpha_word_ratio,
+       |    CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+       |        t -> list_contains(['the','a','an','of','and','or','to','in','is','it',
+       |                            'for','on','with','as','at','by','from','that','this'], t)))
+       |      AS BIGINT) AS n_stopwords
+       |  FROM documents),
+       |qr AS (
+       |  SELECT doc_id FROM qm
+       |  WHERE (n_tokens BETWEEN 5 AND 5000)
+       |    AND (mean_tok_len BETWEEN 2.0 AND 12.0)
+       |    AND (symbol_ratio < 0.1) AND (bullet_line_ratio <= 0.9)
+       |    AND (ellipsis_line_ratio <= 0.3) AND (alpha_word_ratio >= 0.7)
+       |    AND (n_stopwords >= 2)),
+       |kept AS (SELECT d.* FROM documents d JOIN qr USING (doc_id)),
+       |$dedupPart, scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b),
+       |dup_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jaccard >= 0.3
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM scored WHERE jaccard >= 0.3),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT e.dst, rr.lbl FROM reach rr JOIN dup_edges e ON e.src = rr.node),
+       |cc AS (SELECT node, MIN(lbl) AS canonical_id FROM reach GROUP BY node),
+       |surv AS (
+       |  SELECT d.* FROM kept d
+       |  JOIN cc ON d.doc_id = cc.node AND cc.node = cc.canonical_id),
+       |bsh AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |bench AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 7, 1) + 1),
+       |    i -> md5(array_to_string(tk[i:i+7], ' '))))) AS d
+       |  FROM bsh),
+       |ssh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 7, 1) + 1),
+       |    i -> md5(array_to_string(regexp_extract_all(lower(text), '\\S+')[i:i+7], ' '))))) AS d
+       |  FROM surv WHERE doc_id % 10 <> 0),
+       |contaminated AS (SELECT DISTINCT s.doc_id FROM ssh s JOIN bench b USING (d)),
+       |clean AS (
+       |  SELECT * FROM surv
+       |  WHERE doc_id % 10 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |bkt AS (
+       |  SELECT lang, doc_id,
+       |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 100 AS INTEGER) AS b
+       |  FROM clean)
+       |SELECT
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM bkt GROUP BY 1, 2""".stripMargin
+  }
+
   private val dedupCorpusOracle: String =
     shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, scored AS (
@@ -1871,6 +1977,7 @@ object TrainingQueries {
           "CAST(SUM(group_size) AS BIGINT) AS n_docs FROM gs GROUP BY 1")
     },
     "t_dedup_corpus" -> dedupCorpusOracle,
+    "t_curation_e2e" -> curationE2eOracle,
     "t_dedup_embed" -> embedDedupOracle,
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
