@@ -401,6 +401,92 @@ object StreamingGate {
       .select("user_id", "event_id", "value", "valid_from", "valid_to")
   }
 
+  /** Write each slice as one parquet file into `in`, SEQUENTIALLY, so
+    * file mtimes ascend and `maxFilesPerTrigger=1` replays them as
+    * ordered micro-batches (the scd2Gate staging shape, factored).
+    */
+  private def stageOrderedSlices(spark: SparkSession, in: String,
+                                 slices: Seq[DataFrame]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(in), conf)
+    f.mkdirs(new org.apache.hadoop.fs.Path(in))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$in/__stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      org.apache.hadoop.fs.FileUtil.copy(f, part, f,
+        new org.apache.hadoop.fs.Path(in, s"slice_$i.parquet"), false, conf)
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
+  /** Watermark late-data ACCOUNTING drained to a table — the operational
+    * completeness signal every watermarked deployment needs ("how much
+    * did the watermark drop, and which rows"): four ascending weekly
+    * micro-batches with every 7th event redelivered one slice late, and
+    * a per-batch audit of exactly Spark's global-watermark rule — the
+    * watermark entering batch b is max(event time over batches < b)
+    * minus the delay, rows below it are late. The audit is explicit
+    * relational arithmetic in the drain (one aggregate per batch + a
+    * driver scalar for the running max, the scd2Gate state pattern), so
+    * the oracle can replay it: batch assignment, per-batch maxima, and
+    * the late rule are all deterministic SQL.
+    */
+  def lateAuditGate(spark: SparkSession, dir: String): DataFrame = {
+    val delayUs = 600L * 1000000L
+    val ev0 = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val tsWasNtz = ev0.schema("ts").dataType == TimestampNTZType
+    val ev = if (tsWasNtz) ev0.withColumn("ts", col("ts").cast(TimestampType))
+             else ev0
+    val natural = when(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), 0)
+      .when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+      .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 2)
+      .otherwise(3)
+    val staged = least(
+      natural + when(col("event_id") % 7 === 0, 1).otherwise(0), lit(3))
+    val tagged = ev.withColumn("__b", staged)
+    val in = scratch("late_in", dir)
+    val ck = scratch("late_ck", dir)
+    Seq(in, ck).foreach(cleanDir(spark, _))
+    stageOrderedSlices(spark, in,
+      (0 to 3).map(i => tagged.filter(col("__b") === i).drop("__b")))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    var maxSeenUs = Long.MinValue
+    var seq = 0
+    val audit = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val wm = if (maxSeenUs == Long.MinValue) Long.MinValue
+                     else maxSeenUs - delayUs
+            val late = unix_micros(col("ts")) < lit(wm)
+            val r = b.agg(count(lit(1)).as("n"),
+              coalesce(sum(when(late, 1L)), lit(0L)).as("nl"),
+              coalesce(sum(when(late, col("event_id"))), lit(0L)).as("ls"),
+              max(unix_micros(col("ts"))).as("mx")).head
+            audit += ((seq, r.getLong(0), r.getLong(1), r.getLong(2)))
+            maxSeenUs = math.max(maxSeenUs, r.getLong(3))
+            seq += 1
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", pWas)
+    }
+    import spark.implicits._
+    audit.toSeq.toDF("batch_seq", "n_total", "n_late", "late_id_sum")
+  }
+
   /** Streaming Misra-Gries heavy hitters drained to a table: per user,
     * the O(k) keyed counter map folds each batch; the LAST emitted row per
     * key is the final summary. k exceeds the per-user distinct event-type
@@ -509,6 +595,7 @@ object StreamingGate {
     "st_windowed_counts" -> (windowedCountsGate(_, _)),
     "st_versioned_ingest" -> (versionedIngestGate(_, _)),
     "st_incr_dedup" -> (incrDedupGate(_, _)),
+    "st_late_audit" -> (lateAuditGate(_, _)),
     "st_scd2" -> (scd2Gate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
@@ -558,6 +645,31 @@ object StreamingGate {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Spark's global-watermark rule replayed relationally: batch = time
+    // slice (+1 for the every-7th redelivery), watermark entering batch b
+    // = max event time of batches < b minus 600 s, late = ts below it.
+    "st_late_audit" ->
+      """WITH st AS (
+        |  SELECT event_id, ts,
+        |    LEAST(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0
+        |               WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1
+        |               WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 2
+        |               ELSE 3 END
+        |          + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END, 3) AS b
+        |  FROM events),
+        |mx AS (SELECT b, MAX(ts) AS mb FROM st GROUP BY b),
+        |wm AS (
+        |  SELECT s.b, MAX(m.mb) - INTERVAL 600 SECONDS AS wmv
+        |  FROM (SELECT DISTINCT b FROM st) s
+        |  JOIN mx m ON m.b < s.b GROUP BY s.b)
+        |SELECT CAST(st.b AS INTEGER) AS batch_seq, COUNT(*) AS n_total,
+        |  CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
+        |                         THEN 1 END), 0) AS BIGINT) AS n_late,
+        |  CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
+        |                         THEN st.event_id END), 0) AS BIGINT) AS late_id_sum
+        |FROM st LEFT JOIN wm w ON st.b = w.b
+        |GROUP BY 1""".stripMargin,
 
     // single-ingestion semantics: the gate ingests TWICE (full replay
     // with identical txn ids) — only idempotent commits hash-match this

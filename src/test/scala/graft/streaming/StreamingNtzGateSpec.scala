@@ -121,4 +121,39 @@ class StreamingNtzGateSpec extends SparkSpec {
     assert(StreamingGate.heavyHittersGate(spark, fixtureDir).count() > 0)
     assert(StreamingGate.sketchMartGate(spark, fixtureDir).count() > 0)
   }
+
+  test("st_late_audit on driver NTZ data: drained audit equals the batch " +
+      "replay of the global-watermark rule") {
+    // driver testdata (NTZ ts, Jan 2024 — inside the gate's slice bounds)
+    val got = StreamingGate.lateAuditGate(spark, sfDir)
+      .orderBy("batch_seq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    val b = least(
+      when(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), 0)
+        .when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+        .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 2)
+        .otherwise(3) +
+        when(col("event_id") % 7 === 0, 1).otherwise(0), lit(3))
+    val st = ev.withColumn("b", b)
+    val mx = st.groupBy("b").agg(max(col("ts")).as("mb"))
+    val wm = st.select("b").distinct().as("s")
+      .join(mx.as("m"), col("m.b") < col("s.b"))
+      .groupBy(col("s.b").as("b"))
+      .agg((max(col("mb")) - expr("INTERVAL 600 SECONDS")).as("wmv"))
+    val want = st.join(wm, Seq("b"), "left")
+      .groupBy(col("b").as("batch_seq"))
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("wmv").isNotNull && col("ts") < col("wmv"), 1L)),
+          lit(0L)).as("n_late"),
+        coalesce(sum(when(col("wmv").isNotNull && col("ts") < col("wmv"),
+          col("event_id"))), lit(0L)).as("late_id_sum"))
+      .orderBy("batch_seq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head._3 == 0L, "batch 0 has no watermark yet, nothing is late")
+    assert(got.drop(1).forall(_._3 > 0L),
+      "every later batch must catch redelivered-late rows")
+  }
 }
