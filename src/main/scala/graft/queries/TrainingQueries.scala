@@ -990,6 +990,26 @@ object TrainingQueries {
         iters = 2, k = 25)
     }),
 
+    // Triangle counting over the user co-engagement graph: the bipartite
+    // user->topic log is projected to user-user edges (shared-topic
+    // support), the 500 strongest edges are kept by a deterministic
+    // total order, and triangles are counted with the degree-ordered
+    // wedge join (out-adjacency bounded O(sqrt m)) — the community-
+    // cohesion signal (clustering) that complements PageRank/HITS/CC.
+    "t_triangles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.filter(col("user_id").isNotNull)
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("tp"))
+        .filter(col("tp").isNotNull).distinct()
+      val sup = e.as("x").join(e.as("y"),
+          col("x.tp") === col("y.tp") && col("x.u") < col("y.u"))
+        .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
+        .agg(count(lit(1)).as("c"))
+      val top = sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
+      graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
+    }),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -2358,6 +2378,37 @@ object TrainingQueries {
     "t_pagerank" -> pageRankOracle(iters = 3, k = 25),
 
     "t_pagerank_seeded" -> personalizedPageRankOracle(iters = 3, k = 25),
+
+    // projection -> deterministic top-500 -> degree orientation -> wedge
+    // close, replayed join for join
+    "t_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS tp
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |p AS (
+        |  SELECT x.u AS ua, y.u AS ub, COUNT(*) AS c
+        |  FROM e x JOIN e y ON x.tp = y.tp AND x.u < y.u GROUP BY 1, 2),
+        |top AS (SELECT ua, ub FROM p ORDER BY c DESC, ua, ub LIMIT 500),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |    (SELECT ua AS n FROM top UNION ALL SELECT ub FROM top) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d <= db.d THEN t.ua ELSE t.ub END AS src,
+        |         CASE WHEN da.d <= db.d THEN t.ub ELSE t.ua END AS dst
+        |  FROM top t JOIN deg da ON t.ua = da.n JOIN deg db ON t.ub = db.n),
+        |wg AS (
+        |  SELECT o1.src, o1.dst AS va, o2.dst AS vb
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (
+        |  SELECT wg.src, wg.va, wg.vb
+        |  FROM wg JOIN top t ON t.ua = wg.va AND t.ub = wg.vb),
+        |nodes AS (
+        |  SELECT src AS node FROM tri
+        |  UNION ALL SELECT va FROM tri UNION ALL SELECT vb FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin,
 
     "t_hits" -> hitsOracle(iters = 2, k = 25),
 

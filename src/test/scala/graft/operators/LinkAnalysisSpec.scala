@@ -124,6 +124,25 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(r(1L) > 0L && r(2L) > 0L)
   }
 
+  test("triangleCounts: hand-computed graphs — K4, triangle+pendant, " +
+      "star and path are triangle-free; duplicates/reversals collapse") {
+    def counts(rows: (Long, Long)*): Map[Long, Long] =
+      LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in exactly 3
+    val k4 = counts(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle with a pendant: pendant node absent from the result
+    val tp = counts(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 9L)
+    assert(tp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // star and path: no triangles at all
+    assert(counts(1L -> 2L, 1L -> 3L, 1L -> 4L).isEmpty)
+    assert(counts(1L -> 2L, 2L -> 3L, 3L -> 4L).isEmpty)
+    // duplicate edges, reversed orientation, self-loops: one triangle
+    val dup = counts(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L)
+    assert(dup == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("hitsTopK: the consensus authority and the broad hub rank first, " +
       "exact fixed-point values, no cached state left") {
     // hubs 1,2,3 all endorse authority 10; only 1 endorses 11.
