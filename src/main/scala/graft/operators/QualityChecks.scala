@@ -112,6 +112,34 @@ object QualityChecks {
         (col("z").isNull || abs(col("z")) > zThreshold).as("flagged"))
   }
 
+  /** Robust volume anomaly via median + MAD — the complement of
+    * [[volumeAnomaly]]'s z-score: a z-score's mean/variance ABSORB the
+    * outliers they're meant to find (one 10x day inflates the trailing
+    * stddev and masks the next spike); median absolute deviation is the
+    * standard robust scale estimate (breakdown point 50%). Exactness:
+    * daily counts are integers, the exact median of integers is an
+    * integer or a two-mid .5 average, so med, dev = |n − med|, MAD, and
+    * k·MAD are all dyadic rationals — bit-identical on any engine with
+    * no rounding. The two medians are RESULT-sized aggregated scalars
+    * (one row each) inlined as literals — the PageRank dangling-mass
+    * pattern, not a data-sized collect; the exact `percentile` sorts
+    * day-count rows (≤ calendar size), never raw data.
+    */
+  def madAnomaly(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                 k: Double = 3.0): DataFrame = {
+    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.agg(expr("percentile(n, 0.5)")).head.getDouble(0)
+    val withDev = daily.withColumn("dev", abs(col("n") - lit(med)))
+    val mad = withDev.agg(expr("percentile(dev, 0.5)")).head.getDouble(0)
+    val out = withDev.select(col("day"), col("n"), col("dev"),
+      (col("dev") > lit(k * mad)).as("is_anomaly"))
+    val rows = out.collect()
+    daily.unpersist(false)
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
   /** Numeric column profile (the dbt-profiler / data-card shape): one
     * FUSED aggregate pass emitting, per column: row count, null count,
     * min, max, mean, population stddev.

@@ -1182,6 +1182,13 @@ object WarehouseQueries {
       QualityChecks.volumeAnomaly(t(s, dir, "events"),
         to_date(col("ts")), window = 7, zThreshold = 3.0)),
 
+    // Robust volume anomaly: per-day counts scored by median + MAD
+    // instead of mean + stddev — the estimate a single 10x day can't
+    // poison. Exact integer medians (dyadic .5 averages at worst), so
+    // the flag is bit-deterministic and the oracle replays it.
+    "qa_volume_mad" -> ((s, dir) =>
+      QualityChecks.madAnomaly(t(s, dir, "events"), to_date(col("ts")), k = 3.0)),
+
     // Ordered funnel: users reaching view -> (later) click -> (later)
     // purchase. Each stage is one min-ts aggregate joined forward —
     // stage N's input is stage N-1's survivors, so work shrinks down the
@@ -2050,6 +2057,17 @@ object WarehouseQueries {
         |SELECT day, n, mean_prev, z,
         |  (z IS NULL OR abs(z) > 3.0) AS flagged
         |FROM z""".stripMargin,
+
+    // exact medians: integers or two-mid .5 averages, all dyadic — the
+    // robust flag replays bit-exactly
+    "qa_volume_mad" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT median(n) AS med FROM d),
+        |dev AS (SELECT day, n, abs(n - med) AS dev FROM d, m),
+        |md AS (SELECT median(dev) AS mad FROM dev)
+        |SELECT day, n, dev, (dev > 3.0 * mad) AS is_anomaly
+        |FROM dev, md""".stripMargin,
 
     "qa_relationships" ->
       """SELECT 'orders' AS table_name, 'rel_o_custkey_customer' AS check_name,

@@ -111,4 +111,24 @@ class QualityChecksSpec extends SparkSpec {
     val p1 = QualityChecks.numericProfile(df.coalesce(1), "t", Seq("value"), 2).head
     assert(p1.getDouble(6) == mean && p1.getDouble(7) == std)
   }
+
+  test("madAnomaly: hand-computed medians; robust where the z-score's own " +
+      "stats absorb the outlier; exact .5 medians on even counts") {
+    import spark.implicits._
+    // day d repeated c times -> daily count c
+    def fixture(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)(java.sql.Date.valueOf(f"2024-02-${d + 1}%02d"))
+    }.toDF("day")
+    // counts (8,10,12,14,100): med=12, devs (4,2,0,2,88), mad=2, 3*mad=6
+    val out = QualityChecks.madAnomaly(fixture(Seq(8, 10, 12, 14, 100)),
+        col("day"), k = 3.0)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(100L) == (88.0, true))
+    assert(out(8L) == (4.0, false) && out(12L) == (0.0, false))
+    // even day count: median is the exact .5 average
+    val even = QualityChecks.madAnomaly(fixture(Seq(10, 21)), col("day"), k = 3.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(even(10L) == 5.5 && even(21L) == 5.5) // med 15.5, devs both 5.5
+  }
 }
