@@ -35,6 +35,16 @@ object DataSkipping {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve alternative to [[zValue]] (native `graft_hilbert`,
+    * see [[graft.plans.HilbertIndex]] for the locality argument): the
+    * continuous curve gives an axis-aligned query box fewer curve-range
+    * splits than Z-order's quadrant jumps — fewer files touched at equal
+    * clustering. Inputs mask to the 2^bits grid.
+    */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column =
+    call_function("graft_hilbert",
+      a.cast("long"), b.cast("long"), lit(bits))
+
   /** Write `df` clustered by `key` into `nFiles` range-contiguous files.
     * Range partitioning makes per-file key ranges disjoint, which is what
     * gives the manifest tight [min,max] envelopes to prune against.

@@ -84,9 +84,18 @@ object GraftFunctions {
       MgTopK(children.head, litInt(children(1), "k"))
     })
 
+  private val hilbertDescriptor: Descriptor = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_hilbert(x, y, bits) takes two bigint columns and an int literal")
+      HilbertIndex(children.head, children(1), litInt(children(2), "bits"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
-      kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor)
+      kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

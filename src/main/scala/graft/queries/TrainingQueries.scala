@@ -1161,6 +1161,36 @@ object TrainingQueries {
             .cast("double").as("value_sum"))
     }),
 
+    // The Hilbert index itself, row for row: the native graft_hilbert
+    // walk (mask -> 10 rotate/reflect rounds -> curve position) against
+    // a recursive-CTE replay of the identical masked walk.
+    "t_hilbert_value" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          graft.operators.DataSkipping.hilbertValue(
+            col("user_id"), floor(col("value")), bits = 10).as("h"))),
+
+    // Hilbert-clustered files + manifest pruning: same box query as the
+    // Z-order gate, clustered on the continuous curve instead — pruning
+    // must stay a superset (the oracle is the plain aggregate), and
+    // DataSkippingSpec measures the files-touched advantage.
+    "t_hilbert_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = graft.core.Scratch.dir("hilbert", dir)
+      val h = graft.operators.DataSkipping.hilbertValue(
+        col("user_id"), floor(col("value")), bits = 10)
+      graft.operators.DataSkipping.writeClustered(ev, path, h, 16)
+      val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
+      graft.operators.DataSkipping
+        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("value_sum"))
+    }),
+
     // Feature hashing: text -> fixed-width integer vector with no
     // vocabulary pass (token coordinate + sign from md5) — the stateless
     // featurizer for per-batch training data; sums are exact integers.
@@ -2613,6 +2643,37 @@ object TrainingQueries {
         |FROM events WHERE event_id IN (7, 123, 901, 999999)""".stripMargin,
 
     "t_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE user_id BETWEEN 0 AND 150 AND value BETWEEN 0.0 AND 60.0
+        |GROUP BY 1""".stripMargin,
+
+    // the identical masked xy2d walk, one recursion level per bit
+    "t_hilbert_value" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id,
+        |    CAST(user_id AS BIGINT) & 1023 AS x0,
+        |    CAST(floor(value) AS BIGINT) & 1023 AS y0
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |walk(event_id, x, y, d, s) AS (
+        |  SELECT event_id, x0, y0, CAST(0 AS BIGINT), CAST(512 AS BIGINT) FROM pts
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN (y & s) = 0
+        |         THEN CASE WHEN (x & s) > 0 THEN 1023 - y ELSE y END
+        |         ELSE x END,
+        |    CASE WHEN (y & s) = 0
+        |         THEN CASE WHEN (x & s) > 0 THEN 1023 - x ELSE x END
+        |         ELSE y END,
+        |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM walk WHERE s > 0)
+        |SELECT event_id, d AS h FROM walk WHERE s = 0""".stripMargin,
+
+    // pruning soundness: clustered+pruned scan == the plain aggregate
+    "t_hilbert_scan" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events

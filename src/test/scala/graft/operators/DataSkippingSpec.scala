@@ -73,6 +73,85 @@ class DataSkippingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hilbertValue walks the canonical curve and is CONTINUOUS " +
+      "(every step moves one cell); Z-order jumps") {
+    import spark.implicits._
+    def hmap(bits: Int): Map[(Long, Long), Long] = {
+      val n = 1L << bits
+      val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+      cells.toDF("x", "y")
+        .select(col("x"), col("y"),
+          DataSkipping.hilbertValue(col("x"), col("y"), bits).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    // canonical 2x2: (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3
+    assert(hmap(1) == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // canonical 4x4 first quadrant spot checks (Moon et al. figure)
+    val h2 = hmap(2)
+    assert(h2((0L, 0L)) == 0L && h2((1L, 0L)) == 1L && h2((1L, 1L)) == 2L &&
+      h2((0L, 1L)) == 3L && h2((0L, 2L)) == 4L && h2((3L, 0L)) == 15L)
+    // continuity at 8x8: consecutive curve positions are manhattan-1 apart
+    val byD = hmap(3).map(_.swap)
+    assert(byD.size == 64 && byD.keys.min == 0L && byD.keys.max == 63L)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"hilbert jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // Z-order at 8x8 does jump (that's the locality gap Hilbert closes)
+    val zByD = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        DataSkipping.zValue(col("x"), col("y"), 3).as("z"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    val zJumps = (0L until 63L).count { d =>
+      val (x1, y1) = zByD(d); val (x2, y2) = zByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0, "z-order should have discontinuities at 8x8")
+  }
+
+  test("hilbert beats z-order on the Moon-et-al clustering metric " +
+      "(fewer contiguous curve runs per query box) and pruned reads stay exact") {
+    import spark.implicits._
+    // every 4x4 box on the 32x32 grid: how many CONTIGUOUS curve-index
+    // runs does the box decompose into? Each run is a separate file/range
+    // touch after clustering — the metric file counts approximate, free
+    // of file-boundary noise. (Driver-side loop over 841 boxes reads two
+    // 1024-entry maps collected once.)
+    val cells = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        DataSkipping.hilbertValue(col("x"), col("y"), 5).as("h"),
+        DataSkipping.zValue(col("x"), col("y"), 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    def runsTotal(pick: ((Long, Long)) => Long): Long =
+      (for (x0 <- 0L to 28L; y0 <- 0L to 28L) yield {
+        val ds = (for (x <- x0 until x0 + 4; y <- y0 until y0 + 4)
+          yield pick(cells((x, y)))).sorted
+        1L + ds.zip(ds.tail).count { case (a, b) => b != a + 1 }
+      }).sum
+    val hRuns = runsTotal(_._1)
+    val zRuns = runsTotal(_._2)
+    info(s"curve runs over all 4x4 boxes: hilbert=$hRuns z-order=$zRuns")
+    assert(hRuns < zRuns,
+      s"hilbert must need fewer contiguous runs: $hRuns vs $zRuns")
+
+    // and on real files: pruned reads from a hilbert-clustered layout
+    // stay exactly correct for 2-d boxes
+    val hDir = scratch("h3")
+    val h = DataSkipping.hilbertValue(col("user_id"), floor(col("value")), 10)
+    DataSkipping.writeClustered(ev, hDir, h, 16)
+    val hMf = DataSkipping.manifest(spark, hDir, Seq("user_id", "value"))
+    val box = Seq[(String, Any, Any)](("user_id", 0L, 80L), ("value", 0.0, 50.0))
+    val got = DataSkipping.prunedRead(spark, hMf, box)
+    val want = spark.read.parquet(hDir)
+      .filter(col("user_id").between(0L, 80L) && col("value").between(0.0, 50.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("bloom manifest prunes point lookups zone maps cannot") {
     val dir = scratch("bloom")
     val (m, k) = (65536, 3)
