@@ -119,6 +119,37 @@ object SketchMart {
             .cast("long").cast("double"),
         3)).as("est_distinct"))
 
+  /** KMV set-operation read-out — the reason k-min sketches beat plain
+    * distinct counters: two sketches ANSWER INTERSECTION/JACCARD queries
+    * their inputs were never scanned for. U = the k smallest of the
+    * merged mins is itself the union's KMV sketch; the fraction of U
+    * present in BOTH input sketches estimates Jaccard (Beyer et al.),
+    * and intersection = jaccard x the standard (k-1)/U(k) union
+    * estimate. Every step is array algebra over two ≤k arrays — exact
+    * given the sketches, so the oracle replays it; at scale the
+    * sketches come from the mergeable daily mart, never raw data.
+    */
+  def overlapEstimate(sketches: DataFrame, keyCol: String, minsCol: String,
+                      keyA: String, keyB: String, k: Int): DataFrame = {
+    val a = sketches.filter(col(keyCol) === keyA).select(col(minsCol).as("a"))
+    val b = sketches.filter(col(keyCol) === keyB).select(col(minsCol).as("b"))
+    a.crossJoin(b)
+      .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("u"), col("a")), col("b")))
+          .cast("long"))
+      .withColumn("union_est",
+        when(size(col("u")) < k, size(col("u")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
+              conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
+                .cast("long").cast("double"), 3)))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / size(col("u")).cast("double"))
+      .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 3))
+      .select("n_common", "jaccard_est", "union_est", "inter_est")
+  }
+
   /** Build (overwrite) the daily fixed-bin histogram mart of a value
     * column: (day, bin, cnt) with bin = floor(value / width). Histograms
     * are the trivially-mergeable quantile summary: bin counts ADD, so a

@@ -1048,6 +1048,27 @@ object TrainingQueries {
     // the 32 smallest distinct md5(user_id) hashes reduce map-side to O(k)
     // state; the (k-1)/U(k) estimate is a plain column over the sketch
     // struct. Below k distinct values the sketch IS the exact count.
+    // KMV set operations: the month's two halves sketched once each
+    // (k-min over distinct (user, topic) engagements), then Jaccard /
+    // union / intersection estimated purely from the two 32-hash
+    // sketches — the cross-mart overlap question ("how much do these
+    // partitions share?") answered without rescanning either side.
+    "t_sketch_overlap" -> ((s, dir) => {
+      val k = 32
+      val ev = t(s, dir, "events")
+      val el = ev.filter(col("user_id").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .select(
+          when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), "h1")
+            .otherwise("h2").as("half"),
+          md5(concat_ws("|", col("user_id"),
+            get_json_object(col("props"), "$.k"))).as("hv"))
+      val sk = el.groupBy("half")
+        .agg(call_function("graft_kmv_mins", col("hv"), lit(k)).as("mins"))
+      graft.operators.SketchMart.overlapEstimate(sk, "half", "mins",
+        "h1", "h2", k)
+    }),
+
     "t_sketch_kmv" -> ((s, dir) => {
       val k = 32
       t(s, dir, "events")
@@ -2596,6 +2617,38 @@ object TrainingQueries {
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the
     // first 13 hex chars (52 bits, exact in a double) as the normalized
     // hash value.
+    // the two 32-min sketches re-derived with window ranks, then the same
+    // union-slice / membership / (k-1)/U(k) arithmetic
+    "t_sketch_overlap" ->
+      """WITH el AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'h1' ELSE 'h2' END AS half,
+        |    md5(CAST(user_id AS VARCHAR) || '|' || json_extract_string(props, '$.k')) AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL),
+        |r AS (
+        |  SELECT half, hv, row_number() OVER (PARTITION BY half ORDER BY hv) AS rn
+        |  FROM el),
+        |m AS (SELECT half, list(hv ORDER BY hv) AS mins FROM r WHERE rn <= 32 GROUP BY half),
+        |ab AS (SELECT
+        |  (SELECT mins FROM m WHERE half = 'h1') AS a,
+        |  (SELECT mins FROM m WHERE half = 'h2') AS b),
+        |uu AS (SELECT a, b, list_sort(list_distinct(list_concat(a, b)))[1:32] AS u FROM ab),
+        |sc AS (SELECT u,
+        |  CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x)))
+        |    AS BIGINT) AS n_common
+        |  FROM uu),
+        |est AS (SELECT n_common,
+        |  CASE WHEN len(u) < 32 THEN CAST(len(u) AS DOUBLE)
+        |       ELSE round(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(CAST('0x' || substr(u[32], 1, 13) AS BIGINT) AS DOUBLE), 3)
+        |  END AS union_est,
+        |  CAST(n_common AS DOUBLE) / len(u) AS jaccard_est
+        |  FROM sc)
+        |SELECT n_common, jaccard_est, union_est,
+        |  round(jaccard_est * union_est, 3) AS inter_est
+        |FROM est""".stripMargin,
+
     "t_sketch_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hv FROM events),

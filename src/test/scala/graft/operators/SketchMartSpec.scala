@@ -19,6 +19,29 @@ class SketchMartSpec extends SparkSpec {
     d
   }
 
+  test("overlapEstimate: exact when k covers the union; estimate within " +
+      "sketch error when it doesn't") {
+    // A = {0..39}, B = {20..59}: |A∩B| = 20, |A∪B| = 60, jaccard = 1/3
+    val rows = (0 until 40).map(i => ("a", s"e$i")) ++
+      (20 until 60).map(i => ("b", s"e$i"))
+    val el = rows.toDF("key", "v").select(col("key"), md5(col("v")).as("hv"))
+    def sketch(k: Int) = el.groupBy("key")
+      .agg(call_function("graft_kmv_mins", col("hv"), lit(k)).as("mins"))
+    // k = 64 >= |A∪B|: everything exact
+    val exact = SketchMart.overlapEstimate(sketch(64), "key", "mins", "a", "b", 64)
+      .head
+    assert(exact.getLong(0) == 20L)            // n_common
+    assert(exact.getDouble(1) == 20.0 / 60.0)  // jaccard
+    assert(exact.getDouble(2) == 60.0)         // union (exact below k)
+    assert(exact.getDouble(3) == 20.0)         // intersection
+    // k = 16 < |A∪B|: a real estimate — union within 3x, jaccard in (0,1)
+    val est = SketchMart.overlapEstimate(sketch(16), "key", "mins", "a", "b", 16)
+      .head
+    assert(est.getDouble(2) > 20.0 && est.getDouble(2) < 180.0,
+      s"union estimate ${est.getDouble(2)} implausible for truth 60")
+    assert(est.getDouble(1) >= 0.0 && est.getDouble(1) <= 1.0)
+  }
+
   test("daily KMV mart merged to a range equals the direct range sketch") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select(to_date(col("ts")).as("day"),
