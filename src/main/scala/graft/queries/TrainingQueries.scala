@@ -1002,10 +1002,26 @@ object TrainingQueries {
         .select(col("user_id").as("u"),
           get_json_object(col("props"), "$.k").cast("long").as("tp"))
         .filter(col("tp").isNotNull).distinct()
-      val sup = e.as("x").join(e.as("y"),
-          col("x.tp") === col("y.tp") && col("x.u") < col("y.u"))
-        .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
-        .agg(count(lit(1)).as("c"))
+      // DENSE-regime support counting: the topic vocabulary is ~100, so a
+      // user's topic set is a 2-long BITSET and pair support is two
+      // codegen'd bit_count(AND)s. The pair relation shrinks from
+      // sum-over-topics(m^2) co-occurrence instances (40M at sf0.1 — the
+      // exploded equi-join form, right for huge SPARSE vocabularies) to
+      // |users|^2/2 mask pairs (1.1M) over a broadcast user-mask table.
+      // Dense small vocab -> bitsets; sparse -> per-topic equi-join: the
+      // classic projection trade, chosen to match this log's shape.
+      val masks = e.groupBy(col("u")).agg(
+        coalesce(sum(when(col("tp") < 50,
+          expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
+        coalesce(sum(when(col("tp") >= 50,
+          expr("shiftleft(1L, CAST(tp - 50 AS INT))"))), lit(0L)).as("m2"))
+      val sup = masks.as("x").join(broadcast(masks.as("y")),
+          col("x.u") < col("y.u"))
+        .select(col("x.u").as("ua"), col("y.u").as("ub"),
+          (bit_count(col("x.m1").bitwiseAND(col("y.m1"))) +
+            bit_count(col("x.m2").bitwiseAND(col("y.m2"))))
+            .cast("long").as("c"))
+        .filter(col("c") > 0)
       val top = sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
       graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
     }),
