@@ -85,6 +85,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.chooseNum(0L, 9L)
+      b <- Gen.chooseNum(0L, 9L)
+    } yield (a, b))
+
+  test("triangleCounts equals the O(n^3) brute force on ANY small graph") {
+    check(Prop.forAll(graphGen) { edges =>
+      val adj = edges.collect { case (a, b) if a != b =>
+        Set(math.min(a, b) -> math.max(a, b))
+      }.flatten.toSet
+      def connected(x: Long, y: Long) =
+        adj.contains(math.min(x, y) -> math.max(x, y))
+      val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if connected(a, b) && connected(b, c) && connected(a, c)
+      } Seq(a, b, c).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1L)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else LinkAnalysis.triangleCounts(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == brute.toMap
+    }, n = 10)
+  }
+
   private val corpusGen: Gen[List[(Long, String)]] = {
     val word = Gen.chooseNum(0, 11).map(i => s"w$i") // tiny vocab → collisions
     Gen.listOfN(6, Gen.listOfN(12, word).map(_.mkString(" ")))
