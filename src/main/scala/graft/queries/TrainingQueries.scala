@@ -18,6 +18,36 @@ object TrainingQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** The 500 strongest user co-engagement edges, shared by the graph-
+    * cohesion gates. DENSE-regime support counting: the topic vocabulary
+    * is ~100, so a user's topic set is a 2-long BITSET and pair support
+    * is two codegen'd bit_count(AND)s — |users|^2/2 mask pairs over a
+    * broadcast user-mask table instead of the sum-over-topics(m^2)
+    * co-occurrence instances the per-topic equi-join form shuffles (40M
+    * at sf0.1, 16.6 s -> 4.9 s). Dense small vocab -> bitsets; sparse
+    * vocab -> equi-join: the classic projection trade. Deterministic
+    * total-order cut (support desc, then ids).
+    */
+  private def coEngagementTop500(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("tp"))
+      .filter(col("tp").isNotNull).distinct()
+    val masks = e.groupBy(col("u")).agg(
+      coalesce(sum(when(col("tp") < 50,
+        expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
+      coalesce(sum(when(col("tp") >= 50,
+        expr("shiftleft(1L, CAST(tp - 50 AS INT))"))), lit(0L)).as("m2"))
+    val sup = masks.as("x").join(broadcast(masks.as("y")),
+        col("x.u") < col("y.u"))
+      .select(col("x.u").as("ua"), col("y.u").as("ub"),
+        (bit_count(col("x.m1").bitwiseAND(col("y.m1"))) +
+          bit_count(col("x.m2").bitwiseAND(col("y.m2"))))
+          .cast("long").as("c"))
+      .filter(col("c") > 0)
+    sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
+  }
+
   /** Deterministic scratch location for the IVF index of one source dir —
     * rebuilt (overwritten) by the index-building queries, reread by their
     * probe phase. In production the build runs once per corpus version and
@@ -996,34 +1026,28 @@ object TrainingQueries {
     // total order, and triangles are counted with the degree-ordered
     // wedge join (out-adjacency bounded O(sqrt m)) — the community-
     // cohesion signal (clustering) that complements PageRank/HITS/CC.
-    "t_triangles" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val e = ev.filter(col("user_id").isNotNull)
-        .select(col("user_id").as("u"),
-          get_json_object(col("props"), "$.k").cast("long").as("tp"))
-        .filter(col("tp").isNotNull).distinct()
-      // DENSE-regime support counting: the topic vocabulary is ~100, so a
-      // user's topic set is a 2-long BITSET and pair support is two
-      // codegen'd bit_count(AND)s. The pair relation shrinks from
-      // sum-over-topics(m^2) co-occurrence instances (40M at sf0.1 — the
-      // exploded equi-join form, right for huge SPARSE vocabularies) to
-      // |users|^2/2 mask pairs (1.1M) over a broadcast user-mask table.
-      // Dense small vocab -> bitsets; sparse -> per-topic equi-join: the
-      // classic projection trade, chosen to match this log's shape.
-      val masks = e.groupBy(col("u")).agg(
-        coalesce(sum(when(col("tp") < 50,
-          expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
-        coalesce(sum(when(col("tp") >= 50,
-          expr("shiftleft(1L, CAST(tp - 50 AS INT))"))), lit(0L)).as("m2"))
-      val sup = masks.as("x").join(broadcast(masks.as("y")),
-          col("x.u") < col("y.u"))
-        .select(col("x.u").as("ua"), col("y.u").as("ub"),
-          (bit_count(col("x.m1").bitwiseAND(col("y.m1"))) +
-            bit_count(col("x.m2").bitwiseAND(col("y.m2"))))
-            .cast("long").as("c"))
-        .filter(col("c") > 0)
-      val top = sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
-      graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
+    "t_triangles" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.triangleCounts(
+        coEngagementTop500(s, dir), "ua", "ub")),
+
+    // Local clustering coefficient over the same projected graph:
+    // 2*triangles / deg*(deg-1) per node — "how tightly knit is this
+    // node's neighborhood", the per-node community-cohesion readout on
+    // top of the triangle counts. Integer counts into one double
+    // division; zero for degree-1 nodes by definition.
+    "t_clustering_coef" -> ((s, dir) => {
+      val top = coEngagementTop500(s, dir)
+      val tri = graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
+      val deg = top.select(col("ua").as("node"))
+        .unionByName(top.select(col("ub").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") > 1,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("coef"))
     }),
 
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
@@ -1635,6 +1659,39 @@ object TrainingQueries {
        |  CAST(rk AS DOUBLE) / 1000000000.0 AS "rank"
        |FROM r$iters ORDER BY rk DESC, node LIMIT $k""".stripMargin
   }
+
+  /** Shared CTE stack for the graph-cohesion oracles: bipartite
+    * projection, deterministic top-500 edge cut, degree orientation,
+    * wedge close — ends with `deg` (per-node degree) and `nodes` (one
+    * row per triangle corner). */
+  private val triangleCtes: String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS tp
+      |  FROM events
+      |  WHERE user_id IS NOT NULL
+      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+      |p AS (
+      |  SELECT x.u AS ua, y.u AS ub, COUNT(*) AS c
+      |  FROM e x JOIN e y ON x.tp = y.tp AND x.u < y.u GROUP BY 1, 2),
+      |top AS (SELECT ua, ub FROM p ORDER BY c DESC, ua, ub LIMIT 500),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+      |    (SELECT ua AS n FROM top UNION ALL SELECT ub FROM top) GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN da.d <= db.d THEN t.ua ELSE t.ub END AS src,
+      |         CASE WHEN da.d <= db.d THEN t.ub ELSE t.ua END AS dst
+      |  FROM top t JOIN deg da ON t.ua = da.n JOIN deg db ON t.ub = db.n),
+      |wg AS (
+      |  SELECT o1.src, o1.dst AS va, o2.dst AS vb
+      |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+      |tri AS (
+      |  SELECT wg.src, wg.va, wg.vb
+      |  FROM wg JOIN top t ON t.ua = wg.va AND t.ub = wg.vb),
+      |nodes AS (
+      |  SELECT src AS node FROM tri
+      |  UNION ALL SELECT va FROM tri UNION ALL SELECT vb FROM tri)
+      |""".stripMargin
 
   /** Personalized-PageRank oracle: same integer round replay as
     * [[pageRankOracle]], but r0, the (1-d) base, and the dangling share
@@ -2449,33 +2506,18 @@ object TrainingQueries {
     // projection -> deterministic top-500 -> degree orientation -> wedge
     // close, replayed join for join
     "t_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS tp
-        |  FROM events
-        |  WHERE user_id IS NOT NULL
-        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
-        |p AS (
-        |  SELECT x.u AS ua, y.u AS ub, COUNT(*) AS c
-        |  FROM e x JOIN e y ON x.tp = y.tp AND x.u < y.u GROUP BY 1, 2),
-        |top AS (SELECT ua, ub FROM p ORDER BY c DESC, ua, ub LIMIT 500),
-        |deg AS (
-        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
-        |    (SELECT ua AS n FROM top UNION ALL SELECT ub FROM top) GROUP BY 1),
-        |o AS (
-        |  SELECT CASE WHEN da.d <= db.d THEN t.ua ELSE t.ub END AS src,
-        |         CASE WHEN da.d <= db.d THEN t.ub ELSE t.ua END AS dst
-        |  FROM top t JOIN deg da ON t.ua = da.n JOIN deg db ON t.ub = db.n),
-        |wg AS (
-        |  SELECT o1.src, o1.dst AS va, o2.dst AS vb
-        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
-        |tri AS (
-        |  SELECT wg.src, wg.va, wg.vb
-        |  FROM wg JOIN top t ON t.ua = wg.va AND t.ub = wg.vb),
-        |nodes AS (
-        |  SELECT src AS node FROM tri
-        |  UNION ALL SELECT va FROM tri UNION ALL SELECT vb FROM tri)
-        |SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin,
+      (triangleCtes + "SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1"),
+
+    // per-node 2*tri / deg*(deg-1) over the same stack
+    "t_clustering_coef" ->
+      (triangleCtes +
+        """, nt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1)
+          |SELECT deg.n AS node, deg.d AS deg,
+          |  CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+          |  CASE WHEN deg.d > 1
+          |       THEN 2.0 * COALESCE(nt.n_tri, 0) / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+          |       ELSE 0.0 END AS coef
+          |FROM deg LEFT JOIN nt ON deg.n = nt.node""".stripMargin),
 
     "t_hits" -> hitsOracle(iters = 2, k = 25),
 
