@@ -231,13 +231,19 @@ object Dedup {
     * Set sizes and intersections are computed over distinct shingles, so the
     * result matches the set-based definition exactly.
     */
+  /** Exact set Jaccard from the scored-pair columns — ONE copy shared by
+    * the positive (near-dup) and negative (hard-negative) filters so the
+    * complement property the PropertySpec asserts can't drift. */
+  private def withJaccard(scored: DataFrame): DataFrame =
+    scored.withColumn("jaccard",
+      col("n_common").cast("double") /
+        greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame =
-    scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = threshold <= 0)
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+    withJaccard(
+      scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = threshold <= 0))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
@@ -257,10 +263,8 @@ object Dedup {
   def hardNegativePairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 8, bands: Int = 4,
                         threshold: Double = 0.5): DataFrame =
-    scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = true)
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+    withJaccard(
+      scoredPairs(docs, idCol, textCol, n, k, bands, keepZeroOverlap = true))
       .filter(col("jaccard") < threshold)
       .select("doc_a", "doc_b", "jaccard")
 

@@ -322,11 +322,15 @@ object LinkAnalysis {
     * aggregates — shuffles carry edge keys only.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // persisted: degrees, the orientation join, and the wedge-closing
+    // join all scan the canonical edge set — released by the session's
+    // per-query cache clear
     val e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

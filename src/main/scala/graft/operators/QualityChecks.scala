@@ -129,7 +129,14 @@ object QualityChecks {
                  k: Double = 3.0): DataFrame = {
     val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = daily.agg(expr("percentile(n, 0.5)")).head.getDouble(0)
+    val medRow = daily.agg(expr("percentile(n, 0.5)")).head
+    if (medRow.isNullAt(0)) {
+      // empty input: no days, no medians — an empty result, not an NPE
+      daily.unpersist(false)
+      return daily.select(col("day"), col("n"), lit(0.0).as("dev"),
+        lit(false).as("is_anomaly")).filter(lit(false))
+    }
+    val med = medRow.getDouble(0)
     val withDev = daily.withColumn("dev", abs(col("n") - lit(med)))
     val mad = withDev.agg(expr("percentile(dev, 0.5)")).head.getDouble(0)
     val out = withDev.select(col("day"), col("n"), col("dev"),

@@ -237,10 +237,14 @@ object Sampling {
   def epochOrder(df: DataFrame, idCol: String, epochs: Seq[Int]): DataFrame = {
     require(epochs.nonEmpty, "epochs must be non-empty")
     import org.apache.spark.sql.expressions.Window
+    // persisted: both the per-bucket windows and the offsets aggregate
+    // scan this relation — without the cache the explode+md5 pass runs
+    // twice per query (released by the session's per-query cache clear)
     val keyed = df
       .select(col(idCol), explode(array(epochs.map(lit(_)): _*)).as("epoch"))
       .withColumn("h", md5(concat_ws("|", col("epoch"), col(idCol))))
       .withColumn("bucket", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wb = Window.partitionBy(col("epoch"), col("bucket"))
       .orderBy(col("h"), col(idCol))
     val pos = keyed.withColumn("pos", row_number().over(wb).cast("long") - 1L)

@@ -106,18 +106,27 @@ object SketchMart {
       .select((col("day") +: estimateCols(k)): _*)
   }
 
+  /** The ONE copy of the KMV distinct estimator over a sorted mins
+    * array: exact size below k, else (k-1)·2^52 / hex-prefix(U(k)) —
+    * every read-out (daily mart, cumulative curve, set operations)
+    * derives from this expression so the arithmetic can't drift from
+    * the oracles' literal form.
+    */
+  private def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
+          conv(substring(element_at(mins, k), 1, 13), 16, 10)
+            .cast("long").cast("double"),
+        3))
+
   /** The shared KMV read-out: retained-count (exact below k) and the
     * (k-1)/U(k) estimate over a merged, sorted, k-sliced array column
     * named `u`.
     */
   private def estimateCols(k: Int): Seq[Column] = Seq(
     size(col("u")).cast("long").as("nd_capped"),
-    when(size(col("u")) < k, size(col("u")).cast("double"))
-      .otherwise(round(
-        lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
-          conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
-            .cast("long").cast("double"),
-        3)).as("est_distinct"))
+    kmvEstimate(col("u"), k).as("est_distinct"))
 
   /** KMV set-operation read-out — the reason k-min sketches beat plain
     * distinct counters: two sketches ANSWER INTERSECTION/JACCARD queries
@@ -138,12 +147,7 @@ object SketchMart {
       .withColumn("n_common",
         size(array_intersect(array_intersect(col("u"), col("a")), col("b")))
           .cast("long"))
-      .withColumn("union_est",
-        when(size(col("u")) < k, size(col("u")).cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble * graft.plans.KmvKthMin.TwoPow52) /
-              conv(substring(element_at(col("u"), k), 1, 13), 16, 10)
-                .cast("long").cast("double"), 3)))
+      .withColumn("union_est", kmvEstimate(col("u"), k))
       .withColumn("jaccard_est",
         col("n_common").cast("double") / size(col("u")).cast("double"))
       .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 3))

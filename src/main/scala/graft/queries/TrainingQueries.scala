@@ -29,10 +29,14 @@ object TrainingQueries {
     * total-order cut (support desc, then ids).
     */
   private def coEngagementTop500(s: SparkSession, dir: String): DataFrame = {
+    // tp bounded [0, 99] EXPLICITLY (and in the oracle): Spark's shiftleft
+    // masks the shift amount mod 64, so an out-of-range topic id would
+    // silently alias onto another bit instead of failing — the filter
+    // turns data drift into a visible row-set difference, not corruption
     val e = t(s, dir, "events").filter(col("user_id").isNotNull)
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").cast("long").as("tp"))
-      .filter(col("tp").isNotNull).distinct()
+      .filter(col("tp").between(0, 99)).distinct()
     val masks = e.groupBy(col("u")).agg(
       coalesce(sum(when(col("tp") < 50,
         expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
@@ -1002,7 +1006,13 @@ object TrainingQueries {
       val edges = ev.select(
         col("user_id").as("src"),
         (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
-      val seeds = ev.select(col("user_id").as("node"))
+      // seeds come from VALID EDGE SOURCES, matching the oracle's
+      // "SELECT src FROM e WHERE src % 10 = 0" — seeding from raw
+      // user_ids would diverge if a no-valid-edge user's id ever
+      // collided with a topic node (possible once user ids reach 10000)
+      val seeds = edges
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .select(col("src").as("node"))
         .filter(col("node") % 10 === 0)
       graft.operators.LinkAnalysis.personalizedPageRankTopK(
         s, edges, "src", "dst", seeds, iters = 3, k = 25)
@@ -1036,7 +1046,10 @@ object TrainingQueries {
     // top of the triangle counts. Integer counts into one double
     // division; zero for degree-1 nodes by definition.
     "t_clustering_coef" -> ((s, dir) => {
+      // 500-row result persisted: the triangle and degree branches both
+      // read it — uncached, the quadratic mask join would run twice
       val top = coEngagementTop500(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tri = graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
       val deg = top.select(col("ua").as("node"))
         .unionByName(top.select(col("ub").as("node")))
@@ -1670,7 +1683,8 @@ object TrainingQueries {
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS tp
       |  FROM events
       |  WHERE user_id IS NOT NULL
-      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+      |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |        BETWEEN 0 AND 99),
       |p AS (
       |  SELECT x.u AS ua, y.u AS ub, COUNT(*) AS c
       |  FROM e x JOIN e y ON x.tp = y.tp AND x.u < y.u GROUP BY 1, 2),

@@ -351,28 +351,13 @@ object StreamingGate {
     AsOfJoin.scd2Intervals(ev.filter(col("ts") < cut),
         Seq("user_id"), "ts", Seq("event_id"))
       .write.mode("overwrite").parquet(s"$store/v_init")
-    // stage three ascending time windows as three files, written
-    // SEQUENTIALLY so file mtimes ascend and the stream replays them in
-    // event-time order
-    val conf = spark.sparkContext.hadoopConfiguration
-    val f = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(in), conf)
-    f.mkdirs(new org.apache.hadoop.fs.Path(in))
-    Seq("2024-01-25 00:00:00", "2024-01-28 00:00:00", "2200-01-01 00:00:00")
-      .zipWithIndex.foldLeft(cut: org.apache.spark.sql.Column) {
-        case (lo, (hiS, i)) =>
-          val hi = lit(hiS).cast("timestamp")
-          val tmp = s"$in/__stage$i"
-          ev.filter(col("ts") >= lo && col("ts") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
-            .map(_.getPath).find(_.getName.startsWith("part-")).get
-          org.apache.hadoop.fs.FileUtil.copy(f, part, f,
-            new org.apache.hadoop.fs.Path(in, s"slice_$i.parquet"),
-            false, conf)
-          f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          hi
-      }
+    // stage three ascending time windows as ordered files (shared helper)
+    val bounds = Seq("2024-01-25 00:00:00", "2024-01-28 00:00:00",
+      "2200-01-01 00:00:00")
+    stageOrderedSlices(spark, in, bounds.zipWithIndex.map { case (hiS, i) =>
+      val lo = if (i == 0) cut else lit(bounds(i - 1)).cast("timestamp")
+      ev.filter(col("ts") >= lo && col("ts") < lit(hiS).cast("timestamp"))
+    })
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     var cur = s"$store/v_init"
@@ -662,14 +647,18 @@ object StreamingGate {
         |wm AS (
         |  SELECT s.b, MAX(m.mb) - INTERVAL 600 SECONDS AS wmv
         |  FROM (SELECT DISTINCT b FROM st) s
-        |  JOIN mx m ON m.b < s.b GROUP BY s.b)
-        |SELECT CAST(st.b AS INTEGER) AS batch_seq, COUNT(*) AS n_total,
-        |  CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
-        |                         THEN 1 END), 0) AS BIGINT) AS n_late,
-        |  CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
-        |                         THEN st.event_id END), 0) AS BIGINT) AS late_id_sum
-        |FROM st LEFT JOIN wm w ON st.b = w.b
-        |GROUP BY 1""".stripMargin,
+        |  JOIN mx m ON m.b < s.b GROUP BY s.b),
+        |agg AS (
+        |  SELECT st.b, COUNT(*) AS n_total,
+        |    CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
+        |                           THEN 1 END), 0) AS BIGINT) AS n_late,
+        |    CAST(COALESCE(SUM(CASE WHEN w.wmv IS NOT NULL AND st.ts < w.wmv
+        |                           THEN st.event_id END), 0) AS BIGINT) AS late_id_sum
+        |  FROM st LEFT JOIN wm w ON st.b = w.b
+        |  GROUP BY 1)
+        |SELECT CAST(DENSE_RANK() OVER (ORDER BY b) - 1 AS INTEGER) AS batch_seq,
+        |  n_total, n_late, late_id_sum
+        |FROM agg""".stripMargin,
 
     // single-ingestion semantics: the gate ingests TWICE (full replay
     // with identical txn ids) — only idempotent commits hash-match this

@@ -250,7 +250,7 @@ object ScaleProbe {
       val e = ev.filter(col("user_id").isNotNull)
         .select(col("user_id").as("u"),
           get_json_object(col("props"), "$.k").cast("long").as("tp"))
-        .filter(col("tp").isNotNull).distinct()
+        .filter(col("tp").between(0, 99)).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count()
       def topVia(sup: DataFrame): Seq[(Long, Long, Long)] =

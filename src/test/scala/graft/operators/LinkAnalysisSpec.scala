@@ -126,9 +126,14 @@ class LinkAnalysisSpec extends SparkSpec {
 
   test("triangleCounts: hand-computed graphs — K4, triangle+pendant, " +
       "star and path are triangle-free; duplicates/reversals collapse") {
-    def counts(rows: (Long, Long)*): Map[Long, Long] =
-      LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b")
+    def counts(rows: (Long, Long)*): Map[Long, Long] = {
+      val m = LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the operator's edge pin is released by the session's per-query
+      // cache clear (Verify/Bench do this); mirror it here
+      spark.sharedState.cacheManager.clearCache()
+      m
+    }
     // K4: 4 triangles, every node in exactly 3
     val k4 = counts(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))

@@ -108,8 +108,12 @@ class PropertySpec extends SparkSpec {
       } Seq(a, b, c).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1L)
       val got =
         if (edges.isEmpty) Map.empty[Long, Long]
-        else LinkAnalysis.triangleCounts(edges.toDF("a", "b"), "a", "b")
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        else {
+          val m = LinkAnalysis.triangleCounts(edges.toDF("a", "b"), "a", "b")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          spark.sharedState.cacheManager.clearCache()
+          m
+        }
       got == brute.toMap
     }, n = 10)
   }
