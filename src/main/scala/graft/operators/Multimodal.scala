@@ -57,6 +57,42 @@ object Multimodal {
           .cast("long").as("frame_len"))
   }
 
+  /** Frame-level near-duplicate pairs — the video/image dedup shape
+    * production pipelines run (shared keyframes / perceptual-hash
+    * collisions): media items whose sampled frame fingerprints coincide
+    * in >= minShared frames, scored by containment over the smaller
+    * item's distinct frame set. Scale shape is exactly the MinHash-LSH
+    * envelope with frame hashes as the buckets: only 32-char digests
+    * shuffle (payloads never move), the pair join is digest-keyed, and
+    * candidate volume is bounded by per-hash collision groups. A real
+    * build swaps [[sampleFrames]]' substring fingerprint for a
+    * perceptual hash at the same (doc, frame) granularity.
+    */
+  def frameDupPairs(docs: DataFrame, idCol: String, payloadCol: String,
+                    stride: Int = 256, frameLen: Int = 64,
+                    minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // persisted: the sizes aggregate and both pair-join legs scan the
+    // distinct (doc, frame_hash) relation (released by the session's
+    // per-query cache clear)
+    val fr = sampleFrames(docs, idCol, payloadCol, stride, frameLen)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val pairs = fr.as("x").join(fr.as("y"),
+        col("x.frame_hash") === col("y.frame_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("nf_a"), col("nf_b")).cast("double")).as("containment"))
+  }
+
   /** STUB resize: per-partition batch transform of the binary payload to a
     * fixed "resolution" (byte budget) — truncate or deterministically
     * cycle-pad. The real codec call sits where the loop body is; the

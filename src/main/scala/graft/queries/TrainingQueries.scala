@@ -791,6 +791,13 @@ object TrainingQueries {
       Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64)),
 
+    // Frame-level multimodal dedup: media pairs sharing >= 2 sampled
+    // frame fingerprints, scored by containment over the smaller frame
+    // set — keyframe-collision dedup with digest-only shuffles.
+    "t_multimodal_dedup" -> ((s, dir) =>
+      Multimodal.frameDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        stride = 256, frameLen = 64, minShared = 2)),
+
     // Multimodal patch retrieval — the full plumbing a frame/patch
     // similarity search needs, end to end: strided frame sampling, a
     // per-frame embedding (here the deterministic STUB: 8 dims derived
@@ -2674,6 +2681,27 @@ object TrainingQueries {
         |  FROM e, q)
         |SELECT doc_id, frame_idx, cos FROM s
         |ORDER BY cos DESC, doc_id, frame_idx LIMIT 10""".stripMargin,
+
+    // same frame fingerprints, distinct per doc, pair-joined on hash
+    "t_multimodal_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (greatest(length(text), 1) - 1) // 256)) AS i
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS fh
+        |  FROM f),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) AS containment
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |       JOIN sz sb ON p.doc_b = sb.doc_id""".stripMargin,
 
     "t_multimodal_frames" ->
       """WITH f AS (

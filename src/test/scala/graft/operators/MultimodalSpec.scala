@@ -37,6 +37,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Array[Byte]]("payload").forall(_ == 0))
   }
 
+  test("frameDupPairs: identical payloads share every frame (containment " +
+      "1.0); a shifted copy misses all strided frames; threshold filters") {
+    val base = (1 to 600).map(i => s"w$i").mkString(" ") // > 2 frames
+    val d = Seq(
+      (1L, base), (2L, base),          // exact duplicate pair
+      (3L, "zz " + base),              // shifted: strided slices all differ
+      (4L, (1 to 600).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Multimodal.frameDupPairs(d, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.sharedState.cacheManager.clearCache()
+    assert(out.length == 1, s"only the exact pair qualifies: ${out.toSeq}")
+    val (a, b, shared, cont) = out.head
+    assert((a, b) == (1L, 2L) && cont == 1.0 && shared >= 2L)
+  }
+
   test("firstByKeyAgg == firstByKey window on a unique order tuple") {
     val ev = Tables.load(spark, sfDir, "events")
     val byWindow = CurrentState.firstByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
