@@ -147,6 +147,26 @@ object QualityChecks {
       df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** Small-cell suppression — the k-anonymity-style export guard
+    * (census primary suppression): dimension combinations with fewer
+    * than k members are RE-AGGREGATED into a sentinel bucket instead of
+    * published, so no released row describes fewer than k individuals
+    * while column totals are preserved (re-keying, not dropping). Two
+    * map-side-combinable aggregates with a CASE re-key between them —
+    * no join, no window; at 100 TB this is two hash-agg passes over
+    * cell-count rows, not raw data, after the first aggregate.
+    */
+  def suppressSmallCells(df: DataFrame, dims: Seq[String], k: Long,
+                         sentinel: String = "__suppressed__"): DataFrame = {
+    require(dims.nonEmpty && k >= 1, s"need dims and k >= 1, got $dims / $k")
+    val counts = df.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n"))
+    val rekeyed = counts.select(
+      dims.map(d => when(col("n") < k, lit(sentinel)).otherwise(col(d)).as(d)) :+
+        col("n"): _*)
+    rekeyed.groupBy(dims.map(col): _*)
+      .agg(sum(col("n")).as("n"), count(lit(1)).cast("long").as("n_cells"))
+  }
+
   /** Numeric column profile (the dbt-profiler / data-card shape): one
     * FUSED aggregate pass emitting, per column: row count, null count,
     * min, max, mean, population stddev.

@@ -1182,6 +1182,13 @@ object WarehouseQueries {
       QualityChecks.volumeAnomaly(t(s, dir, "events"),
         to_date(col("ts")), window = 7, zThreshold = 3.0)),
 
+    // Small-cell suppression (k-anonymity export guard): (lang, source)
+    // cells under 5 docs fold into one sentinel bucket — no published
+    // row describes fewer than 5 documents, totals preserved.
+    "qa_kanon" -> ((s, dir) =>
+      QualityChecks.suppressSmallCells(t(s, dir, "documents"),
+        Seq("lang", "source"), k = 5)),
+
     // Robust volume anomaly: per-day counts scored by median + MAD
     // instead of mean + stddev — the estimate a single 10x day can't
     // poison. Exact integer medians (dyadic .5 averages at worst), so
@@ -2057,6 +2064,19 @@ object WarehouseQueries {
         |SELECT day, n, mean_prev, z,
         |  (z IS NULL OR abs(z) > 3.0) AS flagged
         |FROM z""".stripMargin,
+
+    // cells under k re-keyed to the sentinel, then re-aggregated
+    "qa_kanon" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT CASE WHEN n < 5 THEN '__suppressed__' ELSE lang END AS lang,
+        |         CASE WHEN n < 5 THEN '__suppressed__' ELSE source END AS source,
+        |         n
+        |  FROM c)
+        |SELECT lang, source, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // exact medians: integers or two-mid .5 averages, all dyadic — the
     // robust flag replays bit-exactly

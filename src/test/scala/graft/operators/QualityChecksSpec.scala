@@ -112,6 +112,20 @@ class QualityChecksSpec extends SparkSpec {
     assert(p1.getDouble(6) == mean && p1.getDouble(7) == std)
   }
 
+  test("suppressSmallCells: no published row under k, totals preserved, " +
+      "suppressed cell count reported") {
+    import spark.implicits._
+    val df = (Seq.fill(10)("a") ++ Seq.fill(7)("b") ++ Seq("c", "c", "d"))
+      .map(g => (g, 1)).toDF("grp", "v")
+    val out = QualityChecks.suppressSmallCells(df, Seq("grp"), k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((10L, 1L)) && out("b") == ((7L, 1L)))
+    assert(out("__suppressed__") == ((3L, 2L))) // c(2) + d(1), two cells
+    assert(!out.contains("c") && !out.contains("d"))
+    assert(out.values.map(_._1).sum == 20L) // totals preserved
+    assert(out.filterKeys(_ != "__suppressed__").values.forall(_._1 >= 5L))
+  }
+
   test("madAnomaly: hand-computed medians; robust where the z-score's own " +
       "stats absorb the outlier; exact .5 medians on even counts") {
     import spark.implicits._
