@@ -147,6 +147,32 @@ object QualityChecks {
       df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** EWMA-smoothed daily volume at alpha = 1/2 — the monitoring
+    * baseline ("is today unusual vs the smoothed trend"). The halving
+    * recurrence ewma_t = (ewma_{t-1} + v_t)/2 is rewritten as ONE
+    * integer window sum: ewma_t = (Σ_{i<=t} v_i·w_i) / 2^(t+1) with
+    * w_1 = 4 and w_i = 2^i — everything stays BIGINT until a single
+    * division by a power of two, so the smoothed series is exactly a
+    * dyadic rational and bit-identical on any engine (a float fold
+    * would be summation-order-dependent). The window runs over DAILY
+    * rows (calendar-bounded, the volumeAnomaly precedent), and the 2^i
+    * weights bound the series to ~50 days per partition — the intended
+    * dashboard horizon; longer histories chunk by month/quarter.
+    */
+  def ewmaDaily(df: DataFrame,
+                dayCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day")
+    daily.withColumn("rn", row_number().over(w))
+      .withColumn("wi", when(col("rn") === 1, lit(4L))
+        .otherwise(expr("shiftleft(1L, CAST(rn AS INT))")))
+      .withColumn("sw", sum(col("n") * col("wi"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n"),
+        (col("sw").cast("double") / pow(lit(2.0), col("rn") + 1)).as("ewma"))
+  }
+
   /** Small-cell suppression — the k-anonymity-style export guard
     * (census primary suppression): dimension combinations with fewer
     * than k members are RE-AGGREGATED into a sentinel bucket instead of

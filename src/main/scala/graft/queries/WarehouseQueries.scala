@@ -1182,6 +1182,12 @@ object WarehouseQueries {
       QualityChecks.volumeAnomaly(t(s, dir, "events"),
         to_date(col("ts")), window = 7, zThreshold = 3.0)),
 
+    // EWMA-smoothed daily volume (alpha = 1/2): the halving recurrence
+    // as one integer window sum divided by a power of two — exact
+    // dyadic, bit-identical on both engines.
+    "qa_ewma_volume" -> ((s, dir) =>
+      QualityChecks.ewmaDaily(t(s, dir, "events"), to_date(col("ts")))),
+
     // Small-cell suppression (k-anonymity export guard): (lang, source)
     // cells under 5 docs fold into one sentinel bucket — no published
     // row describes fewer than 5 documents, totals preserved.
@@ -2064,6 +2070,19 @@ object WarehouseQueries {
         |SELECT day, n, mean_prev, z,
         |  (z IS NULL OR abs(z) > 3.0) AS flagged
         |FROM z""".stripMargin,
+
+    // same integer-weight window sum, one power-of-two division
+    "qa_ewma_volume" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |s AS (
+        |  SELECT day, n, rn,
+        |    SUM(n * (CASE WHEN rn = 1 THEN CAST(4 AS BIGINT)
+        |                  ELSE (CAST(1 AS BIGINT) << rn) END))
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sw
+        |  FROM r)
+        |SELECT day, n, CAST(sw AS DOUBLE) / pow(2, rn + 1) AS ewma FROM s""".stripMargin,
 
     // cells under k re-keyed to the sentinel, then re-aggregated
     "qa_kanon" ->

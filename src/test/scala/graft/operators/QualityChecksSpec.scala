@@ -112,6 +112,23 @@ class QualityChecksSpec extends SparkSpec {
     assert(p1.getDouble(6) == mean && p1.getDouble(7) == std)
   }
 
+  test("ewmaDaily: window-sum rewrite equals the sequential halving " +
+      "recurrence exactly, on hand and random series") {
+    import spark.implicits._
+    def fixture(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)(java.sql.Date.valueOf(f"2024-03-${d + 1}%02d"))
+    }.toDF("day")
+    def got(counts: Seq[Int]): Seq[Double] =
+      QualityChecks.ewmaDaily(fixture(counts), col("day"))
+        .orderBy("day").select("ewma").as[Double].collect().toSeq
+    def recur(counts: Seq[Int]): Seq[Double] =
+      counts.tail.scanLeft(counts.head.toDouble)((acc, v) => (acc + v) / 2.0)
+    assert(got(Seq(8, 4, 6)) == Seq(8.0, 6.0, 6.0))
+    val rnd = new scala.util.Random(7)
+    val series = Seq.fill(25)(rnd.nextInt(200) + 1)
+    assert(got(series) == recur(series)) // bit-exact, not approximately
+  }
+
   test("suppressSmallCells: no published row under k, totals preserved, " +
       "suppressed cell count reported") {
     import spark.implicits._
