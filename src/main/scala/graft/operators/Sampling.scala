@@ -221,6 +221,22 @@ object Sampling {
     df.repartition(n, h).sortWithinPartitions(h)
   }
 
+  /** Deterministic k-fold cross-validation assignments: every row gets
+    * its md5 bucket in [0, k), and each rotation f marks bucket f as
+    * `test`, the rest `train` — (id, fold, role) for all k rotations in
+    * one narrow pass (explode by fold, no shuffle). The same id lands in
+    * the same bucket in every table that shares it, so features and
+    * labels rotate together; folds partition the corpus exactly.
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("bucket", hashBucket(col(idCol), k))
+      .select(col(idCol), col("bucket"),
+        explode(array((0 until k).map(lit(_)): _*)).as("fold"))
+      .select(col(idCol), col("fold"),
+        when(col("bucket") === col("fold"), "test").otherwise("train").as("role"))
+  }
+
   /** MATERIALIZED epoch order: (epoch, id, position) with position the
     * exact global rank of md5(epoch || '|' || id) — the shard-able
     * "which example is step k of epoch e" table a reproducible training

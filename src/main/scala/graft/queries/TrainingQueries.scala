@@ -553,6 +553,14 @@ object TrainingQueries {
     "t_epoch_shuffle" -> ((s, dir) =>
       Sampling.epochOrder(t(s, dir, "documents"), "doc_id", Seq(0, 1))),
 
+    // Deterministic 5-fold cross-validation: md5-bucket folds, each
+    // rotation's test fold disjoint and covering; checked via per-
+    // (fold, role) counts and id sums.
+    "t_kfold" -> ((s, dir) =>
+      Sampling.kFold(t(s, dir, "documents"), "doc_id", k = 5)
+        .groupBy("fold", "role")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable under re-partitioning/re-loading and reproducible by any
     // engine; checked via per-(lang, split) counts and id sums.
@@ -2432,6 +2440,20 @@ object TrainingQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
         |    AS BIGINT) AS position
         |FROM k""".stripMargin,
+
+    // same 52-bit md5 bucket mod 5, rotated over the 5 folds
+    "t_kfold" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 5 AS INTEGER) AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, f.fold,
+        |    CASE WHEN bucket = f.fold THEN 'test' ELSE 'train' END AS role
+        |  FROM b, (SELECT unnest(range(5)) AS fold) f)
+        |SELECT CAST(fold AS INTEGER) AS fold, role, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->

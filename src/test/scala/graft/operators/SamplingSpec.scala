@@ -58,6 +58,30 @@ class SamplingSpec extends SparkSpec {
     assert(order("epoch1").sorted == (1L to 500L))
   }
 
+  test("kFold: folds partition the corpus; every rotation's test is its " +
+      "bucket exactly; assignments shared across tables by id") {
+    val df = (1L to 1000L).toDF("id")
+    val out = Sampling.kFold(df, "id", k = 5)
+      .select("id", "fold", "role").as[(Long, Int, String)].collect()
+    assert(out.length == 5000) // every id in every rotation
+    val tests = out.filter(_._3 == "test")
+    // each id is test in EXACTLY one fold
+    assert(tests.groupBy(_._1).forall(_._2.length == 1))
+    // test sets across folds partition the id set
+    assert(tests.map(_._1).sorted.toSeq == (1L to 1000L))
+    // per-rotation: train + test covers everything, disjointly
+    (0 until 5).foreach { f =>
+      val rot = out.filter(_._2 == f)
+      assert(rot.length == 1000)
+      assert(rot.count(_._3 == "test") + rot.count(_._3 == "train") == 1000)
+    }
+    // same id -> same fold on a different table sharing the key space
+    val other = Sampling.kFold((1L to 1000L).toDF("id").repartition(7), "id", 5)
+      .filter(col("role") === "test")
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(tests.forall { case (id, f, _) => other(id) == f })
+  }
+
   test("epochOrder: positions are an exact permutation per epoch, equal to " +
       "the global rank, partition-invariant, distinct across epochs") {
     val df = (1L to 700L).toDF("id")
