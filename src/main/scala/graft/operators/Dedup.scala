@@ -226,11 +226,6 @@ object Dedup {
     pinned.clear()
   }
 
-  /** LSH candidates verified with exact n-gram Jaccard >= threshold: the full
-    * near-dup pipeline (signature map -> bucket join -> bounded verify).
-    * Set sizes and intersections are computed over distinct shingles, so the
-    * result matches the set-based definition exactly.
-    */
   /** Exact set Jaccard from the scored-pair columns — ONE copy shared by
     * the positive (near-dup) and negative (hard-negative) filters so the
     * complement property the PropertySpec asserts can't drift. */
@@ -239,6 +234,11 @@ object Dedup {
       col("n_common").cast("double") /
         greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
 
+  /** LSH candidates verified with exact n-gram Jaccard >= threshold: the full
+    * near-dup pipeline (signature map -> bucket join -> bounded verify).
+    * Set sizes and intersections are computed over distinct shingles, so the
+    * result matches the set-based definition exactly.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame =

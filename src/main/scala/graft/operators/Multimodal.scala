@@ -70,16 +70,26 @@ object Multimodal {
     */
   def frameDupPairs(docs: DataFrame, idCol: String, payloadCol: String,
                     stride: Int = 256, frameLen: Int = 64,
-                    minShared: Int = 2): DataFrame = {
+                    minShared: Int = 2, maxBucket: Long = 1000L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // persisted: the sizes aggregate and both pair-join legs scan the
     // distinct (doc, frame_hash) relation (released by the session's
-    // per-query cache clear)
+    // per-query cache clear). Degenerate buckets are guarded like any
+    // LSH bucket join: zero-length frames are dropped (every empty
+    // payload hashes to the SAME md5(""), an all-pairs bucket), and
+    // hash groups larger than maxBucket are skipped — a fingerprint
+    // shared by thousands of items is boilerplate, not a duplicate
+    // signal, and would cost |group|^2 pairs to say so.
     val fr = sampleFrames(docs, idCol, payloadCol, stride, frameLen)
+      .filter(col("frame_len") > 0)
       .select(col("doc_id"), col("frame_hash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    val pairs = fr.as("x").join(fr.as("y"),
+    val hot = fr.groupBy("frame_hash").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > maxBucket).select("frame_hash")
+    val cool = fr.join(broadcast(hot), Seq("frame_hash"), "left_anti")
+    val pairs = cool.as("x").join(cool.as("y"),
         col("x.frame_hash") === col("y.frame_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

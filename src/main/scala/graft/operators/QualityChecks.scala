@@ -157,12 +157,25 @@ object QualityChecks {
     * would be summation-order-dependent). The window runs over DAILY
     * rows (calendar-bounded, the volumeAnomaly precedent), and the 2^i
     * weights bound the series to ~50 days per partition — the intended
-    * dashboard horizon; longer histories chunk by month/quarter.
+    * dashboard horizon; longer histories chunk by month/quarter (the
+    * bound is ENFORCED — see the require below).
     */
   def ewmaDaily(df: DataFrame,
                 dayCol: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null days dropped EXPLICITLY: Spark windows order nulls first,
+    // DuckDB's row_number orders them last — an unfiltered null day
+    // would silently shift every weight between engines
     val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+      .filter(col("day").isNotNull)
+    // the 2^rn weights are exact only while the bigint sum fits: beyond
+    // ~40 days shiftleft would wrap (Java masks shifts mod 64) and the
+    // sum overflows — fail loudly instead of smoothing garbage. The
+    // check scans DAILY rows (calendar-sized), not raw data.
+    val nDays = daily.count()
+    require(nDays <= 40,
+      s"ewmaDaily is exact to 40 days per series; got $nDays — " +
+        "chunk longer histories by month/quarter")
     val w = Window.orderBy("day")
     daily.withColumn("rn", row_number().over(w))
       .withColumn("wi", when(col("rn") === 1, lit(4L))
@@ -191,6 +204,12 @@ object QualityChecks {
         col("n"): _*)
     rekeyed.groupBy(dims.map(col): _*)
       .agg(sum(col("n")).as("n"), count(lit(1)).cast("long").as("n_cells"))
+      // the sentinel bucket must itself satisfy k (secondary suppression):
+      // if even the UNION of small cells is under k, it is withheld
+      // entirely — publishing it would be a sub-k row, the exact leak the
+      // operator exists to prevent. Totals are preserved except in that
+      // withheld case, by construction.
+      .filter(!(col(dims.head) === sentinel && col("n") < k))
   }
 
   /** Numeric column profile (the dbt-profiler / data-card shape): one

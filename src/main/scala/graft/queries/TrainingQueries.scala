@@ -2704,7 +2704,9 @@ object TrainingQueries {
         |SELECT doc_id, frame_idx, cos FROM s
         |ORDER BY cos DESC, doc_id, frame_idx LIMIT 10""".stripMargin,
 
-    // same frame fingerprints, distinct per doc, pair-joined on hash
+    // same frame fingerprints (zero-length frames dropped, hot buckets
+    // over 1000 skipped — the degenerate-bucket guards), distinct per
+    // doc, pair-joined on hash
     "t_multimodal_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, text,
@@ -2713,12 +2715,16 @@ object TrainingQueries {
         |h AS (
         |  SELECT DISTINCT doc_id,
         |    md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS fh
-        |  FROM f),
+        |  FROM f
+        |  WHERE length(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) > 0),
         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM h GROUP BY 1),
+        |cool AS (
+        |  SELECT doc_id, fh FROM h
+        |  WHERE fh NOT IN (SELECT fh FROM h GROUP BY fh HAVING COUNT(*) > 1000)),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  FROM cool a JOIN cool b ON a.fh = b.fh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
         |SELECT p.doc_a, p.doc_b, p.n_shared,
         |  CAST(p.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) AS containment

@@ -2074,7 +2074,8 @@ object WarehouseQueries {
     // same integer-weight window sum, one power-of-two division
     "qa_ewma_volume" ->
       """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1),
         |r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
         |s AS (
         |  SELECT day, n, rn,
@@ -2095,7 +2096,8 @@ object WarehouseQueries {
         |  FROM c)
         |SELECT lang, source, CAST(SUM(n) AS BIGINT) AS n,
         |  CAST(COUNT(*) AS BIGINT) AS n_cells
-        |FROM r GROUP BY 1, 2""".stripMargin,
+        |FROM r GROUP BY 1, 2
+        |HAVING NOT (lang = '__suppressed__' AND SUM(n) < 5)""".stripMargin,
 
     // exact medians: integers or two-mid .5 averages, all dyadic — the
     // robust flag replays bit-exactly

@@ -132,15 +132,25 @@ class QualityChecksSpec extends SparkSpec {
   test("suppressSmallCells: no published row under k, totals preserved, " +
       "suppressed cell count reported") {
     import spark.implicits._
-    val df = (Seq.fill(10)("a") ++ Seq.fill(7)("b") ++ Seq("c", "c", "d"))
+    // enough small cells that their union clears k: sentinel published
+    val df = (Seq.fill(10)("a") ++ Seq.fill(7)("b") ++
+      Seq("c", "c", "d", "e", "e", "f"))
       .map(g => (g, 1)).toDF("grp", "v")
     val out = QualityChecks.suppressSmallCells(df, Seq("grp"), k = 5)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out("a") == ((10L, 1L)) && out("b") == ((7L, 1L)))
-    assert(out("__suppressed__") == ((3L, 2L))) // c(2) + d(1), two cells
-    assert(!out.contains("c") && !out.contains("d"))
-    assert(out.values.map(_._1).sum == 20L) // totals preserved
-    assert(out.filterKeys(_ != "__suppressed__").values.forall(_._1 >= 5L))
+    assert(out("__suppressed__") == ((6L, 4L))) // c(2)+d(1)+e(2)+f(1)
+    assert(Seq("c", "d", "e", "f").forall(!out.contains(_)))
+    assert(out.values.map(_._1).sum == 23L) // totals preserved
+    // the k guarantee holds for EVERY published row, sentinel included
+    assert(out.values.forall(_._1 >= 5L))
+    // secondary suppression: a sentinel whose own total is under k is
+    // withheld entirely — never published as a sub-k row
+    val small = (Seq.fill(10)("a") ++ Seq("c", "c", "d"))
+      .map(g => (g, 1)).toDF("grp", "v")
+    val out2 = QualityChecks.suppressSmallCells(small, Seq("grp"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == Map("a" -> 10L)) // c+d = 3 < 5: withheld
   }
 
   test("madAnomaly: hand-computed medians; robust where the z-score's own " +

@@ -108,6 +108,9 @@ class SamplingSpec extends SparkSpec {
       .select("epoch", "id", "position")
       .as[(Int, Long, Long)].collect()
     assert(again.toSet == out.toSet)
+    // the operator's keyed-relation pin is released by the session's
+    // per-query cache clear (Verify/Bench do this); mirror it here
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("capPerKey keeps at most cap rows per key, deterministically") {
