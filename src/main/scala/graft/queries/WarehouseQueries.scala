@@ -593,6 +593,35 @@ object WarehouseQueries {
         .drop("sid")
     }),
 
+    // Session path mining: the top user journeys — each session's
+    // time-ordered event-type sequence, counted across all sessions,
+    // top 20 by frequency with a total tie order. The path string is an
+    // ORDERED aggregation done portably: structs sorted by the unique
+    // (ts, event_id) tuple then joined — the cross-engine-safe form of
+    // string_agg(... ORDER BY), a known engine-parity trap.
+    "a9_session_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(ws))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            _.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // A5 (marts): trade_agg shape — per (month, asset) OHLCV over unit
     // prices, open/close picked by a unique (ts, order, line) tuple so ties
     // are deterministic. Dimension join broadcast; one map-side-combinable
@@ -1695,6 +1724,33 @@ object WarehouseQueries {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    // same gaps-and-islands sessions; the path via ORDER BY inside
+    // string_agg (DuckDB's ordered aggregation) must equal Spark's
+    // sorted-struct join
+    "a9_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN prev IS NULL
+        |           OR date_diff('second', prev, ts) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM y),
+        |p AS (
+        |  SELECT user_id, grp,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM z GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "a8_sessionize" ->
       """WITH x AS (
