@@ -166,16 +166,25 @@ object QualityChecks {
     // null days dropped EXPLICITLY: Spark windows order nulls first,
     // DuckDB's row_number orders them last — an unfiltered null day
     // would silently shift every weight between engines
+    // persisted (the madAnomaly precedent): the guard aggregate and the
+    // returned plan both read the daily relation — without the cache the
+    // raw-table aggregation would run twice
     val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
       .filter(col("day").isNotNull)
-    // the 2^rn weights are exact only while the bigint sum fits: beyond
-    // ~40 days shiftleft would wrap (Java masks shifts mod 64) and the
-    // sum overflows — fail loudly instead of smoothing garbage. The
-    // check scans DAILY rows (calendar-sized), not raw data.
-    val nDays = daily.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the weighted bigint sum is exact only while Σ n_i·2^i fits a long:
+    // bound BOTH the day count and the peak daily volume (n_max·2^(d+1)
+    // <= Long.Max guarantees the sum; a day-count bound alone would let
+    // a high-volume series overflow silently, and past rn=63 shiftleft
+    // itself wraps). One aggregated-scalar read over calendar-sized rows.
+    val g = daily.agg(count(lit(1)), coalesce(max(col("n")), lit(0L))).head
+    val (nDays, maxN) = (g.getLong(0), g.getLong(1))
     require(nDays <= 40,
       s"ewmaDaily is exact to 40 days per series; got $nDays — " +
         "chunk longer histories by month/quarter")
+    require(nDays == 0 || maxN <= (Long.MaxValue >> (nDays + 1)),
+      s"ewmaDaily weighted sum would overflow: max daily count $maxN " +
+        s"over $nDays days exceeds ${Long.MaxValue >> (nDays + 1)}")
     val w = Window.orderBy("day")
     daily.withColumn("rn", row_number().over(w))
       .withColumn("wi", when(col("rn") === 1, lit(4L))

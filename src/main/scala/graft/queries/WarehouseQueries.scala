@@ -20,6 +20,45 @@ object WarehouseQueries {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Gaps-and-islands session assignment, the ONE copy shared by the
+    * sessionize mart and path mining: 30-minute gap on the unique
+    * (ts, event_id) order, null-ts rows dropped EXPLICITLY (Spark
+    * windows order nulls first, DuckDB last — an unfiltered null row
+    * would open a phantom session on one engine only). Adds `sid`.
+    */
+  private def sessionized(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.filter(col("ts").isNotNull)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_s")
+  }
+
+  /** The matching oracle CTE chain: ends with `z` carrying (user_id, ts,
+    * event_id, event_type, value, grp). */
+  private val sessionCtes: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts IS NOT NULL),
+      |y AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN prev IS NULL
+      |           OR date_diff('second', prev, ts) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM y)
+      |""".stripMargin
+
   /** Scratch root for the storage-roundtrip queries (K5 copy, D8 daily
     * increment): deterministic per source dir, overwritten per run.
     */
@@ -576,16 +615,7 @@ object WarehouseQueries {
     // formulation of the streaming sessionize drain: a new session opens
     // where the gap from the previous event exceeds 30 minutes.
     "a8_sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_s",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum(col("new_s")).over(ws))
+      sessionized(t(s, dir, "events"))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
           count(lit(1)).as("n_events"),
@@ -600,16 +630,7 @@ object WarehouseQueries {
     // (ts, event_id) tuple then joined — the cross-engine-safe form of
     // string_agg(... ORDER BY), a known engine-parity trap.
     "a9_session_paths" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_s",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum(col("new_s")).over(ws))
+      sessionized(t(s, dir, "events"))
         .groupBy(col("user_id"), col("sid"))
         .agg(array_join(
           transform(
@@ -1725,53 +1746,25 @@ object WarehouseQueries {
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
 
-    // same gaps-and-islands sessions; the path via ORDER BY inside
-    // string_agg (DuckDB's ordered aggregation) must equal Spark's
-    // sorted-struct join
+    // same gaps-and-islands sessions (shared CTE chain); the path via
+    // ORDER BY inside string_agg (DuckDB's ordered aggregation) must
+    // equal Spark's sorted-struct join
     "a9_session_paths" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN prev IS NULL
-        |           OR date_diff('second', prev, ts) > 1800
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM y),
-        |p AS (
-        |  SELECT user_id, grp,
-        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        |  FROM z GROUP BY 1, 2)
-        |SELECT path, COUNT(*) AS n_sessions
-        |FROM p GROUP BY 1
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+      (sessionCtes +
+        """, p AS (
+          |  SELECT user_id, grp,
+          |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          |  FROM z GROUP BY 1, 2)
+          |SELECT path, COUNT(*) AS n_sessions
+          |FROM p GROUP BY 1
+          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
 
     "a8_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN prev IS NULL
-        |           OR date_diff('second', prev, ts) > 1800
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, ts, value,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM y)
-        |SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-        |FROM z GROUP BY user_id, grp""".stripMargin,
+      (sessionCtes +
+        """SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+          |FROM z GROUP BY user_id, grp""".stripMargin),
 
     "a5_rollup" ->
       """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,

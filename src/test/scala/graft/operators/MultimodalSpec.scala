@@ -53,6 +53,36 @@ class MultimodalSpec extends SparkSpec {
     assert((a, b) == (1L, 2L) && cont == 1.0 && shared >= 2L)
   }
 
+  test("frameDupPairs degenerate-bucket guards: empty payloads never pair " +
+      "via the shared md5('') frame; hot buckets over maxBucket are skipped") {
+    val base = (1 to 600).map(i => s"w$i").mkString(" ")
+    // two empty docs + an exact-dup pair: without the zero-length guard
+    // the empties would share one frame hash (md5 of the empty slice)
+    val withEmpties = Seq((1L, ""), (2L, ""), (3L, base), (4L, base))
+      .toDF("doc_id", "text")
+    val out = Multimodal.frameDupPairs(withEmpties, "doc_id", "text",
+        minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(out == Set((3L, 4L)), s"empty docs must never pair: $out")
+    // hot-bucket skip: many docs sharing one boilerplate prefix frame —
+    // with maxBucket below the group size the shared frame contributes
+    // no pairs, and the genuinely-duplicated pair still surfaces via its
+    // OTHER frames
+    val boiler = (1 to 300).map(i => s"b$i").mkString(" ") // shared frame 0
+    val hot = ((1L to 20L).map(id => (id, boiler + " " + s"x$id-" * 150)) :+
+      (98L, boiler + " " + base) :+ (99L, boiler + " " + base))
+      .toDF("doc_id", "text")
+    val hotOut = Multimodal.frameDupPairs(hot, "doc_id", "text",
+        minShared = 1, maxBucket = 10L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(hotOut.contains((98L, 99L)),
+      s"the real duplicate must survive the hot-bucket skip: $hotOut")
+    assert(hotOut.forall { case (a, b) => a == 98L && b == 99L },
+      s"boilerplate-only pairs must be suppressed: $hotOut")
+  }
+
   test("firstByKeyAgg == firstByKey window on a unique order tuple") {
     val ev = Tables.load(spark, sfDir, "events")
     val byWindow = CurrentState.firstByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
