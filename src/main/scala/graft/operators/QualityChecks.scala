@@ -169,8 +169,7 @@ object QualityChecks {
     // persisted (the madAnomaly precedent): the guard aggregate and the
     // returned plan both read the daily relation — without the cache the
     // raw-table aggregation would run twice
-    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
-      .filter(col("day").isNotNull)
+    val daily = dailyCounts(df, dayCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the weighted bigint sum is exact only while Σ n_i·2^i fits a long:
     // bound BOTH the day count and the peak daily volume (n_max·2^(d+1)
@@ -179,9 +178,13 @@ object QualityChecks {
     // itself wraps). One aggregated-scalar read over calendar-sized rows.
     val g = daily.agg(count(lit(1)), coalesce(max(col("n")), lit(0L))).head
     val (nDays, maxN) = (g.getLong(0), g.getLong(1))
-    require(nDays <= 40,
-      s"ewmaDaily is exact to 40 days per series; got $nDays — " +
-        "chunk longer histories by month/quarter")
+    if (nDays > 40) {
+      // past the exact-single-window horizon, fall through to the
+      // chunked form instead of failing — a quarter of history yields a
+      // result, not an exception. The first chunk reproduces the exact
+      // form's prefix bit-for-bit (same w_1 = 4 initialization).
+      return ewmaChunked(daily, chunkDays = 32, maxN)
+    }
     require(nDays == 0 || maxN <= (Long.MaxValue >> (nDays + 1)),
       s"ewmaDaily weighted sum would overflow: max daily count $maxN " +
         s"over $nDays days exceeds ${Long.MaxValue >> (nDays + 1)}")
@@ -193,6 +196,90 @@ object QualityChecks {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("day"), col("n"),
         (col("sw").cast("double") / pow(lit(2.0), col("rn") + 1)).as("ewma"))
+  }
+
+  private def dailyCounts(df: DataFrame,
+                          dayCol: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+      .filter(col("day").isNotNull)
+
+  /** [[ewmaDaily]] for histories of ANY length — the chunk-by-month form
+    * the exact single-window version promises. Days are split into
+    * `chunkDays`-sized chunks; within a chunk the weighted sum is the
+    * same exact BIGINT window sum (per-chunk overflow guard, so the
+    * horizon no longer bounds the series), and the chunk-boundary state
+    * folds through the rescaled recurrence
+    * `E_j = (2·E_{j-1} + T_j) / 2^(s_j+1)` — the dyadic weights rescale
+    * cleanly at a chunk cut, so each output value carries at most two
+    * float roundings (the bigint→double cast and one add) in a FIXED
+    * order regardless of history length: bit-identical on any engine,
+    * and the oracle replays the fold with a recursive CTE. The carry
+    * fold runs on the driver over CHUNK-sized rows (calendar/32 — ~114
+    * for a decade), the [[madAnomaly]] bounded-collect pattern; the
+    * returned relation is the calendar-sized daily series itself.
+    */
+  def ewmaDailyLong(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                    chunkDays: Int = 32): DataFrame = {
+    val daily = dailyCounts(df, dayCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxN = daily.agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
+    ewmaChunked(daily, chunkDays, maxN)
+  }
+
+  /** Shared chunked body: `daily` must be persisted by the caller; every
+    * exit path releases it (the result is a collected calendar-sized
+    * local relation, so no plan reads it afterwards). */
+  private def ewmaChunked(daily: DataFrame, chunkDays: Int,
+                          maxN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkDays >= 1 && chunkDays <= 60,
+      s"chunkDays must be in [1, 60], got $chunkDays")
+    // per-CHUNK overflow guard: the weighted sum inside one chunk is at
+    // most maxN · 2^(chunkDays+1); the chunk cut is exactly what keeps
+    // this bound independent of total history length
+    require(maxN <= (Long.MaxValue >> (chunkDays + 2)),
+      s"ewma chunk sum would overflow: max daily count $maxN with " +
+        s"chunkDays=$chunkDays exceeds ${Long.MaxValue >> (chunkDays + 2)} " +
+        "— use a smaller chunkDays")
+    try {
+      val w = Window.orderBy("day")
+      val inChunk = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ck", expr(s"CAST((rn - 1) div $chunkDays AS BIGINT)"))
+        .withColumn("r", (col("rn") - col("ck") * chunkDays).cast("int"))
+        // the global first row keeps the w_1 = 4 initialization (ewma_1 =
+        // v_1); every other weight is the local 2^r
+        .withColumn("wi", when(col("rn") === 1, lit(4L))
+          .otherwise(expr("shiftleft(1L, r)")))
+        .withColumn("sw", sum(col("n") * col("wi"))
+          .over(Window.partitionBy("ck").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // chunk totals: one row per chunk (calendar/chunkDays — bounded),
+      // folded in order on the driver into the carry series E_j
+      val tots = inChunk.groupBy(col("ck"))
+        .agg(expr("max_by(sw, r)").as("t"), max(col("r")).as("s"))
+        .orderBy("ck").collect()
+      var e = 0.0
+      val carriesSeq = tots.map { row =>
+        val ePrev = e
+        e = (2.0 * e + row.getLong(1).toDouble) /
+          math.pow(2.0, row.getInt(2) + 1.0)
+        (row.getLong(0), ePrev)
+      }.toIndexedSeq
+      val spark = daily.sparkSession
+      import spark.implicits._
+      val carries = broadcast(carriesSeq.toDF("ck", "e_prev"))
+      val out = inChunk.join(carries, Seq("ck"))
+        .select(col("day"), col("n"),
+          ((lit(2.0) * col("e_prev") + col("sw").cast("double")) /
+            pow(lit(2.0), col("r") + 1)).as("ewma"))
+      // calendar-sized by construction: collect to release the pin
+      val rows = out.orderBy("day").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally {
+      daily.unpersist(false)
+    }
   }
 
   /** Small-cell suppression — the k-anonymity-style export guard

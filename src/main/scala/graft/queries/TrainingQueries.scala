@@ -19,38 +19,19 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
   /** The 500 strongest user co-engagement edges, shared by the graph-
-    * cohesion gates. DENSE-regime support counting: the topic vocabulary
-    * is ~100, so a user's topic set is a 2-long BITSET and pair support
-    * is two codegen'd bit_count(AND)s — |users|^2/2 mask pairs over a
-    * broadcast user-mask table instead of the sum-over-topics(m^2)
-    * co-occurrence instances the per-topic equi-join form shuffles (40M
-    * at sf0.1, 16.6 s -> 4.9 s). Dense small vocab -> bitsets; sparse
-    * vocab -> equi-join: the classic projection trade. Deterministic
-    * total-order cut (support desc, then ids).
+    * cohesion gates. The bipartite projection (and the dense-bitset vs
+    * sparse-equi-join regime choice, made automatically from the
+    * aggregated user/topic counts) lives in
+    * [[graft.operators.LinkAnalysis.coEngagementEdges]] — both regimes
+    * provably produce the same edge set, so which one runs is invisible
+    * here. Topic domain [0, 100) per the engagement-log contract.
     */
-  private def coEngagementTop500(s: SparkSession, dir: String): DataFrame = {
-    // tp bounded [0, 99] EXPLICITLY (and in the oracle): Spark's shiftleft
-    // masks the shift amount mod 64, so an out-of-range topic id would
-    // silently alias onto another bit instead of failing — the filter
-    // turns data drift into a visible row-set difference, not corruption
-    val e = t(s, dir, "events").filter(col("user_id").isNotNull)
-      .select(col("user_id").as("u"),
-        get_json_object(col("props"), "$.k").cast("long").as("tp"))
-      .filter(col("tp").between(0, 99)).distinct()
-    val masks = e.groupBy(col("u")).agg(
-      coalesce(sum(when(col("tp") < 50,
-        expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
-      coalesce(sum(when(col("tp") >= 50,
-        expr("shiftleft(1L, CAST(tp - 50 AS INT))"))), lit(0L)).as("m2"))
-    val sup = masks.as("x").join(broadcast(masks.as("y")),
-        col("x.u") < col("y.u"))
-      .select(col("x.u").as("ua"), col("y.u").as("ub"),
-        (bit_count(col("x.m1").bitwiseAND(col("y.m1"))) +
-          bit_count(col("x.m2").bitwiseAND(col("y.m2"))))
-          .cast("long").as("c"))
-      .filter(col("c") > 0)
-    sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
-  }
+  private def coEngagementTop500(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinkAnalysis.coEngagementEdges(
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("tp")),
+      "u", "tp", topK = 500, topicDomain = Some(100))
 
   /** Deterministic scratch location for the IVF index of one source dir —
     * rebuilt (overwritten) by the index-building queries, reread by their
@@ -1061,10 +1042,10 @@ object TrainingQueries {
     // top of the triangle counts. Integer counts into one double
     // division; zero for degree-1 nodes by definition.
     "t_clustering_coef" -> ((s, dir) => {
-      // 500-row result persisted: the triangle and degree branches both
-      // read it — uncached, the quadratic mask join would run twice
+      // coEngagementEdges returns a collected local relation (<=500
+      // rows), so the triangle and degree branches re-scan a parallelized
+      // list, not the quadratic projection — no persist needed
       val top = coEngagementTop500(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tri = graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
       val deg = top.select(col("ua").as("node"))
         .unionByName(top.select(col("ub").as("node")))

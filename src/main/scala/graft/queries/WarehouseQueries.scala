@@ -1238,6 +1238,18 @@ object WarehouseQueries {
     "qa_ewma_volume" -> ((s, dir) =>
       QualityChecks.ewmaDaily(t(s, dir, "events"), to_date(col("ts")))),
 
+    // EWMA past the exact-window horizon: a 90-day series (synthetic
+    // calendar derived deterministically from event ids, since the
+    // fixture spans ~30 real days) through the CHUNKED form — per-chunk
+    // exact bigint sums, carry folded through the rescaled dyadic
+    // recurrence, oracle replays the fold with a recursive CTE.
+    "qa_ewma_long" -> ((s, dir) =>
+      QualityChecks.ewmaDailyLong(
+        t(s, dir, "events"),
+        date_add(to_date(lit("2024-01-01")),
+          pmod(col("event_id"), lit(90)).cast("int")),
+        chunkDays = 32)),
+
     // Small-cell suppression (k-anonymity export guard): (lang, source)
     // cells under 5 docs fold into one sentinel bucket — no published
     // row describes fewer than 5 documents, totals preserved.
@@ -2133,6 +2145,35 @@ object WarehouseQueries {
         |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sw
         |  FROM r)
         |SELECT day, n, CAST(sw AS DOUBLE) / pow(2, rn + 1) AS ewma FROM s""".stripMargin,
+
+    // chunked EWMA: per-chunk exact bigint window sums, chunk-boundary
+    // carry E_j = (2*E_{j-1} + T_j)/2^(s_j+1) replayed as a recursive CTE
+    "qa_ewma_long" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT DATE '2024-01-01' + CAST(event_id % 90 AS INTEGER) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d
+        |      WHERE day IS NOT NULL),
+        |c AS (SELECT day, n, rn, CAST((rn - 1) // 32 AS BIGINT) AS ck,
+        |             CAST(rn - 32 * ((rn - 1) // 32) AS INTEGER) AS r
+        |      FROM r),
+        |s AS (
+        |  SELECT day, n, ck, r,
+        |    SUM(n * (CASE WHEN rn = 1 THEN CAST(4 AS BIGINT)
+        |                  ELSE (CAST(1 AS BIGINT) << r) END))
+        |      OVER (PARTITION BY ck ORDER BY day ROWS UNBOUNDED PRECEDING) AS sw
+        |  FROM c),
+        |tot AS (SELECT ck, max_by(sw, r) AS t, MAX(r) AS s FROM s GROUP BY ck),
+        |carry AS (
+        |  SELECT CAST(-1 AS BIGINT) AS ck, CAST(0 AS DOUBLE) AS e
+        |  UNION ALL
+        |  SELECT tot.ck,
+        |         (2.0 * carry.e + CAST(tot.t AS DOUBLE)) / pow(2, tot.s + 1)
+        |  FROM carry JOIN tot ON tot.ck = carry.ck + 1)
+        |SELECT s.day, s.n,
+        |  (2.0 * carry.e + CAST(s.sw AS DOUBLE)) / pow(2, s.r + 1) AS ewma
+        |FROM s JOIN carry ON carry.ck = s.ck - 1""".stripMargin,
 
     // cells under k re-keyed to the sentinel, then re-aggregated
     "qa_kanon" ->

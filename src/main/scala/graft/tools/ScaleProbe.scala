@@ -243,12 +243,14 @@ object ScaleProbe {
     // regimes head-to-head on the same graph — per-topic equi-join
     // (sum-over-topics m^2 co-occurrence instances: the SPARSE-vocab
     // form) vs bitset masks (|users|^2/2 cheap pairs: the DENSE-vocab
-    // form) — proving they produce the SAME top-500 edge set and
-    // measuring the regime gap the gate's comment claims.
+    // form) — proving they produce the SAME top-500 edge set, measuring
+    // the regime gap, and checking that coEngagementEdges' AUTOMATIC
+    // selector (unit-count comparison) picks the measured winner here.
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("triangles")) {
+      import graft.operators.LinkAnalysis
       val ev = graft.sources.Tables.load(spark, sfDir, "events")
       val e = ev.filter(col("user_id").isNotNull)
-        .select(col("user_id").as("u"),
+        .select(col("user_id").cast("long").as("u"),
           get_json_object(col("props"), "$.k").cast("long").as("tp"))
         .filter(col("tp").between(0, 99)).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -257,29 +259,26 @@ object ScaleProbe {
         sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       val t0 = System.nanoTime()
-      val joinTop = topVia(e.as("x").join(e.as("y"),
-          col("x.tp") === col("y.tp") && col("x.u") < col("y.u"))
-        .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
-        .agg(count(lit(1)).as("c")))
+      val joinTop = topVia(LinkAnalysis.coEngagementSupport(e, dense = false, domain = 100))
       val tJoin = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val masks = e.groupBy(col("u")).agg(
-        coalesce(sum(when(col("tp") < 50,
-          expr("shiftleft(1L, CAST(tp AS INT))"))), lit(0L)).as("m1"),
-        coalesce(sum(when(col("tp") >= 50,
-          expr("shiftleft(1L, CAST(tp - 50 AS INT))"))), lit(0L)).as("m2"))
-      val bitTop = topVia(masks.as("x").join(broadcast(masks.as("y")),
-          col("x.u") < col("y.u"))
-        .select(col("x.u").as("ua"), col("y.u").as("ub"),
-          (bit_count(col("x.m1").bitwiseAND(col("y.m1"))) +
-            bit_count(col("x.m2").bitwiseAND(col("y.m2"))))
-            .cast("long").as("c"))
-        .filter(col("c") > 0))
+      val bitTop = topVia(LinkAnalysis.coEngagementSupport(e, dense = true, domain = 100))
       val tBit = (System.nanoTime() - t1) / 1e9
+      // the same two scalars the operator reads to choose the regime
+      val inst = e.groupBy(col("tp")).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m") * col("m")), lit(0L))).head.getLong(0)
+      val nUsers = e.select(col("u")).distinct().count()
+      val pick = LinkAnalysis.chooseDense(nUsers, inst, Some(100), 1L << 21)
       e.unpersist(false)
       println(f"[scale] triangles equi-join ${tJoin}%.2f s vs bitset ${tBit}%.2f s " +
         f"(${tJoin / tBit}%.1fx) — identical top-500: ${joinTop == bitTop}")
+      println(f"[scale] selector: users=$nUsers sum(m^2)=$inst -> " +
+        f"${if (pick) "dense" else "sparse"} (measured winner: " +
+        f"${if (tBit <= tJoin) "dense" else "sparse"})")
       assert(joinTop == bitTop, "the two support regimes disagree on the edge set")
+      assert(pick == (tBit <= tJoin),
+        s"selector picked ${if (pick) "dense" else "sparse"} but the measured " +
+          s"winner was the other form (join $tJoin s, bitset $tBit s)")
       spark.stop(); return
     }
 

@@ -181,4 +181,79 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(r.keySet == Set(1L, 2L, 3L))
     assert(r(1L) > r(2L) && r(2L) > r(3L))
   }
+
+  // ---- coEngagementEdges: regime equivalence + automatic selection ----
+
+  private def pairsDF(rows: (Long, Long)*) = rows.toDF("u", "tp")
+
+  private def sortedSup(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("ua", "ub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("coEngagement: dense and sparse regimes produce the identical " +
+      "support table, including duplicates / nulls / out-of-domain topics") {
+    val raw = Seq(
+      (Some(1L), Some(0L)), (Some(1L), Some(0L)), // duplicate engagement
+      (Some(1L), Some(63L)), (Some(1L), Some(64L)), // both bitset halves
+      (Some(2L), Some(0L)), (Some(2L), Some(64L)), (Some(2L), Some(127L)),
+      (Some(3L), Some(63L)), (Some(3L), Some(127L)),
+      (Some(4L), Some(5L)),               // shares nothing -> no edges
+      (Some(5L), Some(200L)),             // out of domain -> dropped
+      (None, Some(1L)), (Some(6L), None)) // nulls dropped
+      .toDF("u", "tp")
+    val e = raw.select(col("u").cast("long").as("u"), col("tp").cast("long").as("tp"))
+      .filter(col("u").isNotNull && col("tp").between(0, 127)).distinct()
+    val dense = sortedSup(LinkAnalysis.coEngagementSupport(e, dense = true, domain = 128))
+    val sparse = sortedSup(LinkAnalysis.coEngagementSupport(e, dense = false, domain = 128))
+    assert(dense == sparse, s"regimes disagree: $dense vs $sparse")
+    // hand check: 1∩2 = {0,64} -> 2; 1∩3 = {63} -> 1; 2∩3 = {127} -> 1
+    assert(dense == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("coEngagement: the selector picks dense for few-users/many-topics, " +
+      "sparse for many-users/few-topics, and respects the hard bounds") {
+    // few users, each engaging most of the domain: |U|^2/2 tiny,
+    // sum m_t^2 large -> dense
+    assert(LinkAnalysis.chooseDense(nUsers = 30, sumMSq = 100 * 30 * 30,
+      topicDomain = Some(100), maxDenseUsers = 1L << 21))
+    // many users each with ~1 topic: |U|^2 dominates -> sparse
+    assert(!LinkAnalysis.chooseDense(nUsers = 2000, sumMSq = 100 * 20 * 20,
+      topicDomain = Some(100), maxDenseUsers = 1L << 21))
+    // domain too wide for the 128-bit bitset -> sparse regardless
+    assert(!LinkAnalysis.chooseDense(nUsers = 30, sumMSq = Long.MaxValue,
+      topicDomain = Some(129), maxDenseUsers = 1L << 21))
+    // unbounded vocabulary -> sparse regardless
+    assert(!LinkAnalysis.chooseDense(nUsers = 30, sumMSq = Long.MaxValue,
+      topicDomain = None, maxDenseUsers = 1L << 21))
+    // mask table past the broadcast bound -> sparse regardless
+    assert(!LinkAnalysis.chooseDense(nUsers = 100, sumMSq = Long.MaxValue,
+      topicDomain = Some(100), maxDenseUsers = 99))
+    // |U|^2 must not overflow Long on cluster-scale user counts
+    assert(!LinkAnalysis.chooseDense(nUsers = 4000000000L, sumMSq = Long.MaxValue,
+      topicDomain = Some(100), maxDenseUsers = Long.MaxValue))
+  }
+
+  test("coEngagementEdges end-to-end: deterministic top-k cut, identical " +
+      "result whichever regime the stats select, no cached state left") {
+    // earlier tests legitimately leave pageRank's documented rank pin;
+    // start from a clean slate so the isEmpty check below isolates THIS
+    // operator's cleanup
+    spark.catalog.clearCache()
+    // dense-regime fixture (3 users, rich topic sets)
+    val dense = pairsDF(1L -> 0L, 1L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 1L,
+      3L -> 2L, 3L -> 3L, 1L -> 3L)
+    val got = LinkAnalysis.coEngagementEdges(dense, "u", "tp", topK = 2,
+      topicDomain = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // supports: (1,2)=2, (1,3)=2, (2,3)=0 -> top-2 by (c desc, ua, ub)
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 2L)))
+    // sparse-regime fixture (many users, one topic each, shared pairwise):
+    // 40 users on topic 7 -> all C(40,2) pairs support 1
+    val sparseRows = (1L to 40L).map(u => u -> 7L)
+    val sp = LinkAnalysis.coEngagementEdges(pairsDF(sparseRows: _*), "u", "tp",
+      topK = 1000, topicDomain = Some(100))
+    assert(sp.count() == 40L * 39 / 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "coEngagementEdges must release its pair-table pin")
+  }
 }

@@ -129,6 +129,47 @@ class QualityChecksSpec extends SparkSpec {
     assert(got(series) == recur(series)) // bit-exact, not approximately
   }
 
+  test("ewmaDailyLong: chunked fold equals the exact form on short series, " +
+      "extends past 40 days matching the recurrence, guards per chunk") {
+    import spark.implicits._
+    def fixture(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)(java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(d)))
+    }.toDF("day")
+    def series(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.orderBy("day").select("ewma").as[Double].collect().toSeq
+    def recur(counts: Seq[Int]): Seq[Double] =
+      counts.tail.scanLeft(counts.head.toDouble)((acc, v) => (acc + v) / 2.0)
+    // small values: every intermediate fits a double's 53-bit mantissa,
+    // so chunked (three 7-day chunks + remainder) == exact, bit-for-bit
+    val rnd = new scala.util.Random(11)
+    val short = Seq.fill(25)(rnd.nextInt(14) + 1)
+    assert(series(QualityChecks.ewmaDailyLong(fixture(short), col("day"),
+      chunkDays = 7)) ==
+      series(QualityChecks.ewmaDaily(fixture(short), col("day"))))
+    // 60 days: the exact form's old horizon — ewmaDaily now dispatches to
+    // the chunked fold instead of throwing, and the result follows the
+    // halving recurrence (float-rounded at chunk cuts only)
+    val long = Seq.fill(60)(rnd.nextInt(200) + 1)
+    val got60 = series(QualityChecks.ewmaDaily(fixture(long), col("day")))
+    val want60 = recur(long)
+    assert(got60.size == 60)
+    assert(got60.zip(want60).forall { case (a, b) =>
+      math.abs(a - b) <= 1e-9 * math.max(1.0, b.abs) })
+    // and the dispatch is exactly ewmaDailyLong at the default chunking
+    assert(got60 == series(
+      QualityChecks.ewmaDailyLong(fixture(long), col("day"), chunkDays = 32)))
+    // per-chunk overflow guard fires on volumes the chunk sum can't hold
+    val wide = spark.range(0, 10).select(
+      lit(java.sql.Date.valueOf("2024-03-01")).as("day"))
+    val huge = intercept[IllegalArgumentException] {
+      // maxN is the daily row count (10) — force the failure via chunkDays
+      // out of range instead of materializing 2^40 rows
+      QualityChecks.ewmaDailyLong(wide, col("day"), chunkDays = 61)
+    }
+    assert(huge.getMessage.contains("chunkDays"))
+  }
+
   test("suppressSmallCells: no published row under k, totals preserved, " +
       "suppressed cell count reported") {
     import spark.implicits._
