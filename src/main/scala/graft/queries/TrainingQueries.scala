@@ -1781,12 +1781,14 @@ object TrainingQueries {
        |  GROUP BY a.cell, d.i),
        |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
 
-  /** PQ oracle: seed codebooks as subspace slices of vectors id < ksub,
-    * codes by round-6 L2 argmin (min-j ties), ADC scores fixed-pointed to
+  /** Shared PQ CTE stack through `adc` (the [[kmeansCtePrefix]] pattern):
+    * seed codebooks as subspace slices of vectors id < ksub, codes by
+    * round-6 L2 argmin (min-j ties), ADC scores fixed-pointed to
     * micro-units before the cross-subspace sum — every step replays the
-    * Spark pipeline exactly.
+    * Spark pipeline exactly. Both PQ oracles append their own final
+    * SELECT, so neither depends on the other's text.
     */
-  private def annPqOracle(m: Int, dsub: Int, ksub: Int, k: Int): String =
+  private def pqCtePrefix(m: Int, dsub: Int, ksub: Int): String =
     s"""WITH subs AS (SELECT unnest(range($m)) AS u),
        |cb AS (
        |  SELECT s.u, e.vec_id AS j,
@@ -1811,26 +1813,27 @@ object TrainingQueries {
        |  SELECT cd.vec_id, round(CAST(SUM(l.s6) AS DOUBLE) / 1000000, 3) AS score
        |  FROM codes cd JOIN lut l ON l.u = cd.u AND l.j = cd.code
        |  GROUP BY cd.vec_id)
-       |SELECT e.vec_id, e.label, a.score
-       |FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
-       |ORDER BY a.score DESC, e.vec_id LIMIT $k""".stripMargin
+       |""".stripMargin
 
-  /** The two-stage form: [[annPqOracle]]'s CTE stack up to `adc`, then an
-    * ADC shortlist of `shortN` ids and an exact-cosine rerank of only
-    * those — replaying `IvfIndex.pqRerankTopK` stage for stage.
+  private def annPqOracle(m: Int, dsub: Int, ksub: Int, k: Int): String =
+    pqCtePrefix(m, dsub, ksub) +
+      s"""SELECT e.vec_id, e.label, a.score
+         |FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
+         |ORDER BY a.score DESC, e.vec_id LIMIT $k""".stripMargin
+
+  /** The two-stage form: [[pqCtePrefix]]'s stack, then an ADC shortlist
+    * of `shortN` ids and an exact-cosine rerank of only those —
+    * replaying `IvfIndex.pqRerankTopK` stage for stage.
     */
   private def annPqRerankOracle(m: Int, dsub: Int, ksub: Int,
-                                shortN: Int, k: Int): String = {
-    val base = annPqOracle(m, dsub, ksub, shortN)
-    val upToAdc = base.substring(0, base.lastIndexOf("SELECT e.vec_id"))
-    upToAdc +
+                                shortN: Int, k: Int): String =
+    pqCtePrefix(m, dsub, ksub).stripSuffix("\n") +
       s""",shortl AS (
          |  SELECT e.vec_id FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
          |  ORDER BY a.score DESC, e.vec_id LIMIT $shortN)
          |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 64)} AS cos
          |FROM embeddings e JOIN shortl s ON e.vec_id = s.vec_id, q
          |ORDER BY cos DESC, e.vec_id LIMIT $k""".stripMargin
-  }
 
   private def annIvfKmeansOracle(nlist: Int, iters: Int, nprobe: Int): String =
     s"""${kmeansCtePrefix(nlist, iters)},

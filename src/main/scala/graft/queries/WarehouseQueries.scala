@@ -566,6 +566,52 @@ object WarehouseQueries {
           (col("slot_ms").cast("double") * lit(1048576.0) / lit(1099511627776.0)
             * lit(5.0)).as("est_cost_usd"))),
 
+    // S9+ (audit breadth): per-job slot-contention ATTRIBUTION — the
+    // jobExecutionTimeline array of the reference's audit mart (reference
+    // dags/queries/audit_log.sql:460-476): each job's average slot usage
+    // fanned across its execution minutes, then per contested minute the
+    // concurrent-job count, the total demand, and each job's share. Slot
+    // usage is fixed-pointed to BIGINT milli-slots BEFORE the per-minute
+    // sum, so the cross-job total is an exact integer (a float sum would
+    // be partition-order-dependent); the only doubles are row-level.
+    // Timeline rows are bounded jobs x 10 buckets — never event-sized.
+    "s9_audit_slots" -> ((s, dir) => {
+      val timeline = t(s, dir, "events")
+        .withColumn("job_id", pmod(col("event_id"), lit(997L)))
+        .withColumn("slot_ms",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") * lit(100L))
+        .groupBy(col("job_id"))
+        .agg(min(col("ts")).as("job_start"),
+          sum(when(col("event_type") === "purchase",
+            dec2(col("value") * 1000)).otherwise(lit(null)))
+            .cast("double").as("runtime_ms"),
+          sum(col("slot_ms")).as("slot_ms"))
+        .filter(col("runtime_ms").isNotNull && col("runtime_ms") =!= 0 &&
+          col("slot_ms").isNotNull)
+        .select(col("job_id"),
+          floor(lit(1000.0) * col("slot_ms") / col("runtime_ms"))
+            .cast("long").as("slots_milli"),
+          // tz-free minute index (ts is NTZ): whole days since a fixed
+          // anchor * 1440 + minute-of-day — no session-timezone term
+          (datediff(col("job_start").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long") * 1440L +
+            hour(col("job_start")) * 60L + minute(col("job_start"))).as("m0"),
+          least(ceil(col("runtime_ms") / lit(60000.0)).cast("long"), lit(10L))
+            .as("mins"))
+        .filter(col("mins") >= 1)
+        .select(col("job_id"), col("slots_milli"), col("m0"),
+          explode(sequence(lit(1L), col("mins"))).as("bk"))
+        .select(col("job_id"), col("slots_milli"),
+          (col("m0") + col("bk")).as("minute_idx"))
+      val perMinute = Window.partitionBy("minute_idx")
+      timeline
+        .withColumn("n_jobs", count(lit(1)).over(perMinute))
+        .withColumn("minute_total", sum(col("slots_milli")).over(perMinute))
+        .select(col("minute_idx"), col("job_id"), col("slots_milli"),
+          col("n_jobs"), col("minute_total"),
+          (col("slots_milli").cast("double") / col("minute_total")).as("share"))
+    }),
+
     // A5 (marts, beyond the reference): ROLLUP subtotal lattice — the
     // day x type activity mart with per-day and grand-total rows in one
     // map-side-combinable pass.
@@ -1166,6 +1212,36 @@ object WarehouseQueries {
           sum(col("o_custkey")).as("cust_sum"))
     }),
 
+    // S7 through the gate: the external-API pull stage against a local
+    // HTTP fixture serving the nation dim as NDJSON (derived from the
+    // same parquet the oracle reads). Pull runs TWICE — the retried-run
+    // contract: atomic rename means the rerun lands byte-identical
+    // output, never a half-written batch — batch lineage is stamped per
+    // record (the reference's -u metadata flag), and the landed file
+    // goes through the ordinary S4 FAILFAST load.
+    "s7_api_pull" -> ((s, dir) => {
+      val outRoot = scratch("s7pull", dir)
+      val rows = t(s, dir, "nation").orderBy("n_nationkey").collect()
+      val payload = rows.map(r =>
+        s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}",""" +
+          s""""n_regionkey":${r.getInt(2)}}""").mkString("\n")
+      val meta = Some(graft.sources.ApiPull.BatchMeta(
+        "batch-1", "2024-01-01T00:00:00", "2024-01-01T00:05:00Z"))
+      val landed = graft.sources.ApiPull.withLocalEndpoint(payload) { url =>
+        graft.sources.ApiPull.pullNdjson(url, outRoot, "run_001", "nation", meta)
+        // idempotent rerun over the same path
+        graft.sources.ApiPull.pullNdjson(url, outRoot, "run_001", "nation", meta)
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType),
+        StructField("batch_id", StringType),
+        StructField("batch_run_date", StringType),
+        StructField("batch_insert_ts", StringType)))
+      graft.sources.Ndjson.read(s, schema, landed)
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -1718,6 +1794,42 @@ object WarehouseQueries {
         |  slot_ms * 1048576.0 / 1099511627776.0 * 5.0 AS est_cost_usd
         |FROM j""".stripMargin,
 
+    // timeline fan-out + exact integer per-minute totals, shares row-level
+    "s9_audit_slots" ->
+      """WITH base AS (
+        |  SELECT event_id % 997 AS job_id, event_type, ts, value,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 100 AS slot_ms
+        |  FROM events),
+        |j AS (
+        |  SELECT job_id, MIN(ts) AS job_start,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value * 1000 AS DECIMAL(18,2)) END) AS DOUBLE) AS runtime_ms,
+        |    SUM(slot_ms) AS slot_ms
+        |  FROM base GROUP BY 1),
+        |f AS (
+        |  SELECT job_id,
+        |    CAST(FLOOR(1000.0 * slot_ms / runtime_ms) AS BIGINT) AS slots_milli,
+        |    CAST((CAST(job_start AS DATE) - DATE '2024-01-01') AS BIGINT) * 1440
+        |      + CAST(hour(job_start) AS BIGINT) * 60
+        |      + CAST(minute(job_start) AS BIGINT) AS m0,
+        |    LEAST(CAST(CEIL(runtime_ms / 60000.0) AS BIGINT), 10) AS mins
+        |  FROM j
+        |  WHERE runtime_ms IS NOT NULL AND runtime_ms <> 0
+        |    AND slot_ms IS NOT NULL),
+        |tl AS (
+        |  SELECT job_id, slots_milli, m0 + bk AS minute_idx
+        |  FROM (SELECT job_id, slots_milli, m0,
+        |          unnest(generate_series(1, mins)) AS bk
+        |        FROM f WHERE mins >= 1)),
+        |tot AS (
+        |  SELECT minute_idx, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+        |    CAST(SUM(slots_milli) AS BIGINT) AS minute_total
+        |  FROM tl GROUP BY 1)
+        |SELECT tl.minute_idx, tl.job_id, tl.slots_milli,
+        |  tot.n_jobs, tot.minute_total,
+        |  CAST(tl.slots_milli AS DOUBLE) / tot.minute_total AS share
+        |FROM tl JOIN tot USING (minute_idx)""".stripMargin,
+
     "a5_cube" ->
       """SELECT CASE WHEN g_day = 1 THEN DATE '1900-01-01' ELSE day END AS day,
         |  CASE WHEN g_type = 1 THEN 'ALL' ELSE event_type END AS event_type,
@@ -1994,6 +2106,15 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         |FROM orders WHERE o_orderkey % 100 = 1 GROUP BY 1""".stripMargin,
+
+    // the pulled feed must equal the source dim plus the stamped lineage
+    "s7_api_pull" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  'batch-1' AS batch_id,
+        |  '2024-01-01T00:00:00' AS batch_run_date,
+        |  '2024-01-01T00:05:00Z' AS batch_insert_ts
+        |FROM nation""".stripMargin,
 
     "a5_incremental_mart" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,

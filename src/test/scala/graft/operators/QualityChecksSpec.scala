@@ -192,6 +192,19 @@ class QualityChecksSpec extends SparkSpec {
     val out2 = QualityChecks.suppressSmallCells(small, Seq("grp"), k = 5)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out2 == Map("a" -> 10L)) // c+d = 3 < 5: withheld
+    // a dims value that naturally equals the sentinel must fail loudly,
+    // not silently merge real data into the suppression bucket
+    val clash = (Seq.fill(10)("a") ++ Seq.fill(8)("__suppressed__"))
+      .map(g => (g, 1)).toDF("grp", "v")
+    val err = intercept[Exception] {
+      QualityChecks.suppressSmallCells(clash, Seq("grp"), k = 5).collect()
+    }
+    assert(err.getMessage.contains("sentinel"))
+    // and the same data publishes fine under a non-colliding sentinel
+    val ok = QualityChecks.suppressSmallCells(clash, Seq("grp"), k = 5,
+        sentinel = "__redacted__")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok == Map("a" -> 10L, "__suppressed__" -> 8L))
   }
 
   test("madAnomaly: hand-computed medians; robust where the z-score's own " +
