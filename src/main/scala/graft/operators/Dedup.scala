@@ -717,11 +717,18 @@ object Dedup {
     // driven by DISTINCT content only. On crawl-shaped corpora this is the
     // difference between millions and hundreds of verify pairs.
     val (keptIds, pins) = pinScope {
+      // ONE narrow md5 pass + ONE exchange: hash every doc once into
+      // (id, content_hash) and take the group canonical as a window min
+      // over the hash — the old form scanned the full text twice (once
+      // inside exactGroups' groupBy, once for the join projection) and
+      // paid a groupBy + join + an extra eager materialization for the
+      // same result. The window partitions on content_hash (bounded by
+      // duplicate-group size, the same key the groupBy shuffled on).
       val repOf = materialize(
-        docs.withColumn("content_hash", md5(col(textCol)))
-          .join(exactGroups(docs, idCol, textCol).select("content_hash", "canonical_id"),
-            "content_hash")
-          .select(col(idCol), col("canonical_id").as("rep")))
+        docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+          .withColumn("rep", min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+          .select(col(idCol), col("rep")))
       val reps = docs.join(
         repOf.filter(col(idCol) === col("rep")).select(idCol), Seq(idCol), "left_semi")
       // materialize the verified pairs through a normal action so the verify

