@@ -38,8 +38,11 @@ object Multimodal {
     * units per frame) and relational (sequence + explode + substring), so
     * it stays inside whole-stage codegen and scales by adding rows, not
     * per-row work; an empty payload yields one empty frame so every doc
-    * survives. A real build swaps the substring "decoder" for the codec's
-    * frame reader at the same (doc, frame_idx) granularity.
+    * survives. Each frame carries BOTH fingerprints: the exact md5 (byte
+    * identity) and the 64-bit perceptual [[phashExpr]] (near-identity —
+    * robust to the small edits/shifts that break every strided md5). A
+    * real build swaps the substring "decoder" for the codec's frame
+    * reader at the same (doc, frame_idx) granularity.
     */
   def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String,
                    stride: Int = 256, frameLen: Int = 64): DataFrame = {
@@ -52,9 +55,94 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),
-        md5(expr(s"substring(__p, frame_idx * $stride + 1, $frameLen)")).as("frame_hash"),
-        length(expr(s"substring(__p, frame_idx * $stride + 1, $frameLen)"))
-          .cast("long").as("frame_len"))
+        expr(s"substring(__p, frame_idx * $stride + 1, $frameLen)").as("__f"))
+      .withColumn("__g", gridExpr("__f"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        md5(col("__f")).as("frame_hash"),
+        length(col("__f")).cast("long").as("frame_len"),
+        phashFromGrid("__f", "__g").as("phash"))
+  }
+
+  /** The 8-cell stub intensity grid of a frame: a histogram of character
+    * codes (code mod 8) — see [[phashFromGrid]]. Built ONCE per frame
+    * (one pass to codes, 8 bucket counts), then the 64-bit fold only
+    * reads cells. Eight buckets keep per-cell counts high (~len/8), so
+    * comparison margins are wide and a small edit moves few of them.
+    */
+  private def gridExpr(frameCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(0, 7), b ->
+         |  size(filter(
+         |    transform(sequence(1, length($frameCol)), p ->
+         |      ascii(substring($frameCol, p, 1)) % 8),
+         |    c -> c = b)))""".stripMargin)
+
+  /** 64-bit perceptual frame fingerprint over the stub byte grid, from
+    * the pairwise-comparison family dHash belongs to (dHash's gradient
+    * bits are the adjacent-pair special case): the frame's INTENSITY
+    * DISTRIBUTION — the [[gridExpr]] 8-bucket histogram — read out as
+    * the full 8x8 comparison tournament, bit j = (g[j div 8] > g[j mod
+    * 8]). The histogram is position-free and the cells are dense
+    * (~len/8 each), so a few-unit shift or edit moves a few counts by
+    * ±1 and flips only the comparisons already within that margin —
+    * the tolerance real dHash gets from resampling a smooth image —
+    * while different content reshapes the distribution and many bits.
+    * Fused sequence/transform/aggregate expressions, no UDF; empty
+    * frames hash to 0. A real build swaps the histogram for the decoded
+    * luma grid at the same granularity.
+    */
+  private def phashFromGrid(frameCol: String,
+                            gridCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""CASE WHEN length($frameCol) = 0 THEN CAST(0 AS BIGINT) ELSE
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + IF(
+         |      element_at($gridCol, CAST((j div 8) + 1 AS INT)) >
+         |      element_at($gridCol, CAST((j % 8) + 1 AS INT)),
+         |      shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)),
+         |      CAST(0 AS BIGINT)))
+         |END""".stripMargin)
+
+  /** Perceptual frame-level near-duplicate pairs — [[frameDupPairs]]'
+    * companion for NEAR-identical (not byte-identical) frames: media
+    * pairs with >= minShared frame pairs whose 64-bit perceptual hashes
+    * are within `maxHamming` bits. Candidates come from SimHash-style
+    * banding (4 x 16-bit bands of the phash — Hamming <= 3 GUARANTEES a
+    * shared band by pigeonhole; higher budgets trade recall like any
+    * LSH), so only (band, value) keys shuffle and the Hamming verify is
+    * candidate-confined: the MinHash-LSH cost envelope at frame-hash
+    * granularity. Hot bands (> maxBucket frames) are skipped like any
+    * boilerplate bucket; empty frames never hash-pair.
+    */
+  def phashDupPairs(docs: DataFrame, idCol: String, payloadCol: String,
+                    stride: Int = 256, frameLen: Int = 64,
+                    maxHamming: Int = 8, minShared: Int = 1,
+                    maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming >= 0 && minShared >= 1 && maxBucket >= 2)
+    val fr = sampleFrames(docs, idCol, payloadCol, stride, frameLen)
+      .filter(col("frame_len") > 0)
+      .select(col("doc_id"), col("phash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fr.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"), col("phash"), col("b"),
+        expr("(phash >> (b * 16)) & 65535").as("v"))
+    val hot = banded.groupBy("b", "v").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > maxBucket).select("b", "v")
+    val cool = banded.join(broadcast(hot), Seq("b", "v"), "left_anti")
+    val cand = cool.as("x").join(cool.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_close"), min(col("hamming")).as("min_hamming"))
+      .filter(col("n_close") >= minShared)
   }
 
   /** Frame-level near-duplicate pairs — the video/image dedup shape

@@ -842,6 +842,15 @@ object TrainingQueries {
       Multimodal.frameDupPairs(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64, minShared = 2)),
 
+    // Perceptual frame dedup: media pairs with >= 3 frame pairs within
+    // Hamming 8 of the 64-bit stub-grid perceptual hash — the
+    // NEAR-identical complement of the exact-md5 pairs (shifted/edited
+    // copies that break every strided md5). SimHash-band candidates,
+    // candidate-confined Hamming verify.
+    "t_multimodal_phash" -> ((s, dir) =>
+      Multimodal.phashDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        stride = 256, frameLen = 64, maxHamming = 8, minShared = 3)),
+
     // Multimodal patch retrieval — the full plumbing a frame/patch
     // similarity search needs, end to end: strided frame sampling, a
     // per-frame embedding (here the deterministic STUB: 8 dims derived
@@ -1836,6 +1845,23 @@ object TrainingQueries {
        |  GROUP BY a.cell, d.i),
        |c$i AS (SELECT cell AS cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cell)""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Multimodal]]'s stub intensity
+    * grid: the 8-bucket histogram of character codes (code mod 8) of a
+    * frame string column. */
+  private def gridSql(f: String): String =
+    s"""list_transform(range(0, 8), b -> CAST(len(list_filter(
+       |    list_transform(range(1, length($f) + 1), p ->
+       |      ord(substr($f, CAST(p AS INTEGER), 1)) % 8),
+       |    c -> c = b)) AS BIGINT))""".stripMargin
+
+  /** DuckDB replay of the 8x8 comparison-tournament perceptual hash over
+    * a [[gridSql]] grid column. */
+  private def phashSql(g: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 64), j ->
+       |    CASE WHEN $g[CAST(j // 8 AS INTEGER) + 1] > $g[CAST(j % 8 AS INTEGER) + 1]
+       |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
   /** Shared PQ CTE stack through `adc` (the [[kmeansCtePrefix]] pattern):
     * seed codebooks as subspace slices of vectors id < ksub, codes by
     * round-6 L2 argmin (min-j ties), ADC scores fixed-pointed to
@@ -2771,14 +2797,50 @@ object TrainingQueries {
         |       JOIN sz sb ON p.doc_b = sb.doc_id""".stripMargin,
 
     "t_multimodal_frames" ->
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(0, (greatest(length(text), 1) - 1) // 256)) AS i
-        |  FROM documents)
-        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |  md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS frame_hash,
-        |  CAST(length(substr(text, CAST(i * 256 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_len
-        |FROM f""".stripMargin,
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |    substr(text, CAST(i * 256 + 1 AS INTEGER), 64) AS fstr
+        |  FROM f),
+        |g AS (SELECT doc_id, frame_idx, fstr, ${gridSql("fstr")} AS gr FROM fr)
+        |SELECT doc_id, frame_idx, md5(fstr) AS frame_hash,
+        |  CAST(length(fstr) AS BIGINT) AS frame_len,
+        |  CASE WHEN length(fstr) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE ${phashSql("gr")} END AS phash
+        |FROM g""".stripMargin,
+
+    // SimHash-band candidates over the perceptual hash, Hamming-verified,
+    // doc-level corroboration >= 3 close frame pairs
+    "t_multimodal_phash" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (greatest(length(text), 1) - 1) // 256)) AS i
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, substr(text, CAST(i * 256 + 1 AS INTEGER), 64) AS fstr
+        |  FROM f),
+        |fr1 AS (SELECT doc_id, fstr FROM fr WHERE length(fstr) > 0),
+        |g AS (SELECT doc_id, fstr, ${gridSql("fstr")} AS gr FROM fr1),
+        |h AS (SELECT DISTINCT doc_id, ${phashSql("gr")} AS phash FROM g),
+        |bands AS (
+        |  SELECT doc_id, phash, b,
+        |    (phash >> CAST(b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM h, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |hot AS (SELECT b, v FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1000),
+        |cool AS (SELECT bands.* FROM bands ANTI JOIN hot USING (b, v)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM cool x JOIN cool y
+        |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+        |cl AS (
+        |  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 8)
+        |SELECT doc_a, doc_b, COUNT(*) AS n_close, MIN(hamming) AS min_hamming
+        |FROM cl GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
     // Re-derives the KMV sketch relationally: distinct hashes -> per-group
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the

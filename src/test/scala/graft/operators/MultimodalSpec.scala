@@ -53,6 +53,46 @@ class MultimodalSpec extends SparkSpec {
     assert((a, b) == (1L, 2L) && cont == 1.0 && shared >= 2L)
   }
 
+  test("phash: identical payloads at Hamming 0; the shifted copy exact " +
+      "hashing is blind to pairs via phashDupPairs; different content does not") {
+    val base = (1 to 600).map(i => s"w$i").mkString(" ")
+    // "different content" for a distribution-based perceptual hash means a
+    // different intensity distribution — uppercase + punctuation vs the
+    // base's lowercase + digits. (A q-for-w swap alone keeps ~the same
+    // histogram and SHOULD pair perceptually, like two photos of the same
+    // scene: that near-miss is frameDupPairs' exact-md5 job to separate.)
+    val other = (1 to 600).map(i =>
+      s"Q${('A' + i % 26).toChar}${('A' + (i / 26) % 26).toChar}!").mkString("; ")
+    val d = Seq(
+      (1L, base),
+      (3L, "zz " + base),   // shifted copy
+      (4L, other))          // different content
+      .toDF("doc_id", "text")
+    // the exact-md5 path misses the shifted copy entirely (the r4 spec's
+    // documented blind spot)
+    assert(Multimodal.frameDupPairs(d, "doc_id", "text", minShared = 2)
+      .collect().isEmpty)
+    // identical payloads: every frame pair at Hamming 0
+    val same = Multimodal.phashDupPairs(
+        Seq((1L, base), (2L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 0, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    spark.sharedState.cacheManager.clearCache()
+    assert(same.toSeq == Seq((1L, 2L, 0L)), s"identical: ${same.toSeq}")
+    // the shifted copy lands within the Hamming budget with MANY
+    // corroborating frames; unrelated content can produce the odd
+    // accidental frame collision (the LSH-family tail), which the
+    // minShared corroboration threshold screens out at the doc level
+    val pairs = Multimodal.phashDupPairs(d, "doc_id", "text",
+        maxHamming = 8, minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    spark.sharedState.cacheManager.clearCache()
+    assert(pairs.contains((1L, 3L)),
+      s"shifted copy must pair perceptually: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated content must not pair: $pairs")
+  }
+
   test("frameDupPairs degenerate-bucket guards: empty payloads never pair " +
       "via the shared md5('') frame; hot buckets over maxBucket are skipped") {
     val base = (1 to 600).map(i => s"w$i").mkString(" ")
