@@ -282,6 +282,121 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=linkx: HITS and personalized PageRank at
+    // mult-x edges (the pagerank mode's graph construction: shifted user
+    // ids, shared topic nodes — in-degree hubs grow mult-x). Pins the
+    // same scale property: per-round shuffle must stay edge-linear (the
+    // two half-round re-keys are the only exchanges; the max/dangling
+    // scalars are aggregated literal reads).
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("linkx")) {
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      def edgesAt(m: Int): DataFrame = (0 until m).map { i =>
+        ev.select((col("user_id") + lit(i.toLong * 10000000L)).as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      }.reduce(_.unionByName(_))
+      def hitsAt(m: Int): (Long, Double, Long) = {
+        shuffleWritten.set(0L)
+        val t0 = System.nanoTime()
+        val top = graft.operators.LinkAnalysis
+          .hitsTopK(spark, edgesAt(m), "src", "dst", iters = 2, k = 25)
+          .head.getLong(0)
+        (top, (System.nanoTime() - t0) / 1e9, shuffleWritten.get())
+      }
+      def pprAt(m: Int): (Long, Double, Long) = {
+        shuffleWritten.set(0L)
+        val seeds = ev.select(col("user_id")).filter(col("user_id") < 10).distinct()
+        val t0 = System.nanoTime()
+        val top = graft.operators.LinkAnalysis
+          .personalizedPageRankTopK(spark, edgesAt(m), "src", "dst",
+            seeds, iters = 3, k = 25)
+          .head.getLong(0)
+        (top, (System.nanoTime() - t0) / 1e9, shuffleWritten.get())
+      }
+      val (h1, th1, sh1) = hitsAt(1)
+      val (hM, thM, shM) = hitsAt(mult)
+      println(f"[scale] hits 1x: top=$h1 ${th1}%.2f s shuffle=${sh1 / 1e6}%.1f MB; " +
+        f"${mult}x: top=$hM ${thM}%.2f s shuffle=${shM / 1e6}%.1f MB " +
+        f"(ratio ${shM.toDouble / sh1}%.1f)")
+      assert(shM.toDouble / sh1 < 2.0 * mult,
+        s"HITS per-round shuffle grew super-linearly: $sh1 -> $shM at ${mult}x")
+      val (p1, tp1, sp1) = pprAt(1)
+      val (pM, tpM, spM) = pprAt(mult)
+      println(f"[scale] ppr  1x: top=$p1 ${tp1}%.2f s shuffle=${sp1 / 1e6}%.1f MB; " +
+        f"${mult}x: top=$pM ${tpM}%.2f s shuffle=${spM / 1e6}%.1f MB " +
+        f"(ratio ${spM.toDouble / sp1}%.1f)")
+      assert(spM.toDouble / sp1 < 2.0 * mult,
+        s"PPR per-round shuffle grew super-linearly: $sp1 -> $spM at ${mult}x")
+      // PPR mass concentrates at the seed neighborhood regardless of
+      // scale: the top node must be a seed user (<10) or a topic hub the
+      // seeds point at (>=10000) — never one of the mult-x replica users,
+      // which are unreachable from the seeds
+      assert(pM < 10L || pM >= 10000L,
+        s"PPR top node $pM is outside the seed neighborhood")
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=framededup: frame-level dedup (exact md5
+    // buckets AND perceptual Hamming bands) on a mult-x duplicate-heavy
+    // media corpus — every payload replicated with shifted ids, so frame
+    // buckets hold mult colliding docs and pair volume grows
+    // quadratically INSIDE groups (the property the hot-bucket guard
+    // bounds). The probe checks the pipelines absorb it and that the
+    // perceptual path finds at least the exact path's pairs.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("framededup")) {
+      // docs that CAN reach minShared=2: >= 2 distinct non-empty frames
+      // (single-frame docs share at most one hash with their replicas)
+      val nMulti = graft.operators.Multimodal
+        .sampleFrames(base, "doc_id", "text")
+        .filter(col("frame_len") > 0)
+        .select(col("doc_id"), col("frame_hash")).distinct()
+        .groupBy("doc_id").count().filter(col("count") >= 2).count()
+      val nPairs = time("  frame dedup exact") {
+        graft.operators.Multimodal.frameDupPairs(big, "doc_id", "text",
+          minShared = 2).count()
+      }
+      val nPhash = time("  frame dedup phash") {
+        graft.operators.Multimodal.phashDupPairs(big, "doc_id", "text",
+          maxHamming = 8, minShared = 3).count()
+      }
+      println(s"[scale] framededup at ${mult}x: exact=$nPairs pairs " +
+        s"(>= ${nMulti} multi-frame docs x C($mult,2)), phash=$nPhash pairs")
+      // every replica pair of a multi-frame doc shares every frame —
+      // those pairs must all surface through the quadratic bucket load
+      assert(nPairs >= nMulti * mult * (mult - 1) / 2,
+        s"replica pairs missing: $nPairs < ${nMulti * mult * (mult - 1) / 2}")
+      // the perceptual path must keep finding pairs at scale; it is NOT
+      // a superset of the exact path here by design — the phash space is
+      // far coarser than md5, so at mult-x its hot-BAND guard starts
+      // skipping boilerplate buckets the md5 path still enumerates
+      assert(nPhash > 0, "perceptual path found nothing at scale")
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=pqrerank: PQ-ADC + exact rerank at mult-x
+    // vectors (shifted ids, same embeddings — ADC scores collide across
+    // replicas, the worst case for shortlist cuts). Pins that the
+    // shortlist stays result-sized (broadcast joins, no corpus-sized
+    // shuffle after the ADC scan) and that rerank returns exactly k.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("pqrerank")) {
+      import graft.functions.IvfIndex
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigEmb = (0 until mult).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionByName(_))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val n = bigEmb.count()
+      val out = time("  pq rerank") {
+        val cb = IvfIndex.pqCodebooks(bigEmb, m = 8, dsub = 8, ksub = 16)
+        val codes = IvfIndex.pqCodes(bigEmb, cb, m = 8, dsub = 8)
+        IvfIndex.pqRerankTopK(bigEmb, codes, cb, q, k = 10, shortlist = 50,
+          m = 8, dsub = 8).collect()
+      }
+      println(s"[scale] pqrerank at ${mult}x: corpus=$n rows=${out.length}")
+      assert(out.length == 10, s"rerank must return exactly k: ${out.length}")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=joins: the join scale paths in their target
     // regime. Events replicate mult-x with the SAME user ids, so per-key
     // density grows mult-x — the regime where the equi+residual as-of
