@@ -373,9 +373,9 @@ object LinkAnalysis {
     * same persisted pair table (the [[pageRank]] literal pattern). At
     * 100× users the dense form is quadratic and the selector flips to
     * the equi-join automatically; both forms provably produce the same
-    * edge set (`CoEngagementSpec`), so the switch is invisible to
-    * results. The topK result is collected (result-sized by
-    * construction) so the pair-table pin is released before returning.
+    * edge set (`LinkAnalysisSpec`), so the switch is invisible to
+    * results. The result is LAZY (deterministic top-k cut); callers
+    * consuming it more than once should persist it, as any Spark plan.
     *
     * `topicDomain = Some(d)` bounds topics to `[0, d)` EXPLICITLY (and
     * callers' oracles must too): Spark's shiftleft masks the shift
@@ -387,7 +387,6 @@ object LinkAnalysis {
   def coEngagementEdges(pairs: DataFrame, userCol: String, topicCol: String,
                         topK: Int, topicDomain: Option[Int] = Some(100),
                         maxDenseUsers: Long = 1L << 21): DataFrame = {
-    val spark = pairs.sparkSession
     val base = pairs.select(col(userCol).cast("long").as("u"),
         col(topicCol).cast("long").as("tp"))
       .filter(col("u").isNotNull && col("tp").isNotNull)
@@ -395,24 +394,23 @@ object LinkAnalysis {
       case Some(d) => base.filter(col("tp").between(0, d - 1))
       case None    => base
     }
-    val e = bounded.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Regime stats: two result-sized scalar reads over the persisted
-      // pair table — Σ_t m_t² (the sparse form's join-instance count)
-      // and |U| (the dense form's mask-table size). Doubles for the
-      // comparison: |U|² overflows Long past ~3e9 users.
-      val inst = e.groupBy(col("tp")).agg(count(lit(1)).as("m"))
-        .agg(coalesce(sum(col("m") * col("m")), lit(0L))).head.getLong(0)
-      val nUsers = e.select(col("u")).distinct().count()
-      val dense = chooseDense(nUsers, inst, topicDomain, maxDenseUsers)
-      val sup = coEngagementSupport(e, dense, topicDomain.getOrElse(0))
-      val out = sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(topK)
-      val rows = out.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
-    } finally {
-      e.unpersist(false)
-    }
+    // Regime stats: ONE scalar action straight over the RAW pair rows —
+    // no distinct pass, no cache pin: per-topic countDistinct(u) IS m_t
+    // (distinct-pair multiplicity), so Σ_t m_t² (the sparse form's
+    // join-instance count) and |U| (the dense form's mask-table size)
+    // cost one small aggregate job. Doubles for the comparison: |U|²
+    // overflows Long past ~3e9 users. The support plan itself is
+    // returned LAZILY (one action when the caller consumes it), so the
+    // operator adds exactly one job over the hand-picked r4 form.
+    val stats = bounded.groupBy(col("tp")).agg(countDistinct(col("u")).as("m"))
+      .agg(coalesce(sum(col("m") * col("m")), lit(0L)).as("inst"))
+      .crossJoin(bounded.agg(countDistinct(col("u")).as("nu")))
+      .head
+    val (inst, nUsers) = (stats.getLong(0), stats.getLong(1))
+    val dense = chooseDense(nUsers, inst, topicDomain, maxDenseUsers)
+    val sup = coEngagementSupport(bounded.distinct(), dense,
+      topicDomain.getOrElse(0))
+    sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(topK)
   }
 
   /** The measured crossover: per-unit costs of the two forms are near-

@@ -29,6 +29,13 @@ object TrainingQueries {
   private def coEngagementTop500(s: SparkSession, dir: String): DataFrame =
     graft.operators.LinkAnalysis.coEngagementEdges(
       t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("props"))
+        // the testdata table is one parquet split: spread the rows (a
+        // narrow two-column shuffle) BEFORE the per-row JSON extraction
+        // so the parse runs on every slot instead of inside the single
+        // scan task; on a many-split production table this exchange is
+        // AQE-coalesced noise
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("user_id").as("u"),
           get_json_object(col("props"), "$.k").cast("long").as("tp")),
       "u", "tp", topK = 500, topicDomain = Some(100))
@@ -1106,10 +1113,10 @@ object TrainingQueries {
     // top of the triangle counts. Integer counts into one double
     // division; zero for degree-1 nodes by definition.
     "t_clustering_coef" -> ((s, dir) => {
-      // coEngagementEdges returns a collected local relation (<=500
-      // rows), so the triangle and degree branches re-scan a parallelized
-      // list, not the quadratic projection — no persist needed
+      // 500-row result persisted: the triangle and degree branches both
+      // read it — uncached, the projection join would run per consumer
       val top = coEngagementTop500(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tri = graft.operators.LinkAnalysis.triangleCounts(top, "ua", "ub")
       val deg = top.select(col("ua").as("node"))
         .unionByName(top.select(col("ub").as("node")))

@@ -254,6 +254,6 @@ class LinkAnalysisSpec extends SparkSpec {
       topK = 1000, topicDomain = Some(100))
     assert(sp.count() == 40L * 39 / 2)
     assert(spark.sharedState.cacheManager.isEmpty,
-      "coEngagementEdges must release its pair-table pin")
+      "coEngagementEdges must leave no cached state behind")
   }
 }
