@@ -306,4 +306,20 @@ object VectorFunctions {
       .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Recall@k of an approximate ANN result against the exact ground
+    * truth — the first-class evaluation readout every index tuning loop
+    * needs (the number the PQ-rerank spec measured by hand): one row
+    * `(method, n_hits, k, recall)` where n_hits counts approx ids found
+    * in the exact top-k. Both inputs are k-row result relations, so this
+    * is a semi-join + two scalar counts over result-sized data — run it
+    * per (query, method) and union the rows into a recall mart.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, method: String,
+                idCol: String = "vec_id"): DataFrame =
+    approx.select(col(idCol)).join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("k")))
+      .select(lit(method).as("method"), col("n_hits"), col("k"),
+        (col("n_hits").cast("double") / col("k")).as("recall"))
 }

@@ -274,4 +274,50 @@ object Sampling {
       .select(col("epoch"), col(idCol),
         (col("offset") + col("pos")).as("position"))
   }
+
+  /** Weighted sampling WITHOUT replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007) — the quality-weighted corpus
+    * subsampling primitive ("keep ~k docs, long/high-quality ones more
+    * likely, unbiased totals"): each row gets priority `q = w / u` with
+    * `u` the deterministic md5-uniform in (0, 1] derived from the id;
+    * the sample is the top-k by (q desc, id), and every kept row carries
+    * the unbiased subset-sum estimator weight `max(w, τ)` where τ is the
+    * (k+1)-th priority (0 when the population has ≤ k weighted rows).
+    *
+    * Determinism: u is an exact dyadic `(U+1)/2^52` and the priority is
+    * ONE correctly-rounded IEEE division — no ln/pow, whose libm
+    * implementations differ across engines — so priorities, the cut, and
+    * the estimator replay bit-identically anywhere (the [[hashBucket]]
+    * rule, extended to weights). Rows with null or non-positive weight
+    * are excluded (weight 0 = never sampled, matching the estimator's
+    * support).
+    *
+    * Scale shape: one stateless per-row projection over the scan, a
+    * TakeOrdered(k+1) (no global sort, no corpus-sized window — the
+    * ranking window below runs over the k+1 collected candidates), and
+    * a broadcast one-row threshold. Returns the input columns plus
+    * `priority` and `est_weight`.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val topK1 = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    // rank over the k+1 candidates only (bounded by construction)
+    val ranked = topK1.withColumn("rn",
+      row_number().over(Window.orderBy(col("priority").desc, col(idCol))))
+    val tau = ranked.agg(coalesce(
+      max(when(col("rn") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rn") <= k).drop("rn")
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"), col("tau")))
+      .drop("tau")
+  }
 }

@@ -456,6 +456,22 @@ object TrainingQueries {
         .select("vec_id", "label", "cos")
     }),
 
+    // ANN recall mart: each approximate method's top-k judged against the
+    // brute-force ground truth — the evaluation readout an index tuning
+    // loop monitors. Ground truth persisted (k rows): both method legs
+    // semi-join and count it.
+    "t_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val exact = VF.bruteForceTopK(emb, q, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = VF.lshTopK(emb, q, k = 10, planes = 4, dims = 64)
+      val mb = VF.lshTopKMultiband(emb, q, k = 10, planes = 8, dims = 64,
+        bands = 2)
+      VF.recallAtK(lsh, exact, "lsh")
+        .unionByName(VF.recallAtK(mb, exact, "lsh_multiband"))
+    }),
+
     // Multi-band embedding near-dup pairs (any-band candidates + exact
     // cosine verify).
     "t_dedup_embed_mb" -> ((s, dir) =>
@@ -603,6 +619,17 @@ object TrainingQueries {
       Sampling.kFold(t(s, dir, "documents"), "doc_id", k = 5)
         .groupBy("fold", "role")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+
+    // Priority sampling (Duffield–Lund–Thorup): ~k-doc quality-weighted
+    // subsample without replacement, unbiased subset-sum estimator
+    // weights. One exact IEEE division per row (no ln/pow — libm-free,
+    // so priorities and the cut replay bit-identically), TakeOrdered
+    // k+1, broadcast threshold.
+    "t_sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 100)
+        .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+          col("priority"), col("est_weight"))),
 
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable under re-partitioning/re-loading and reproducible by any
@@ -1435,6 +1462,35 @@ object TrainingQueries {
       s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
 
+  private val annBruteOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT vec_id, label,
+      |    round(
+      |      list_sum(list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      6) AS cos
+      |  FROM embeddings, q)
+      |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Recall@k oracle: each method's top-k id set (its own full oracle,
+    * nested as a subquery — DuckDB allows WITH inside a derived table)
+    * semi-joined against the brute-force ground truth. */
+  private def annRecallOracle(methods: (String, String)*): String = {
+    val legs = methods.map { case (name, sql) =>
+      s"""SELECT '$name' AS method,
+         |  CAST((SELECT COUNT(*) FROM (SELECT vec_id FROM ($sql) a) aa
+         |        WHERE aa.vec_id IN (SELECT vec_id FROM ($annBruteOracle) g))
+         |    AS BIGINT) AS n_hits,
+         |  CAST((SELECT COUNT(*) FROM ($annBruteOracle) g2) AS BIGINT) AS k""".stripMargin
+    }
+    s"""SELECT method, n_hits, k,
+       |  CAST(n_hits AS DOUBLE) / k AS recall
+       |FROM (${legs.mkString("\nUNION ALL\n")}) u""".stripMargin
+  }
+
   private val annLshOracle: String =
     s"""WITH w AS (SELECT ${weightsLiteral(4, 64)} AS m),
        |sig AS (SELECT vec_id, label, embedding,
@@ -2164,6 +2220,8 @@ object TrainingQueries {
 
   val oracles: Map[String, String] = Map(
     "t_ann_lsh" -> annLshOracle,
+    "t_ann_recall" -> annRecallOracle(
+      "lsh" -> annLshOracle, "lsh_multiband" -> annLshMultibandOracle),
     "t_ann_ivf" -> annIvfOracle,
     // the index/query split changes WHERE the work happens, not the answer:
     // the materialized index must reproduce the composable formulation
@@ -2356,18 +2414,7 @@ object TrainingQueries {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
         |FROM norm""".stripMargin,
 
-    "t_ann_cosine" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |s AS (
-        |  SELECT vec_id, label,
-        |    round(
-        |      list_sum(list_transform(range(1, len(embedding) + 1),
-        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        |      6) AS cos
-        |  FROM embeddings, q)
-        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "t_ann_cosine" -> annBruteOracle,
 
     "t_multimodal_meta" ->
       """SELECT doc_id,
@@ -2526,6 +2573,26 @@ object TrainingQueries {
         |SELECT CAST(fold AS INTEGER) AS fold, role, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // priority q = w / ((U+1)/2^52): exact divisions only, top-100 by
+    // (q desc, id), tau = the 101st priority, est = greatest(w, tau)
+    "t_sample_priority" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(n_chars AS DOUBLE) AS wd,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |              AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+        |      AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT doc_id, weight, wd, priority,
+        |        row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |      FROM w),
+        |t AS (SELECT COALESCE(MAX(CASE WHEN rn = 101 THEN priority END), 0.0)
+        |        AS tau FROM r)
+        |SELECT r.doc_id, r.weight, r.priority,
+        |  CASE WHEN r.wd > t.tau THEN r.wd ELSE t.tau END AS est_weight
+        |FROM r, t WHERE r.rn <= 100""".stripMargin,
 
     // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->

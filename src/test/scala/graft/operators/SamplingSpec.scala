@@ -247,4 +247,47 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudgetPerKey(d, "source", "doc_id", "n_tok", 100L)
       .count() == 0)
   }
+
+  test("prioritySample: top-k by exact w/u priority, unbiased threshold " +
+      "estimator, partitioning-invariant, weight-support respected") {
+    import spark.implicits._
+    // reference computation straight from the definition
+    def u01(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4503599627370496.0
+    }
+    val rows = (1L to 30L).map(i => (i, (i % 7 + 1) * 10.0))
+    val d = rows.toDF("doc_id", "w")
+    val expect = rows.map { case (id, w) => (id, w / u01(id)) }
+      .sortBy { case (id, p) => (-p, id) }
+    val got = Sampling.prioritySample(d, "doc_id", "w", k = 5)
+      .select("doc_id", "priority", "est_weight")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.map(_._1).toSeq == expect.take(5).map(_._1),
+      s"top-5 ids: ${got.map(_._1).toSeq} vs ${expect.take(5).map(_._1)}")
+    assert(got.map(_._2).toSeq == expect.take(5).map(_._2),
+      "priorities must be the exact doubles")
+    // estimator: every kept row reports max(w, tau) with tau = 6th priority
+    val tau = expect(5)._2
+    val wOf = rows.toMap
+    assert(got.forall { case (id, _, est) => est == math.max(wOf(id), tau) })
+    // partitioning invariance (the determinism claim)
+    val again = Sampling.prioritySample(d.repartition(7), "doc_id", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+    // population <= k: everything kept, tau = 0, est = own weight
+    val small = Sampling.prioritySample(d.limit(3), "doc_id", "w", k = 5)
+      .select(col("doc_id"), col("w"), col("est_weight")).collect()
+    assert(small.length == 3 &&
+      small.forall(r => r.getDouble(2) == r.getDouble(1)))
+    // null / zero / negative weights are outside the estimator's support
+    val dirty = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None)).toDF("doc_id", "w")
+    val kept5 = Sampling.prioritySample(dirty, "doc_id", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept5 == Seq(1L))
+  }
 }
