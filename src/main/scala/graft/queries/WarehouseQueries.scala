@@ -539,7 +539,14 @@ object WarehouseQueries {
           min(col("ts")).as("job_start"),
           sum(when(col("event_type") === "purchase",
             dec2(col("value") * 1000)).otherwise(lit(null))).cast("double").as("runtime_ms"),
-          sum(col("slot_ms")).as("slot_ms"))
+          sum(col("slot_ms")).as("slot_ms"),
+          // the audit mart's remaining derived tail (audit_log.sql:457-495):
+          // ARRAY_LENGTH(referencedTables/Views) -> breadth counts,
+          // REGEXP_CONTAINS(...) -> a regex flag over the raw payload,
+          // all still inside the ONE conditional-aggregation pass
+          countDistinct(col("event_type")).cast("long").as("n_event_kinds"),
+          countDistinct(col("user_id")).cast("long").as("n_principals"),
+          max(col("props").rlike("\"k\": [0-9]\\}")).as("is_dashboard_job"))
         .select(
           col("job_id"), col("principal"),
           col("has_job_change"), col("has_table_creation"),
@@ -564,7 +571,11 @@ object WarehouseQueries {
           (col("slot_ms").cast("double") * lit(1048576.0) / lit(1073741824.0))
             .as("billed_gb"),
           (col("slot_ms").cast("double") * lit(1048576.0) / lit(1099511627776.0)
-            * lit(5.0)).as("est_cost_usd"))),
+            * lit(5.0)).as("est_cost_usd"),
+          col("n_event_kinds"), col("n_principals"), col("is_dashboard_job"),
+          // isCached (audit_log.sql:494): no billable signal recorded at
+          // all -> the job answered from cache
+          (col("runtime_ms").isNull && col("slot_ms").isNull).as("is_cached"))),
 
     // S9+ (audit breadth): per-job slot-contention ATTRIBUTION — the
     // jobExecutionTimeline array of the reference's audit mart (reference
@@ -1762,7 +1773,7 @@ object WarehouseQueries {
 
     "s9_audit_wide" ->
       """WITH base AS (
-        |  SELECT event_id % 997 AS job_id, user_id, event_type, ts, value,
+        |  SELECT event_id % 997 AS job_id, user_id, event_type, ts, value, props,
         |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 100 AS slot_ms
         |  FROM events),
         |j AS (
@@ -1776,7 +1787,10 @@ object WarehouseQueries {
         |    MIN(ts) AS job_start,
         |    CAST(SUM(CASE WHEN event_type = 'purchase'
         |      THEN CAST(value * 1000 AS DECIMAL(18,2)) END) AS DOUBLE) AS runtime_ms,
-        |    SUM(slot_ms) AS slot_ms
+        |    SUM(slot_ms) AS slot_ms,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_kinds,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_principals,
+        |    bool_or(regexp_matches(props, '"k": [0-9]\}')) AS is_dashboard_job
         |  FROM base GROUP BY 1)
         |SELECT job_id, principal, has_job_change, has_table_creation,
         |  has_table_change, has_data_read, has_error,
@@ -1791,7 +1805,9 @@ object WarehouseQueries {
         |  CASE WHEN runtime_ms IS NOT NULL AND runtime_ms <> 0
         |       THEN slot_ms / runtime_ms END AS avg_slots,
         |  slot_ms * 1048576.0 / 1073741824.0 AS billed_gb,
-        |  slot_ms * 1048576.0 / 1099511627776.0 * 5.0 AS est_cost_usd
+        |  slot_ms * 1048576.0 / 1099511627776.0 * 5.0 AS est_cost_usd,
+        |  n_event_kinds, n_principals, is_dashboard_job,
+        |  (runtime_ms IS NULL AND slot_ms IS NULL) AS is_cached
         |FROM j""".stripMargin,
 
     // timeline fan-out + exact integer per-minute totals, shares row-level
