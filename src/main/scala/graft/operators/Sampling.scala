@@ -298,6 +298,34 @@ object Sampling {
     * a broadcast one-row threshold. Returns the input columns plus
     * `priority` and `est_weight`.
     */
+  /** Per-key [[prioritySample]] — the weighted form of a per-domain cap:
+    * within every `keyCol` group, keep the top-k rows by the same exact
+    * w/u priority and stamp the group's unbiased estimator weight
+    * `max(w, τ_key)` (τ_key = the group's (k+1)-th priority, 0 when the
+    * group has ≤ k weighted rows). One shuffle on the key; both windows
+    * share the partitioning, and per-group sort depth is the group size
+    * — the standard distributed per-key top-k, never a global sort.
+    */
+  def prioritySamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("priority").desc, col(idCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tau", coalesce(
+        max(when(col("rn") === k + 1, col("priority"))).over(wAll), lit(0.0)))
+      .filter(col("rn") <= k)
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"), col("tau")))
+      .drop("rn", "tau")
+  }
+
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -631,6 +631,16 @@ object TrainingQueries {
         .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
           col("priority"), col("est_weight"))),
 
+    // The per-key form: weighted per-domain caps (top-20 per lang by
+    // length-weighted priority, per-group estimator thresholds) — one
+    // shuffle on the key, windows share the partitioning.
+    "t_sample_priority_key" -> ((s, dir) =>
+      Sampling.prioritySamplePerKey(t(s, dir, "documents"), "lang",
+          "doc_id", "n_chars", k = 20)
+        .select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("weight"),
+          col("priority"), col("est_weight"))),
+
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable under re-partitioning/re-loading and reproducible by any
     // engine; checked via per-(lang, split) counts and id sums.
@@ -2593,6 +2603,27 @@ object TrainingQueries {
         |SELECT r.doc_id, r.weight, r.priority,
         |  CASE WHEN r.wd > t.tau THEN r.wd ELSE t.tau END AS est_weight
         |FROM r, t WHERE r.rn <= 100""".stripMargin,
+
+    // per-lang rank over the same exact priorities, per-group tau
+    "t_sample_priority_key" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(n_chars AS DOUBLE) AS wd,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |              AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+        |      AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, weight, wd, priority,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY priority DESC, doc_id) AS rn
+        |      FROM w),
+        |t AS (SELECT lang,
+        |        COALESCE(MAX(CASE WHEN rn = 21 THEN priority END), 0.0) AS tau
+        |      FROM r GROUP BY 1)
+        |SELECT r.lang, r.doc_id, r.weight, r.priority,
+        |  CASE WHEN r.wd > t.tau THEN r.wd ELSE t.tau END AS est_weight
+        |FROM r JOIN t USING (lang) WHERE r.rn <= 20""".stripMargin,
 
     // Same md5 bucket re-derived: first 52 hash bits mod 100.
     "t_sample_split" ->

@@ -290,4 +290,22 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept5 == Seq(1L))
   }
+
+  test("prioritySamplePerKey: per-group top-k equals the global operator " +
+      "applied per group, including each group's own tau") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, (i % 5 + 1).toDouble))
+    val d = rows.toDF("grp", "doc_id", "w")
+    val got = Sampling.prioritySamplePerKey(d, "grp", "doc_id", "w", k = 3)
+      .select("grp", "doc_id", "priority", "est_weight")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == Set("a", "b") && got.values.forall(_.length == 3))
+    for (g <- Seq("a", "b")) {
+      val ref = Sampling.prioritySample(d.filter(col("grp") === g), "doc_id", "w", k = 3)
+        .select("doc_id", "priority", "est_weight")
+        .collect().map(r => (g, r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got(g).toSet == ref, s"group $g diverged from the global form")
+    }
+  }
 }
