@@ -542,10 +542,15 @@ object WarehouseQueries {
           sum(col("slot_ms")).as("slot_ms"),
           // the audit mart's remaining derived tail (audit_log.sql:457-495):
           // ARRAY_LENGTH(referencedTables/Views) -> breadth counts,
-          // REGEXP_CONTAINS(...) -> a regex flag over the raw payload,
-          // all still inside the ONE conditional-aggregation pass
-          countDistinct(col("event_type")).cast("long").as("n_event_kinds"),
-          countDistinct(col("user_id")).cast("long").as("n_principals"),
+          // REGEXP_CONTAINS(...) -> a regex flag over the raw payload —
+          // all still inside the ONE conditional-aggregation pass. NO
+          // countDistinct here: multiple distinct aggregates plan via
+          // EXPAND (rows x3 + a second exchange — PlanAuditSpec caught
+          // it); principals use a single-pass collect_set (per-job
+          // cardinality is bounded by the job's own event count) and the
+          // kind count derives from the has-flags below (the event-type
+          // domain is exactly the five audited kinds).
+          size(collect_set(col("user_id"))).cast("long").as("n_principals"),
           max(col("props").rlike("\"k\": [0-9]\\}")).as("is_dashboard_job"))
         .select(
           col("job_id"), col("principal"),
@@ -572,7 +577,12 @@ object WarehouseQueries {
             .as("billed_gb"),
           (col("slot_ms").cast("double") * lit(1048576.0) / lit(1099511627776.0)
             * lit(5.0)).as("est_cost_usd"),
-          col("n_event_kinds"), col("n_principals"), col("is_dashboard_job"),
+          (col("has_job_change").cast("long") +
+            col("has_table_creation").cast("long") +
+            col("has_table_change").cast("long") +
+            col("has_data_read").cast("long") +
+            col("has_error").cast("long")).as("n_event_kinds"),
+          col("n_principals"), col("is_dashboard_job"),
           // isCached (audit_log.sql:494): no billable signal recorded at
           // all -> the job answered from cache
           (col("runtime_ms").isNull && col("slot_ms").isNull).as("is_cached"))),

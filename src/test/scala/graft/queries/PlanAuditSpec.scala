@@ -263,4 +263,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"no bigram-stream-sized shuffle join is acceptable:\n$p")
   }
+
+  test("t_sample_priority: top-k via TakeOrdered, never a global sort; " +
+      "the tau threshold broadcasts") {
+    val p = planOf("t_sample_priority", "/root/testdata/sf0.01")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k+1 cut must be a TakeOrdered, not Sort+Limit:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no corpus-wide range-partitioned sort is acceptable:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row tau must broadcast:\n$p")
+  }
+
+  test("t_sample_priority_key: exactly one exchange (the key), windows " +
+      "share it — no second shuffle, no single-partition funnel") {
+    val p = planOf("t_sample_priority_key", "/root/testdata/sf0.01")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-key rank must stay keyed:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"both windows must reuse ONE key exchange, found $exchanges:\n$p")
+  }
+
+  test("s9_audit_slots: events scanned once; the per-minute attribution " +
+      "windows never funnel to a single partition") {
+    val p = planOf("s9_audit_slots", "/root/testdata/sf0.01")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the timeline must derive from ONE scan, found $scans:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"minute totals must stay keyed on minute_idx:\n$p")
+  }
 }
