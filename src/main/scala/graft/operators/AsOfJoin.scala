@@ -139,6 +139,64 @@ object AsOfJoin {
         payload.map { case (_, out) => col(s"__asof.$out").as(out) }: _*)
   }
 
+  /** Keyed as-of join with AUTOMATIC regime selection — the
+    * [[graft.operators.LinkAnalysis.coEngagementEdges]] pattern applied
+    * to J3's two keyed forms, which produce provably identical results
+    * (`AsOfJoinSpec`) but invert in cost with per-key density:
+    *
+    *  - equi + residual ([[asOf]] over [[scd2Intervals]]): one shuffle,
+    *    but the join materializes `Σ_k f_k·e_k` candidate pairs before
+    *    the range residual prunes them — a hot key with 10^4 facts and
+    *    10^4 events costs 10^8 pairs.
+    *  - union-window ([[asOfUnion]]): one shuffle + sort, strictly
+    *    linear in |facts| + |events|, O(1) window state.
+    *
+    * The selector reads the pair volume and both sizes as ONE scalar
+    * action (per-key counts full-outer-joined, three sums) and takes the
+    * union-window form when pairs exceed `pairBudgetFactor ×
+    * (|facts| + |events|)` — pair volume within a small factor of the
+    * data already moved is noise; past it, the blowup is the dominant
+    * term (ScaleProbe's joins mode measured 3.5 s vs 0.5 s at 10× per-
+    * key density). Output shape is [[asOfUnion]]'s: the fact columns
+    * plus the renamed payload of the prevailing event.
+    */
+  def asOfAuto(facts: DataFrame, events: DataFrame,
+               equi: Seq[(String, String)], factTs: String, eventTs: String,
+               payload: Seq[(String, String)],
+               eventTieBreak: Seq[String] = Seq.empty,
+               pairBudgetFactor: Long = 4L): DataFrame = {
+    val fk = facts.groupBy(equi.map { case (f, _) => col(f) }: _*)
+      .agg(count(lit(1)).as("__f"))
+    val ek0 = events.groupBy(equi.map { case (_, e) => col(e) }: _*)
+      .agg(count(lit(1)).as("__e"))
+    // align event key names to the fact side for the full-outer key join
+    val ek = equi.foldLeft(ek0) { case (d, (f, e)) =>
+      if (f == e) d else d.withColumnRenamed(e, f) }
+    val stats = fk.join(ek, equi.map(_._1), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("__f"), lit(0L)) * coalesce(col("__e"), lit(0L))),
+          lit(0L)).as("pairs"),
+        coalesce(sum(coalesce(col("__f"), lit(0L))), lit(0L)).as("nf"),
+        coalesce(sum(coalesce(col("__e"), lit(0L))), lit(0L)).as("ne"))
+      .head
+    val (pairs, nf, ne) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (chooseUnionWindow(pairs, nf, ne, pairBudgetFactor)) {
+      asOfUnion(facts, events, equi, factTs, eventTs, payload, eventTieBreak)
+    } else {
+      val ivl = scd2Intervals(events, equi.map(_._2), eventTs, eventTieBreak)
+      val joined = asOf(facts, ivl, equi, factTs)
+      joined.select(
+        facts.columns.toSeq.map(c => facts(c).as(c)) ++
+          payload.map { case (e, out) => ivl(e).as(out) }: _*)
+    }
+  }
+
+  /** The measured crossover: union-window once the equi join's candidate
+    * pair volume exceeds `factor` × the rows either form must move. */
+  private[graft] def chooseUnionWindow(pairs: Long, nFacts: Long,
+                                       nEvents: Long, factor: Long): Boolean =
+    pairs > factor * (nFacts + nEvents)
+
   /** Binned interval join — the LARGE-intervals scale path for
     * [[asOfGlobal]]: point-in-interval when the interval side is too big to
     * broadcast and there is no equi key to shuffle on. Each interval is

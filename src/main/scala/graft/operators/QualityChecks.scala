@@ -156,9 +156,10 @@ object QualityChecks {
     * dyadic rational and bit-identical on any engine (a float fold
     * would be summation-order-dependent). The window runs over DAILY
     * rows (calendar-bounded, the volumeAnomaly precedent), and the 2^i
-    * weights bound the series to ~50 days per partition — the intended
-    * dashboard horizon; longer histories chunk by month/quarter (the
-    * bound is ENFORCED — see the require below).
+    * weights bound the exact single-window form to ~50 days — the
+    * intended dashboard horizon. Longer histories automatically take
+    * the chunk-by-month path ([[ewmaDailyLong]]): same recurrence,
+    * exact per-chunk sums, a rescaled dyadic carry at each chunk cut.
     */
   def ewmaDaily(df: DataFrame,
                 dayCol: org.apache.spark.sql.Column): DataFrame = {

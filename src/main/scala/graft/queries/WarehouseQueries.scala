@@ -260,6 +260,20 @@ object WarehouseQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("price"))
     }),
 
+    // J3 with the regime chosen AUTOMATICALLY from the per-key density
+    // stats (equi+residual vs union-window — identical results, cost
+    // inverts with per-key pair volume). Oracle unchanged: whichever
+    // form the stats pick must reproduce it.
+    "j3_asof_auto" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.asOfAuto(clicks, purchases,
+          Seq("user_id" -> "user_id"), "ts", "ts",
+          payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("price"))
+    }),
+
     // J3 scale path (keyless): SAME semantics as j3_asof_global, but via
     // bin replication — an equi join on fixed-width time bins instead of a
     // broadcast nested loop, for when the interval side outgrows broadcast.
@@ -1625,6 +1639,18 @@ object WarehouseQueries {
     // Identical semantics to j3_asof_join — the union-window execution must
     // be invisible to results.
     "j3_asof_union" ->
+      """WITH intervals AS (
+        |  SELECT user_id AS p_user, value AS price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts, p.price
+        |FROM events e LEFT JOIN intervals p
+        |  ON e.user_id = p.p_user AND e.ts >= p.valid_from AND e.ts < p.valid_to
+        |WHERE e.event_type = 'click'""".stripMargin,
+
+    // regime choice must be invisible: same oracle as the fixed forms
+    "j3_asof_auto" ->
       """WITH intervals AS (
         |  SELECT user_id AS p_user, value AS price, ts AS valid_from,
         |    coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),

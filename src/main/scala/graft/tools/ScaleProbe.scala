@@ -428,6 +428,22 @@ object ScaleProbe {
       }
       assert(nJoin == nUnion, s"as-of forms disagree: $nJoin vs $nUnion")
 
+      // asOfAuto's selector must pick the union-window form in exactly
+      // this regime (the same per-key stats it reads in production)
+      val fk = clicks.groupBy("user_id").agg(count(lit(1)).as("f"))
+      val ek = purchases.groupBy("user_id").agg(count(lit(1)).as("e"))
+      val st = fk.join(ek, Seq("user_id"), "full_outer")
+        .agg(coalesce(sum(coalesce(col("f"), lit(0L)) * coalesce(col("e"), lit(0L))), lit(0L)),
+          coalesce(sum(coalesce(col("f"), lit(0L))), lit(0L)),
+          coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L))).head
+      val pickUnion = AsOfJoin.chooseUnionWindow(
+        st.getLong(0), st.getLong(1), st.getLong(2), factor = 4L)
+      println(s"[scale] asof selector: pairs=${st.getLong(0)} " +
+        s"facts=${st.getLong(1)} events=${st.getLong(2)} -> " +
+        s"${if (pickUnion) "union-window" else "equi+residual"}")
+      if (mult >= 10) assert(pickUnion,
+        "the selector must take the union-window form at 10x per-key density")
+
       // Bloom reduction targets the regime where the dim CANNOT broadcast
       // (else the join is already map-side and there is nothing to save):
       // force the shuffled-join path and measure the fact-side exchange

@@ -91,6 +91,23 @@ class AsOfJoinSpec extends SparkSpec {
     // the scale claim: no join operator at all — one window over a union
     val plan = viaUnion.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
+
+    // asOfAuto: BOTH forced regimes reproduce the same result through the
+    // one entry point — factor 0 forces union-window (any pair volume
+    // exceeds 0), Long.MaxValue/4 forces equi+residual
+    def auto(factor: Long) = AsOfJoin.asOfAuto(facts, events,
+        Seq("user_id" -> "user_id"), "ts", "ts",
+        payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"),
+        pairBudgetFactor = factor)
+      .select(col("fact_id"), col("price"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(auto(0L) == a && auto(Long.MaxValue / 4) == a,
+      "regime choice must be invisible to results")
+    // the selector itself: hot-key pair blowup flips to union-window
+    assert(!AsOfJoin.chooseUnionWindow(pairs = 100, nFacts = 50, nEvents = 50,
+      factor = 4))
+    assert(AsOfJoin.chooseUnionWindow(pairs = 100000000L, nFacts = 10000,
+      nEvents = 10000, factor = 4))
   }
 
   test("intervalJoinBinned == asOfGlobal and plans as an equi join") {
