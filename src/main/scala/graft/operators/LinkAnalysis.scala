@@ -146,9 +146,17 @@ object LinkAnalysis {
         when(col("seed"), lit(scale / denom)).otherwise(lit(0L)).as("rank"))
       .repartition(p, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-    nodes.unpersist(false)
 
+    // ONE action per round: the aggregate that reads the round's dangling
+    // mass IS the action that fills the round's cache (the old shape paid
+    // a count() to materialize plus a second job for the scalar — at 3
+    // rounds that is 3 extra driver round-trips for zero work)
+    def fillAndDanglingMass(r: DataFrame): Long =
+      r.agg(coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L)))
+        .head.getLong(0)
+
+    var dm = fillAndDanglingMass(ranks)
+    nodes.unpersist(false)
     val base = scale * (dampDen - dampNum) / dampDen / denom
     for (_ <- 1 to iters) {
       // dangling nodes never appear as e.src, so the contrib join's null
@@ -157,8 +165,6 @@ object LinkAnalysis {
         .join(ranks.select(col("node").as("src"), col("deg"), col("rank")), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      val dm = ranks.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
       val share = dm / denom
       val next = ranks.select(col("node"), col("deg"), col("seed"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
@@ -168,7 +174,7 @@ object LinkAnalysis {
               s"* $dampNum div $dampDen")
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      dm = fillAndDanglingMass(next)
       ranks.unpersist(false)
       ranks = next
     }
@@ -239,8 +245,13 @@ object LinkAnalysis {
       }
       var hub = nodes.select(col("node"), lit(scale).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      hub.count()
       var auth: DataFrame = null
+      // Three actions per round instead of five: each max-scalar
+      // aggregate doubles as the fill of the raw-sum cache it reads, and
+      // the normalized auth state fills lazily during the h-side's
+      // aggregate (exactly ONE next consumer, so the lazy fill cannot
+      // race). Only hNext keeps an explicit fill — it releases hRaw and
+      // leaves both final states materialized for the output join.
       for (_ <- 1 to iters) {
         val aRaw = e.join(hub.select(col("node").as("src"), col("h")), "src")
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
@@ -251,13 +262,13 @@ object LinkAnalysis {
           .join(aRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"), expr(s"coalesce(a, 0L) div ${aDiv}L").as("a"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        aNext.count(); aRaw.unpersist(false)
         if (auth != null) auth.unpersist(false)
         auth = aNext
         val hRaw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("hh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val hMax = hRaw.agg(coalesce(max(col("hh")), lit(0L))).head.getLong(0)
+        aRaw.unpersist(false)
         val hDiv = math.max(hMax / scale, 1L)
         val hNext = nodes
           .join(hRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
