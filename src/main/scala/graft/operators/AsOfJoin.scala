@@ -183,11 +183,22 @@ object AsOfJoin {
     if (chooseUnionWindow(pairs, nf, ne, pairBudgetFactor)) {
       asOfUnion(facts, events, equi, factTs, eventTs, payload, eventTieBreak)
     } else {
+      // facts and events routinely derive from the SAME source relation
+      // (a self-as-of on one log): project the interval side to unique
+      // __-prefixed names first, so no column resolves to both sides of
+      // the join (Spark's ambiguous-self-join check would reject the
+      // DataFrame-qualified references otherwise)
       val ivl = scd2Intervals(events, equi.map(_._2), eventTs, eventTieBreak)
-      val joined = asOf(facts, ivl, equi, factTs)
-      joined.select(
-        facts.columns.toSeq.map(c => facts(c).as(c)) ++
-          payload.map { case (e, out) => ivl(e).as(out) }: _*)
+        .select(
+          equi.map { case (f, e) => col(e).as(s"__k_$f") } ++
+            payload.map { case (e, out) => col(e).as(s"__p_$out") } ++
+            Seq(col("valid_from").as("__vf"), col("valid_to").as("__vt")): _*)
+      val cond = equi.map { case (f, _) => facts(f) === col(s"__k_$f") }
+        .reduce(_ && _) &&
+        facts(factTs) >= col("__vf") && facts(factTs) < col("__vt")
+      facts.join(ivl, cond, "left_outer")
+        .select(facts.columns.toSeq.map(c => facts(c).as(c)) ++
+          payload.map { case (_, out) => col(s"__p_$out").as(out) }: _*)
     }
   }
 

@@ -1144,6 +1144,18 @@ object TrainingQueries {
       graft.operators.LinkAnalysis.triangleCounts(
         coEngagementTop500(s, dir), "ua", "ub")),
 
+    // The SPARSE branch of the co-engagement selector through the driver
+    // gate: an UNBOUNDED topic vocabulary (997 synthetic topics — past
+    // the 128-bit bitset) forces the per-topic equi-join form; the oracle
+    // is the same regime-independent projection.
+    "t_coengage_sparse" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.coEngagementEdges(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id").as("u"),
+            (get_json_object(col("props"), "$.k").cast("long") * 13 % 997)
+              .as("tp")),
+        "u", "tp", topK = 200, topicDomain = None)),
+
     // Local clustering coefficient over the same projected graph:
     // 2*triangles / deg*(deg-1) per node — "how tightly knit is this
     // node's neighborhood", the per-node community-cohesion readout on
@@ -2720,6 +2732,19 @@ object TrainingQueries {
     // close, replayed join for join
     "t_triangles" ->
       (triangleCtes + "SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1"),
+
+    // regime-independent projection, wide synthetic vocabulary
+    "t_coengage_sparse" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 13 % 997 AS tp
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |p AS (
+        |  SELECT x.u AS ua, y.u AS ub, COUNT(*) AS c
+        |  FROM e x JOIN e y ON x.tp = y.tp AND x.u < y.u GROUP BY 1, 2)
+        |SELECT ua, ub, c FROM p ORDER BY c DESC, ua, ub LIMIT 200""".stripMargin,
 
     // per-node 2*tri / deg*(deg-1) over the same stack
     "t_clustering_coef" ->

@@ -274,6 +274,22 @@ object WarehouseQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("price"))
     }),
 
+    // The selector's OTHER branch through the driver gate: a sparse
+    // synthetic key (event_id mod 50k — per-key density ~1) keeps the
+    // pair volume under the budget, so asOfAuto takes the equi+residual
+    // form; the oracle is regime-independent.
+    "j3_asof_auto_equi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("shard", pmod(col("event_id"), lit(50000L)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("shard", pmod(col("event_id"), lit(50000L)))
+      AsOfJoin.asOfAuto(clicks, purchases,
+          Seq("shard" -> "shard"), "ts", "ts",
+          payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("shard"), col("ts"), col("price"))
+    }),
+
     // J3 scale path (keyless): SAME semantics as j3_asof_global, but via
     // bin replication — an equi join on fixed-width time bins instead of a
     // broadcast nested loop, for when the interval side outgrows broadcast.
@@ -1648,6 +1664,22 @@ object WarehouseQueries {
         |FROM events e LEFT JOIN intervals p
         |  ON e.user_id = p.p_user AND e.ts >= p.valid_from AND e.ts < p.valid_to
         |WHERE e.event_type = 'click'""".stripMargin,
+
+    // sparse-key leg: same interval semantics on the synthetic shard
+    "j3_asof_auto_equi" ->
+      """WITH p0 AS (
+        |  SELECT event_id % 50000 AS shard, value, ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |intervals AS (
+        |  SELECT shard, value AS price, ts AS valid_from,
+        |    coalesce(lead(ts, 1) OVER (PARTITION BY shard ORDER BY ts, event_id),
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |  FROM p0),
+        |c AS (SELECT event_id, event_id % 50000 AS shard, ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.shard, c.ts, p.price
+        |FROM c LEFT JOIN intervals p
+        |  ON c.shard = p.shard AND c.ts >= p.valid_from AND c.ts < p.valid_to""".stripMargin,
 
     // regime choice must be invisible: same oracle as the fixed forms
     "j3_asof_auto" ->
