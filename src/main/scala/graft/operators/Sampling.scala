@@ -306,6 +306,31 @@ object Sampling {
     * share the partitioning, and per-group sort depth is the group size
     * — the standard distributed per-key top-k, never a global sort.
     */
+  /** The ASSOCIATIVE fold unit behind streaming priority sampling: the
+    * per-key top-(k+1) rows by the exact w/u priority (original columns
+    * only — the priority is a pure function of id and weight, so carrying
+    * it would be redundant state). Top-(k+1) of a union equals the
+    * top-(k+1) of the per-slice top-(k+1)s, so folding micro-batches
+    * through this yields exactly the whole-corpus candidate set — and
+    * running [[prioritySamplePerKey]] over the folded state reproduces
+    * the batch sample INCLUDING the (k+1)-th-priority estimator
+    * threshold, however the stream was sliced (`st_priority_sample`).
+    */
+  def priorityCandidatesPerKey(df: DataFrame, keyCol: String, idCol: String,
+                               weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__pri").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri", col(weightCol).cast("double") / u)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+      .drop("__pri", "__rn")
+  }
+
   def prioritySamplePerKey(df: DataFrame, keyCol: String, idCol: String,
                            weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -338,6 +338,54 @@ object StreamingGate {
     * precondition). The oracle is the FULL-recompute window over the
     * whole log: only a correct N-fold incremental maintenance matches it.
     */
+  /** Streaming weighted (priority) sampling drained per key: documents
+    * arrive in single-file micro-batches and each batch folds the per-key
+    * top-(k+1) priority candidates
+    * ([[graft.operators.Sampling.priorityCandidatesPerKey]] — the fold is
+    * ASSOCIATIVE: top-(k+1) of a union == top-(k+1) of per-slice
+    * top-(k+1)s) into a versioned state table; the drained read runs the
+    * batch per-key sampler over the folded state, so the sample AND the
+    * (k+1)-th-priority estimator threshold equal the whole-corpus batch
+    * result exactly, however the stream was sliced. State is bounded at
+    * keys × (k+1) rows regardless of stream length.
+    */
+  def prioritySampleGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val in = scratch("ps_in", dir)
+    val stateRoot = scratch("ps_state", dir)
+    val ck = scratch("ps_ck", dir)
+    Seq(in, stateRoot, ck).foreach(cleanDir(spark, _))
+    docs.limit(0).write.mode("overwrite").parquet(s"$stateRoot/v_init")
+    docs.repartition(4).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    var cur = s"$stateRoot/v_init"
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val next = s"$stateRoot/v$id"
+          Sampling.priorityCandidatesPerKey(
+              spark.read.parquet(cur).unionByName(
+                b.select(col("lang"), col("doc_id"), col("n_chars"))),
+              "lang", "doc_id", "n_chars", k = 20)
+            .write.mode("overwrite").parquet(next)
+          cur = next
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Sampling.prioritySamplePerKey(
+        spark.read.parquet(cur), "lang", "doc_id", "n_chars", k = 20)
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("weight"),
+        col("priority"), col("est_weight"))
+  }
+
   def scd2Gate(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AsOfJoin, MergeOps}
     val ev = Tables.load(spark, dir, "events")
@@ -581,7 +629,8 @@ object StreamingGate {
     "st_versioned_ingest" -> (versionedIngestGate(_, _)),
     "st_incr_dedup" -> (incrDedupGate(_, _)),
     "st_late_audit" -> (lateAuditGate(_, _)),
-    "st_scd2" -> (scd2Gate(_, _)))
+    "st_scd2" -> (scd2Gate(_, _)),
+    "st_priority_sample" -> (prioritySampleGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -591,6 +640,29 @@ object StreamingGate {
     // the FULL-corpus CC recompute: only a slicing-independent incremental
     // fold whose accumulated pairs equal the batch relation can match it
     "st_incr_dedup" -> graft.queries.TrainingQueries.dedupCcOracle,
+
+    // the whole-corpus batch sampler: only an associative top-(k+1) fold
+    // whose state preserves the global (k+1)-th priority can match the
+    // estimator threshold exactly
+    "st_priority_sample" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(n_chars AS DOUBLE) AS wd,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |              AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+        |      AS priority
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, weight, wd, priority,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY priority DESC, doc_id) AS rn
+        |      FROM w),
+        |t AS (SELECT lang,
+        |        COALESCE(MAX(CASE WHEN rn = 21 THEN priority END), 0.0) AS tau
+        |      FROM r GROUP BY 1)
+        |SELECT r.lang, r.doc_id, r.weight, r.priority,
+        |  CASE WHEN r.wd > t.tau THEN r.wd ELSE t.tau END AS est_weight
+        |FROM r JOIN t USING (lang) WHERE r.rn <= 20""".stripMargin,
 
     "st_scd2" ->
       """SELECT user_id, event_id, value, ts AS valid_from,

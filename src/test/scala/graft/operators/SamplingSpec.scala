@@ -291,6 +291,37 @@ class SamplingSpec extends SparkSpec {
     assert(kept5 == Seq(1L))
   }
 
+  test("priorityCandidatesPerKey: the top-(k+1) fold is associative — any " +
+      "slicing folds to the whole-corpus candidate set and sample") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i => (if (i % 3 == 0) "x" else "y", i, (i % 11 + 1).toDouble))
+    val d = rows.toDF("grp", "doc_id", "w")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "doc_id").as[(String, Long)].collect().toSet
+    val whole = ids(Sampling.priorityCandidatesPerKey(d, "grp", "doc_id", "w", k = 4))
+    // fold three arbitrary slices (by doc_id mod 3) through the unit
+    val folded = (0 to 2).map(m => d.filter(col("doc_id") % 3 === m))
+      .reduceLeft { (state, slice) =>
+        Sampling.priorityCandidatesPerKey(state.unionByName(slice),
+          "grp", "doc_id", "w", k = 4)
+      }
+    // note: the first reduce step unions two RAW slices — candidates of
+    // candidates are still candidates, so one more pass normalizes
+    val foldedIds = ids(Sampling.priorityCandidatesPerKey(folded,
+      "grp", "doc_id", "w", k = 4))
+    assert(foldedIds == whole, s"fold diverged: $foldedIds vs $whole")
+    // and the batch sampler over the folded state == over the whole data
+    val viaFold = Sampling.prioritySamplePerKey(
+        Sampling.priorityCandidatesPerKey(folded, "grp", "doc_id", "w", k = 4),
+        "grp", "doc_id", "w", k = 4)
+      .select("grp", "doc_id", "est_weight")
+      .as[(String, Long, Double)].collect().toSet
+    val viaWhole = Sampling.prioritySamplePerKey(d, "grp", "doc_id", "w", k = 4)
+      .select("grp", "doc_id", "est_weight")
+      .as[(String, Long, Double)].collect().toSet
+    assert(viaFold == viaWhole, "estimator thresholds must survive the fold")
+  }
+
   test("prioritySamplePerKey: per-group top-k equals the global operator " +
       "applied per group, including each group's own tau") {
     import spark.implicits._
