@@ -322,4 +322,31 @@ object VectorFunctions {
       .crossJoin(exact.agg(count(lit(1)).as("k")))
       .select(lit(method).as("method"), col("n_hits"), col("k"),
         (col("n_hits").cast("double") / col("k")).as("recall"))
+
+  /** The IVF tuning sweep — the recall-vs-cost CURVE an index operator
+    * reads to pick nprobe (take the smallest nprobe whose recall clears
+    * the target): one row `(nprobe, n_hits, k, recall)` per candidate,
+    * each probe judged against the brute-force ground truth computed
+    * once (persisted, released by the session's per-query clear). The
+    * sweep is a bounded driver loop over result-sized legs — the corpus
+    * is scanned once per candidate probe depth, exactly what the probe
+    * costs in production.
+    */
+  def tuneNprobe(corpus: DataFrame, queryVec: DataFrame, k: Int, nlist: Int,
+                 nprobes: Seq[Int], idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(np => np >= 1 && np <= nlist),
+      s"nprobes must be within [1, $nlist], got $nprobes")
+    val exact = bruteForceTopK(corpus, queryVec, k, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nprobes.map { np =>
+      ivfTopK(corpus, queryVec, k, nlist, np, idCol, vecCol)
+        .select(col(idCol))
+        .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("k")))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"), col("k"),
+          (col("n_hits").cast("double") / col("k")).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -296,6 +296,15 @@ object TrainingQueries {
       VF.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4).select("vec_id", "label", "cos")
     }),
 
+    // The IVF tuning sweep: recall-vs-nprobe curve against brute ground
+    // truth — the readout an index operator picks nprobe from (smallest
+    // depth clearing the recall target).
+    "t_ann_tune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      VF.tuneNprobe(emb, q, k = 10, nlist = 16, nprobes = Seq(1, 2, 4))
+    }),
+
     // Batched IVF ANN: 5 query vectors probe the shared index in ONE
     // plan — the production fan-out shape (per-query invocation would
     // re-scan the corpus per query). Per-query probe lists and top-k come
@@ -1532,7 +1541,7 @@ object TrainingQueries {
        |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""".stripMargin
 
-  private val annIvfOracle: String =
+  private def annIvfOracleAt(nprobe: Int): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |assign AS (
@@ -1540,12 +1549,30 @@ object TrainingQueries {
        |    first(c.cid ORDER BY ${cosSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS cell
        |  FROM embeddings e, cent c GROUP BY e.vec_id),
        |qc AS (SELECT c.cid AS cell FROM cent c, q
-       |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT 4)
+       |       ORDER BY ${cosSql("c.cvec", "q.qv", 64)} DESC, c.cid LIMIT $nprobe)
        |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 64)} AS cos
        |FROM embeddings e
        |JOIN assign a ON e.vec_id = a.vec_id
        |JOIN qc ON a.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
+  private val annIvfOracle: String = annIvfOracleAt(4)
+
+  /** The nprobe tuning sweep's oracle: one leg per candidate depth, each
+    * the full IVF oracle at that nprobe semi-checked against the brute
+    * ground truth (both nested as derived tables). */
+  private def annTuneOracle(nprobes: Seq[Int]): String = {
+    val legs = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST((SELECT COUNT(*) FROM (SELECT vec_id FROM (${annIvfOracleAt(np)}) a) aa
+         |        WHERE aa.vec_id IN (SELECT vec_id FROM ($annBruteOracle) g))
+         |    AS BIGINT) AS n_hits,
+         |  CAST((SELECT COUNT(*) FROM ($annBruteOracle) g2) AS BIGINT) AS k""".stripMargin
+    }
+    s"""SELECT nprobe, n_hits, k,
+       |  CAST(n_hits AS DOUBLE) / k AS recall
+       |FROM (${legs.mkString("\nUNION ALL\n")}) u""".stripMargin
+  }
 
   /** Multi-query extension of annIvfOracle: probe lists and top-k become
     * rank windows partitioned by query id — the batch operator's exact
@@ -2244,6 +2271,7 @@ object TrainingQueries {
     "t_ann_lsh" -> annLshOracle,
     "t_ann_recall" -> annRecallOracle(
       "lsh" -> annLshOracle, "lsh_multiband" -> annLshMultibandOracle),
+    "t_ann_tune" -> annTuneOracle(Seq(1, 2, 4)),
     "t_ann_ivf" -> annIvfOracle,
     // the index/query split changes WHERE the work happens, not the answer:
     // the materialized index must reproduce the composable formulation

@@ -121,4 +121,24 @@ class IvfRecallSpec extends SparkSpec {
     assert(rrMean >= adcMean,
       f"exact rerank lost recall vs raw ADC: $rrMean%.3f < $adcMean%.3f")
   }
+
+  test("tuneNprobe: recall is monotone in probe depth, full-width probe " +
+      "recalls everything, and recallAtK matches a hand count") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding"))
+    val sweep = VF.tuneNprobe(emb, q, k = 10, nlist = 16,
+        nprobes = Seq(1, 4, 16))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // deeper probes can only ADD candidate cells: recall is monotone
+    assert(sweep(1L) <= sweep(4L) && sweep(4L) <= sweep(16L),
+      s"recall must be monotone in nprobe: $sweep")
+    // probing every cell IS brute force over the whole corpus
+    assert(sweep(16L) == 1.0, s"full-width probe must recall 1.0: $sweep")
+    // recallAtK against itself is exact
+    val exact = VF.bruteForceTopK(emb, q, k = 10)
+    val self = VF.recallAtK(exact, exact, "self").head
+    assert(self.getLong(1) == 10L && self.getDouble(3) == 1.0)
+    spark.catalog.clearCache()
+  }
 }
