@@ -340,15 +340,17 @@ object Sampling {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("priority").desc, col(idCol))
     val wAll = Window.partitionBy(col(keyCol))
+    // internals are __-prefixed so a user column named rn/tau survives;
+    // priority and est_weight are the documented OUTPUT columns
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("priority", col(weightCol).cast("double") / u)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("tau", coalesce(
-        max(when(col("rn") === k + 1, col("priority"))).over(wAll), lit(0.0)))
-      .filter(col("rn") <= k)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tau", coalesce(
+        max(when(col("__rn") === k + 1, col("priority"))).over(wAll), lit(0.0)))
+      .filter(col("__rn") <= k)
       .withColumn("est_weight",
-        greatest(col(weightCol).cast("double"), col("tau")))
-      .drop("rn", "tau")
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__rn", "__tau")
   }
 
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
@@ -362,15 +364,16 @@ object Sampling {
       .withColumn("priority", col(weightCol).cast("double") / u)
       .orderBy(col("priority").desc, col(idCol))
       .limit(k + 1)
-    // rank over the k+1 candidates only (bounded by construction)
-    val ranked = topK1.withColumn("rn",
+    // rank over the k+1 candidates only (bounded by construction);
+    // internals __-prefixed so user columns named rn/tau survive
+    val ranked = topK1.withColumn("__rn",
       row_number().over(Window.orderBy(col("priority").desc, col(idCol))))
     val tau = ranked.agg(coalesce(
-      max(when(col("rn") === k + 1, col("priority"))), lit(0.0)).as("tau"))
-    ranked.filter(col("rn") <= k).drop("rn")
+      max(when(col("__rn") === k + 1, col("priority"))), lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= k).drop("__rn")
       .crossJoin(broadcast(tau))
       .withColumn("est_weight",
-        greatest(col(weightCol).cast("double"), col("tau")))
-      .drop("tau")
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__tau")
   }
 }
