@@ -243,48 +243,57 @@ object LinkAnalysis {
         e.unpersist(false); nodes.unpersist(false)
         return empty
       }
+      // TWO actions per round (the max-scalar reads), zero beyond them:
+      // each max aggregate doubles as the fill of the raw-sum cache it
+      // reads, and the NORMALIZED states are never persisted at all —
+      // `a div aDiv` is a narrow projection over the cached raw sums, so
+      // re-deriving it per consumer costs a cache re-read, not a
+      // recompute. Intermediate rounds also skip the node-completion
+      // left join entirely: a node absent from a raw sum contributes
+      // exactly what a zero-valued row would to the next inner
+      // join + sum, so sums (and hence the fixed point) are unchanged;
+      // only the FINAL output completes against `nodes` to surface the
+      // zero-scored rows the top-k contract includes.
       var hub = nodes.select(col("node"), lit(scale).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       var auth: DataFrame = null
-      // Three actions per round instead of five: each max-scalar
-      // aggregate doubles as the fill of the raw-sum cache it reads, and
-      // the normalized auth state fills lazily during the h-side's
-      // aggregate (exactly ONE next consumer, so the lazy fill cannot
-      // race). Only hNext keeps an explicit fill — it releases hRaw and
-      // leaves both final states materialized for the output join.
+      var aRawPrev: DataFrame = null
+      var hRawPrev: DataFrame = null
       for (_ <- 1 to iters) {
         val aRaw = e.join(hub.select(col("node").as("src"), col("h")), "src")
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // fills aRaw; also the last plan that reads the previous round's
+        // hRaw (through `hub`), so that pin is released right after
         val aMax = aRaw.agg(coalesce(max(col("a")), lit(0L))).head.getLong(0)
+        if (hRawPrev != null) hRawPrev.unpersist(false)
         val aDiv = math.max(aMax / scale, 1L)
-        val aNext = nodes
-          .join(aRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), expr(s"coalesce(a, 0L) div ${aDiv}L").as("a"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        if (auth != null) auth.unpersist(false)
-        auth = aNext
+        auth = aRaw.select(col("dst").as("node"),
+          expr(s"a div ${aDiv}L").as("a"))
         val hRaw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("hh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // fills hRaw; the last plan reading the previous aRaw (via `auth`)
         val hMax = hRaw.agg(coalesce(max(col("hh")), lit(0L))).head.getLong(0)
-        aRaw.unpersist(false)
+        if (aRawPrev != null) aRawPrev.unpersist(false)
         val hDiv = math.max(hMax / scale, 1L)
-        val hNext = nodes
-          .join(hRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .select(col("node"), expr(s"coalesce(hh, 0L) div ${hDiv}L").as("h"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        hNext.count(); hRaw.unpersist(false)
-        hub.unpersist(false)
-        hub = hNext
+        hub = hRaw.select(col("src").as("node"),
+          expr(s"hh div ${hDiv}L").as("h"))
+        aRawPrev = aRaw
+        hRawPrev = hRaw
       }
-      val out = auth.join(hub, "node")
-        .select(col("node"), col("a").as("auth_scaled"), col("h").as("hub_scaled"),
-          (col("a").cast("double") / lit(scale.toDouble)).as("auth"))
+      val out = nodes
+        .join(auth, Seq("node"), "left")
+        .join(hub, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("a"), lit(0L)).as("auth_scaled"),
+          coalesce(col("h"), lit(0L)).as("hub_scaled"),
+          (coalesce(col("a"), lit(0L)).cast("double") /
+            lit(scale.toDouble)).as("auth"))
         .orderBy(col("auth_scaled").desc, col("node")).limit(k)
       val rows = out.collect()
       e.unpersist(false); nodes.unpersist(false)
-      auth.unpersist(false); hub.unpersist(false)
+      if (aRawPrev != null) aRawPrev.unpersist(false)
+      if (hRawPrev != null) hRawPrev.unpersist(false)
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
     } finally {
@@ -332,19 +341,39 @@ object LinkAnalysis {
     * for each of its three corners. Everything is equi-joins + hash
     * aggregates — shuffles carry edge keys only.
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // persisted AND filled eagerly: degrees, the orientation join, and
-    // the wedge-closing join all scan the canonical edge set from
-    // concurrent subplans of one action — a lazy fill would race and
-    // re-run the (possibly expensive) upstream edge derivation once per
-    // leg. Released by the session's per-query cache clear.
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     eagerFill: Boolean = true): DataFrame =
+    triangleCorners(edges, aCol, bCol, eagerFill)
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** One row per (triangle, corner) — [[triangleCounts]] before its final
+    * aggregate. Exposed so compositions (the clustering coefficient) can
+    * fold corners and degrees in ONE aggregate over a union instead of
+    * joining two aggregates: fewer shuffles, and — the reason it exists —
+    * a count() over the union-aggregate cannot be optimized into dropping
+    * the triangle leg, which Catalyst provably CAN do (and does) to a
+    * left join against the unique-keyed [[triangleCounts]] output when no
+    * triangle column is referenced, silently benching the degree scan
+    * only.
+    *
+    * The canonical edge set is persisted AND (by default) filled eagerly:
+    * degrees, the orientation join, and the wedge-closing join all scan
+    * it from concurrent subplans of one action — a lazy fill would race
+    * and re-run the (possibly expensive) upstream edge derivation once
+    * per leg. Callers whose edge input is already materialized (a staged
+    * parquet artifact, a cached relation) pass eagerFill = false: the
+    * worst a fill race can then cost is an extra cheap re-scan, and the
+    * extra driver action is pure overhead. Released by the session's
+    * per-query cache clear. */
+  def triangleCorners(edges: DataFrame, aCol: String, bCol: String,
+                      eagerFill: Boolean = true): DataFrame = {
     val e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    if (eagerFill) e.count(): Unit
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -362,7 +391,6 @@ object LinkAnalysis {
     tri.select(col("src").as("node"))
       .unionByName(tri.select(col("va").as("node")))
       .unionByName(tri.select(col("vb").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
   /** User–user co-engagement projection of a bipartite (user, topic)
@@ -409,21 +437,28 @@ object LinkAnalysis {
       case None    => base
     }
     // The distinct pair table feeds the stats AND both legs of either
-    // support form: build it once, eagerly (the eager count prevents the
-    // concurrent-subplan cache-fill race — the Dedup materialize()
-    // lesson), released by the session's per-query cache clear like
-    // every query-scoped pin in this engine.
+    // support form: build it once, released by the session's per-query
+    // cache clear like every query-scoped pin in this engine.
     val e = bounded.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    // Regime stats: ONE scalar action over the cached pair table — per-
-    // topic counts give m_t (Σ_t m_t² = the sparse form's join-instance
-    // count) and |U| is the dense form's mask-table size. Doubles for
-    // the comparison: |U|² overflows Long past ~3e9 users. The support
-    // plan itself is returned LAZILY (one action when the caller
-    // consumes it).
-    val stats = e.groupBy(col("tp")).agg(count(lit(1)).as("m"))
-      .agg(coalesce(sum(col("m") * col("m")), lit(0L)).as("inst"))
-      .crossJoin(e.agg(countDistinct(col("u")).as("nu")))
+    // Regime stats AND the cache fill in ONE action over ONE linear
+    // single-scan plan: each pair row is exploded into a (0, tp) and a
+    // (1, u) tagged key, grouped once, then folded — Σ m_t² (the sparse
+    // form's join-instance count) from the kind-0 groups and |U| (the
+    // dense form's mask-table size) as the kind-1 group count. A single
+    // scan leg means the lazy persist cannot race concurrent subplans
+    // (the old shape paid an eager count() plus a crossJoin of two
+    // aggregates for the same two scalars). Doubles for the comparison:
+    // |U|² overflows Long past ~3e9 users. The support plan itself is
+    // returned LAZILY (one action when the caller consumes it).
+    val stats = e.select(explode(array(
+        struct(lit(0).as("kind"), col("tp").as("key")),
+        struct(lit(1).as("kind"), col("u").as("key")))).as("t"))
+      .groupBy(col("t.kind").as("kind"), col("t.key").as("key"))
+      .agg(count(lit(1)).as("m"))
+      .agg(
+        coalesce(sum(when(col("kind") === 0, col("m") * col("m"))), lit(0L))
+          .as("inst"),
+        coalesce(sum(when(col("kind") === 1, lit(1L))), lit(0L)).as("nu"))
       .head
     val (inst, nUsers) = (stats.getLong(0), stats.getLong(1))
     val dense = chooseDense(nUsers, inst, topicDomain, maxDenseUsers)

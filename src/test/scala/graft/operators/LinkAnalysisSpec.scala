@@ -260,4 +260,16 @@ class LinkAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("staged co-engagement top-500 projection == freshly rebuilt " +
+      "projection, and a second call reads the stage") {
+    import graft.queries.TrainingQueries
+    val staged = TrainingQueries.coEngagementTop500(spark, sfDir)
+    val rebuilt = TrainingQueries.coEngagementTop500Fresh(spark, sfDir)
+    assert(staged.except(rebuilt).isEmpty && rebuilt.except(staged).isEmpty,
+      "staged projection must equal the inline rebuild")
+    val again = TrainingQueries.coEngagementTop500(spark, sfDir)
+    assert(again.count() == staged.count())
+    spark.catalog.clearCache()
+  }
 }
