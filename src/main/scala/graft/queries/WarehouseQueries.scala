@@ -556,8 +556,21 @@ object WarehouseQueries {
     "s9_audit_wide" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("job_id", pmod(col("event_id"), lit(997L)))
-        .withColumn("slot_ms",
-          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") * lit(100L))
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+        .withColumn("slot_ms", col("k") * lit(100L))
+        // the deletion and data-change legs of the reference's event
+        // stack (audit_log.sql:331-348 tableDeletionEvent, :401-427
+        // tableDataChangeEvent) — in the synthetic log a deletion is a
+        // table-change (click) row whose payload k is a multiple of 10
+        // (reason "expired" when also a multiple of 20, else "deleted"),
+        // and a data change is a data-access (purchase) row with odd k,
+        // carrying deleted/inserted row counts in k's digits. Both stay
+        // inside the ONE conditional-aggregation pass.
+        .withColumn("is_del",
+          col("event_type") === "click" && col("k") % 10 === 0)
+        .withColumn("is_dc",
+          col("event_type") === "purchase" && col("k") % 2 === 1)
         .groupBy(col("job_id"))
         .agg(
           min(col("user_id")).as("principal"),
@@ -566,6 +579,16 @@ object WarehouseQueries {
           max(col("event_type") === "click").as("has_table_change"),
           max(col("event_type") === "purchase").as("has_data_read"),
           max(col("event_type") === "error").as("has_error"),
+          // coalesce: an all-null flag column (k unparsable on every row)
+          // must read false like the oracle's bool_or
+          coalesce(max(col("is_del")), lit(false)).as("has_table_deletion"),
+          sum(when(col("is_del"), lit(1L))).as("n_deletions"),
+          max(when(col("is_del"),
+            when(col("k") % 20 === 0, lit("expired")).otherwise(lit("deleted"))))
+            .as("deletion_reason"),
+          coalesce(max(col("is_dc")), lit(false)).as("has_data_change"),
+          sum(when(col("is_dc"), col("k") % 10)).as("dc_deleted_rows"),
+          sum(when(col("is_dc"), expr("k div 10"))).as("dc_inserted_rows"),
           min(col("ts")).as("job_start"),
           sum(when(col("event_type") === "purchase",
             dec2(col("value") * 1000)).otherwise(lit(null))).cast("double").as("runtime_ms"),
@@ -586,6 +609,8 @@ object WarehouseQueries {
           col("job_id"), col("principal"),
           col("has_job_change"), col("has_table_creation"),
           col("has_table_change"), col("has_data_read"), col("has_error"),
+          col("has_table_deletion"), col("n_deletions"), col("deletion_reason"),
+          col("has_data_change"), col("dc_deleted_rows"), col("dc_inserted_rows"),
           // the jobStartDate STRUCT (audit_log.sql:445-454), flattened —
           // dayofweek is 0-based Sunday like the reference's EXTRACT - 1
           minute(col("job_start")).cast("long").as("start_minute"),
@@ -1842,7 +1867,14 @@ object WarehouseQueries {
     "s9_audit_wide" ->
       """WITH base AS (
         |  SELECT event_id % 997 AS job_id, user_id, event_type, ts, value, props,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 100 AS slot_ms
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 100 AS slot_ms,
+        |    (event_type = 'click'
+        |      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0)
+        |      AS is_del,
+        |    (event_type = 'purchase'
+        |      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1)
+        |      AS is_dc
         |  FROM events),
         |j AS (
         |  SELECT job_id,
@@ -1852,6 +1884,14 @@ object WarehouseQueries {
         |    bool_or(event_type = 'click') AS has_table_change,
         |    bool_or(event_type = 'purchase') AS has_data_read,
         |    bool_or(event_type = 'error') AS has_error,
+        |    COALESCE(bool_or(is_del), FALSE) AS has_table_deletion,
+        |    CAST(SUM(CASE WHEN is_del THEN 1 END) AS BIGINT) AS n_deletions,
+        |    MAX(CASE WHEN is_del THEN
+        |      (CASE WHEN k % 20 = 0 THEN 'expired' ELSE 'deleted' END) END)
+        |      AS deletion_reason,
+        |    COALESCE(bool_or(is_dc), FALSE) AS has_data_change,
+        |    CAST(SUM(CASE WHEN is_dc THEN k % 10 END) AS BIGINT) AS dc_deleted_rows,
+        |    CAST(SUM(CASE WHEN is_dc THEN k // 10 END) AS BIGINT) AS dc_inserted_rows,
         |    MIN(ts) AS job_start,
         |    CAST(SUM(CASE WHEN event_type = 'purchase'
         |      THEN CAST(value * 1000 AS DECIMAL(18,2)) END) AS DOUBLE) AS runtime_ms,
@@ -1862,6 +1902,8 @@ object WarehouseQueries {
         |  FROM base GROUP BY 1)
         |SELECT job_id, principal, has_job_change, has_table_creation,
         |  has_table_change, has_data_read, has_error,
+        |  has_table_deletion, n_deletions, deletion_reason,
+        |  has_data_change, dc_deleted_rows, dc_inserted_rows,
         |  CAST(minute(job_start) AS BIGINT) AS start_minute,
         |  CAST(hour(job_start) AS BIGINT) AS start_hour,
         |  CAST(dayofweek(job_start) AS BIGINT) AS start_dow,
