@@ -1048,6 +1048,49 @@ object WarehouseQueries {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // K6+ DATASET staging refresh through the gate: the reference's dbt
+    // staging-refresh DAG — enumerate every table in a source dataset,
+    // skip backup-named ones, metadata-only-clone each under a suffix,
+    // re-register views — run over a three-table dataset plus a _bkp_
+    // decoy and one live + one missing view. The outcome report unions
+    // with a per-clone read-back count, proving each staging clone
+    // carries the source rows without a byte copied (the file-identity
+    // audit lives in VersionedTableSpec).
+    "k6_dataset_refresh" -> ((s, dir) => {
+      val src = scratch("k6ds", dir)
+      val dst = scratch("k6dsstg", dir)
+      cleanDir(s, src); cleanDir(s, dst)
+      val c = t(s, dir, "customer")
+      graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 0), s"$src/cust_a", overwrite = true)
+      graft.sinks.VersionedTable.commit(
+        c.filter(col("c_custkey") % 3 === 1), s"$src/cust_b", overwrite = true)
+      graft.sinks.VersionedTable.commit(
+        t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        s"$src/ord_small", overwrite = true)
+      // the reference's `_.*bkp_[0-9]{8}` exclusion must skip this one
+      graft.sinks.VersionedTable.commit(
+        c.limit(5), s"$src/cust_a_bkp_20240101", overwrite = true)
+      c.filter(col("c_custkey") % 3 === 2)
+        .createOrReplaceTempView("k6_refresh_view")
+      val outcome = graft.sinks.VersionedTable.datasetRefresh(
+        s, src, dst, suffix = "_staging",
+        views = Seq("k6_refresh_view", "k6_refresh_missing_view"))
+      // result-sized collect (one row per dataset object, the DelIns
+      // bounded-list pattern) to read each staging clone back
+      val rows = outcome.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      import s.implicits._
+      val counted = rows.map { case (kind, name) =>
+        val n = if (kind == "cloned_table")
+          Some(graft.sinks.VersionedTable.read(s, s"$dst/${name}_staging").count())
+        else None
+        (kind, name, n)
+      }
+      counted.toDF("kind", "name", "n_rows")
+    }),
+
     // S12/backfill through the gate: the reference's backfill controller
     // (backfill_controller.py) slices an arbitrary range into fixed-size
     // sub-windows and replays each through the SAME idempotent del-ins
@@ -1863,6 +1906,18 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // outcome report + per-clone read-back counts; the _bkp_ decoy must
+    // be absent and the missing view must report missing
+    "k6_dataset_refresh" ->
+      """SELECT 'cloned_table' AS kind, 'cust_a' AS name,
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS BIGINT) AS n_rows
+        |UNION ALL SELECT 'cloned_table', 'cust_b',
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1) AS BIGINT)
+        |UNION ALL SELECT 'cloned_table', 'ord_small',
+        |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS BIGINT)
+        |UNION ALL SELECT 'cloned_view', 'k6_refresh_view', CAST(NULL AS BIGINT)
+        |UNION ALL SELECT 'missing_view', 'k6_refresh_missing_view', CAST(NULL AS BIGINT)""".stripMargin,
 
     "s9_audit_wide" ->
       """WITH base AS (

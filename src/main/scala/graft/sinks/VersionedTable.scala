@@ -278,6 +278,75 @@ object VersionedTable {
     v
   }
 
+  /** Dataset-level staging refresh — the reference's dbt staging-refresh
+    * flow (reference dags/dag_stellar_dbt_staging_refresh.py:58-200):
+    * enumerate every table in a source dataset, skip backup-named ones
+    * (the reference's `_.*bkp_[0-9]{8}` exclusion), CREATE-OR-REPLACE a
+    * METADATA-ONLY clone of each into the staging dataset under a suffix
+    * rule, optionally `FOR SYSTEM_TIME AS OF` a cutoff (`:84-88`), and
+    * re-register the given catalog views over their staging name.
+    * Returns the reference script's outcome report: one (kind, name) row
+    * per object — cloned_table / cloned_view / missing_table /
+    * missing_view / missing_dataset.
+    *
+    * A "dataset" is a directory of [[VersionedTable]] roots (each child
+    * dir with a `_manifests` dir is a table — the INFORMATION_SCHEMA
+    * enumeration); views live in `spark.catalog`. The SYSTEM_TIME cutoff
+    * resolves per table to the newest version whose manifest commit
+    * mtime is <= `asOfMillis` — a table with no version that old reports
+    * missing_table, mirroring the reference's exception leg. Each clone
+    * is a manifest pointer write ([[cloneAt]]): zero data bytes move no
+    * matter the table size, so refreshing an N-table dataset costs N
+    * small file writes — the property the reference's staging DAG relies
+    * on being cheap enough to run on every dbt PR.
+    */
+  def datasetRefresh(spark: SparkSession, srcRoot: String, dstRoot: String,
+                     suffix: String = "",
+                     asOfMillis: Option[Long] = None,
+                     excludePattern: String = "_.*bkp_[0-9]{8}",
+                     views: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, srcRoot)
+    val srcPath = new Path(srcRoot)
+    val exclude = excludePattern.r
+    val tableRows: Seq[(String, String)] =
+      if (!f.exists(srcPath)) Seq(("missing_dataset", srcPath.getName))
+      else {
+        val tables = f.listStatus(srcPath).toSeq
+          .filter(st => st.isDirectory &&
+            f.exists(new Path(st.getPath, "_manifests")))
+          .map(_.getPath.getName)
+          .filter(n => exclude.findFirstIn(n).isEmpty)
+          .sorted
+        tables.map { name =>
+          val tRoot = s"$srcRoot/$name"
+          val cut = asOfMillis.getOrElse(Long.MaxValue)
+          val pick = versions(f, tRoot).reverse.find { v =>
+            f.getFileStatus(new Path(manifestDir(tRoot), s"v$v.manifest"))
+              .getModificationTime <= cut
+          }
+          pick match {
+            case None => ("missing_table", name)
+            case Some(v) =>
+              val dst = s"$dstRoot/$name$suffix"
+              // CREATE OR REPLACE: drop any previous staging clone's
+              // manifests (its data lives in the SOURCE — nothing to reap)
+              fs(spark, dst).delete(new Path(dst), true)
+              cloneAt(spark, tRoot, v, dst)
+              ("cloned_table", name)
+          }
+        }
+      }
+    val viewRows = views.map { name =>
+      if (spark.catalog.tableExists(name)) {
+        // CREATE OR REPLACE VIEW <name><suffix> AS SELECT * FROM <name>
+        spark.table(name).createOrReplaceTempView(s"$name$suffix")
+        ("cloned_view", name)
+      } else ("missing_view", name)
+    }
+    (tableRows ++ viewRows).toDF("kind", "name")
+  }
+
   /** Roll the table back to `version` by committing its manifest as the
     * newest — history is preserved (roll-forward is another rollback).
     */

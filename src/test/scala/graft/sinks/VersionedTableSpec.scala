@@ -187,4 +187,70 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.rollback(spark, root, 1L)
     assert(ids(root) == Set(2L))
   }
+
+  test("datasetRefresh clones every table metadata-only, skips backup " +
+      "names, reports views, and a rerun replaces cleanly") {
+    val src = java.nio.file.Files.createTempDirectory("vt_ds").toString
+    val dst = java.nio.file.Files.createTempDirectory("vt_dsstg").toString
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), s"$src/ta", overwrite = true)
+    VersionedTable.commit(Seq(3L).toDF("id"), s"$src/tb", overwrite = true)
+    VersionedTable.commit(Seq(9L).toDF("id"), s"$src/ta_bkp_20240101",
+      overwrite = true)
+    Seq(7L).toDF("id").createOrReplaceTempView("vt_ds_view")
+    val out = VersionedTable.datasetRefresh(spark, src, dst,
+        suffix = "_stg", views = Seq("vt_ds_view", "vt_ds_ghost"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("cloned_table", "ta"), ("cloned_table", "tb"),
+      ("cloned_view", "vt_ds_view"), ("missing_view", "vt_ds_ghost")))
+    assert(ids(s"$dst/ta_stg") == Set(1L, 2L))
+    assert(ids(s"$dst/tb_stg") == Set(3L))
+    // ZERO data bytes copied: every clone root holds only manifests, and
+    // each clone's manifest lines are identical to the source's — file
+    // identity, not file copies
+    Seq("ta", "tb").foreach { n =>
+      val files = new java.io.File(s"$dst/${n}_stg").listFiles().map(_.getName)
+      assert(files.toSet == Set("_manifests"),
+        s"clone $n must hold no data dirs: ${files.toSeq}")
+      def manifest(p: String) = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(p)).trim
+      assert(manifest(s"$dst/${n}_stg/_manifests/v0.manifest") ==
+        manifest(s"$src/$n/_manifests/v0.manifest"))
+    }
+    assert(!new java.io.File(s"$dst/ta_bkp_20240101_stg").exists(),
+      "backup-named tables must be excluded")
+    assert(spark.table("vt_ds_view_stg").as[Long].collect().toSeq == Seq(7L))
+    // CREATE OR REPLACE: a refresh after a source commit re-points
+    VersionedTable.commit(Seq(5L).toDF("id"), s"$src/ta", overwrite = true)
+    VersionedTable.datasetRefresh(spark, src, dst, suffix = "_stg")
+    assert(ids(s"$dst/ta_stg") == Set(5L))
+    // a dataset that does not exist reports missing_dataset
+    val miss = VersionedTable.datasetRefresh(spark, s"$src/nope", dst)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(miss == Seq(("missing_dataset", "nope")))
+  }
+
+  test("datasetRefresh FOR SYSTEM_TIME AS OF: the cutoff picks each " +
+      "table's newest version at or before it; older-only tables clone, " +
+      "newer-only tables report missing") {
+    val src = java.nio.file.Files.createTempDirectory("vt_dst").toString
+    val dst = java.nio.file.Files.createTempDirectory("vt_dststg").toString
+    def stamp(table: String, v: Long, t: Long): Unit = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+      f.setTimes(new org.apache.hadoop.fs.Path(
+        s"$src/$table/_manifests/v$v.manifest"), t, -1)
+    }
+    val t0 = 1700000000000L
+    VersionedTable.commit(Seq(1L).toDF("id"), s"$src/ta", overwrite = true)
+    VersionedTable.commit(Seq(2L).toDF("id"), s"$src/ta", overwrite = true)
+    stamp("ta", 0, t0); stamp("ta", 1, t0 + 7200000L) // v1 two hours later
+    VersionedTable.commit(Seq(8L).toDF("id"), s"$src/tnew", overwrite = true)
+    stamp("tnew", 0, t0 + 7200000L) // born after the cutoff
+    val out = VersionedTable.datasetRefresh(spark, src, dst,
+        suffix = "_stg", asOfMillis = Some(t0 + 3600000L))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("cloned_table", "ta"), ("missing_table", "tnew")))
+    assert(ids(s"$dst/ta_stg") == Set(1L),
+      "the cutoff must pick v0, not the newer v1")
+  }
 }
