@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns plus typed metadata; decode /
-  * feature-extraction runs per partition so a real implementation amortizes
-  * codec/model initialization across a batch of rows (the same batching
-  * shape `mapInPandas` gives Python). The decode step itself is a STUB —
-  * the container ships no image/audio codecs — replaced by a deterministic
-  * fake (byte stats) so the Spark-side contract (schema, partitioning,
-  * batch iteration) is real and tested.
+  * feature-extraction runs per partition so codec/model initialization
+  * amortizes across a batch of rows (the same batching shape `mapInPandas`
+  * gives Python). IMAGE decode is REAL — JDK `javax.imageio`, headless
+  * ([[decodeGrid]], [[resizeImage]], [[dhash64]]); the audio/video frame
+  * path keeps a deterministic substring "decoder" ([[sampleFrames]] — the
+  * container ships no AV codecs) behind the same (doc, frame) granularity
+  * a codec frame reader would fill.
   */
 object Multimodal {
 
@@ -191,34 +192,176 @@ object Multimodal {
           least(col("nf_a"), col("nf_b")).cast("double")).as("containment"))
   }
 
-  /** STUB resize: per-partition batch transform of the binary payload to a
-    * fixed "resolution" (byte budget) — truncate or deterministically
-    * cycle-pad. The real codec call sits where the loop body is; the
-    * Spark-side contract (binary in/out, per-partition batching, metadata
-    * columns) is the tested part.
-    */
-  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
-    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val spark = media.sparkSession
+  // ---- real image decode (JDK javax.imageio — headless, no external
+  // codec): PNG encode for deterministic fixtures, decode -> exact
+  // integer area-average intensity grid, resample+re-encode, and a real
+  // dHash over the decoded pixels. All per-partition batched (codec
+  // state initialized once per task), binary-in/binary-or-grid-out.
+
+  /** Encode one grayscale PNG from a pixel law — the deterministic
+    * fixture generator (PNG is lossless, so decode∘encode is the
+    * identity on the law's values, which is what lets a SQL oracle
+    * replay a real binary decode). */
+  def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image table: `n` grayscale `w`x`h` PNGs,
+    * pixel(x, y) of doc d = (d*31 + x*7 + y*13) mod 256 — a REAL encoded
+    * binary payload whose decoded values an oracle can derive from the
+    * law. Distributed via range + per-partition encode (the fixture
+    * analog of a production decode scan's shape). */
+  def synthPngTable(spark: SparkSession, n: Int, w: Int, h: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("media_type", StringType),
-      StructField("orig_bytes", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    media.mapPartitions { rows =>
-      // per-partition codec/scaler init happens once, here
+    spark.range(n).toDF("doc_id").mapPartitions { rows =>
       rows.map { r =>
-        val raw = r.getAs[Array[Byte]]("payload")
-        val bytes = if (raw == null) Array.emptyByteArray else raw
-        val out = new Array[Byte](targetBytes)
-        if (bytes.nonEmpty) {
-          var i = 0
-          while (i < targetBytes) { out(i) = bytes(i % bytes.length); i += 1 }
+        val d = r.getLong(0)
+        Row(d, pngBytes(w, h)((x, y) => ((d * 31 + x * 7 + y * 13) % 256).toInt))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode -> exact integer area-average intensity grid:
+    * javax.imageio decodes the payload (PNG/JPEG/BMP/GIF — whatever the
+    * JDK readers handle, headless), per-pixel intensity is the raw
+    * sample for single-band images and the integer luma
+    * (299r+587g+114b) div 1000 otherwise, and the `gw`x`gh` grid cell
+    * (cy, cx) is the TRUNCATING mean of the pixel block
+    * [floor(cx*w/gw), floor((cx+1)*w/gw)) x [floor(cy*h/gh),
+    * floor((cy+1)*h/gh)) — every step integer, so the derivation is
+    * bit-replayable by any engine from the same pixels. Output one row
+    * per media item: (doc_id, ok, w, h, grid[gh*gw] row-major); an
+    * undecodable or too-small payload keeps its row with ok = false and
+    * an empty grid (observable, never silently dropped). Decode runs
+    * per-partition (reader state amortized across the batch — the
+    * mapInPandas batching shape); only the grid leaves the task, so
+    * shuffles never carry pixels.
+    */
+  def decodeGrid(media: DataFrame, idCol: String, payloadCol: String,
+                 gw: Int, gh: Int): DataFrame = {
+    require(gw >= 1 && gh >= 1, s"grid dims must be >= 1, got ${gw}x$gh")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ok", BooleanType),
+      StructField("w", LongType),
+      StructField("h", LongType),
+      StructField("grid", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val (idIdx, payIdx) = (idCol, payloadCol)
+    media.select(col(idIdx).cast("long").as("doc_id"),
+        col(payIdx).cast("binary").as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < gw || img.getHeight < gh)
+            Row(d, false, 0L, 0L, Array.empty[Long])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val oneBand = raster.getNumBands == 1
+            def luma(x: Int, y: Int): Long =
+              if (oneBand) raster.getSample(x, y, 0).toLong
+              else {
+                val rgb = img.getRGB(x, y)
+                (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)) / 1000L
+              }
+            val grid = new Array[Long](gh * gw)
+            var cy = 0
+            while (cy < gh) {
+              val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
+              var cx = 0
+              while (cx < gw) {
+                val x0 = cx * w / gw; val x1 = (cx + 1) * w / gw
+                var s = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) { s += luma(x, y); x += 1 }
+                  y += 1
+                }
+                grid(cy * gw + cx) = s / ((x1 - x0).toLong * (y1 - y0))
+                cx += 1
+              }
+              cy += 1
+            }
+            Row(d, true, w.toLong, h.toLong, grid)
+          }
         }
-        Row(r.getLong(r.fieldIndex("doc_id")),
-          r.getString(r.fieldIndex("media_type")),
-          bytes.length.toLong, out)
+      }(enc)
+  }
+
+  /** Real dHash (difference hash) over a decoded 8x9 intensity grid
+    * column — THE standard perceptual image fingerprint: bit k
+    * (k = row*8 + col, rows 0..7, cols 0..7) is grid[row*9+col] >
+    * grid[row*9+col+1], the sign of the horizontal luminance gradient.
+    * Resampling smooths small shifts/recompression into few sign flips
+    * (low Hamming distance) while different content flips many bits.
+    * Fused sequence/aggregate expression — codegen, no UDF; an empty
+    * grid (failed decode) hashes to 0.
+    */
+  def dhash64(gridCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""CASE WHEN size($gridCol) < 72 THEN CAST(0 AS BIGINT) ELSE
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, k) ->
+         |    acc + IF(
+         |      element_at($gridCol, CAST((k div 8) * 9 + (k % 8) + 1 AS INT)) >
+         |      element_at($gridCol, CAST((k div 8) * 9 + (k % 8) + 2 AS INT)),
+         |      shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)),
+         |      CAST(0 AS BIGINT)))
+         |END""".stripMargin)
+
+  /** REAL resize: decode the payload, area-average resample to
+    * `targetW`x`targetH` (the same exact integer arithmetic as
+    * [[decodeGrid]] — a resized image IS the decode grid re-encoded),
+    * and re-encode as grayscale PNG. Per-partition batched; undecodable
+    * payloads keep their row with ok = false and a null payload.
+    */
+  def resizeImage(media: DataFrame, idCol: String, payloadCol: String,
+                  targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1)
+    val grids = decodeGrid(media, idCol, payloadCol, targetW, targetH)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ok", BooleanType),
+      StructField("orig_w", LongType),
+      StructField("orig_h", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    grids.mapPartitions { rows =>
+      rows.map { r =>
+        val ok = r.getBoolean(1)
+        if (!ok) Row(r.getLong(0), false, 0L, 0L, null)
+        else {
+          // the array column surfaces as a primitive long[] here
+          val grid: Array[Long] = r.get(4) match {
+            case a: Array[Long] => a
+            case s: scala.collection.Seq[_] =>
+              s.asInstanceOf[scala.collection.Seq[Long]].toArray
+          }
+          Row(r.getLong(0), true, r.getLong(2), r.getLong(3),
+            pngBytes(targetW, targetH)((x, y) => grid(y * targetW + x).toInt))
+        }
       }
     }(enc)
   }

@@ -926,6 +926,26 @@ object TrainingQueries {
       Multimodal.phashDupPairs(t(s, dir, "documents"), "doc_id", "text",
         stride = 256, frameLen = 64, maxHamming = 8, minShared = 3)),
 
+    // REAL image decode through the gate: deterministic grayscale PNGs
+    // (pixel(x,y) of doc d = (d*31+x*7+y*13) mod 256, encoded by
+    // javax.imageio) are DECODED by javax.imageio, area-averaged to a
+    // 9x8 intensity grid with exact integer arithmetic, and dHashed —
+    // and the oracle replays the whole derivation from the pixel LAW,
+    // never seeing a byte: PNG is lossless, so decode∘encode must be the
+    // identity on the law's values, which makes a real binary codec path
+    // SQL-checkable. Any decode defect (channel order, gamma, row
+    // stride, boundary math) breaks cells or hash bits.
+    "t_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.synthPngTable(s, n = 24, w = 32, h = 32)
+      Multimodal.decodeGrid(media, "doc_id", "payload", gw = 9, gh = 8)
+        .withColumn("phash", Multimodal.dhash64("grid"))
+        .select(col("doc_id"), col("w"), col("h"), col("phash"),
+          posexplode(col("grid")))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("pos").cast("long").as("cell_idx"), col("col").as("cell"),
+          col("phash"))
+    }),
+
     // Multimodal patch retrieval — the full plumbing a frame/patch
     // similarity search needs, end to end: strided frame sampling, a
     // per-frame embedding (here the deterministic STUB: 8 dims derived
@@ -3033,6 +3053,39 @@ object TrainingQueries {
         |  FROM cand WHERE bit_count(xor(ha, hb)) <= 8)
         |SELECT doc_a, doc_b, COUNT(*) AS n_close, MIN(hamming) AS min_hamming
         |FROM cl GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // Replays the real javax.imageio decode from the pixel LAW: PNG is
+    // lossless, so the engine's decoded samples must equal
+    // (d*31+x*7+y*13) mod 256; the 9x8 grid is the truncating block mean
+    // over floor-boundary blocks and the dHash bit k compares row-major
+    // neighbors — pure integer arithmetic end to end on both engines.
+    "t_multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, cy.cy, cx.cx, x.x, y.y,
+        |    (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM range(24) d(doc_id), range(8) cy(cy), range(9) cx(cx),
+        |       range(32) x(x), range(32) y(y)
+        |  WHERE x.x >= (cx.cx * 32) // 9 AND x.x < ((cx.cx + 1) * 32) // 9
+        |    AND y.y >= (cy.cy * 32) // 8 AND y.y < ((cy.cy + 1) * 32) // 8),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1)
+        |SELECT c.doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+        |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
+        |FROM cells c JOIN ph USING (doc_id)""".stripMargin,
 
     // Re-derives the KMV sketch relationally: distinct hashes -> per-group
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the

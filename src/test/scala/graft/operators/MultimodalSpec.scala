@@ -5,8 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing (frame sampling, stub resize) and the sort-free
-  * oldest-per-key aggregate.
+/** Multimodal plumbing — frame sampling, REAL javax.imageio decode /
+  * resample / dHash — and the sort-free oldest-per-key aggregate.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -26,15 +26,89 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(3).getString(2) == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
-  test("resizeStub: fixed byte budget, deterministic cycle-pad, empty stays zeroed") {
-    val media = Multimodal.asMediaTable(
-      Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
-    val out = Multimodal.resizeStub(media, targetBytes = 8)
+  test("decodeGrid: real PNG decode reproduces the pixel law exactly — " +
+      "cells are the truncating block means; bad payloads keep an " +
+      "ok=false row") {
+    val media = Multimodal.synthPngTable(spark, n = 3, w = 32, h = 32)
+      .unionByName(Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val out = Multimodal.decodeGrid(media, "doc_id", "payload", gw = 8, gh = 8)
       .orderBy("doc_id").collect()
-    assert(out.forall(_.getAs[Array[Byte]]("payload").length == 8))
-    assert(new String(out(0).getAs[Array[Byte]]("payload")) == "abcabcab")
-    assert(out(0).getLong(out(0).fieldIndex("orig_bytes")) == 3L)
-    assert(out(1).getAs[Array[Byte]]("payload").forall(_ == 0))
+    assert(out.length == 4)
+    out.take(3).foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getBoolean(1) && r.getLong(2) == 32L && r.getLong(3) == 32L)
+      val grid = r.getSeq[Long](4)
+      // replay the derivation from the law: decode∘encode must be the
+      // identity on the pixels (PNG is lossless), so each cell is the
+      // block mean of (d*31 + x*7 + y*13) % 256 over its 4x4 block
+      val expect = for (cy <- 0 until 8; cx <- 0 until 8) yield {
+        val s = (for (y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4)
+          yield (d * 31 + x * 7 + y * 13) % 256).sum
+        s / 16
+      }
+      assert(grid == expect, s"doc $d grid mismatch")
+    }
+    assert(!out(3).getBoolean(1) && out(3).getSeq[Long](4).isEmpty,
+      "undecodable payload must surface as ok=false, not vanish")
+  }
+
+  test("dhash64 over real pixels: a recompressed copy hashes identically, " +
+      "a one-pixel shift stays within a small Hamming budget, different " +
+      "content flips many bits, and the exact md5 is blind to both") {
+    // a smooth-ish deterministic scene: coarse blocks + gentle ramp (real
+    // dHash tolerance comes from resampling smoothness, so the fixture
+    // must not be pixel-noise)
+    def scene(x: Int, y: Int): Int =
+      ((x / 4) * 23 + (y / 4) * 31 + x * 2 + y) % 256
+    val a = Multimodal.pngBytes(36, 32)(scene)
+    // shifted: the same scene sampled one pixel to the right (cyclic)
+    val shifted = Multimodal.pngBytes(36, 32)((x, y) => scene((x + 1) % 36, y))
+    // rescaled copy: decode a and re-encode at HALF size through the
+    // real resize path — different bytes AND different dimensions, the
+    // transform every exact hash is blind to. (Re-encoding at the SAME
+    // size is byte-identical here: one deterministic PNG writer on
+    // identical pixels reproduces the file, which is itself a roundtrip
+    // exactness proof but not a dedup fixture.)
+    val recompressed = Multimodal.resizeImage(
+      Seq((1L, a)).toDF("doc_id", "payload"), "doc_id", "payload",
+      targetW = 18, targetH = 16).collect()(0).getAs[Array[Byte]]("payload")
+    val other = Multimodal.pngBytes(36, 32)((x, y) => ((x * x + 3 * y * y) % 251))
+    val media = Seq((1L, a), (2L, shifted), (3L, recompressed), (4L, other))
+      .toDF("doc_id", "payload")
+    val hs = Multimodal.decodeGrid(media, "doc_id", "payload", gw = 9, gh = 8)
+      .withColumn("ph", Multimodal.dhash64("grid"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("ph"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(2)) <= 12,
+      s"half-size rescale must stay near: hamming ${ham(hs(0), hs(2))}")
+    assert(ham(hs(0), hs(1)) <= 12,
+      s"one-pixel shift must stay near: hamming ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(3)) >= 20,
+      s"different content must be far: hamming ${ham(hs(0), hs(3))}")
+    // the byte hashes all differ — exact identity sees four distinct blobs
+    assert(Seq(a, shifted, recompressed, other)
+      .map(b => java.util.Arrays.hashCode(b)).distinct.length == 4)
+  }
+
+  test("resizeImage: real decode + area-average resample + PNG re-encode; " +
+      "the resized payload decodes back to exactly the decodeGrid cells") {
+    val media = Multimodal.synthPngTable(spark, n = 2, w = 32, h = 32)
+    val resized = Multimodal.resizeImage(media, "doc_id", "payload",
+      targetW = 8, targetH = 8)
+    val rows = resized.orderBy("doc_id").collect()
+    assert(rows.forall(r => r.getBoolean(1) && r.getLong(2) == 32L))
+    // decode the RESIZED payloads at identity grid: must equal the
+    // direct 8x8 decode grid of the originals (resize IS the grid)
+    val back = Multimodal.decodeGrid(resized, "doc_id", "payload", 8, 8)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](4))
+    val direct = Multimodal.decodeGrid(media, "doc_id", "payload", 8, 8)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](4))
+    assert(back.toSeq == direct.toSeq)
+    // undecodable input keeps an ok=false row with a null payload
+    val bad = Multimodal.resizeImage(
+      Seq((7L, Array[Byte](9, 9))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 8, 8).collect()(0)
+    assert(!bad.getBoolean(1) && bad.get(4) == null)
   }
 
   test("frameDupPairs: identical payloads share every frame (containment " +
