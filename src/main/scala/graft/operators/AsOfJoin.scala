@@ -165,9 +165,19 @@ object AsOfJoin {
                payload: Seq[(String, String)],
                eventTieBreak: Seq[String] = Seq.empty,
                pairBudgetFactor: Long = 4L): DataFrame = {
+    // Null-key normalization: the two regimes agree only on non-null
+    // keys — the equi branch's === never matches a null key (null-key
+    // facts get a null payload), while the union window's partitionBy
+    // GROUPS null keys (a null-key fact would pick up the latest
+    // null-key event). A data-dependent selector must never change
+    // results, so null-key EVENT rows are dropped here: both branches
+    // then give every null-key fact a null payload, and fact rows are
+    // preserved either way (`AsOfJoinSpec` pins the null-key case on
+    // both forced regimes).
+    val ev = equi.map(_._2).foldLeft(events)((d, c) => d.filter(col(c).isNotNull))
     val fk = facts.groupBy(equi.map { case (f, _) => col(f) }: _*)
       .agg(count(lit(1)).as("__f"))
-    val ek0 = events.groupBy(equi.map { case (_, e) => col(e) }: _*)
+    val ek0 = ev.groupBy(equi.map { case (_, e) => col(e) }: _*)
       .agg(count(lit(1)).as("__e"))
     // align event key names to the fact side for the full-outer key join
     val ek = equi.foldLeft(ek0) { case (d, (f, e)) =>
@@ -181,14 +191,14 @@ object AsOfJoin {
       .head
     val (pairs, nf, ne) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     if (chooseUnionWindow(pairs, nf, ne, pairBudgetFactor)) {
-      asOfUnion(facts, events, equi, factTs, eventTs, payload, eventTieBreak)
+      asOfUnion(facts, ev, equi, factTs, eventTs, payload, eventTieBreak)
     } else {
       // facts and events routinely derive from the SAME source relation
       // (a self-as-of on one log): project the interval side to unique
       // __-prefixed names first, so no column resolves to both sides of
       // the join (Spark's ambiguous-self-join check would reject the
       // DataFrame-qualified references otherwise)
-      val ivl = scd2Intervals(events, equi.map(_._2), eventTs, eventTieBreak)
+      val ivl = scd2Intervals(ev, equi.map(_._2), eventTs, eventTieBreak)
         .select(
           equi.map { case (f, e) => col(e).as(s"__k_$f") } ++
             payload.map { case (e, out) => col(e).as(s"__p_$out") } ++

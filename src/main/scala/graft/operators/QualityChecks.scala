@@ -160,6 +160,16 @@ object QualityChecks {
     * intended dashboard horizon. Longer histories automatically take
     * the chunk-by-month path ([[ewmaDailyLong]]): same recurrence,
     * exact per-chunk sums, a rescaled dyadic carry at each chunk cut.
+    *
+    * BEHAVIOR CHANGE (2026-08, round 5): histories over 40 days used to
+    * THROW here; they now auto-dispatch to the chunked form, whose
+    * values past each chunk cut carry one double rounding per cut
+    * instead of the single-window bit-exact dyadic guarantee (the first
+    * chunk is still bit-identical to the exact form). Consumers
+    * comparing against baselines stored from a pre-change run — or from
+    * a chunk-by-hand workaround — will see values exist past day 40 and
+    * differ at float precision from such workarounds with other chunk
+    * widths; `qa_ewma_long` pins the current contract.
     */
   def ewmaDaily(df: DataFrame,
                 dayCol: org.apache.spark.sql.Column): DataFrame = {

@@ -361,26 +361,37 @@ object StreamingGate {
     docs.repartition(4).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    var cur = s"$stateRoot/v_init"
+    // The fold's input version derives from the BATCH ID, never from a
+    // mutable pointer: batch `id` reads the newest state v<j> with
+    // j < id and overwrites v<id>. On the documented Structured
+    // Streaming retry contract (write succeeded, checkpoint commit
+    // didn't) the replay therefore re-reads the same PRIOR state — a
+    // pointer would have advanced to v<id>, making the fold read the
+    // path it is overwriting (Spark aborts) or double-fold on restart.
+    def stateBefore(id: Long): String = {
+      val vs = Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .filter(_ < id)
+      if (vs.isEmpty) s"$stateRoot/v_init" else s"$stateRoot/v${vs.max}"
+    }
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (!b.isEmpty) {
-          val next = s"$stateRoot/v$id"
           Sampling.priorityCandidatesPerKey(
-              spark.read.parquet(cur).unionByName(
+              spark.read.parquet(stateBefore(id)).unionByName(
                 b.select(col("lang"), col("doc_id"), col("n_chars"))),
               "lang", "doc_id", "n_chars", k = 20)
-            .write.mode("overwrite").parquet(next)
-          cur = next
+            .write.mode("overwrite").parquet(s"$stateRoot/v$id")
         }
         ()
       }
       .start()
     q.awaitTermination()
     Sampling.prioritySamplePerKey(
-        spark.read.parquet(cur), "lang", "doc_id", "n_chars", k = 20)
+        spark.read.parquet(stateBefore(Long.MaxValue)),
+        "lang", "doc_id", "n_chars", k = 20)
       .select(col("lang"), col("doc_id"),
         col("n_chars").cast("long").as("weight"),
         col("priority"), col("est_weight"))

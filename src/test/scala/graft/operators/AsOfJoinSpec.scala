@@ -110,6 +110,34 @@ class AsOfJoinSpec extends SparkSpec {
       nEvents = 10000, factor = 4))
   }
 
+  test("asOfAuto null equi keys: both forced regimes give null-key facts " +
+      "a null payload — selection stays invisible when keys are null") {
+    // a null-key EVENT and a null-key FACT: SQL window partitioning
+    // would group the nulls together (fact 202 picking up value 7.0),
+    // while the equi branch's === never matches them — asOfAuto
+    // normalizes by dropping null-key event rows, so BOTH regimes give
+    // every null-key fact a null payload and keep the fact row.
+    val events = Seq(
+      (Some(1L), ts("2024-01-01 00:00:00"), 10L, Some(5.0)),
+      (None: Option[Long], ts("2024-01-01 00:00:00"), 11L, Some(7.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val facts = Seq(
+      (200L, Some(1L), ts("2024-01-02 00:00:00")),
+      (202L, None: Option[Long], ts("2024-01-02 00:00:00")))
+      .toDF("fact_id", "user_id", "ts")
+    def auto(factor: Long) = AsOfJoin.asOfAuto(facts, events,
+        Seq("user_id" -> "user_id"), "ts", "ts",
+        payload = Seq("value" -> "price"), eventTieBreak = Seq("event_id"),
+        pairBudgetFactor = factor)
+      .select(col("fact_id"), col("price"))
+      .as[(Long, Option[Double])].collect().toMap
+    val (viaUnion, viaEqui) = (auto(0L), auto(Long.MaxValue / 4))
+    assert(viaUnion == viaEqui,
+      s"regimes diverge on null keys: $viaUnion vs $viaEqui")
+    assert(viaUnion == Map(200L -> Some(5.0), 202L -> None),
+      s"null-key facts keep their row with a null payload: $viaUnion")
+  }
+
   test("intervalJoinBinned == asOfGlobal and plans as an equi join") {
     val iv = Seq(
       (1.0, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
