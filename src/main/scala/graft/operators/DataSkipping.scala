@@ -66,31 +66,81 @@ object DataSkipping {
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
 
-  /** Files whose envelopes intersect EVERY [lo,hi] box — the candidate
-    * set for a conjunctive range predicate. The manifest reduces to a
-    * driver-side file list BY DESIGN: datasource path filters need
-    * literals, and the manifest scales with file count, not data.
+  /** The manifest rows whose envelopes intersect EVERY [lo,hi] box — the
+    * candidate set for a conjunctive range predicate, as a RELATION: the
+    * prune is a distributed filter over the manifest table, nothing
+    * touches the driver here.
     */
-  def pruneFiles(manifest: DataFrame, boxes: Seq[(String, Any, Any)]): Seq[String] = {
-    val hit = boxes.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+  def prunedManifestRows(manifest: DataFrame,
+                         boxes: Seq[(String, Any, Any)]): DataFrame =
+    boxes.foldLeft(manifest) { case (m, (c, lo, hi)) =>
       m.filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
     }
-    hit.select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Diagnostic/driver-bounded form of [[prunedManifestRows]] (spec
+    * assertions, file-count reporting). NOT on the read path — the read
+    * path goes through [[writePrunedManifest]]/[[readViaPrunedManifest]]
+    * so the surviving set never materializes as a query collect.
+    */
+  def pruneFiles(manifest: DataFrame, boxes: Seq[(String, Any, Any)]): Seq[String] =
+    prunedManifestRows(manifest, boxes)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Persist the surviving file set as a PRUNED-MANIFEST artifact (one
+    * path per line, distributed text write — the symlink-manifest
+    * pattern lake engines hand each other). At 10^5–10^6 files this is
+    * a distributed filter + write, not a driver collect; the artifact
+    * is also the natural cache when many queries share a predicate.
+    */
+  def writePrunedManifest(rows: DataFrame, outDir: String): Unit =
+    rows.select(col("file")).write.mode("overwrite").text(outDir)
+
+  /** Scan exactly the files a pruned-manifest artifact lists. Split
+    * planning inherently needs the path strings on the driver — every
+    * datasource does — but they arrive by STREAMING the artifact's
+    * lines through Hadoop FS (constant memory above the final path
+    * array, no Spark job, no query collect) and go straight into the
+    * reader's file index. `schemaFrom` supplies the schema when the
+    * artifact lists nothing (a fully-pruned read is an empty frame,
+    * not an error).
+    */
+  def readViaPrunedManifest(spark: SparkSession, manifestDir: String,
+                            schemaFrom: DataFrame): DataFrame = {
+    val files = manifestPaths(spark, manifestDir)
+    if (files.isEmpty) schemaFrom.filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  private def manifestPaths(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach(out += _)
+        finally in.close()
+      }
+    out.toSeq
   }
 
   /** Read only the files that can match, then apply the EXACT predicate
-    * (pruning is a superset guarantee, never the final filter).
+    * (pruning is a superset guarantee, never the final filter). The
+    * candidate set flows distributed-filter -> pruned-manifest artifact
+    * (`manifestOut`) -> streamed into the reader — no query collect of
+    * file lists anywhere on this path.
     */
   def prunedRead(spark: SparkSession, manifest: DataFrame,
-                 boxes: Seq[(String, Any, Any)]): DataFrame = {
-    val files = pruneFiles(manifest, boxes)
-    val df =
-      if (files.isEmpty) {
-        // no candidate files: an empty frame with the right schema
-        val probe = manifest.sparkSession.read.parquet(
-          manifest.select(col("file")).head.getString(0))
-        probe.filter(lit(false))
-      } else spark.read.parquet(files: _*)
+                 boxes: Seq[(String, Any, Any)],
+                 manifestOut: String): DataFrame = {
+    writePrunedManifest(prunedManifestRows(manifest, boxes), manifestOut)
+    // schema probe for the all-pruned case: ONE manifest row's path
+    // (result-sized head, not a file-list materialization)
+    val df = readViaPrunedManifest(spark, manifestOut,
+      schemaFrom = spark.read.parquet(
+        manifest.select(col("file")).head.getString(0)))
     boxes.foldLeft(df) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
@@ -138,32 +188,41 @@ object DataSkipping {
       .groupBy("file")
       .agg(sort_array(collect_set(col("bit"))).as("bits"))
 
-  /** Files that may contain at least one of `values`: all k (distinct)
-    * bits of some value present in the file's bit set.
+  /** Manifest rows of files that may contain at least one of `values`
+    * (all k distinct bits of some value present in the file's bit set) —
+    * a distributed filter, the Bloom analog of [[prunedManifestRows]].
     */
-  def bloomPruneFiles(manifest: DataFrame, values: Seq[String],
-                      m: Int, k: Int): Seq[String] = {
-    require(values.nonEmpty, "bloomPruneFiles needs at least one probe value")
+  def bloomPrunedManifestRows(manifest: DataFrame, values: Seq[String],
+                              m: Int, k: Int): DataFrame = {
+    require(values.nonEmpty, "bloom pruning needs at least one probe value")
     val hit = values.map { v =>
       val bits = bloomBitsOf(v, m, k).distinct
       size(array_intersect(col("bits"),
         lit(bits.toArray))) === bits.length
     }.reduce(_ || _)
-    manifest.filter(hit).select(col("file")).collect().map(_.getString(0)).toSeq
+    manifest.filter(hit)
   }
 
+  /** Diagnostic/driver-bounded candidate list — NOT on the read path
+    * (see [[pruneFiles]]). */
+  def bloomPruneFiles(manifest: DataFrame, values: Seq[String],
+                      m: Int, k: Int): Seq[String] =
+    bloomPrunedManifestRows(manifest, values, m, k)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
   /** Bloom-pruned IN-list read: only candidate files are opened, then the
-    * exact IN predicate applies (false positives filtered here).
+    * exact IN predicate applies (false positives filtered here). Same
+    * no-collect flow as [[prunedRead]]: distributed filter ->
+    * pruned-manifest artifact -> streamed into the reader.
     */
   def bloomPrunedRead(spark: SparkSession, manifest: DataFrame, colName: String,
-                      values: Seq[String], m: Int, k: Int): DataFrame = {
-    val files = bloomPruneFiles(manifest, values, m, k)
-    val df =
-      if (files.isEmpty) {
-        val probe = manifest.sparkSession.read.parquet(
-          manifest.select(col("file")).head.getString(0))
-        probe.filter(lit(false))
-      } else spark.read.parquet(files: _*)
+                      values: Seq[String], m: Int, k: Int,
+                      manifestOut: String): DataFrame = {
+    writePrunedManifest(
+      bloomPrunedManifestRows(manifest, values, m, k), manifestOut)
+    val df = readViaPrunedManifest(spark, manifestOut,
+      schemaFrom = spark.read.parquet(
+        manifest.select(col("file")).head.getString(0)))
     df.filter(col(colName).cast("string").isin(values: _*))
   }
 }

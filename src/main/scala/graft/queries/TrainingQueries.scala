@@ -1370,7 +1370,8 @@ object TrainingQueries {
       graft.operators.DataSkipping.writeClustered(ev, path, col("user_id"), 16)
       val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
       graft.operators.DataSkipping
-        .prunedRead(s, mf, Seq(("user_id", 100L, 300L), ("value", 10.0, 120.0)))
+        .prunedRead(s, mf, Seq(("user_id", 100L, 300L), ("value", 10.0, 120.0)),
+          manifestOut = graft.core.Scratch.dir("skipmf", dir))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -1391,7 +1392,8 @@ object TrainingQueries {
       val mf = graft.operators.DataSkipping.bloomManifest(
         s, path, "event_id", m = 65536, k = 3)
       graft.operators.DataSkipping.bloomPrunedRead(
-          s, mf, "event_id", Seq("7", "123", "901", "999999"), m = 65536, k = 3)
+          s, mf, "event_id", Seq("7", "123", "901", "999999"), m = 65536, k = 3,
+          manifestOut = graft.core.Scratch.dir("bloommf", dir))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }),
 
@@ -1407,7 +1409,8 @@ object TrainingQueries {
       graft.operators.DataSkipping.writeClustered(ev, path, z, 16)
       val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
       graft.operators.DataSkipping
-        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)))
+        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)),
+          manifestOut = graft.core.Scratch.dir("zordermf", dir))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -1437,7 +1440,8 @@ object TrainingQueries {
       graft.operators.DataSkipping.writeClustered(ev, path, h, 16)
       val mf = graft.operators.DataSkipping.manifest(s, path, Seq("user_id", "value"))
       graft.operators.DataSkipping
-        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)))
+        .prunedRead(s, mf, Seq(("user_id", 0L, 150L), ("value", 0.0, 60.0)),
+          manifestOut = graft.core.Scratch.dir("hilbertmf", dir))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

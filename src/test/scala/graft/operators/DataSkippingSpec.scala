@@ -33,7 +33,7 @@ class DataSkippingSpec extends SparkSpec {
     val nFiles = mf.count()
     assert(nFiles >= 8 && nFiles <= 12)
     val boxes = Seq[(String, Any, Any)](("user_id", 20L, 60L), ("value", 5.0, 200.0))
-    val pruned = DataSkipping.prunedRead(spark, mf, boxes)
+    val pruned = DataSkipping.prunedRead(spark, mf, boxes, scratch("linmf"))
     val full = ev.filter(col("user_id").between(20L, 60L) &&
       col("value").between(5.0, 200.0))
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
@@ -46,7 +46,7 @@ class DataSkippingSpec extends SparkSpec {
     DataSkipping.writeClustered(ev, dir, col("user_id"), 6)
     val mf = DataSkipping.manifest(spark, dir, Seq("user_id"))
     val out = DataSkipping.prunedRead(spark, mf,
-      Seq(("user_id", -100L, -1L)))
+      Seq(("user_id", -100L, -1L)), scratch("emptymf"))
     assert(out.count() == 0)
     assert(out.columns.contains("event_type"))
   }
@@ -68,8 +68,8 @@ class DataSkippingSpec extends SparkSpec {
       s"z-order should prune a value-only box: z=$zHit vs linear=$linHit")
     // both layouts return identical rows for the same 2-d box
     val box = Seq[(String, Any, Any)](("user_id", 0L, 80L), ("value", 0.0, 50.0))
-    val a = DataSkipping.prunedRead(spark, linMf, box)
-    val b = DataSkipping.prunedRead(spark, zMf, box)
+    val a = DataSkipping.prunedRead(spark, linMf, box, scratch("lin2mf"))
+    val b = DataSkipping.prunedRead(spark, zMf, box, scratch("z2mf"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
@@ -146,10 +146,38 @@ class DataSkippingSpec extends SparkSpec {
     DataSkipping.writeClustered(ev, hDir, h, 16)
     val hMf = DataSkipping.manifest(spark, hDir, Seq("user_id", "value"))
     val box = Seq[(String, Any, Any)](("user_id", 0L, 80L), ("value", 0.0, 50.0))
-    val got = DataSkipping.prunedRead(spark, hMf, box)
+    val got = DataSkipping.prunedRead(spark, hMf, box, scratch("h3mf"))
     val want = spark.read.parquet(hDir)
       .filter(col("user_id").between(0L, 80L) && col("value").between(0.0, 50.0))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("many-file fixture: the read path goes through a written pruned-" +
+      "manifest artifact (no query collect of file lists) and stays exact") {
+    val dir = scratch("many")
+    // 64 small files (clustered on the high-cardinality event_id so the
+    // range partitioner can actually cut 64 ways) — the file-count
+    // regime where a driver-side collect-per-query is the anti-pattern
+    // the artifact flow replaces
+    DataSkipping.writeClustered(ev, dir, col("event_id"), 64)
+    val mf = DataSkipping.manifest(spark, dir, Seq("event_id"))
+    val nFiles = mf.count()
+    assert(nFiles >= 32, s"fixture should be many files, got $nFiles")
+    val boxes = Seq[(String, Any, Any)](("event_id", 100L, 300L))
+    val mfOut = scratch("manymf")
+    val pruned = DataSkipping.prunedRead(spark, mf, boxes, mfOut)
+    val full = spark.read.parquet(dir).filter(col("event_id").between(100L, 300L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // the artifact exists, lists a strict subset of the files, and
+    // re-reading VIA it alone (no manifest relation in sight) still
+    // yields the exact candidate superset of the box
+    val listed = spark.read.text(mfOut).count()
+    assert(listed > 0 && listed < nFiles,
+      s"pruned manifest should list a strict subset: $listed of $nFiles")
+    val viaArtifact = DataSkipping
+      .readViaPrunedManifest(spark, mfOut, schemaFrom = spark.read.parquet(dir))
+      .filter(col("event_id").between(100L, 300L))
+    assert(viaArtifact.exceptAll(full).isEmpty && full.exceptAll(viaArtifact).isEmpty)
   }
 
   test("bloom manifest prunes point lookups zone maps cannot") {
@@ -183,7 +211,8 @@ class DataSkippingSpec extends SparkSpec {
     // no false negatives: pruned read == full-scan IN filter, including a
     // value that exists nowhere
     val vals = Seq("17", "423", "999999")
-    val got = DataSkipping.bloomPrunedRead(spark, bloomMf, "event_id", vals, m, k)
+    val got = DataSkipping.bloomPrunedRead(spark, bloomMf, "event_id", vals, m, k,
+      scratch("bloommf"))
     val want = spark.read.parquet(dir)
       .filter(col("event_id").cast("string").isin(vals: _*))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
