@@ -25,10 +25,21 @@ object Bench {
     // multi-second Janino/JIT costs (measured 21 s cold vs 7 s warm on
     // t_dedup_corpus at sf0.1). Scratch-writing queries are idempotent
     // (overwrite), so the double run is safe.
+    // The timed action: execute the FULL physical plan and count its
+    // output rows. A plain Dataset.count() lets Catalyst optimize work
+    // out of the count that the full query must perform — it provably
+    // drops row-preserving Windows, unique-keyed outer Joins, and
+    // Generates whose columns the count never references (the
+    // CountCollapseAudit tool found 21 gate queries whose count() plan
+    // lost such operators, t_substring_scrub losing 3 joins + 2 windows
+    // + a generate). toRdd runs the query exactly as Verify writes it,
+    // so the bench measures the operator, not a collapsed shadow of it.
+    def runFull(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     if (warmDir.nonEmpty) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { runFull(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
       // settle: let the ContextCleaner/GC drain the warm-up backlog so the
@@ -42,7 +53,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { runFull(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name

@@ -19,7 +19,10 @@ object ProfileOne {
     (1 to passes).foreach { pass =>
       names.foreach { name =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        // the FULL-plan action Bench times (see Bench.runFull — a plain
+        // count() lets Catalyst drop row-preserving operators)
+        val n = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count()
         println(f"[prof] pass$pass $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         spark.catalog.clearCache()
       }

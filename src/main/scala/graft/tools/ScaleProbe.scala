@@ -292,6 +292,83 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=coengagex: the co-engagement regime selector
+    // at mult-x USERS — the round-5 verdict's one remaining selector
+    // question ("at 100x users does chooseDense flip, and does the
+    // flipped plan win?"). The population grows by cohort-splitting the
+    // engagement log on event_id % mult (each engagement lands in one
+    // shifted-user cohort): distinct users grow ~mult-x while per-topic
+    // multiplicities stay near the original, so the dense form's
+    // |U|^2/2 mask pairs grow ~mult^2-x against a ~flat sparse cost —
+    // exactly the inversion the selector exists for. At 1x the probe
+    // RUNS both forms (calibrating the per-unit costs); at mult-x the
+    // dense form's unit count is astronomically infeasible (that is the
+    // demonstration), so the probe asserts the selector flips to
+    // sparse, runs the flipped plan to completion, and reports the
+    // dense form's projected wall from the calibrated per-unit cost.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("coengagex")) {
+      import graft.operators.LinkAnalysis
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("tp"))
+        .filter(col("tp").between(0, 99))
+      def pairsAt(m: Int): DataFrame =
+        ev.select(
+          (col("user_id") +
+            pmod(col("event_id"), lit(m.toLong)) * 10000000L).as("u"),
+          col("tp")).distinct()
+      def statsOf(e: DataFrame): (Long, Long) = {
+        val inst = e.groupBy(col("tp")).agg(count(lit(1)).as("m"))
+          .agg(coalesce(sum(col("m") * col("m")), lit(0L))).head.getLong(0)
+        (e.select("u").distinct().count(), inst)
+      }
+      def topVia(e: DataFrame, dense: Boolean): Seq[(Long, Long, Long)] =
+        LinkAnalysis.coEngagementSupport(e, dense, domain = 100)
+          .orderBy(col("c").desc, col("ua"), col("ub")).limit(500)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // 1x: both regimes run; calibrate per-unit cost
+      val e1 = pairsAt(1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e1.count()
+      val (u1, inst1) = statsOf(e1)
+      val t0 = System.nanoTime()
+      val d1 = topVia(e1, dense = true)
+      val tDense1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val s1 = topVia(e1, dense = false)
+      val tSparse1 = (System.nanoTime() - t1) / 1e9
+      assert(d1 == s1, "regimes disagree at 1x")
+      val pick1 = LinkAnalysis.chooseDense(u1, inst1, Some(100), 1L << 21)
+      println(f"[scale] coengage 1x: users=$u1 maskPairs=${u1 * u1 / 2} " +
+        f"joinInst=${inst1 / 2} dense ${tDense1}%.2f s sparse ${tSparse1}%.2f s " +
+        f"-> selector ${if (pick1) "dense" else "sparse"}")
+      e1.unpersist(false)
+      // mult-x users: the selector must flip to sparse, and the flipped
+      // plan must complete while the dense form's projected wall (unit
+      // count x calibrated per-unit cost) is off the chart
+      val eM = pairsAt(mult).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eM.count()
+      val (uM, instM) = statsOf(eM)
+      val pickM = LinkAnalysis.chooseDense(uM, instM, Some(100), 1L << 21)
+      val t2 = System.nanoTime()
+      val sM = topVia(eM, dense = false)
+      val tSparseM = (System.nanoTime() - t2) / 1e9
+      val denseUnitsM = uM.toDouble * uM.toDouble / 2.0
+      val projDense = denseUnitsM * (tDense1 / (u1.toDouble * u1 / 2.0))
+      println(f"[scale] coengage ${mult}x: users=$uM " +
+        f"maskPairs=${denseUnitsM}%.3g joinInst=${instM / 2} " +
+        f"sparse ${tSparseM}%.2f s vs dense projected ${projDense}%.1f s " +
+        f"-> selector ${if (pickM) "dense" else "sparse"}")
+      eM.unpersist(false)
+      assert(pick1, "at 1x the dense form should win and be picked (r5 baseline)")
+      assert(!pickM, s"at ${mult}x users the selector must flip to sparse")
+      assert(sM.size == 500, s"flipped plan must complete: ${sM.size} rows")
+      assert(projDense > 10 * tSparseM,
+        f"the avoided dense wall ($projDense%.1f s) should dwarf the " +
+          f"flipped plan's ($tSparseM%.2f s)")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=linkx: HITS and personalized PageRank at
     // mult-x edges (the pagerank mode's graph construction: shifted user
     // ids, shared topic nodes — in-degree hubs grow mult-x). Pins the
