@@ -218,21 +218,64 @@ object Multimodal {
   }
 
   /** Deterministic synthetic image table: `n` grayscale `w`x`h` PNGs,
-    * pixel(x, y) of doc d = (d*31 + x*7 + y*13) mod 256 — a REAL encoded
-    * binary payload whose decoded values an oracle can derive from the
-    * law. Distributed via range + per-partition encode (the fixture
-    * analog of a production decode scan's shape). */
-  def synthPngTable(spark: SparkSession, n: Int, w: Int, h: Int): DataFrame = {
+    * pixel(x, y) of doc (idOffset + i) = ((idOffset + i)*31 +
+    * ((x + xShift) mod w)*7 + y*13) mod 256 — a REAL encoded binary
+    * payload whose decoded values an oracle can derive from the law.
+    * `xShift` produces cyclically-shifted COPIES of the same scene
+    * under a different doc id (the perceptual-dedup fixture: new bytes,
+    * near-identical content). Distributed via range + per-partition
+    * encode (the fixture analog of a production decode scan's shape). */
+  def synthPngTable(spark: SparkSession, n: Int, w: Int, h: Int,
+                    idOffset: Long = 0L, xShift: Int = 0,
+                    sceneOffset: Long = 0L): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     spark.range(n).toDF("doc_id").mapPartitions { rows =>
       rows.map { r =>
-        val d = r.getLong(0)
-        Row(d, pngBytes(w, h)((x, y) => ((d * 31 + x * 7 + y * 13) % 256).toInt))
+        val scene = r.getLong(0) + sceneOffset
+        Row(r.getLong(0) + idOffset, pngBytes(w, h)((x, y) =>
+          ((scene * 31 + ((x + xShift) % w) * 7 + y * 13) % 256).toInt))
       }
     }(enc)
+  }
+
+  /** Image-level perceptual near-duplicate pairs over REAL decoded
+    * pixels — [[phashDupPairs]]' whole-image companion: each payload is
+    * decoded ([[decodeGrid]]) to the 9x8 intensity grid, dHashed
+    * ([[dhash64]]), and images whose 64-bit hashes are within
+    * `maxHamming` bits pair up. Candidates come from SimHash-style
+    * banding (4 x 16-bit bands — Hamming <= 3 guarantees a shared band
+    * by pigeonhole), so only (band, value) keys shuffle, the Hamming
+    * verify is candidate-confined, and hot bands (> maxBucket images —
+    * monochrome boilerplate) are skipped like any LSH bucket. Pixels
+    * never leave the decode task; everything after it is 8-byte hashes.
+    */
+  def imageDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 8, maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming >= 0 && maxBucket >= 2)
+    val hashed = decodeGrid(media, idCol, payloadCol, gw = 9, gh = 8)
+      .filter(col("ok"))
+      .withColumn("phash", dhash64("grid"))
+      .select(col("doc_id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"), col("phash"), col("b"),
+        expr("(phash >> (b * 16)) & 65535").as("v"))
+    val hot = banded.groupBy("b", "v").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > maxBucket).select("b", "v")
+    val cool = banded.join(broadcast(hot), Seq("b", "v"), "left_anti")
+    cool.as("x").join(cool.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** REAL image decode -> exact integer area-average intensity grid:

@@ -946,6 +946,21 @@ object TrainingQueries {
           col("phash"))
     }),
 
+    // Image-level perceptual dedup over REAL decoded pixels: 40 base
+    // PNGs plus 10 one-pixel-shifted copies under fresh doc ids (new
+    // bytes every one — exact hashing sees 50 distinct blobs), decoded
+    // by javax.imageio, dHashed, SimHash-banded, Hamming-verified. The
+    // oracle replays decode -> grid -> dHash -> bands -> verify from
+    // the pixel law, so every surviving pair (the planted copies AND
+    // any deterministic near-coincidence the hash admits) is pinned
+    // bit-for-bit.
+    "t_image_dedup" -> ((s, dir) => {
+      val media = Multimodal.synthPngTable(s, n = 40, w = 32, h = 32)
+        .unionByName(Multimodal.synthPngTable(s, n = 10, w = 32, h = 32,
+          idOffset = 100L, xShift = 1))
+      Multimodal.imageDupPairs(media, "doc_id", "payload", maxHamming = 8)
+    }),
+
     // Multimodal patch retrieval — the full plumbing a frame/patch
     // similarity search needs, end to end: strided frame sampling, a
     // per-frame embedding (here the deterministic STUB: 8 dims derived
@@ -3090,6 +3105,50 @@ object TrainingQueries {
         |SELECT c.doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
         |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
         |FROM cells c JOIN ph USING (doc_id)""".stripMargin,
+
+    // Replays the whole image-dedup derivation from the pixel law:
+    // decode (identity on the law, PNG lossless) -> truncating block
+    // means -> dHash (bit-63 two's-complement form) -> 16-bit band
+    // candidates -> Hamming verify. Arithmetic >> plus & 65535 keeps
+    // band extraction sign-safe on both engines.
+    "t_image_dedup" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh FROM range(40) d(doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 100, d.doc_id, 1 FROM range(10) d(doc_id)),
+        |px AS (
+        |  SELECT dd.doc_id, cy.cy, cx.cx,
+        |    (dd.scene * 31 + ((x.x + dd.sh) % 32) * 7 + y.y * 13) % 256 AS v
+        |  FROM docs dd, range(8) cy(cy), range(9) cx(cx),
+        |       range(32) x(x), range(32) y(y)
+        |  WHERE x.x >= (cx.cx * 32) // 9 AND x.x < ((cx.cx + 1) * 32) // 9
+        |    AND y.y >= (cy.cy * 32) // 8 AND y.y < ((cy.cy + 1) * 32) // 8),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, phash, b.b, (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM ph, range(4) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
 
     // Re-derives the KMV sketch relationally: distinct hashes -> per-group
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the

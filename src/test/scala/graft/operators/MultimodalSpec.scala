@@ -90,6 +90,54 @@ class MultimodalSpec extends SparkSpec {
       .map(b => java.util.Arrays.hashCode(b)).distinct.length == 4)
   }
 
+  test("imageDupPairs: planted shifted copies pair within the Hamming " +
+      "budget across distinct byte payloads; hot monochrome bands are skipped") {
+    // scenes far apart (sceneOffset spreads the law's constant term) so
+    // cross-scene coincidences don't obscure the planted pairs
+    val base = Multimodal.synthPngTable(spark, n = 6, w = 32, h = 32,
+      sceneOffset = 0L)
+    val copies = Multimodal.synthPngTable(spark, n = 6, w = 32, h = 32,
+      idOffset = 100L, xShift = 1)
+    val media = base.unionByName(copies)
+    val pairs = Multimodal.imageDupPairs(
+        media, "doc_id", "payload", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.sharedState.cacheManager.clearCache()
+    // perceptual closeness holds for EVERY planted pair (direct hash,
+    // no banding): a one-pixel shift stays within 16 of 64 bits
+    val hs = Multimodal.decodeGrid(media, "doc_id", "payload", 9, 8)
+      .withColumn("ph", Multimodal.dhash64("grid"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ph")).toMap
+    (0L until 6L).foreach { d =>
+      val ham = java.lang.Long.bitCount(hs(d) ^ hs(d + 100L))
+      assert(ham <= 16, s"planted pair ($d,${d + 100}) too far: $ham")
+    }
+    // the banded candidate generator is an LSH: recall is guaranteed
+    // only at Hamming <= 3 (pigeonhole over 4 x 16-bit bands) and
+    // probabilistic beyond — most planted pairs must surface, and every
+    // surfaced pair must be within budget
+    val planted = pairs.count(p => p._2 == p._1 + 100L)
+    assert(planted >= 3, s"banded recall collapsed: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 8L))
+    // pigeonhole: any pair at Hamming <= 3 MUST surface
+    val within3 = (0L until 6L).filter(d =>
+      java.lang.Long.bitCount(hs(d) ^ hs(d + 100L)) <= 3)
+    within3.foreach { d =>
+      assert(pairs.exists(p => p._1 == d && p._2 == d + 100L),
+        s"Hamming<=3 pair ($d,${d + 100}) must be guaranteed by pigeonhole")
+    }
+    // hot-band guard: many monochrome images share every band (dhash 0)
+    // — with maxBucket below the group size they must produce NO pairs
+    val mono = Multimodal.synthPngTable(spark, n = 12, w = 32, h = 32)
+      .select(col("doc_id"),
+        lit(Multimodal.pngBytes(32, 32)((_, _) => 128)).as("payload"))
+    val monoPairs = Multimodal.imageDupPairs(mono, "doc_id", "payload",
+      maxHamming = 8, maxBucket = 5L)
+    assert(monoPairs.count() == 0,
+      "boilerplate monochrome buckets must be skipped, not enumerated")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("resizeImage: real decode + area-average resample + PNG re-encode; " +
       "the resized payload decodes back to exactly the decodeGrid cells") {
     val media = Multimodal.synthPngTable(spark, n = 2, w = 32, h = 32)
