@@ -688,6 +688,29 @@ object WarehouseQueries {
           (col("slots_milli").cast("double") / col("minute_total")).as("share"))
     }),
 
+    // S9+ (audit breadth): the tableDataRead event leg — the reference's
+    // ONE per-job ARRAY_AGG CTE (audit_log.sql:352-400: resource names
+    // ordered, fields/categories, truncation flags, reasons, GROUP BY
+    // jobId). Spark-first: one hash aggregate collecting the job's own
+    // data-access rows (bounded by the job's event count — the
+    // collect_set precedent), sort_array for the ORDER BY inside the
+    // aggregate, then posexplode so the gate compares scalar rows; the
+    // ordinal IS the array position, pinning element order exactly.
+    "s9_audit_read" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("job_id", pmod(col("event_id"), lit(997L)))
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+        .groupBy("job_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("resources"),
+          count(lit(1)).as("n_reads"),
+          coalesce(max(col("k") > 50), lit(false)).as("fields_truncated"))
+        .select(col("job_id"), col("n_reads"), col("fields_truncated"),
+          posexplode(col("resources")))
+        .select(col("job_id"), col("n_reads"), col("fields_truncated"),
+          col("pos").cast("long").as("idx"), col("col").as("resource"))),
+
     // A5 (marts, beyond the reference): ROLLUP subtotal lattice — the
     // day x type activity mart with per-day and grand-total rows in one
     // map-side-combinable pass.
@@ -1974,6 +1997,24 @@ object WarehouseQueries {
         |  n_event_kinds, n_principals, is_dashboard_job,
         |  (runtime_ms IS NULL AND slot_ms IS NULL) AS is_cached
         |FROM j""".stripMargin,
+
+    // the ordered ARRAY_AGG replayed as sorted positions: resources are
+    // unique per job, so the 0-based ordinal is a row_number over the
+    // same order the Spark side's sort_array + posexplode pins
+    "s9_audit_read" ->
+      """WITH r AS (
+        |  SELECT event_id % 997 AS job_id, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT job_id, CAST(COUNT(*) AS BIGINT) AS n_reads,
+        |    COALESCE(bool_or(k > 50), FALSE) AS fields_truncated
+        |  FROM r GROUP BY 1)
+        |SELECT g.job_id, g.n_reads, g.fields_truncated,
+        |  CAST(row_number() OVER (PARTITION BY r.job_id ORDER BY r.event_id)
+        |    - 1 AS BIGINT) AS idx,
+        |  r.event_id AS resource
+        |FROM r JOIN g ON r.job_id = g.job_id""".stripMargin,
 
     // timeline fan-out + exact integer per-minute totals, shares row-level
     "s9_audit_slots" ->

@@ -459,6 +459,44 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=imagedecode: the REAL javax.imageio decode
+    // path at mult-x thousand images — encode mult*1000 synthetic PNGs,
+    // decode+grid+dHash every one, then run the banded image-dedup over
+    // the corpus plus 10% planted shifted copies. Pins the scale shape:
+    // pixels live only inside the decode task (everything shuffled
+    // after it is 8-byte hashes + ids), and the pair join stays
+    // band-bucketed while absorbing the planted duplicate load.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("imagedecode")) {
+      import graft.operators.Multimodal
+      val n = mult * 1000
+      val media = Multimodal.synthPngTable(spark, n, 32, 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEnc = media.count()
+      val t0 = System.nanoTime()
+      val decoded = Multimodal.decodeGrid(media, "doc_id", "payload", 9, 8)
+        .withColumn("ph", Multimodal.dhash64("grid"))
+        .agg(count(lit(1)), sum(expr("bit_count(ph)"))).head
+      val tDec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] imagedecode: $nEnc PNGs decoded+dHashed in " +
+        f"$tDec%.2f s (${nEnc / tDec}%.0f img/s), " +
+        f"mean bits=${decoded.getLong(1).toDouble / decoded.getLong(0)}%.1f")
+      assert(decoded.getLong(0) == n, "every image must decode")
+      val withCopies = media.unionByName(
+        Multimodal.synthPngTable(spark, n / 10, 32, 32,
+          idOffset = 100000000L, xShift = 1))
+      val t1 = System.nanoTime()
+      val pairs = Multimodal.imageDupPairs(withCopies, "doc_id", "payload",
+        maxHamming = 8, maxBucket = 2000L)
+      val planted = pairs
+        .filter(col("doc_b") === col("doc_a") + 100000000L).count()
+      val tDup = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] imagededup: ${n + n / 10} images, banded dedup " +
+        f"$tDup%.2f s, planted copies recovered: $planted of ${n / 10}")
+      media.unpersist(false)
+      assert(planted > 0, "planted shifted copies must surface at scale")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=pqrerank: PQ-ADC + exact rerank at mult-x
     // vectors (shifted ids, same embeddings — ADC scores collide across
     // replicas, the worst case for shortlist cuts). Pins that the
