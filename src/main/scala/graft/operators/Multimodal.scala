@@ -253,12 +253,26 @@ object Multimodal {
     * never leave the decode task; everything after it is 8-byte hashes.
     */
   def imageDupPairs(media: DataFrame, idCol: String, payloadCol: String,
-                    maxHamming: Int = 8, maxBucket: Long = 1000L): DataFrame = {
-    require(maxHamming >= 0 && maxBucket >= 2)
-    val hashed = decodeGrid(media, idCol, payloadCol, gw = 9, gh = 8)
+                    maxHamming: Int = 8, maxBucket: Long = 1000L): DataFrame =
+    hashDupPairs(imageHashes(media, idCol, payloadCol), maxHamming, maxBucket)
+
+  /** The decode half of [[imageDupPairs]]: (doc_id, 64-bit dHash) per
+    * decodable image — the per-item fingerprint an INCREMENTAL image
+    * pipeline folds into its index (hashes are tiny and mergeable; the
+    * pair join runs over the accumulated index, not the payload log).
+    */
+  def imageHashes(media: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    decodeGrid(media, idCol, payloadCol, gw = 9, gh = 8)
       .filter(col("ok"))
       .withColumn("phash", dhash64("grid"))
       .select(col("doc_id"), col("phash"))
+
+  /** The candidate/verify half of [[imageDupPairs]] over a prepared
+    * (doc_id, phash) relation. */
+  def hashDupPairs(hashedIn: DataFrame, maxHamming: Int = 8,
+                   maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming >= 0 && maxBucket >= 2)
+    val hashed = hashedIn.select(col("doc_id"), col("phash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(3))).as("b"))

@@ -636,6 +636,44 @@ object StreamingGate {
         sum(col("event_id")).as("id_sum"))
   }
 
+  /** Streaming MULTIMODAL ingest: PNG payloads arrive in micro-batches,
+    * each batch is DECODED (real javax.imageio) and dHashed inside the
+    * batch — pixels never outlive their micro-batch — and the tiny
+    * (doc_id, phash) fingerprints commit exactly-once into a versioned
+    * index table ([[graft.sinks.VersionedTable.commitBatch]], replay-safe
+    * txn ids). The drained read answers the perceptual-dup question over
+    * the ACCUMULATED index; the oracle replays decode -> grid -> dHash ->
+    * bands -> Hamming verify for the whole corpus from the pixel law, so
+    * the gate pins that the incremental fold of a real binary decode
+    * equals the batch derivation regardless of slicing.
+    */
+  def imageIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthPngTable(spark, n = 30, w = 32, h = 32)
+      .unionByName(Multimodal.synthPngTable(spark, n = 6, w = 32, h = 32,
+        idOffset = 100L, xShift = 1))
+    val in = scratch("img_in", dir)
+    val idx = scratch("img_idx", dir)
+    val ck = scratch("img_ck", dir)
+    Seq(in, idx, ck).foreach(cleanDir(spark, _))
+    media.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sinks.VersionedTable.commitBatch(
+          Multimodal.imageHashes(b, "doc_id", "payload"),
+          idx, overwrite = false, txnId = s"img-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Multimodal.hashDupPairs(
+      graft.sinks.VersionedTable.read(spark, idx), maxHamming = 8)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -649,7 +687,8 @@ object StreamingGate {
     "st_incr_dedup" -> (incrDedupGate(_, _)),
     "st_late_audit" -> (lateAuditGate(_, _)),
     "st_scd2" -> (scd2Gate(_, _)),
-    "st_priority_sample" -> (prioritySampleGate(_, _)))
+    "st_priority_sample" -> (prioritySampleGate(_, _)),
+    "st_image_ingest" -> (imageIngestGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -659,6 +698,49 @@ object StreamingGate {
     // the FULL-corpus CC recompute: only a slicing-independent incremental
     // fold whose accumulated pairs equal the batch relation can match it
     "st_incr_dedup" -> graft.queries.TrainingQueries.dedupCcOracle,
+
+    // whole-corpus replay of the real-decode derivation from the pixel
+    // law (the t_image_dedup oracle over the gate's 30 + 6 fixture):
+    // only an incremental fold whose accumulated index equals the batch
+    // decode can match the banded Hamming pair set
+    "st_image_ingest" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh FROM range(30) d(doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 100, d.doc_id, 1 FROM range(6) d(doc_id)),
+        |px AS (
+        |  SELECT dd.doc_id, cy.cy, cx.cx,
+        |    (dd.scene * 31 + ((x.x + dd.sh) % 32) * 7 + y.y * 13) % 256 AS v
+        |  FROM docs dd, range(8) cy(cy), range(9) cx(cx),
+        |       range(32) x(x), range(32) y(y)
+        |  WHERE x.x >= (cx.cx * 32) // 9 AND x.x < ((cx.cx + 1) * 32) // 9
+        |    AND y.y >= (cy.cy * 32) // 8 AND y.y < ((cy.cy + 1) * 32) // 8),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, phash, b.b, (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM ph, range(4) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
 
     // the whole-corpus batch sampler: only an associative top-(k+1) fold
     // whose state preserves the global (k+1)-th priority can match the
