@@ -77,12 +77,6 @@ object LinkAnalysis {
       .distinct()
       .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
-
     // n and the per-round dangling mass are RESULT-sized scalars (one
     // aggregated row each), pulled to the driver and inlined as literals —
     // the standard iterative-driver pattern. Inlining removes two
@@ -90,6 +84,11 @@ object LinkAnalysis {
     // scalar read of an aggregate, not a driver-side data loop, and the
     // integer arithmetic is unchanged (Scala Long `/` == SQL `div` on
     // the non-negative values here), so the oracle replay is unaffected.
+    // The count doubles as the node-cache fill: one job, not two.
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     if (n == 0) {
       // empty graph (every edge null-filtered): empty result, not a

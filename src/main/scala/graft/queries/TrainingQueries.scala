@@ -1159,9 +1159,16 @@ object TrainingQueries {
     // fixed-point, so the oracle replays the rounds exactly; topic nodes
     // have no out-edges, exercising the dangling-mass redistribution.
     "t_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "events").select(
-        col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      // single-split testdata: spread rows (narrow 2-col shuffle) BEFORE
+      // the per-row JSON extraction so the parse runs on every slot (the
+      // coEngagementTop500 precedent; AQE-coalesced noise on a
+      // many-split production table)
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("props"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
       graft.operators.LinkAnalysis.pageRankTopK(s, edges, "src", "dst",
         iters = 3, k = 25)
     }),
@@ -1173,9 +1180,17 @@ object TrainingQueries {
     // seeds CTE; off-seed unreachable nodes converge to exactly 0.
     "t_pagerank_seeded" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val edges = ev.select(
-        col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      // parsed ONCE and persisted: the seed derivation and the
+      // iteration's edge canonicalization are separate actions, and
+      // without the pin each would re-run the spread + JSON parse
+      // (released by the session's per-query cache clear)
+      val edges = ev
+        .select(col("user_id"), col("props"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // seeds come from VALID EDGE SOURCES, matching the oracle's
       // "SELECT src FROM e WHERE src % 10 = 0" — seeding from raw
       // user_ids would diverge if a no-valid-edge user's id ever
@@ -1193,9 +1208,12 @@ object TrainingQueries {
     // content, hubs = the directories pointing at them). Integer
     // fixed-point with max-normalization so every round is exact bigint.
     "t_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "events").select(
-        col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("props"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + lit(10000L)).as("dst"))
       graft.operators.LinkAnalysis.hitsTopK(s, edges, "src", "dst",
         iters = 2, k = 25)
     }),
