@@ -392,6 +392,64 @@ object LinkAnalysis {
       .unionByName(tri.select(col("vb").as("node")))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly remove nodes
+    * of degree < k (undirected, canonicalized, deduped edges) until the
+    * surviving subgraph is stable; return its nodes with their in-core
+    * degrees. The classic graph-curation primitive ("drop
+    * low-engagement users/items and everything that only they
+    * supported") — peeling one layer can expose the next, so a single
+    * degree filter is NOT enough, which is exactly what the gate's
+    * oracle pins (an unrolled fixed-point replay).
+    *
+    * Scale posture: each round is one degree aggregate + two semi-joins
+    * over the surviving edge set — edge-keyed shuffles only, node-sized
+    * state, monotonically shrinking input. Convergence is detected by
+    * the edge count (no edge removed => no degree changed => stable),
+    * read by the same scalar action that fills the round's cache (the
+    * [[pageRank]] pattern: one job per round). Rounds are bounded by
+    * `maxRounds` — peeling depth on real graphs is small (the
+    * degeneracy ordering argument); hitting the bound throws rather
+    * than silently returning a non-core.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nCur = cur.count()
+    var rounds = 0
+    var stable = nCur == 0L
+    while (!stable) {
+      rounds += 1
+      if (rounds > maxRounds)
+        sys.error(s"kCore did not converge in $maxRounds rounds")
+      val deg = cur.select(col("a").as("n"))
+        .unionByName(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val next = cur
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count()
+      cur.unpersist(false)
+      stable = nNext == nCur
+      nCur = nNext
+      cur = next
+    }
+    // no final degree filter: at the fixpoint every survivor has
+    // deg >= k by definition, and filtering here would mask a broken
+    // convergence from the oracle instead of surfacing it
+    cur.select(col("a").as("n"))
+      .unionByName(cur.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+  }
+
   /** User–user co-engagement projection of a bipartite (user, topic)
     * engagement log: `support(ua, ub) = |topics(ua) ∩ topics(ub)|`, cut
     * to the `topK` strongest edges by a deterministic total order

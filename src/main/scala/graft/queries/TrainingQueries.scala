@@ -1275,6 +1275,17 @@ object TrainingQueries {
             .otherwise(lit(0.0)).as("coef"))
     }),
 
+    // k-core decomposition over the projected co-engagement graph:
+    // iteratively peel nodes of degree < 3 until stable — the graph-
+    // curation primitive ("drop weakly-connected users and whatever only
+    // they supported"); peeling one layer exposes the next, so the
+    // oracle's unrolled fixpoint replay catches any single-pass
+    // shortcut. Staged 500-row input, edge-keyed shuffles only, one
+    // scalar action per round.
+    "t_kcore" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.kCore(
+        coEngagementTop500(s, dir), "ua", "ub", k = 3)),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -1969,6 +1980,37 @@ object TrainingQueries {
       |  SELECT src AS node FROM tri
       |  UNION ALL SELECT va FROM tri UNION ALL SELECT vb FROM tri)
       |""".stripMargin
+
+  /** k-core oracle: the same projected top-500 edge derivation, then the
+    * peeling fixpoint UNROLLED to `rounds` chained CTEs (degree ->
+    * keep(>= k) -> two semi-joins per round — DuckDB has no iterative
+    * CTE, and a fixed-depth unroll past the graph's peeling depth IS the
+    * fixpoint: once a round removes nothing, every later round is the
+    * identity). A non-convergent unroll shows up as a row mismatch, not
+    * a silent pass.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(triangleCtes.stripSuffix("\n"))
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor three times
+    // (degree union x2 + the peel join), so a 12-round unroll would
+    // expand the base scan 3^12 times — materialization makes each
+    // round compute once, the semantics of the Spark loop's persist
+    sb.append(",\ne0 AS MATERIALIZED (SELECT ua AS a, ub AS b FROM top)")
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+        |d$r AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+        |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+        |e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e
+        |  JOIN k$r x ON e.a = x.n JOIN k$r y ON e.b = y.n)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      |GROUP BY 1""".stripMargin)
+    sb.toString
+  }
 
   /** Personalized-PageRank oracle: same integer round replay as
     * [[pageRankOracle]], but r0, the (1-d) base, and the dangling share
@@ -2851,6 +2893,8 @@ object TrainingQueries {
     // close, replayed join for join
     "t_triangles" ->
       (triangleCtes + "SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1"),
+
+    "t_kcore" -> kCoreOracle(k = 3, rounds = 12),
 
     // regime-independent projection, wide synthetic vocabulary
     "t_coengage_sparse" ->

@@ -148,6 +148,30 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(dup == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("kCore: cascading peel (tail falls in two rounds, triangle " +
+      "survives), K4 is its own 3-core, over-k empties, self-loops drop") {
+    def core(k: Int, rows: (Long, Long)*): Map[Long, Long] = {
+      val m = LinkAnalysis.kCore(rows.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sharedState.cacheManager.clearCache()
+      m
+    }
+    // triangle with a 2-hop tail: k=2 peels node 5 (deg 1), which DROPS
+    // node 4 to deg 1 in the next round — a single-pass degree filter
+    // would keep 4; the fixpoint must not
+    val tail = core(2, 1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    assert(tail == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // K4 is its own 3-core; a pendant is peeled without disturbing it
+    val k4 = core(3, 1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 9L)
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the densest core: everything peels
+    assert(core(4, 1L -> 2L, 2L -> 3L, 3L -> 1L).isEmpty)
+    // duplicates/reversals collapse; self-loops are not degree
+    assert(core(2, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("hitsTopK: the consensus authority and the broad hub rank first, " +
       "exact fixed-point values, no cached state left") {
     // hubs 1,2,3 all endorse authority 10; only 1 endorses 11.
