@@ -237,6 +237,28 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly one shuffle (the job_id agg):\n$p")
   }
 
+  test("s9_audit_read: the ordered ARRAY_AGG leg is one scan + one " +
+      "shuffle (the job_id collect), no join") {
+    val p = planOf("s9_audit_read")
+    assert(!p.contains("Join"), s"data-read leg must not self-join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the job_id agg):\n$p")
+  }
+
+  test("t_image_dedup: pixels never shuffle — every exchange after the " +
+      "decode carries only ids and 8-byte hashes") {
+    val p = planOf("t_image_dedup")
+    // the payload/grid columns must be confined to the decode tasks:
+    // no Exchange row mentions them
+    val leaky = p.linesIterator
+      .filter(l => l.contains("Exchange"))
+      .filter(l => l.contains("payload") || l.contains("grid"))
+      .toSeq
+    assert(leaky.isEmpty, s"pixels crossed an exchange:\n${leaky.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must stay equi-keyed:\n$p")
+  }
+
   test("t_multimodal_retrieve: frames explode map-side, query broadcasts, " +
       "top-k is TakeOrdered — no corpus-wide shuffle") {
     val p = planOf("t_multimodal_retrieve")
