@@ -401,53 +401,94 @@ object LinkAnalysis {
     * degree filter is NOT enough, which is exactly what the gate's
     * oracle pins (an unrolled fixed-point replay).
     *
-    * Scale posture: each round is one degree aggregate + two semi-joins
-    * over the surviving edge set — edge-keyed shuffles only, node-sized
-    * state, monotonically shrinking input. Convergence is detected by
-    * the edge count (no edge removed => no degree changed => stable),
-    * read by the same scalar action that fills the round's cache (the
-    * [[pageRank]] pattern: one job per round). Rounds are bounded by
-    * `maxRounds` — peeling depth on real graphs is small (the
-    * degeneracy ordering argument); hitting the bound throws rather
-    * than silently returning a non-core.
+    * Scale posture — the [[graft.operators.Dedup]] connected-components
+    * regime split, same documented bound: a graph at or under
+    * `maxDriverEdges` canonical edges peels ON THE DRIVER (a linear
+    * queue-based cascade — the whole fixpoint costs O(E), versus one
+    * distributed round per peel LAYER, each paying fixed scheduling for
+    * a degree aggregate + two semi-joins; at 500 edges the distributed
+    * loop was measured 9.8 s against milliseconds in memory). Past the
+    * bound, the distributed loop runs: edge-keyed shuffles only,
+    * node-sized state, monotonically shrinking input, convergence read
+    * by the edge count in the same scalar action that fills the round's
+    * cache (no edge removed => no degree changed => stable). Rounds are
+    * bounded by `maxRounds` — peeling depth on real graphs is small
+    * (the degeneracy argument); hitting the bound throws rather than
+    * silently returning a non-core. Both regimes compute the same
+    * unique k-core (`LinkAnalysisSpec` forces and compares them).
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            maxRounds: Int = 50): DataFrame = {
+            maxRounds: Int = 50,
+            maxDriverEdges: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var cur = edges.select(
+    val spark = edges.sparkSession
+    val e0 = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var nCur = cur.count()
-    var rounds = 0
-    var stable = nCur == 0L
-    while (!stable) {
-      rounds += 1
-      if (rounds > maxRounds)
-        sys.error(s"kCore did not converge in $maxRounds rounds")
-      val deg = cur.select(col("a").as("n"))
+    val n0 = e0.count()
+    if (n0 <= maxDriverEdges) {
+      // driver cascade: maintain degrees + live flags, queue every node
+      // that drops below k, remove its edges, enqueue newly-dropped
+      // neighbors — each edge is touched O(1) times
+      val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist(false)
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+      adj.foreach { case (n, nb) => deg(n) = nb.length.toLong }
+      val dead = scala.collection.mutable.Set.empty[Long]
+      val queue = scala.collection.mutable.Queue.empty[Long]
+      deg.foreach { case (n, d) => if (d < k) { dead += n; queue += n } }
+      while (queue.nonEmpty) {
+        val n = queue.dequeue()
+        adj(n).foreach { m =>
+          if (!dead.contains(m)) {
+            deg(m) -= 1
+            if (deg(m) < k) { dead += m; queue += m }
+          }
+        }
+      }
+      import spark.implicits._
+      deg.iterator
+        .collect { case (n, d) if !dead.contains(n) => (n, d) }
+        .toSeq.sorted.toDF("n", "deg")
+    } else {
+      var cur = e0
+      var nCur = n0
+      var rounds = 0
+      var stable = nCur == 0L
+      while (!stable) {
+        rounds += 1
+        if (rounds > maxRounds)
+          sys.error(s"kCore did not converge in $maxRounds rounds")
+        val deg = cur.select(col("a").as("n"))
+          .unionByName(cur.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select(col("n"))
+        val next = cur
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nNext = next.count()
+        cur.unpersist(false)
+        stable = nNext == nCur
+        nCur = nNext
+        cur = next
+      }
+      // no final degree filter: at the fixpoint every survivor has
+      // deg >= k by definition, and filtering here would mask a broken
+      // convergence from the oracle instead of surfacing it
+      cur.select(col("a").as("n"))
         .unionByName(cur.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("n"))
-      val next = cur
-        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nNext = next.count()
-      cur.unpersist(false)
-      stable = nNext == nCur
-      nCur = nNext
-      cur = next
+        .groupBy("n").agg(count(lit(1)).as("deg"))
     }
-    // no final degree filter: at the fixpoint every survivor has
-    // deg >= k by definition, and filtering here would mask a broken
-    // convergence from the oracle instead of surfacing it
-    cur.select(col("a").as("n"))
-      .unionByName(cur.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
   }
 
   /** User–user co-engagement projection of a bipartite (user, topic)

@@ -170,6 +170,19 @@ class LinkAnalysisSpec extends SparkSpec {
     // duplicates/reversals collapse; self-loops are not degree
     assert(core(2, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L) ==
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // regime equivalence: the driver cascade (default on small graphs)
+    // and the distributed peel loop (forced via maxDriverEdges = 0)
+    // compute the same unique k-core
+    val rows = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      1L -> 4L, 2L -> 4L)
+    val viaDriver = LinkAnalysis.kCore(rows.toDF("a", "b"), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = LinkAnalysis.kCore(rows.toDF("a", "b"), "a", "b", 3,
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sharedState.cacheManager.clearCache()
+    assert(viaDriver == viaLoop, s"regimes disagree: $viaDriver vs $viaLoop")
+    assert(viaDriver == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
   test("hitsTopK: the consensus authority and the broad hub rank first, " +
