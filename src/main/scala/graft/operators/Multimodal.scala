@@ -388,6 +388,26 @@ object Multimodal {
          |      CAST(0 AS BIGINT)))
          |END""".stripMargin)
 
+  /** Image quality stats over REAL decoded pixels — the blank/low-
+    * contrast filter leg an image-corpus curation pass runs before
+    * training: per image the decoded dimensions, the grid's min/max/sum
+    * intensity (integers — exactly replayable), the integer mean, and
+    * the `is_flat` verdict (max-min spread under `flatSpread` — blank
+    * frames, solid fills, footer slates). Computed on the [[decodeGrid]]
+    * cells, so the scan stays one decode pass and the stats are fused
+    * array folds (codegen, no UDF past the decode).
+    */
+  def imageStats(media: DataFrame, idCol: String, payloadCol: String,
+                 gw: Int = 8, gh: Int = 8, flatSpread: Int = 8): DataFrame =
+    decodeGrid(media, idCol, payloadCol, gw, gh)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("w"), col("h"),
+        expr("array_min(grid)").as("cell_min"),
+        expr("array_max(grid)").as("cell_max"),
+        expr("aggregate(grid, CAST(0 AS BIGINT), (a, x) -> a + x)").as("cell_sum"))
+      .withColumn("cell_mean", expr(s"cell_sum div ${gw * gh}L"))
+      .withColumn("is_flat", col("cell_max") - col("cell_min") < flatSpread)
+
   /** REAL resize: decode the payload, area-average resample to
     * `targetW`x`targetH` (the same exact integer arithmetic as
     * [[decodeGrid]] — a resized image IS the decode grid re-encoded),

@@ -946,6 +946,20 @@ object TrainingQueries {
           col("phash"))
     }),
 
+    // Image quality stats over real decoded pixels: dimensions, integer
+    // min/max/sum/mean intensity, and the blank/low-contrast verdict —
+    // the pre-training image filter. 24 law PNGs plus one genuinely
+    // FLAT image (solid fill — the case the verdict exists for); oracle
+    // replays every stat from the pixel law.
+    "t_image_stats" -> ((s, dir) => {
+      val media = Multimodal.synthPngTable(s, n = 24, w = 32, h = 32)
+        .unionByName(
+          // doc 500: constant intensity 77 -> spread 0 -> is_flat
+          t(s, dir, "region").limit(1).select(lit(500L).as("doc_id"),
+            lit(Multimodal.pngBytes(32, 32)((_, _) => 77)).as("payload")))
+      Multimodal.imageStats(media, "doc_id", "payload", gw = 8, gh = 8)
+    }),
+
     // Image-level perceptual dedup over REAL decoded pixels: 40 base
     // PNGs plus 10 one-pixel-shifted copies under fresh doc ids (new
     // bytes every one — exact hashing sees 50 distinct blobs), decoded
@@ -3167,6 +3181,32 @@ object TrainingQueries {
         |SELECT c.doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
         |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
         |FROM cells c JOIN ph USING (doc_id)""".stripMargin,
+
+    // Stats replayed from the pixel law (8x8 grid, exact 4x4 blocks);
+    // the flat doc is a constant fill whose stats are closed-form
+    "t_image_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, cy.cy, cx.cx,
+        |    (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM range(24) d(doc_id), range(8) cy(cy), range(8) cx(cx),
+        |       range(32) x(x), range(32) y(y)
+        |  WHERE x.x >= cx.cx * 4 AND x.x < cx.cx * 4 + 4
+        |    AND y.y >= cy.cy * 4 AND y.y < cy.cy * 4 + 4),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // 16 AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT doc_id, MIN(cell) AS cell_min, MAX(cell) AS cell_max,
+        |    CAST(SUM(cell) AS BIGINT) AS cell_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+        |  cell_min, cell_max, cell_sum,
+        |  CAST(cell_sum // 64 AS BIGINT) AS cell_mean,
+        |  (cell_max - cell_min < 8) AS is_flat
+        |FROM stats
+        |UNION ALL
+        |SELECT 500, 32, 32, 77, 77, CAST(77 * 64 AS BIGINT), 77, TRUE""".stripMargin,
 
     // Replays the whole image-dedup derivation from the pixel law:
     // decode (identity on the law, PNG lossless) -> truncating block
