@@ -443,6 +443,150 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real audio decode (JDK javax.sound.sampled — WAV/PCM needs no
+  // external codec): WAV encode for deterministic fixtures, decode ->
+  // exact integer sample stats + a windowed-energy fingerprint (the
+  // audio analog of dHash).
+
+  /** Encode one 16-bit signed little-endian mono PCM WAV from a sample
+    * law — the audio fixture generator (PCM is raw: decode∘encode is the
+    * identity on the samples, so a SQL oracle can replay a real binary
+    * audio decode exactly like the PNG path). */
+  def wavBytes(nSamples: Int, sampleRate: Int)(f: Int => Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      // two's-complement truncation: in-range values are exact, the
+      // 16-bit wrap is the natural PCM semantics for anything else
+      bb.putShort(f(i).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic synthetic audio table: `n` mono 16-bit WAVs, sample i
+    * of doc d = ((d*31 + (i + shift)*7) mod 65536) - 32768. `shift`
+    * produces time-shifted COPIES (the perceptual-dedup fixture). */
+  def synthWavTable(spark: SparkSession, n: Int, nSamples: Int,
+                    sampleRate: Int, idOffset: Long = 0L,
+                    shift: Int = 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.range(n).toDF("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d + idOffset, wavBytes(nSamples, sampleRate)(i =>
+          (((d * 31 + (i + shift).toLong * 7) % 65536) - 32768).toInt))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode via JDK javax.sound.sampled: parse the container
+    * with `AudioSystem.getAudioInputStream` (format, rate, channels from
+    * the actual header — a malformed payload keeps its row with
+    * ok = false), read the PCM frames, and emit exact integer stats plus
+    * a 63-bit WINDOWED-ENERGY fingerprint — the audio analog of dHash:
+    * the stream splits into `windows` equal windows, each window's
+    * energy is the exact Σ sample² (BIGINT), and bit k is
+    * energy[k] > energy[k+1] — the sign of the energy envelope's
+    * gradient, robust to small time shifts and level-preserving
+    * re-encodes the way dHash is to pixel shifts. Only 16-bit mono PCM
+    * is accepted (the declared fixture contract); everything else is an
+    * observable ok = false. Per-partition batched; samples never leave
+    * the decode task.
+    */
+  def decodeAudio(media: DataFrame, idCol: String, payloadCol: String,
+                  windows: Int = 64): DataFrame = {
+    require(windows >= 2 && windows <= 64, s"windows in [2,64], got $windows")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ok", BooleanType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak", LongType),
+      StructField("energy", LongType),
+      StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).cast("binary").as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val parsed =
+            try {
+              if (bytes == null || bytes.isEmpty) None
+              else {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = in.getFormat
+                if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+                else {
+                  val raw = in.readAllBytes()
+                  val n = raw.length / 2
+                  val samples = new Array[Int](n)
+                  var i = 0
+                  while (i < n) {
+                    val lo = raw(2 * i) & 0xff
+                    val hi = raw(2 * i + 1).toInt
+                    samples(i) =
+                      if (fmt.isBigEndian) ((raw(2 * i).toInt << 8) | (raw(2 * i + 1) & 0xff))
+                      else ((hi << 8) | lo)
+                    i += 1
+                  }
+                  Some((fmt.getSampleRate.toLong, samples))
+                }
+              }
+            } catch { case _: Exception => None }
+          parsed match {
+            case None => Row(d, false, 0L, 0L, 0L, 0L, 0L, 0L)
+            case Some((rate, samples)) if samples.length < windows =>
+              Row(d, false, rate, samples.length.toLong, 0L, 0L, 0L, 0L)
+            case Some((rate, samples)) =>
+              val n = samples.length
+              var peak = 0L
+              var energy = 0L
+              val wEnergy = new Array[Long](windows)
+              var i = 0
+              while (i < n) {
+                val s = samples(i).toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                energy += s * s
+                // exact window index: floor(i * windows / n)
+                wEnergy((i.toLong * windows / n).toInt) += s * s
+                i += 1
+              }
+              var afp = 0L
+              var k = 0
+              while (k < windows - 1) {
+                if (wEnergy(k) > wEnergy(k + 1)) afp |= 1L << k
+                k += 1
+              }
+              Row(d, true, rate, n.toLong, n.toLong * 1000L / rate,
+                peak, energy, afp)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB decoder: a real build would decode the codec here (per-partition
     * init, then per-row decode). The deterministic fake derives an 8-dim
     * "feature" from byte histograms so tests have stable expectations.

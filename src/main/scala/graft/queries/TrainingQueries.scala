@@ -960,6 +960,20 @@ object TrainingQueries {
       Multimodal.imageStats(media, "doc_id", "payload", gw = 8, gh = 8)
     }),
 
+    // REAL audio decode through the gate: 16 mono 16-bit PCM WAVs from a
+    // sample law, decoded by JDK javax.sound.sampled (header-parsed
+    // format, PCM frames), reduced to exact integer stats + the 63-bit
+    // windowed-energy fingerprint — and the oracle replays the whole
+    // derivation from the law without seeing a byte (PCM is raw, so
+    // decode∘encode is the identity on samples — the audio analog of
+    // the PNG-losslessness trick). Any decode defect (endianness, frame
+    // stride, header offset, window boundaries) breaks a stat or a bit.
+    "t_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.synthWavTable(s, n = 16, nSamples = 3200,
+          sampleRate = 16000),
+        "doc_id", "payload", windows = 64)),
+
     // Image-level perceptual dedup over REAL decoded pixels: 40 base
     // PNGs plus 10 one-pixel-shifted copies under fresh doc ids (new
     // bytes every one — exact hashing sees 50 distinct blobs), decoded
@@ -3181,6 +3195,33 @@ object TrainingQueries {
         |SELECT c.doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
         |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
         |FROM cells c JOIN ph USING (doc_id)""".stripMargin,
+
+    // Replays the real javax.sound.sampled decode from the sample LAW:
+    // PCM roundtrip identity, exact integer energy/peak, floor window
+    // assignment i*64//3200, gradient-sign fingerprint bits 0..62
+    "t_audio_decode" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.i,
+        |    ((d.doc_id * 31 + i.i * 7) % 65536) - 32768 AS v
+        |  FROM range(16) d(doc_id), range(3200) i(i)),
+        |w AS (
+        |  SELECT doc_id, (i * 64) // 3200 AS wk, SUM(v * v) AS we
+        |  FROM s GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.we > b.we
+        |      THEN CAST(1 AS BIGINT) << CAST(a.wk AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS afp
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.wk = a.wk + 1
+        |  WHERE a.wk < 63 GROUP BY 1),
+        |st AS (
+        |  SELECT doc_id, CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |    CAST(SUM(v * v) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1)
+        |SELECT st.doc_id, TRUE AS ok, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(3200 AS BIGINT) AS n_samples, CAST(200 AS BIGINT) AS duration_ms,
+        |  st.peak, st.energy, fp.afp
+        |FROM st JOIN fp ON st.doc_id = fp.doc_id""".stripMargin,
 
     // Stats replayed from the pixel law (8x8 grid, exact 4x4 blocks);
     // the flat doc is a constant fill whose stats are closed-form

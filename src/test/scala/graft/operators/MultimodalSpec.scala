@@ -245,6 +245,67 @@ class MultimodalSpec extends SparkSpec {
       s"boilerplate-only pairs must be suppressed: $hotOut")
   }
 
+  test("decodeAudio: real javax.sound.sampled decode reproduces the " +
+      "sample law exactly; malformed and too-short payloads keep ok=false") {
+    val media = Multimodal.synthWavTable(spark, n = 2, nSamples = 640,
+        sampleRate = 8000)
+      .unionByName(Seq(
+        (90L, Array[Byte](1, 2, 3, 4)),                        // not a WAV
+        (91L, Multimodal.wavBytes(16, 8000)(i => i)))          // < windows
+        .toDF("doc_id", "payload"))
+    val out = Multimodal.decodeAudio(media, "doc_id", "payload", windows = 64)
+      .orderBy("doc_id").collect()
+    out.take(2).foreach { r =>
+      val d = r.getLong(0)
+      def law(i: Int): Long = ((d * 31 + i.toLong * 7) % 65536) - 32768
+      assert(r.getBoolean(1) && r.getLong(2) == 8000L && r.getLong(3) == 640L)
+      assert(r.getLong(4) == 80L, "640 samples at 8 kHz = 80 ms")
+      val (peak, energy) = ((0 until 640).map(i => math.abs(law(i))).max,
+        (0 until 640).map(i => law(i) * law(i)).sum)
+      assert(r.getLong(5) == peak && r.getLong(6) == energy,
+        s"doc $d stats mismatch: ${r.toSeq}")
+      val we = new Array[Long](64)
+      (0 until 640).foreach(i => we(i * 64 / 640) += law(i) * law(i))
+      val afp = (0 until 63).map(k =>
+        if (we(k) > we(k + 1)) 1L << k else 0L).sum
+      assert(r.getLong(7) == afp, s"doc $d fingerprint mismatch")
+    }
+    assert(!out(2).getBoolean(1) && !out(3).getBoolean(1),
+      "bad payloads must surface as ok=false, not vanish")
+  }
+
+  test("audio fingerprint: a slightly time-shifted copy stays within a " +
+      "small Hamming budget while a different envelope is far — and the " +
+      "dedup machinery is the SAME hashDupPairs the image path uses") {
+    // a bumpy but smooth envelope: per-window level steps with gentle
+    // in-window ramps (windows = 3200/64 = 50 samples)
+    def scene(i: Int): Int =
+      (((i / 50) * 37) % 97) * 300 + (i % 50) * 4 - 16000
+    val a = Multimodal.wavBytes(3200, 16000)(scene)
+    val shifted = Multimodal.wavBytes(3200, 16000)(i => scene((i + 7) % 3200))
+    val other = Multimodal.wavBytes(3200, 16000)(i =>
+      (((i / 50) * 61) % 89) * 350 - 14000)
+    val media = Seq((1L, a), (2L, shifted), (3L, other)).toDF("doc_id", "payload")
+    val hs = Multimodal.decodeAudio(media, "doc_id", "payload", windows = 64)
+      .orderBy("doc_id").collect().map(_.getLong(7))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(1)) <= 12,
+      s"time-shifted copy must stay near: ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) >= 16,
+      s"different envelope must be far: ${ham(hs(0), hs(2))}")
+    // the image dedup's banded candidate/verify runs unchanged on audio
+    // fingerprints — one dedup engine for every modality's 64-bit hash
+    val pairs = Multimodal.hashDupPairs(
+        Multimodal.decodeAudio(media, "doc_id", "payload", windows = 64)
+          .select(col("doc_id"), col("afp").as("phash")),
+        maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.sharedState.cacheManager.clearCache()
+    assert(pairs.contains((1L, 2L)), s"shifted pair must surface: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated audio must not pair: ${pairs.toSeq}")
+  }
+
   test("firstByKeyAgg == firstByKey window on a unique order tuple") {
     val ev = Tables.load(spark, sfDir, "events")
     val byWindow = CurrentState.firstByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
