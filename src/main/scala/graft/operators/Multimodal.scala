@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * feature-extraction runs per partition so codec/model initialization
   * amortizes across a batch of rows (the same batching shape `mapInPandas`
   * gives Python). IMAGE decode is REAL — JDK `javax.imageio`, headless
-  * ([[decodeGrid]], [[resizeImage]], [[dhash64]]); the audio/video frame
-  * path keeps a deterministic substring "decoder" ([[sampleFrames]] — the
-  * container ships no AV codecs) behind the same (doc, frame) granularity
-  * a codec frame reader would fill.
+  * ([[decodeGrid]], [[resizeImage]], [[dhash64]], [[imageStats]]) — and so
+  * is AUDIO — JDK `javax.sound.sampled` WAV/PCM ([[decodeAudio]], exact
+  * stats + the windowed-energy fingerprint). Only the VIDEO frame path
+  * keeps a deterministic substring "decoder" ([[sampleFrames]] — no video
+  * codec ships with the JDK) behind the same (doc, frame) granularity a
+  * codec frame reader would fill; its downstream fingerprint/dedup
+  * machinery is the same code the decoded modalities use
+  * ([[hashDupPairs]] runs unchanged on image dHashes and audio
+  * fingerprints).
   */
 object Multimodal {
 
