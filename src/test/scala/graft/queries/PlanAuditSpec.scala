@@ -259,6 +259,12 @@ class PlanAuditSpec extends SparkSpec {
       s"band candidates must stay equi-keyed:\n$p")
   }
 
+  test("t_audio_decode: the audio decode is one shuffle-free pass — " +
+      "samples never leave their task") {
+    val p = planOf("t_audio_decode")
+    assert(!p.contains("Exchange"), s"audio decode must not shuffle:\n$p")
+  }
+
   test("t_multimodal_retrieve: frames explode map-side, query broadcasts, " +
       "top-k is TakeOrdered — no corpus-wide shuffle") {
     val p = planOf("t_multimodal_retrieve")
