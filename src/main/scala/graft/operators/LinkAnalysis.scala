@@ -341,8 +341,8 @@ object LinkAnalysis {
     * aggregates — shuffles carry edge keys only.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-                     eagerFill: Boolean = true): DataFrame =
-    triangleCorners(edges, aCol, bCol, eagerFill)
+                     maxDriverEdges: Long = 100000L): DataFrame =
+    triangleCorners(edges, aCol, bCol, maxDriverEdges)
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
 
   /** One row per (triangle, corner) — [[triangleCounts]] before its final
@@ -355,24 +355,73 @@ object LinkAnalysis {
     * triangle column is referenced, silently benching the degree scan
     * only.
     *
-    * The canonical edge set is persisted AND (by default) filled eagerly:
-    * degrees, the orientation join, and the wedge-closing join all scan
-    * it from concurrent subplans of one action — a lazy fill would race
-    * and re-run the (possibly expensive) upstream edge derivation once
-    * per leg. Callers whose edge input is already materialized (a staged
-    * parquet artifact, a cached relation) pass eagerFill = false: the
-    * worst a fill race can then cost is an extra cheap re-scan, and the
-    * extra driver action is pure overhead. Released by the session's
-    * per-query cache clear. */
+    * The canonical edge set is persisted and filled by the regime-stat
+    * count (degrees, the orientation join, and the wedge-closing join
+    * all scan it from concurrent subplans of one action — a lazy fill
+    * would race and re-run the upstream edge derivation once per leg);
+    * in the distributed branch the pin is released by the session's
+    * per-query cache clear, in the driver branch immediately. */
   def triangleCorners(edges: DataFrame, aCol: String, bCol: String,
-                      eagerFill: Boolean = true): DataFrame = {
+                      maxDriverEdges: Long = 100000L): DataFrame = {
     val e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (eagerFill) e.count(): Unit
+    // the CC / kCore regime split, tighter bound (the wedge work is
+    // O(m^1.5), so 100k edges caps the driver at ~3e7 set probes): a
+    // small graph runs the SAME forward algorithm in memory — the
+    // distributed form pays fixed scheduling for ~10 tiny stages, which
+    // at 500 staged edges was most of the gate's cost. Both regimes are
+    // forced and compared in LinkAnalysisSpec/PropertySpec; the
+    // distributed branch stays driver-gated via t_clustering_coef.
+    val nE = e.count()
+    if (nE <= maxDriverEdges) {
+      val spark = edges.sparkSession
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      pairs.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0) + 1
+        deg(b) = deg.getOrElse(b, 0) + 1
+      }
+      // orientation: lower (degree, id) -> higher, exactly the
+      // distributed plan's `when(da <= db, a).otherwise(b)` tie rule
+      // (da <= db keeps a as source on ties, i.e. the LOWER id since
+      // a < b canonically)
+      def lessEq(x: Long, y: Long): Boolean = {
+        val (dx, dy) = (deg(x), deg(y))
+        dx < dy || (dx == dy && x < y)
+      }
+      val fwd = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+      pairs.foreach { case (a, b) =>
+        edgeSet += ((a, b))
+        if (lessEq(a, b))
+          fwd.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        else
+          fwd.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val corners = scala.collection.mutable.ArrayBuffer.empty[Long]
+      fwd.foreach { case (src, nbrs) =>
+        var i = 0
+        while (i < nbrs.length) {
+          var j = i + 1
+          while (j < nbrs.length) {
+            val (va, vb) = (math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j)))
+            if (edgeSet.contains((va, vb))) {
+              corners += src; corners += va; corners += vb
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      import spark.implicits._
+      return corners.toSeq.sorted.toDF("node")
+    }
+
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

@@ -1253,10 +1253,11 @@ object TrainingQueries {
     // wedge join (out-adjacency bounded O(sqrt m)) — the community-
     // cohesion signal (clustering) that complements PageRank/HITS/CC.
     "t_triangles" -> ((s, dir) =>
-      // staged projection (500-row parquet) -> no eager fill needed: a
-      // cache-fill race can only re-scan the tiny artifact
+      // staged projection (500-row parquet): the regime split sends it
+      // to the driver forward-algorithm; t_clustering_coef forces and
+      // gates the distributed wedge join on the same input
       graft.operators.LinkAnalysis.triangleCounts(
-        coEngagementTop500(s, dir), "ua", "ub", eagerFill = false)),
+        coEngagementTop500(s, dir), "ua", "ub")),
 
     // The SPARSE branch of the co-engagement selector through the driver
     // gate: an UNBOUNDED topic vocabulary (997 synthetic topics — past
@@ -1286,8 +1287,11 @@ object TrainingQueries {
       // group set depends on both legs, so the bench measures the real
       // wedge join.
       val top = coEngagementTop500(s, dir)
+      // maxDriverEdges = 0 FORCES the distributed wedge join: this gate
+      // is the driver-gated witness for the scale branch (the oracle is
+      // regime-independent, and the spec pins both regimes equal)
       val corners = graft.operators.LinkAnalysis
-        .triangleCorners(top, "ua", "ub", eagerFill = false)
+        .triangleCorners(top, "ua", "ub", maxDriverEdges = 0L)
         .select(col("node"), lit(1L).as("is_tri"))
       val endpoints = top.select(col("ua").as("node"))
         .unionByName(top.select(col("ub").as("node")))

@@ -125,14 +125,22 @@ class LinkAnalysisSpec extends SparkSpec {
   }
 
   test("triangleCounts: hand-computed graphs — K4, triangle+pendant, " +
-      "star and path are triangle-free; duplicates/reversals collapse") {
+      "star and path are triangle-free; duplicates/reversals collapse; " +
+      "driver and distributed regimes agree on every case") {
     def counts(rows: (Long, Long)*): Map[Long, Long] = {
-      val m = LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b")
+      val viaDriver = LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // maxDriverEdges = 0 forces the distributed wedge join — the two
+      // regimes must be indistinguishable
+      val viaPlan = LinkAnalysis.triangleCounts(rows.toDF("a", "b"), "a", "b",
+          maxDriverEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // the operator's edge pin is released by the session's per-query
       // cache clear (Verify/Bench do this); mirror it here
       spark.sharedState.cacheManager.clearCache()
-      m
+      assert(viaDriver == viaPlan,
+        s"triangle regimes disagree: $viaDriver vs $viaPlan")
+      viaDriver
     }
     // K4: 4 triangles, every node in exactly 3
     val k4 = counts(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)

@@ -109,9 +109,15 @@ class PropertySpec extends SparkSpec {
       val got =
         if (edges.isEmpty) Map.empty[Long, Long]
         else {
+          // default = driver forward algorithm; maxDriverEdges = 0
+          // forces the distributed wedge join — BOTH must match brute
           val m = LinkAnalysis.triangleCounts(edges.toDF("a", "b"), "a", "b")
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val mPlan = LinkAnalysis.triangleCounts(edges.toDF("a", "b"), "a", "b",
+              maxDriverEdges = 0L)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           spark.sharedState.cacheManager.clearCache()
+          assert(m == mPlan, s"triangle regimes disagree: $m vs $mPlan")
           m
         }
       got == brute.toMap
