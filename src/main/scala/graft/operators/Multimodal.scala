@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   * amortizes across a batch of rows (the same batching shape `mapInPandas`
   * gives Python). IMAGE decode is REAL — JDK `javax.imageio`, headless
   * ([[decodeGrid]], [[resizeImage]], [[dhash64]], [[imageStats]]) — and so
-  * is AUDIO — JDK `javax.sound.sampled` WAV/PCM ([[decodeAudio]], exact
-  * stats + the windowed-energy fingerprint). Only the VIDEO frame path
-  * keeps a deterministic substring "decoder" ([[sampleFrames]] — no video
-  * codec ships with the JDK) behind the same (doc, frame) granularity a
-  * codec frame reader would fill; its downstream fingerprint/dedup
-  * machinery is the same code the decoded modalities use
-  * ([[hashDupPairs]] runs unchanged on image dHashes and audio
-  * fingerprints).
+  * are AUDIO — JDK `javax.sound.sampled` WAV/PCM ([[decodeAudio]], exact
+  * stats + the windowed-energy fingerprint) — and VIDEO: [[decodeVideo]]
+  * parses the RIFF/AVI container with pure byte arithmetic and decodes
+  * uncompressed BGR24 DIB frames directly and MJPEG frames through
+  * `javax.imageio`'s real JPEG codec, one exact intensity grid per frame.
+  * [[sampleFrames]] remains as the codec-free substring fallback at the
+  * same (doc, frame) granularity. All three modalities share one
+  * downstream fingerprint/dedup engine ([[hashDupPairs]] runs unchanged
+  * on image dHashes, audio fingerprints, and per-frame video dHashes —
+  * [[videoDupPairs]]).
   */
 object Multimodal {
 
@@ -590,6 +592,322 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  // ---- real video decode (pure JDK: RIFF/AVI container parsing is byte
+  // arithmetic, uncompressed DIB frames are raw pixels, MJPEG frames are
+  // JPEGs javax.imageio decodes): AVI encode for deterministic fixtures,
+  // decode -> one exact intensity grid per FRAME, dHash per frame, and
+  // video-level perceptual dedup over shared near-identical frames. The
+  // DIB path is lossless (decode∘encode is the identity on the pixel
+  // law), so a SQL oracle replays a real binary VIDEO decode the same way
+  // the PNG/PCM tricks made images and audio checkable.
+
+  private val FOURCC_MJPG = 0x47504a4d // 'MJPG' little-endian
+
+  /** Encode one AVI container (RIFF -> hdrl(avih, strl(strh,strf)) ->
+    * movi) around pre-built frame payloads. `biCompression` 0 writes
+    * '00db' uncompressed-DIB chunks; [[FOURCC_MJPG]] writes '00dc' JPEG
+    * chunks. Little-endian throughout; odd chunks pad to RIFF word
+    * alignment. */
+  private def aviContainer(w: Int, h: Int, fps: Int, biCompression: Int,
+                           frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps >= 1 && fps <= 1000000)
+    val chunkId = if (biCompression == 0) "00db" else "00dc"
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffBody); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlBody); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps)            // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)    // maxBytesPerSec, padding, flags
+      .putInt(frames.length)            // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)    // initialFrames, streams, bufSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); bb.putInt(biCompression)  // fccType, fccHandler
+    bb.putInt(0).putShort(0).putShort(0)  // flags, priority, language
+      .putInt(0)                          // initialFrames
+      .putInt(1).putInt(fps)              // dwScale, dwRate -> fps
+      .putInt(0).putInt(frames.length)    // dwStart, dwLength
+      .putInt(0).putInt(-1).putInt(0)     // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)     // biSize, biWidth, biHeight (bottom-up)
+      .putShort(1).putShort(24)           // biPlanes, biBitCount
+      .putInt(biCompression)
+      .putInt(frames.headOption.map(_.length).getOrElse(0))
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviBody); cc("movi")
+    frames.foreach { f =>
+      cc(chunkId); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** One bottom-up BGR24 DIB frame (rows padded to 4 bytes) from a pixel
+    * law; gray is written r = g = b = v, so the decoder's integer luma
+    * (299r+587g+114b)/1000 returns v exactly — lossless end to end. */
+  private def dibFrame(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (f(x, y) & 0xff).toByte
+        val o = (h - 1 - y) * stride + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode one uncompressed-DIB AVI from a frame law — the deterministic
+    * video fixture generator. */
+  def aviBytes(w: Int, h: Int, nFrames: Int, fps: Int)
+              (f: (Int, Int, Int) => Int): Array[Byte] =
+    aviContainer(w, h, fps, 0,
+      (0 until nFrames).map(t => dibFrame(w, h)(f(t, _, _))))
+
+  /** Encode one MJPEG AVI: each frame law is JPEG-encoded by
+    * javax.imageio and wrapped in '00dc' chunks — the REAL lossy-codec
+    * fixture (spec-checked by Hamming tolerance, not an exact oracle). */
+  def aviMjpegBytes(w: Int, h: Int, nFrames: Int, fps: Int)
+                   (f: (Int, Int, Int) => Int): Array[Byte] =
+    aviContainer(w, h, fps, FOURCC_MJPG, (0 until nFrames).map { t =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, f(t, x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    })
+
+  /** Deterministic synthetic video table: `n` AVIs of `nFrames`
+    * `w`x`h` frames, pixel (x, y) of frame t in doc (idOffset + i) =
+    * ((i + sceneOffset)*31 + ((x + xShift) mod w)*7 + y*13 + t*17) mod
+    * 256. `xShift` produces per-frame-shifted COPIES of the same scene
+    * under fresh doc ids (the video perceptual-dedup fixture). */
+  def synthAviTable(spark: SparkSession, n: Int, w: Int, h: Int,
+                    nFrames: Int, fps: Int = 10, idOffset: Long = 0L,
+                    xShift: Int = 0, sceneOffset: Long = 0L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.range(n).toDF("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val scene = r.getLong(0) + sceneOffset
+        Row(r.getLong(0) + idOffset, aviBytes(w, h, nFrames, fps)((t, x, y) =>
+          ((scene * 31 + ((x + xShift) % w) * 7 + y * 13 + t * 17) % 256).toInt))
+      }
+    }(enc)
+  }
+
+  /** REAL video decode, pure JDK: parse the RIFF/AVI container (header
+    * sizes, stream format, movi chunk walk — byte arithmetic), decode
+    * each video frame — uncompressed BGR24 DIB bottom-up with 4-byte row
+    * padding, or MJPEG via javax.imageio — to per-pixel integer luma
+    * ((299r+587g+114b)/1000), and reduce every frame to the `gw`x`gh`
+    * truncating area-average intensity grid ([[decodeGrid]]'s exact
+    * arithmetic at frame granularity). Output one row per FRAME:
+    * (doc_id, frame_idx, ok, w, h, n_frames, fps, duration_ms,
+    * grid[gh*gw] row-major); a malformed container or unsupported codec
+    * keeps ONE row with ok = false (observable, never silently dropped),
+    * and an undecodable single frame keeps its row with ok = false.
+    * Decode runs per-partition; only grids leave the task, so shuffles
+    * never carry pixels. */
+  def decodeVideo(media: DataFrame, idCol: String, payloadCol: String,
+                  gw: Int, gh: Int): DataFrame = {
+    require(gw >= 1 && gh >= 1, s"grid dims must be >= 1, got ${gw}x$gh")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("ok", BooleanType),
+      StructField("w", LongType),
+      StructField("h", LongType),
+      StructField("n_frames", LongType),
+      StructField("fps", LongType),
+      StructField("duration_ms", LongType),
+      StructField("grid", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).cast("binary").as("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeAviFrames(bytes, gw, gh) match {
+            case None =>
+              Iterator.single(Row(d, 0L, false, 0L, 0L, 0L, 0L, 0L,
+                Array.empty[Long]))
+            case Some((w, h, fps, frames)) =>
+              val nF = frames.length.toLong
+              val durMs = if (fps > 0) nF * 1000L / fps else 0L
+              frames.iterator.zipWithIndex.map { case (g, i) =>
+                Row(d, i.toLong, g != null, w.toLong, h.toLong, nF,
+                  fps.toLong, durMs,
+                  if (g == null) Array.empty[Long] else g)
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** The container/codec half of [[decodeVideo]]: parse one AVI payload
+    * to (width, height, fps, per-frame `gw`x`gh` grid or null). None =
+    * the container itself is malformed/unsupported. Exposed for specs. */
+  def decodeAviFrames(bytes: Array[Byte], gw: Int, gh: Int)
+      : Option[(Int, Int, Int, Array[Array[Long]])] = {
+    if (bytes == null || bytes.length < 24) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
+    var w = 0; var h = 0; var fps = 0
+    var bitCount = 0; var compression = 0; var topDown = false
+    var haveFmt = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk a LIST body [off, end): chunks are fourcc(4) size(4) data pad
+    def walk(off0: Int, end: Int, depth: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end && depth < 8) {
+        val id = cc(off)
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) return
+        if (id == "LIST") {
+          val listType = cc(off + 8)
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            walk(off + 12, off + 8 + size, depth + 1)
+        } else if (id == "avih" && size >= 40) {
+          val usPerFrame = bb.getInt(off + 8)
+          if (fps == 0 && usPerFrame > 0) fps = 1000000 / usPerFrame
+        } else if (id == "strh" && size >= 48 && cc(off + 8) == "vids") {
+          val scale = bb.getInt(off + 8 + 20)
+          val rate = bb.getInt(off + 8 + 24)
+          if (scale > 0 && rate > 0) fps = rate / scale
+        } else if (id == "strf" && size >= 40 && !haveFmt) {
+          w = bb.getInt(off + 8 + 4)
+          val bih = bb.getInt(off + 8 + 8)
+          topDown = bih < 0
+          h = math.abs(bih)
+          bitCount = bb.getShort(off + 8 + 14).toInt
+          compression = bb.getInt(off + 8 + 16)
+          haveFmt = true
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "db" || id.substring(2) == "dc")) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, riffEnd, 0)
+    if (!haveFmt || w < gw || h < gh || frames.isEmpty) return None
+    val dib = compression == 0 && bitCount == 24
+    val mjpg = compression == FOURCC_MJPG
+    if (!dib && !mjpg) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val grids = frames.map { fb =>
+      val luma: (Int, Int) => Long =
+        if (dib) {
+          if (fb.length < stride * h) null
+          else (x, y) => {
+            val o = (if (topDown) y else h - 1 - y) * stride + x * 3
+            (299L * (fb(o + 2) & 0xff) + 587L * (fb(o + 1) & 0xff) +
+              114L * (fb(o) & 0xff)) / 1000L
+          }
+        } else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth != w || img.getHeight != h) null
+          else if (img.getRaster.getNumBands == 1) {
+            val raster = img.getRaster
+            (x, y) => raster.getSample(x, y, 0).toLong
+          } else (x, y) => {
+            val rgb = img.getRGB(x, y)
+            (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+          }
+        }
+      if (luma == null) null
+      else {
+        val grid = new Array[Long](gh * gw)
+        var cy = 0
+        while (cy < gh) {
+          val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
+          var cx = 0
+          while (cx < gw) {
+            val x0 = cx * w / gw; val x1 = (cx + 1) * w / gw
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += luma(x, y); x += 1 }
+              y += 1
+            }
+            grid(cy * gw + cx) = s / ((x1 - x0).toLong * (y1 - y0))
+            cx += 1
+          }
+          cy += 1
+        }
+        grid
+      }
+    }
+    Some((w, h, fps, grids.toArray))
+  }
+
+  /** The decode half of video dedup: (doc_id, frame_idx, 64-bit dHash)
+    * per decodable frame — tiny mergeable fingerprints; the pair join
+    * downstream runs over these, never the payload log. */
+  def videoFrameHashes(media: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame =
+    decodeVideo(media, idCol, payloadCol, gw = 9, gh = 8)
+      .filter(col("ok"))
+      .withColumn("phash", dhash64("grid"))
+      .select(col("doc_id"), col("frame_idx"), col("phash"))
+
+  /** Video-level perceptual near-duplicate pairs over REAL decoded
+    * frames: every frame is dHashed ([[videoFrameHashes]]), frame pairs
+    * across videos within `maxHamming` bits surface through the SAME
+    * SimHash-banded candidate/verify engine images use
+    * ([[hashDupPairs]], frames keyed as doc*1024+idx), and video pairs
+    * sharing >= `minShared` near-identical frame pairs survive with
+    * their closest-frame distance. Scale shape: pixels never leave the
+    * decode task, shuffles carry 8-byte hashes, the verify is
+    * candidate-confined, and the final rollup is frame-pair-sized. */
+  def videoDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 8, minShared: Int = 2,
+                    maxBucket: Long = 1000L): DataFrame = {
+    val fh = videoFrameHashes(media, idCol, payloadCol)
+      .select((col("doc_id") * 1024 + col("frame_idx")).as("doc_id"),
+        col("phash"))
+    hashDupPairs(fh, maxHamming, maxBucket)
+      .select(expr("doc_a div 1024").as("video_a"),
+        expr("doc_b div 1024").as("video_b"), col("hamming"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("n_shared"), min("hamming").as("min_hamming"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** STUB decoder: a real build would decode the codec here (per-partition

@@ -989,6 +989,47 @@ object TrainingQueries {
       Multimodal.imageDupPairs(media, "doc_id", "payload", maxHamming = 8)
     }),
 
+    // REAL video decode through the gate: 8 uncompressed-DIB AVIs from a
+    // frame law (pixel (x,y) of frame t in doc d = (d*31+x*7+y*13+t*17)
+    // mod 256), container-parsed with pure byte arithmetic (RIFF walk,
+    // BITMAPINFOHEADER, bottom-up BGR24 rows padded to 4 bytes), each
+    // frame reduced to the exact 9x8 intensity grid and dHashed — and
+    // the oracle replays the whole derivation from the law without
+    // seeing a byte: DIB is raw, so decode∘encode is the identity on
+    // the law's values, the video analog of the PNG/PCM losslessness
+    // trick. Any parse defect (chunk offsets, row order, stride
+    // padding, fps math) breaks a cell, a bit, or a metadata column.
+    "t_video_decode" -> ((s, dir) => {
+      val media = Multimodal.synthAviTable(s, n = 8, w = 24, h = 16,
+        nFrames = 6, fps = 10)
+      Multimodal.decodeVideo(media, "doc_id", "payload", gw = 9, gh = 8)
+        .withColumn("phash", Multimodal.dhash64("grid"))
+        .select(col("doc_id"), col("frame_idx"), col("w"), col("h"),
+          col("n_frames"), col("fps"), col("duration_ms"), col("phash"),
+          posexplode(col("grid")))
+        .select(col("doc_id"), col("frame_idx"), col("w"), col("h"),
+          col("n_frames"), col("fps"), col("duration_ms"),
+          col("pos").cast("long").as("cell_idx"), col("col").as("cell"),
+          col("phash"))
+    }),
+
+    // Video-level perceptual dedup over REAL decoded frames: 12 base
+    // AVIs plus 4 per-frame-shifted copies under fresh doc ids (every
+    // byte differs — exact hashing sees 16 distinct blobs), decoded by
+    // the RIFF/DIB path, each frame dHashed, frame pairs surfaced by
+    // the SAME SimHash-band engine images use, videos paired when >= 2
+    // frame pairs land within Hamming 8. The oracle replays decode ->
+    // grids -> dHash -> bands -> verify -> video rollup from the law,
+    // pinning every surviving pair bit-for-bit.
+    "t_video_dedup" -> ((s, dir) => {
+      val media = Multimodal.synthAviTable(s, n = 12, w = 24, h = 16,
+        nFrames = 4, fps = 10)
+        .unionByName(Multimodal.synthAviTable(s, n = 4, w = 24, h = 16,
+          nFrames = 4, fps = 10, idOffset = 100L, xShift = 1))
+      Multimodal.videoDupPairs(media, "doc_id", "payload",
+        maxHamming = 8, minShared = 2)
+    }),
+
     // Multimodal patch retrieval — the full plumbing a frame/patch
     // similarity search needs, end to end: strided frame sampling, a
     // per-frame embedding (here the deterministic STUB: 8 dims derived
@@ -3296,6 +3337,99 @@ object TrainingQueries {
         |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
+
+    // Replays the real RIFF/AVI + uncompressed-DIB video decode from the
+    // frame LAW: DIB is raw (decode∘encode identity), so every decoded
+    // pixel must equal (d*31+x*7+y*13+t*17) mod 256; per-frame grids are
+    // truncating block means, the dHash is the bit-63 two's-complement
+    // form, and the container metadata (frame count, fps, duration) is
+    // closed-form from the fixture parameters.
+    "t_video_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.t, cy.cy, cx.cx,
+        |    (d.doc_id * 31 + x.x * 7 + y.y * 13 + t.t * 17) % 256 AS v
+        |  FROM range(8) d(doc_id), range(6) t(t), range(8) cy(cy),
+        |       range(9) cx(cx), range(24) x(x), range(16) y(y)
+        |  WHERE x.x >= (cx.cx * 24) // 9 AND x.x < ((cx.cx + 1) * 24) // 9
+        |    AND y.y >= (cy.cy * 16) // 8 AND y.y < ((cy.cy + 1) * 16) // 8),
+        |cells AS (
+        |  SELECT doc_id, t, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |ph AS (
+        |  SELECT a.doc_id, a.t,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.t = a.t
+        |   AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_id, CAST(c.t AS BIGINT) AS frame_idx,
+        |  CAST(24 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+        |  CAST(6 AS BIGINT) AS n_frames, CAST(10 AS BIGINT) AS fps,
+        |  CAST(600 AS BIGINT) AS duration_ms,
+        |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
+        |FROM cells c JOIN ph ON ph.doc_id = c.doc_id AND ph.t = c.t""".stripMargin,
+
+    // Replays the whole video-dedup derivation from the frame law:
+    // decode (identity, DIB raw) -> per-frame truncating block means ->
+    // dHash -> 16-bit band candidates at (doc*1024+frame) granularity ->
+    // Hamming verify -> video-pair rollup with the >= 2 shared-frame
+    // floor. Frame pairs inside one video are excluded exactly as the
+    // engine excludes them.
+    "t_video_dedup" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh
+        |  FROM range(12) d(doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 100, d.doc_id, 1 FROM range(4) d(doc_id)),
+        |px AS (
+        |  SELECT dd.doc_id, t.t, cy.cy, cx.cx,
+        |    (dd.scene * 31 + ((x.x + dd.sh) % 24) * 7 + y.y * 13
+        |      + t.t * 17) % 256 AS v
+        |  FROM docs dd, range(4) t(t), range(8) cy(cy), range(9) cx(cx),
+        |       range(24) x(x), range(16) y(y)
+        |  WHERE x.x >= (cx.cx * 24) // 9 AND x.x < ((cx.cx + 1) * 24) // 9
+        |    AND y.y >= (cy.cy * 16) // 8 AND y.y < ((cy.cy + 1) * 16) // 8),
+        |cells AS (
+        |  SELECT doc_id, t, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |ph AS (
+        |  SELECT a.doc_id, a.t,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.t = a.t
+        |   AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, t, phash, b.b,
+        |    (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM ph, range(4) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, x.t AS ta, y.doc_id AS db,
+        |    y.t AS tb, x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v
+        |   AND (x.doc_id * 1024 + x.t) < (y.doc_id * 1024 + y.t)),
+        |fp AS (
+        |  SELECT da, db, bit_count(xor(ha, hb)) AS hamming
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 8 AND da <> db)
+        |SELECT da AS video_a, db AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        |FROM fp GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // Re-derives the KMV sketch relationally: distinct hashes -> per-group
     // row_number -> k-th minimum -> the same (k-1)/U(k) estimate, with the

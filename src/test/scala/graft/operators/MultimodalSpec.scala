@@ -327,4 +327,92 @@ class MultimodalSpec extends SparkSpec {
     assert(partialIdx > 0 && exchangeIdx > 0 && partialIdx > exchangeIdx,
       s"expected partial_min_by below the Exchange in:\n$plan")
   }
+
+  // ---- real video decode (RIFF/AVI)
+
+  /** The video fixture law, evaluated host-side for expectations. */
+  private def vLaw(scene: Long, xShift: Int, w: Int)(t: Int, x: Int, y: Int): Long =
+    (scene * 31 + ((x + xShift) % w) * 7 + y * 13 + t * 17) % 256
+
+  /** Truncating block-mean grid of one law frame — decodeGrid's exact
+    * arithmetic, replayed host-side. */
+  private def lawGrid(scene: Long, xShift: Int, w: Int, h: Int, t: Int,
+                      gw: Int, gh: Int): Array[Long] = {
+    val g = new Array[Long](gh * gw)
+    for (cy <- 0 until gh; cx <- 0 until gw) {
+      val (y0, y1) = (cy * h / gh, (cy + 1) * h / gh)
+      val (x0, x1) = (cx * w / gw, (cx + 1) * w / gw)
+      val s = (for (y <- y0 until y1; x <- x0 until x1)
+        yield vLaw(scene, xShift, w)(t, x, y)).sum
+      g(cy * gw + cx) = s / ((x1 - x0).toLong * (y1 - y0))
+    }
+    g
+  }
+
+  private def lawDhash(grid: Array[Long]): Long =
+    (0 until 64).foldLeft(0L) { (acc, k) =>
+      if (grid((k / 8) * 9 + k % 8) > grid((k / 8) * 9 + k % 8 + 1))
+        acc | (1L << k) else acc
+    }
+
+  test("decodeVideo: real RIFF/AVI parse + uncompressed-DIB decode " +
+      "reproduces the frame law exactly; malformed payloads keep one " +
+      "ok=false row") {
+    val media = Multimodal.synthAviTable(spark, n = 2, w = 24, h = 16,
+        nFrames = 3, fps = 10)
+      .unionByName(Seq((99L, Array[Byte](82, 73, 70, 70, 0, 0))) // truncated RIFF
+        .toDF("doc_id", "payload"))
+    val out = Multimodal.decodeVideo(media, "doc_id", "payload", gw = 9, gh = 8)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(out.length == 2 * 3 + 1)
+    out.take(6).foreach { r =>
+      val (d, t) = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(2), s"doc $d frame $t should decode")
+      assert(r.getLong(3) == 24L && r.getLong(4) == 16L)
+      assert(r.getLong(5) == 3L && r.getLong(6) == 10L && r.getLong(7) == 300L)
+      assert(r.getSeq[Long](8).toArray.sameElements(
+        lawGrid(d, 0, 24, 16, t.toInt, 9, 8)),
+        s"doc $d frame $t grid mismatch")
+    }
+    val bad = out.last
+    assert(bad.getLong(0) == 99L && !bad.getBoolean(2) &&
+      bad.getSeq[Long](8).isEmpty)
+  }
+
+  test("decodeVideo: MJPEG frames decode through the REAL javax.imageio " +
+      "JPEG codec — right shape, and each frame's dHash lands near the " +
+      "lossless DIB hash of the same scene") {
+    val (w, h, nF) = (64, 48, 3)
+    val media = Seq((7L, Multimodal.aviMjpegBytes(w, h, nF, 5)(
+      (t, x, y) => vLaw(7L, 0, w)(t, x, y).toInt))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideo(media, "doc_id", "payload", gw = 9, gh = 8)
+      .orderBy("frame_idx").collect()
+    assert(out.length == nF)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getLong(3) == w && r.getLong(4) == h &&
+        r.getLong(6) == 5L)
+      val jp = lawDhash(r.getSeq[Long](8).toArray)
+      val exact = lawDhash(lawGrid(7L, 0, w, h, r.getLong(1).toInt, 9, 8))
+      val ham = java.lang.Long.bitCount(jp ^ exact)
+      assert(ham <= 16, s"frame ${r.getLong(1)}: JPEG dHash $ham bits off")
+    }
+  }
+
+  test("videoDupPairs: per-frame-shifted copies pair with their " +
+      "originals across distinct payload bytes; frames never pair " +
+      "within one video") {
+    val media = Multimodal.synthAviTable(spark, n = 6, w = 24, h = 16,
+        nFrames = 4, fps = 10)
+      .unionByName(Multimodal.synthAviTable(spark, n = 2, w = 24, h = 16,
+        nFrames = 4, fps = 10, idOffset = 100L, xShift = 1))
+    val pairs = Multimodal.videoDupPairs(media, "doc_id", "payload",
+      maxHamming = 8, minShared = 2).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 100L)) && keys.contains((1L, 101L)),
+      s"planted copies missing from $keys")
+    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)))
+    // the planted pairs share (nearly) every frame
+    pairs.filter(r => Set((0L, 100L), (1L, 101L))((r.getLong(0), r.getLong(1))))
+      .foreach(r => assert(r.getLong(2) >= 3L, s"shared only ${r.getLong(2)}"))
+  }
 }

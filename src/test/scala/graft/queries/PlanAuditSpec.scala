@@ -265,6 +265,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"audio decode must not shuffle:\n$p")
   }
 
+  test("t_video_dedup: pixels and grids are confined to the decode " +
+      "tasks; band candidates stay equi-keyed") {
+    val p = planOf("t_video_dedup")
+    val leaky = p.linesIterator
+      .filter(l => l.contains("Exchange"))
+      .filter(l => l.contains("payload") || l.contains("grid"))
+      .toSeq
+    assert(leaky.isEmpty, s"pixels crossed an exchange:\n${leaky.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must stay equi-keyed:\n$p")
+  }
+
   test("t_multimodal_retrieve: frames explode map-side, query broadcasts, " +
       "top-k is TakeOrdered — no corpus-wide shuffle") {
     val p = planOf("t_multimodal_retrieve")
