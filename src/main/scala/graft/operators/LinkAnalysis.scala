@@ -540,6 +540,71 @@ object LinkAnalysis {
     }
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * shape, made DETERMINISTIC): every node starts labeled with its own
+    * id; each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label — the argmax is a
+    * total order (count desc, label asc), so rounds are replayable by
+    * any engine, unlike the classic randomized-tie-break LPA. Runs a
+    * FIXED `rounds` (community detection uses LPA as a few-sweep
+    * coarsener; a fixpoint test would make the result order-dependent
+    * on asynchronous engines, while the synchronous fixed-round form is
+    * the one with a well-defined answer). Output one row per node:
+    * (node, label, community_size).
+    *
+    * Scale shape: the symmetrized edge list is hash-partitioned once and
+    * reused every round; each round is one edge-keyed join + two
+    * map-side-combinable hash aggregates (votes, then argmax) — label
+    * state is node-sized, nothing driver-side but the per-round cache
+    * fill, and the tie-break needs no window (a struct max carries
+    * (count, -label) through the aggregate). Same per-round cost
+    * envelope as a PageRank round.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds in [1,20], got $rounds")
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val und = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(p, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var r = 0
+    while (r < rounds) {
+      val prev = labels
+      // votes arrive over the dst->node join (edge-keyed, co-partitioned
+      // with sym's pinned layout); the argmax rides the same hash agg:
+      // max of (cnt, -label) IS (most frequent, then smallest label)
+      labels = sym.join(prev, sym("dst") === prev("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager fill BEFORE unpersisting the parent: the final select
+      // references the last round twice (rows + community sizes), and a
+      // lazily-persisted relation under concurrent AQE subplans
+      // recomputes per reference
+      labels.count()
+      prev.unpersist(false)
+      r += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    val out = labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label"), col("community_size"))
+    sym.unpersist(false)
+    out
+  }
+
   /** User–user co-engagement projection of a bipartite (user, topic)
     * engagement log: `support(ua, ub) = |topics(ua) ∩ topics(ub)|`, cut
     * to the `topK` strongest edges by a deterministic total order

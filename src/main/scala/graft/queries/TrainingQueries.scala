@@ -1359,6 +1359,17 @@ object TrainingQueries {
       graft.operators.LinkAnalysis.kCore(
         coEngagementTop500(s, dir), "ua", "ub", k = 3)),
 
+    // Label-propagation community detection over the projected
+    // co-engagement graph: deterministic synchronous LPA (most frequent
+    // neighbor label, ties to the smallest), 3 sweeps — the community
+    // coarsener that complements the cohesion metrics (triangles,
+    // clustering coefficient, k-core) with an actual partition of the
+    // graph. The oracle unrolls the rounds as materialized CTEs, so any
+    // asynchronous/order-dependent shortcut breaks a label.
+    "t_label_prop" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.labelPropagation(
+        coEngagementTop500(s, dir), "ua", "ub", rounds = 3)),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -2082,6 +2093,39 @@ object TrainingQueries {
       |SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
       |  (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
       |GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Label-propagation oracle: the shared top-500 projection, then each
+    * synchronous sweep unrolled as MATERIALIZED CTEs (each round is
+    * referenced by the next round's join AND its own argmax — plain
+    * CTEs would re-inline the projection per reference). The
+    * deterministic argmax (count desc, label asc) is a ROW_NUMBER
+    * replay of the engine's (cnt, -label) struct max. */
+  private def labelPropOracle(rounds: Int): String = {
+    val sb = new StringBuilder(triangleCtes.stripSuffix("\n"))
+    sb.append(""",
+      |sym AS MATERIALIZED (
+      |  SELECT ua AS src, ub AS dst FROM top
+      |  UNION ALL SELECT ub, ua FROM top),
+      |l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |v$r AS MATERIALIZED (
+        |  SELECT s.src AS node, l.label, COUNT(*) AS cnt
+        |  FROM sym s JOIN l${r - 1} l ON s.dst = l.node GROUP BY 1, 2),
+        |l$r AS MATERIALIZED (
+        |  SELECT node, label FROM (
+        |    SELECT node, label, ROW_NUMBER() OVER (
+        |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |    FROM v$r) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT l.node, l.label, CAST(c.cs AS BIGINT) AS community_size
+      |FROM l$rounds l JOIN (
+      |  SELECT label, COUNT(*) AS cs FROM l$rounds GROUP BY 1) c
+      |  USING (label)""".stripMargin)
     sb.toString
   }
 
@@ -2968,6 +3012,8 @@ object TrainingQueries {
       (triangleCtes + "SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1"),
 
     "t_kcore" -> kCoreOracle(k = 3, rounds = 12),
+
+    "t_label_prop" -> labelPropOracle(rounds = 3),
 
     // regime-independent projection, wide synthetic vocabulary
     "t_coengage_sparse" ->

@@ -317,4 +317,36 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(again.count() == staged.count())
     spark.catalog.clearCache()
   }
+
+  test("labelPropagation: hand-computed synchronous sweeps on two " +
+      "triangles joined by a bridge — communities converge and the " +
+      "tie-break is the smallest label") {
+    // 1-2, 2-3, 1-3 (triangle A), 4-5, 5-6, 4-6 (triangle B), bridge 3-4.
+    // l0 = own id. Sweep 1 (most frequent neighbor label, ties -> min):
+    //   1:{2,3}->2  2:{1,3}->1  3:{1,2,4}->1  4:{3,5,6}->3  5:{4,6}->4  6:{4,5}->4
+    // Sweep 2: 1:{1,1}->1  2:{2,1}->1  3:{2,1,3}->1  4:{1,4,4}->4
+    //   5:{3,4}->3  6:{3,4}->3
+    // Sweep 3: 1->1 2->1 3:{1,1,4}->1 4:{1,3,3}->3 5:{4,3}->3 6:{4,3}->3
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val out = LinkAnalysis.labelPropagation(g, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (3L, 3L), 5L -> (3L, 3L), 6L -> (3L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("labelPropagation: edge direction and duplication never change " +
+      "the result (canonicalized symmetric input)") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val rev = Seq((2L, 1L), (3L, 2L), (3L, 1L), (4L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val r1 = LinkAnalysis.labelPropagation(fwd, "a", "b", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val r2 = LinkAnalysis.labelPropagation(rev, "a", "b", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(r1.sameElements(r2) && r1.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
