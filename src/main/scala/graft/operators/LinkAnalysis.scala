@@ -605,6 +605,58 @@ object LinkAnalysis {
     out
   }
 
+  /** Per-community modularity decomposition of a node partition (Newman
+    * Q): for community c with `intra_edges` internal edges and
+    * `degree_sum` D_c over m total edges, the contribution to Q is
+    * `intra/m − (D_c/2m)²`; this emits the EXACT INTEGER numerator
+    * `q_num = 4·m·intra − D_c²` per community (global Q = Σ q_num / 4m²),
+    * so the readout is order-independent and bit-replayable — no float
+    * sums whose grouping differs across engines. q_num stays exact while
+    * `4·m·intra_edges` fits a long (m·intra < 2⁶¹ — beyond that, carry
+    * the division through before summing). One row per community:
+    * (label, n_nodes, intra_edges, degree_sum, q_num); communities with
+    * no internal edge keep their row with intra_edges = 0.
+    *
+    * Scale shape: two label-broadcast equi-joins tag the edge endpoints
+    * (the labels table is node-sized; at web scale it hash-joins on the
+    * edge key instead), one endpoint-union degree aggregate, and a
+    * community-sized rollup; m is one scalar read inlined as a literal.
+    */
+  def communityModularity(edges: DataFrame, aCol: String, bCol: String,
+                          labels: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val nl = labels.select(col("node"), col("label"))
+    val intra = e
+      .join(nl.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(nl.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val out = nl.join(deg, Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .withColumn("q_num",
+        lit(4L * m) * col("intra_edges") -
+          col("degree_sum") * col("degree_sum"))
+    // e stays pinned through the caller's terminal action (both the
+    // intra and degree legs read it; released by the session's
+    // per-query cache clear)
+    out
+  }
+
   /** User–user co-engagement projection of a bipartite (user, topic)
     * engagement log: `support(ua, ub) = |topics(ua) ∩ topics(ub)|`, cut
     * to the `topK` strongest edges by a deterministic total order

@@ -897,8 +897,18 @@ object Multimodal {
     * candidate-confined, and the final rollup is frame-pair-sized. */
   def videoDupPairs(media: DataFrame, idCol: String, payloadCol: String,
                     maxHamming: Int = 8, minShared: Int = 2,
-                    maxBucket: Long = 1000L): DataFrame = {
-    val fh = videoFrameHashes(media, idCol, payloadCol)
+                    maxBucket: Long = 1000L): DataFrame =
+    videoPairsFromFrameHashes(videoFrameHashes(media, idCol, payloadCol),
+      maxHamming, minShared, maxBucket)
+
+  /** The candidate/verify/rollup half of [[videoDupPairs]] over a
+    * prepared (doc_id, frame_idx, phash) relation — the form an
+    * INCREMENTAL video pipeline runs over its accumulated frame-hash
+    * index ([[graft.streaming.StreamingGate]]'s video drain). */
+  def videoPairsFromFrameHashes(fhIn: DataFrame, maxHamming: Int = 8,
+                                minShared: Int = 2,
+                                maxBucket: Long = 1000L): DataFrame = {
+    val fh = fhIn
       .select((col("doc_id") * 1024 + col("frame_idx")).as("doc_id"),
         col("phash"))
     hashDupPairs(fh, maxHamming, maxBucket)

@@ -1370,6 +1370,18 @@ object TrainingQueries {
       graft.operators.LinkAnalysis.labelPropagation(
         coEngagementTop500(s, dir), "ua", "ub", rounds = 3)),
 
+    // Modularity decomposition of the LPA partition — "did the
+    // communities actually cut the graph well": per community the
+    // internal edge count, degree sum, and the EXACT integer Newman
+    // numerator 4·m·intra − D² (global Q = Σ/4m²) — integer end to end,
+    // so the readout avoids cross-engine float-sum ordering entirely.
+    "t_modularity" -> ((s, dir) => {
+      val top = coEngagementTop500(s, dir)
+      graft.operators.LinkAnalysis.communityModularity(top, "ua", "ub",
+        graft.operators.LinkAnalysis.labelPropagation(top, "ua", "ub",
+          rounds = 3))
+    }),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -2102,7 +2114,7 @@ object TrainingQueries {
     * CTEs would re-inline the projection per reference). The
     * deterministic argmax (count desc, label asc) is a ROW_NUMBER
     * replay of the engine's (cnt, -label) struct max. */
-  private def labelPropOracle(rounds: Int): String = {
+  private def labelPropCtes(rounds: Int): String = {
     val sb = new StringBuilder(triangleCtes.stripSuffix("\n"))
     sb.append(""",
       |sym AS MATERIALIZED (
@@ -2121,13 +2133,38 @@ object TrainingQueries {
         |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
         |    FROM v$r) WHERE rn = 1)""".stripMargin)
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def labelPropOracle(rounds: Int): String =
+    labelPropCtes(rounds) + s"""
       |SELECT l.node, l.label, CAST(c.cs AS BIGINT) AS community_size
       |FROM l$rounds l JOIN (
       |  SELECT label, COUNT(*) AS cs FROM l$rounds GROUP BY 1) c
-      |  USING (label)""".stripMargin)
-    sb.toString
-  }
+      |  USING (label)""".stripMargin
+
+  /** Modularity oracle: the LPA sweeps, then per community the internal
+    * edge count, degree sum (triangleCtes' `deg` is the endpoint-count
+    * degree over `top`), and the exact integer Newman numerator
+    * 4·m·intra − D², m read from one COUNT over the projection. */
+  private def modularityOracle(rounds: Int): String =
+    labelPropCtes(rounds) + s""",
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM top),
+      |intra AS (
+      |  SELECT x.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      |  FROM top t JOIN l$rounds x ON t.ua = x.node
+      |    JOIN l$rounds y ON t.ub = y.node
+      |  WHERE x.label = y.label GROUP BY 1),
+      |ds AS (
+      |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(d.d) AS BIGINT) AS degree_sum
+      |  FROM l$rounds l JOIN deg d ON l.node = d.n GROUP BY 1)
+      |SELECT ds.label, ds.n_nodes,
+      |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+      |  ds.degree_sum,
+      |  CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+      |    - ds.degree_sum * ds.degree_sum AS BIGINT) AS q_num
+      |FROM ds LEFT JOIN intra i ON ds.label = i.label, mm""".stripMargin
 
   /** Personalized-PageRank oracle: same integer round replay as
     * [[pageRankOracle]], but r0, the (1-d) base, and the dangling share
@@ -3014,6 +3051,8 @@ object TrainingQueries {
     "t_kcore" -> kCoreOracle(k = 3, rounds = 12),
 
     "t_label_prop" -> labelPropOracle(rounds = 3),
+
+    "t_modularity" -> modularityOracle(rounds = 3),
 
     // regime-independent projection, wide synthetic vocabulary
     "t_coengage_sparse" ->

@@ -674,6 +674,46 @@ object StreamingGate {
       graft.sinks.VersionedTable.read(spark, idx), maxHamming = 8)
   }
 
+  /** Streaming VIDEO ingest: AVI payloads arrive in micro-batches, each
+    * batch is container-parsed and frame-decoded (real RIFF/DIB path)
+    * inside the batch — pixels never outlive their micro-batch — and the
+    * tiny (doc_id, frame_idx, phash) frame fingerprints commit
+    * exactly-once into a versioned index. The drained read answers the
+    * video-level perceptual-dup question over the ACCUMULATED index; the
+    * oracle replays decode -> per-frame grids -> dHash -> bands ->
+    * verify -> video rollup for the whole corpus from the frame law, so
+    * the gate pins that the incremental fold of a real binary video
+    * decode equals the batch derivation regardless of slicing.
+    */
+  def videoIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthAviTable(spark, n = 10, w = 24, h = 16,
+        nFrames = 4, fps = 10)
+      .unionByName(Multimodal.synthAviTable(spark, n = 3, w = 24, h = 16,
+        nFrames = 4, fps = 10, idOffset = 100L, xShift = 1))
+    val in = scratch("vid_in", dir)
+    val idx = scratch("vid_idx", dir)
+    val ck = scratch("vid_ck", dir)
+    Seq(in, idx, ck).foreach(cleanDir(spark, _))
+    media.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sinks.VersionedTable.commitBatch(
+          Multimodal.videoFrameHashes(b, "doc_id", "payload"),
+          idx, overwrite = false, txnId = s"vid-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Multimodal.videoPairsFromFrameHashes(
+      graft.sinks.VersionedTable.read(spark, idx),
+      maxHamming = 8, minShared = 2)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -688,7 +728,8 @@ object StreamingGate {
     "st_late_audit" -> (lateAuditGate(_, _)),
     "st_scd2" -> (scd2Gate(_, _)),
     "st_priority_sample" -> (prioritySampleGate(_, _)),
-    "st_image_ingest" -> (imageIngestGate(_, _)))
+    "st_image_ingest" -> (imageIngestGate(_, _)),
+    "st_video_ingest" -> (videoIngestGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -703,6 +744,59 @@ object StreamingGate {
     // law (the t_image_dedup oracle over the gate's 30 + 6 fixture):
     // only an incremental fold whose accumulated index equals the batch
     // decode can match the banded Hamming pair set
+    // whole-corpus replay of the video-decode derivation from the frame
+    // law (the t_video_dedup oracle over the gate's 10 + 3 fixture):
+    // only an incremental fold whose accumulated frame-hash index equals
+    // the batch decode can match the video-pair rollup
+    "st_video_ingest" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh
+        |  FROM range(10) d(doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 100, d.doc_id, 1 FROM range(3) d(doc_id)),
+        |px AS (
+        |  SELECT dd.doc_id, t.t, cy.cy, cx.cx,
+        |    (dd.scene * 31 + ((x.x + dd.sh) % 24) * 7 + y.y * 13
+        |      + t.t * 17) % 256 AS v
+        |  FROM docs dd, range(4) t(t), range(8) cy(cy), range(9) cx(cx),
+        |       range(24) x(x), range(16) y(y)
+        |  WHERE x.x >= (cx.cx * 24) // 9 AND x.x < ((cx.cx + 1) * 24) // 9
+        |    AND y.y >= (cy.cy * 16) // 8 AND y.y < ((cy.cy + 1) * 16) // 8),
+        |cells AS (
+        |  SELECT doc_id, t, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |ph AS (
+        |  SELECT a.doc_id, a.t,
+        |    CAST(SUM(CASE WHEN a.cell > b.cell THEN
+        |        CASE WHEN a.cy * 8 + a.cx = 63
+        |             THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT)
+        |               << CAST(a.cy * 8 + a.cx AS INTEGER) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.t = a.t
+        |   AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, t, phash, b.b,
+        |    (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM ph, range(4) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, x.t AS ta, y.doc_id AS db,
+        |    y.t AS tb, x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v
+        |   AND (x.doc_id * 1024 + x.t) < (y.doc_id * 1024 + y.t)),
+        |fp AS (
+        |  SELECT da, db, bit_count(xor(ha, hb)) AS hamming
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 8 AND da <> db)
+        |SELECT da AS video_a, db AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        |FROM fp GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
     "st_image_ingest" ->
       """WITH docs AS (
         |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh FROM range(30) d(doc_id)

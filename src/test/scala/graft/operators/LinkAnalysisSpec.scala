@@ -337,6 +337,34 @@ class LinkAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("communityModularity: hand-computed Newman numerators on the " +
+      "bridged triangles — the bridge edge is inter-community") {
+    // m = 7. Community 1 = {1,2,3}: intra 3, degrees 2+2+3 = 7,
+    // q_num = 4*7*3 - 49 = 35; community 3 = {4,5,6} symmetric.
+    // Global Q = (35+35)/(4*49) = 5/14.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val lp = LinkAnalysis.labelPropagation(g, "a", "b", rounds = 3)
+    val q = LinkAnalysis.communityModularity(g, "a", "b", lp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(q == Map(1L -> (3L, 3L, 7L, 35L), 3L -> (3L, 3L, 7L, 35L)))
+    spark.catalog.clearCache()
+  }
+
+  test("communityModularity: a community with no internal edge keeps " +
+      "its row with intra_edges = 0 and a negative numerator") {
+    // star 1-2, 1-3 with forced partition {1}|{2,3}: community 9 has
+    // nodes 2,3, no internal edge, D = 2 -> q_num = -4
+    val g = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 5L), (2L, 9L), (3L, 9L)).toDF("node", "label")
+    val q = LinkAnalysis.communityModularity(g, "a", "b", labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(q == Map(5L -> (1L, 0L, 2L, -4L), 9L -> (2L, 0L, 2L, -4L)))
+    spark.catalog.clearCache()
+  }
+
   test("labelPropagation: edge direction and duplication never change " +
       "the result (canonicalized symmetric input)") {
     val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
