@@ -657,6 +657,89 @@ object LinkAnalysis {
     out
   }
 
+  /** Degree assortativity (Newman 2002) sufficient statistics, exact:
+    * over the canonical undirected edge set with endpoint degrees
+    * (j, k), one row of integer sums — m, `sum_deg` = Σ(j+k),
+    * `sum_deg_sq` = Σ(j²+k²), `sum_prod` = Σ j·k — plus the exact
+    * integer Pearson numerator/denominator
+    * `r_num = 4·m·Σjk − (Σ(j+k))²`, `r_den = 2·m·Σ(j²+k²) − (Σ(j+k))²`
+    * (r = r_num / r_den). Emitting the rational pieces instead of the
+    * float keeps the readout bit-replayable on any engine and any
+    * partitioning; the caller divides once.
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins to tag the
+    * edge endpoints, ONE global aggregate — no scalar pre-actions, the
+    * whole statistic is a single lazy plan (m rides the same aggregate
+    * row). Longs hold the sums while m·maxdeg² < 2⁶¹ (a 10¹⁰-edge graph
+    * with 10⁶-degree hubs needs the same sums carried as DECIMAL(38,0)
+    * — column swap, identical plan).
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("sum_deg"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sum_deg_sq"),
+        sum(col("da") * col("db")).as("sum_prod"))
+      .select(col("m"), col("sum_deg"), col("sum_deg_sq"), col("sum_prod"),
+        (lit(4L) * col("m") * col("sum_prod") -
+          col("sum_deg") * col("sum_deg")).as("r_num"),
+        (lit(2L) * col("m") * col("sum_deg_sq") -
+          col("sum_deg") * col("sum_deg")).as("r_den"))
+  }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * pair with at least one common neighbor, the two classic exact
+    * scores — `cn` (common-neighbor count, Newman) and `pa`
+    * (preferential attachment, deg(a)·deg(b), Barabási) — cut to the
+    * `topK` strongest candidates by the deterministic total order
+    * (cn desc, pa desc, a, b). This is the candidate generator graph
+    * curation runs for hard-negative mining and engagement-expansion
+    * sampling; both scores are integers, so ranking is bit-stable.
+    *
+    * Scale shape: the wedge self-join on the shared center is the
+    * triangle kernel's cost envelope — Σ_c deg(c)² wedge instances,
+    * generated per center partition (skewed hubs are the caller's
+    * degree-cap decision, same as [[triangleCounts]]); the adjacency
+    * anti-join and degree tags are edge-/node-keyed equi-joins, and the
+    * result is topK-sized via TakeOrdered (no global sort).
+    */
+  def linkPredictionTopK(edges: DataFrame, aCol: String, bCol: String,
+                         topK: Int): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("a").as("c"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("c"), col("a").as("n")))
+    val wedges = sym.as("x").join(sym.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val deg = sym.groupBy(col("c").as("node")).agg(count(lit(1)).as("d"))
+    val cand = wedges.join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") * col("db")).as("pa"))
+    val out = cand
+      .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .limit(topK)
+    out
+  }
+
   /** User–user co-engagement projection of a bipartite (user, topic)
     * engagement log: `support(ua, ub) = |topics(ua) ∩ topics(ub)|`, cut
     * to the `topK` strongest edges by a deterministic total order

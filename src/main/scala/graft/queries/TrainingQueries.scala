@@ -1382,6 +1382,23 @@ object TrainingQueries {
           rounds = 3))
     }),
 
+    // Degree assortativity of the co-engagement graph — "do heavy
+    // engagers co-engage with heavy engagers": one row of EXACT integer
+    // Pearson sufficient statistics (m, Σ(j+k), Σ(j²+k²), Σjk) plus the
+    // exact rational r_num/r_den readout; the whole statistic is one
+    // lazy plan with zero scalar pre-actions.
+    "t_assortativity" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.degreeAssortativity(
+        coEngagementTop500(s, dir), "ua", "ub")),
+
+    // Link-prediction candidates over the co-engagement graph: the
+    // non-adjacent pairs a hard-negative miner or engagement-expansion
+    // sampler would score — exact integer common-neighbor and
+    // preferential-attachment scores, deterministic top-50 cut.
+    "t_link_predict" -> ((s, dir) =>
+      graft.operators.LinkAnalysis.linkPredictionTopK(
+        coEngagementTop500(s, dir), "ua", "ub", topK = 50)),
+
     // Exact substring-window dedup signal (Lee et al. shape): per doc, how
     // many of its positional 8-token windows occur verbatim in ANOTHER doc
     // — the boilerplate/trim signal substring dedup acts on. Digest-only
@@ -3053,6 +3070,38 @@ object TrainingQueries {
     "t_label_prop" -> labelPropOracle(rounds = 3),
 
     "t_modularity" -> modularityOracle(rounds = 3),
+
+    // exact Pearson sufficient statistics over the projected graph;
+    // deg is triangleCtes' endpoint-count degree
+    "t_assortativity" -> (triangleCtes + """
+      |SELECT m, sum_deg, sum_deg_sq, sum_prod,
+      |  CAST(4 * m * sum_prod - sum_deg * sum_deg AS BIGINT) AS r_num,
+      |  CAST(2 * m * sum_deg_sq - sum_deg * sum_deg AS BIGINT) AS r_den
+      |FROM (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(da.d + db.d) AS BIGINT) AS sum_deg,
+      |    CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS sum_deg_sq,
+      |    CAST(SUM(da.d * db.d) AS BIGINT) AS sum_prod
+      |  FROM top t JOIN deg da ON t.ua = da.n JOIN deg db ON t.ub = db.n)
+      |""".stripMargin),
+
+    // wedge-generated non-adjacent candidates, exact integer scores,
+    // deterministic total order so the LIMIT is engine-stable
+    "t_link_predict" -> (triangleCtes.stripSuffix("\n") + """,
+      |sym AS MATERIALIZED (
+      |  SELECT ua AS c, ub AS n FROM top
+      |  UNION ALL SELECT ub, ua FROM top),
+      |wd AS (
+      |  SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      |  FROM sym x JOIN sym y ON x.c = y.c AND x.n < y.n
+      |  GROUP BY 1, 2)
+      |SELECT w.a, w.b, w.cn, CAST(da.d * db.d AS BIGINT) AS pa
+      |FROM wd w
+      |  JOIN deg da ON w.a = da.n JOIN deg db ON w.b = db.n
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM top t WHERE t.ua = w.a AND t.ub = w.b)
+      |ORDER BY w.cn DESC, pa DESC, w.a, w.b LIMIT 50
+      |""".stripMargin),
 
     // regime-independent projection, wide synthetic vocabulary
     "t_coengage_sparse" ->

@@ -365,6 +365,50 @@ class LinkAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("degreeAssortativity: the 2-path is perfectly disassortative " +
+      "(r_num/r_den = -1), sums hand-computed") {
+    // edges (1,2),(2,3): degrees 1,2,1. m=2, Σ(j+k)=6, Σ(j²+k²)=10,
+    // Σjk=4 -> r_num = 32-36 = -4, r_den = 40-36 = 4 -> r = -1.
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = LinkAnalysis.degreeAssortativity(g, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 6L, 10L, 4L, -4L, 4L)))
+  }
+
+  test("degreeAssortativity: the triangle is degree-regular — zero " +
+      "variance, r_num = r_den = 0, and duplicates/direction are inert") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("a", "b")
+    val r = LinkAnalysis.degreeAssortativity(g, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(4), r.getLong(5)) == ((3L, 0L, 0L)))
+  }
+
+  test("linkPredictionTopK: bridged triangles — exactly the four " +
+      "2-hop non-adjacent pairs, hand-computed scores, ordered cut") {
+    // candidates via center 3: (1,4),(2,4); via center 4: (3,5),(3,6).
+    // All cn=1; pa = 2*3=6, 2*3=6, 3*2=6, 3*2=6. Order (cn desc,
+    // pa desc, a, b): (1,4),(2,4),(3,5),(3,6).
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val all = LinkAnalysis.linkPredictionTopK(g, "a", "b", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(all.toSeq == Seq((1L, 4L, 1L, 6L), (2L, 4L, 1L, 6L),
+      (3L, 5L, 1L, 6L), (3L, 6L, 1L, 6L)))
+    val cut = LinkAnalysis.linkPredictionTopK(g, "a", "b", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cut.toSeq == Seq((1L, 4L), (2L, 4L), (3L, 5L)))
+    spark.catalog.clearCache()
+  }
+
+  test("linkPredictionTopK: adjacent pairs never appear even when they " +
+      "share many neighbors (the anti-join leg)") {
+    // K4 minus nothing: every pair adjacent -> no candidates at all
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("a", "b")
+    assert(LinkAnalysis.linkPredictionTopK(k4, "a", "b", 10).count() == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("labelPropagation: edge direction and duplication never change " +
       "the result (canonicalized symmetric input)") {
     val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
