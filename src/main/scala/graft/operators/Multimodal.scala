@@ -502,6 +502,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** Amplitude-modulated audio fixture for PERCEPTUAL dedup: sample i of
+    * doc d is `(((i+shift) % blockLen) - blockLen/2) * amp(d, w)` with
+    * `w = (i+shift)/blockLen` and `amp = (d*31 + w*7 + d*w*13 +
+    * d*w*w*5) % 64` — a triangle-ish carrier modulated per
+    * `blockLen`-sample block by a doc-AND-block mixed amplitude (the
+    * d·w cross terms decorrelate docs: a linear law makes every doc's
+    * envelope a phase shift of one cyclic sequence and floods the
+    * Hamming neighborhood), so [[decodeAudio]]'s fingerprint bits are a
+    * per-doc pseudo-random pattern instead of the monotone ramp
+    * [[synthWavTable]] produces. `shift` advances the whole signal in
+    * time: new bytes (exact hashing sees a distinct blob), near-equal
+    * block energies (a small shift perturbs ≤shift/blockLen of each
+    * window), so the fingerprint survives — the audio analog of the
+    * one-pixel-shifted PNG. */
+  def synthAmWavTable(spark: SparkSession, n: Int, blocks: Int,
+                      blockLen: Int, sampleRate: Int, idOffset: Long = 0L,
+                      shift: Int = 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val nSamples = blocks * blockLen
+    spark.range(n).toDF("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d + idOffset, wavBytes(nSamples, sampleRate) { i =>
+          val j = (i + shift).toLong
+          val w = j / blockLen
+          (((j % blockLen) - blockLen / 2) *
+            ((d * 31 + w * 7 + d * w * 13 + d * w * w * 5) % 64)).toInt
+        })
+      }
+    }(enc)
+  }
+
+  /** Audio-level perceptual dedup: decode ([[decodeAudio]]) to the
+    * 63-bit windowed-energy fingerprint, then the shared banded-Hamming
+    * candidate/verify kernel ([[hashDupPairs]]) — time-shifted or
+    * re-encoded copies (invisible to exact byte hashing) pair up at
+    * small Hamming distance. Samples never leave the decode task;
+    * everything after it is 8-byte fingerprints. */
+  def audioDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                    windows: Int = 64, maxHamming: Int = 8,
+                    maxBucket: Long = 1000L): DataFrame =
+    hashDupPairs(audioFingerprints(media, idCol, payloadCol, windows),
+      maxHamming, maxBucket)
+
+  /** The decode half of [[audioDupPairs]]: (doc_id, fingerprint) per
+    * decodable clip — the per-item fingerprint an incremental audio
+    * pipeline folds into its index. */
+  def audioFingerprints(media: DataFrame, idCol: String,
+                        payloadCol: String, windows: Int = 64): DataFrame =
+    decodeAudio(media, idCol, payloadCol, windows)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("afp").as("phash"))
+
   /** REAL audio decode via JDK javax.sound.sampled: parse the container
     * with `AudioSystem.getAudioInputStream` (format, rate, channels from
     * the actual header — a malformed payload keeps its row with

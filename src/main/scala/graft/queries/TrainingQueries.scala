@@ -974,6 +974,24 @@ object TrainingQueries {
           sampleRate = 16000),
         "doc_id", "payload", windows = 64)),
 
+    // Audio-level perceptual dedup over REAL decoded PCM: 24 base
+    // amplitude-modulated WAVs plus 6 three-sample-shifted copies under
+    // fresh doc ids (new bytes every one — exact hashing sees 30
+    // distinct blobs), decoded by javax.sound.sampled, reduced to the
+    // 63-bit windowed-energy fingerprint, SimHash-banded,
+    // Hamming-verified. The oracle replays decode -> block energies ->
+    // envelope-gradient bits -> bands -> verify from the sample law
+    // (PCM is raw: decode∘encode is the identity), so every surviving
+    // pair is pinned bit-for-bit.
+    "t_audio_dedup" -> ((s, dir) => {
+      val media = Multimodal.synthAmWavTable(s, n = 24, blocks = 64,
+          blockLen = 200, sampleRate = 16000)
+        .unionByName(Multimodal.synthAmWavTable(s, n = 6, blocks = 64,
+          blockLen = 200, sampleRate = 16000, idOffset = 100L, shift = 3))
+      Multimodal.audioDupPairs(media, "doc_id", "payload", windows = 64,
+        maxHamming = 8)
+    }),
+
     // Image-level perceptual dedup over REAL decoded pixels: 40 base
     // PNGs plus 10 one-pixel-shifted copies under fresh doc ids (new
     // bytes every one — exact hashing sees 50 distinct blobs), decoded
@@ -3401,6 +3419,47 @@ object TrainingQueries {
         |  CAST(3200 AS BIGINT) AS n_samples, CAST(200 AS BIGINT) AS duration_ms,
         |  st.peak, st.energy, fp.afp
         |FROM st JOIN fp ON st.doc_id = fp.doc_id""".stripMargin,
+
+    // Replays the whole audio-dedup derivation from the sample law:
+    // decode (identity on the law, PCM raw) -> exact block energies ->
+    // envelope-gradient fingerprint (63 bits, sign-safe) -> 16-bit band
+    // candidates -> Hamming verify.
+    "t_audio_dedup" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id AS doc_id, d.doc_id AS scene, 0 AS sh
+        |  FROM range(24) d(doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 100, d.doc_id, 3 FROM range(6) d(doc_id)),
+        |s AS (
+        |  SELECT dd.doc_id, i.i,
+        |    (((i.i + dd.sh) % 200) - 100)
+        |      * ((dd.scene * 31 + ((i.i + dd.sh) // 200) * 7
+        |          + dd.scene * ((i.i + dd.sh) // 200) * 13
+        |          + dd.scene * ((i.i + dd.sh) // 200)
+        |            * ((i.i + dd.sh) // 200) * 5) % 64) AS v
+        |  FROM docs dd, range(12800) i(i)),
+        |w AS (
+        |  SELECT doc_id, (i * 64) // 12800 AS wk, SUM(v * v) AS we
+        |  FROM s GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.we > b.we
+        |      THEN CAST(1 AS BIGINT) << CAST(a.wk AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.wk = a.wk + 1
+        |  WHERE a.wk < 63 GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, phash, b.b,
+        |    (phash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM fp, range(4) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin,
 
     // Stats replayed from the pixel law (8x8 grid, exact 4x4 blocks);
     // the flat doc is a constant fill whose stats are closed-form

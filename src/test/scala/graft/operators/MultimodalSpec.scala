@@ -306,6 +306,20 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated audio must not pair: ${pairs.toSeq}")
   }
 
+  test("audioDupPairs: the end-to-end modality operator finds exactly " +
+      "the planted time-shifted copies on the mixed-amplitude fixture") {
+    val media = Multimodal.synthAmWavTable(spark, n = 12, blocks = 64,
+        blockLen = 200, sampleRate = 16000)
+      .unionByName(Multimodal.synthAmWavTable(spark, n = 4, blocks = 64,
+        blockLen = 200, sampleRate = 16000, idOffset = 100L, shift = 3))
+    val pairs = Multimodal.audioDupPairs(media, "doc_id", "payload",
+        windows = 64, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(pairs == Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L)),
+      s"exactly the planted copies: $pairs")
+  }
+
   test("firstByKeyAgg == firstByKey window on a unique order tuple") {
     val ev = Tables.load(spark, sfDir, "events")
     val byWindow = CurrentState.firstByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
