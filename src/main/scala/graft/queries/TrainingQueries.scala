@@ -1081,6 +1081,30 @@ object TrainingQueries {
         .limit(10)
     }),
 
+    // Visual similarity retrieval over REAL decoded pixels: each PNG's
+    // 8x8 intensity grid IS its embedding (the area-average grid is the
+    // classic visual-search descriptor), the query image's grid
+    // broadcasts, and ranking is the EXACT integer squared-L2 distance
+    // — zero float folds, so the top-k order is bit-stable on any
+    // engine and any partitioning (the float-cosine variant above pins
+    // the plumbing; this pins a real-pixel retrieval end to end).
+    // Scale shape: decode is per-partition and only 64-long grids leave
+    // the task, the query row broadcasts, top-k is TakeOrdered.
+    "t_image_retrieve" -> ((s, dir) => {
+      val g = Multimodal.decodeGrid(
+          Multimodal.synthPngTable(s, n = 24, w = 32, h = 32),
+          "doc_id", "payload", gw = 8, gh = 8)
+        .filter(col("ok"))
+      val q = g.filter(col("doc_id") === 0).select(col("grid").as("qg"))
+      g.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          aggregate(zip_with(col("grid"), col("qg"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("dist2"))
+        .orderBy(col("dist2"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Unit-L2 normalization — the standard pre-ANN / pre-clustering
     // transform. The norm is MATERIALIZED into a column before the
     // per-element lambda (splicing it inline would re-run the norm fold
@@ -3392,6 +3416,28 @@ object TrainingQueries {
         |SELECT c.doc_id, CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
         |  CAST(c.cy * 9 + c.cx AS BIGINT) AS cell_idx, c.cell, ph.phash
         |FROM cells c JOIN ph USING (doc_id)""".stripMargin,
+
+    // Replays the real-pixel retrieval from the pixel law: 8x8
+    // truncating-mean grids, exact integer squared-L2 against doc 0's
+    // grid, deterministic (dist2, doc_id) top-10
+    "t_image_retrieve" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, cy.cy, cx.cx,
+        |    (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM range(24) d(doc_id), range(8) cy(cy), range(8) cx(cx),
+        |       range(32) x(x), range(32) y(y)
+        |  WHERE x.x >= cx.cx * 4 AND x.x < cx.cx * 4 + 4
+        |    AND y.y >= cy.cy * 4 AND y.y < cy.cy * 4 + 4),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(CAST(SUM(v) AS BIGINT) // 16 AS BIGINT) AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |qc AS (SELECT cy, cx, cell FROM cells WHERE doc_id = 0)
+        |SELECT c.doc_id,
+        |  CAST(SUM((c.cell - q.cell) * (c.cell - q.cell)) AS BIGINT)
+        |    AS dist2
+        |FROM cells c JOIN qc q ON c.cy = q.cy AND c.cx = q.cx
+        |GROUP BY 1 ORDER BY 2, 1 LIMIT 10""".stripMargin,
 
     // Replays the real javax.sound.sampled decode from the sample LAW:
     // PCM roundtrip identity, exact integer energy/peak, floor window
