@@ -422,6 +422,106 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=graphx2: the round-6 graph additions at
+    // mult-x edges on a ring+chord graph (node i ~ i+1, i ~ i+7 mod n:
+    // degree-4 regular, so every invariant below is closed-form). Pins
+    // that label propagation / k-core / modularity / link prediction
+    // all stay edge-linear in shuffle — each is joins + hash aggs over
+    // the edge list, nothing corpus-quadratic.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("graphx2")) {
+      import graft.operators.LinkAnalysis
+      def ringAt(m: Int): (Long, DataFrame) = {
+        val n = m.toLong * 20000L
+        val ids = spark.range(n).toDF("i")
+        val e = ids.select(col("i").as("a"),
+            ((col("i") + 1) % n).as("b"))
+          .unionByName(ids.select(col("i").as("a"),
+            ((col("i") + 7) % n).as("b")))
+        (n, e)
+      }
+      def runAt(m: Int): (Double, Long) = {
+        val (n, e) = ringAt(m)
+        shuffleWritten.set(0L)
+        val t0 = System.nanoTime()
+        val lp = LinkAnalysis.labelPropagation(e, "a", "b", rounds = 2)
+        val mod = LinkAnalysis.communityModularity(e, "a", "b", lp)
+          .agg(sum(col("n_nodes")), sum(col("intra_edges"))).head
+        assert(mod.getLong(0) == n, s"modularity covers all $n nodes")
+        assert(mod.getLong(1) <= 2 * n, "intra edges bounded by m")
+        spark.catalog.clearCache()
+        // degree-4 regular: the 3-core is the whole graph, the 5-core
+        // empty — both branches exercise the distributed peel at scale
+        val core3 = LinkAnalysis.kCore(e, "a", "b", k = 3,
+          maxDriverEdges = 0L)
+        assert(core3.count() == n, "3-core of a 4-regular graph is all")
+        spark.catalog.clearCache()
+        val lpTop = LinkAnalysis.linkPredictionTopK(e, "a", "b", topK = 25)
+          .collect()
+        // strongest non-adjacent pairs share two of the four neighbors
+        // (i, i+6) via {i-1, i+7} and (i, i+8) via {i+1, i+7}: cn = 2,
+        // pa = 16 — closed-form for every ring size
+        assert(lpTop.length == 25 && lpTop.head.getLong(2) == 2L &&
+          lpTop.head.getLong(3) == 16L,
+          s"ring link-prediction head: ${lpTop.head}")
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, shuffleWritten.get())
+      }
+      val (t1, s1) = runAt(1)
+      val (tM, sM) = runAt(mult)
+      println(f"[scale] graphx2 1x: ${t1}%.2f s shuffle=${s1 / 1e6}%.1f MB; " +
+        f"${mult}x: ${tM}%.2f s shuffle=${sM / 1e6}%.1f MB " +
+        f"(ratio ${sM.toDouble / s1}%.1f)")
+      assert(sM.toDouble / s1 < 2.0 * mult,
+        s"graph-op shuffle grew super-linearly: $s1 -> $sM at ${mult}x")
+      spark.stop(); return
+    }
+
+    // SPARK_GRAFT_PROBE_ONLY=avdecode: the REAL audio (javax.sound
+    // .sampled) and video (RIFF/DIB) decode paths at mult-x volume —
+    // samples and pixels must never cross an exchange (everything
+    // shuffled after decode is 8-byte fingerprints + ids), and the
+    // banded dedup absorbs 10% planted time-/frame-shifted copies.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("avdecode")) {
+      import graft.operators.Multimodal
+      val nA = mult * 1000
+      val wavs = Multimodal.synthAmWavTable(spark, nA, blocks = 64,
+          blockLen = 200, sampleRate = 16000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEnc = wavs.count()
+      val t0 = System.nanoTime()
+      val dec = Multimodal.decodeAudio(wavs, "doc_id", "payload")
+        .agg(count(when(col("ok"), 1)), sum(col("energy"))).head
+      val tDec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] audiodecode: $nEnc WAVs decoded in $tDec%.2f s " +
+        f"(${nEnc / tDec}%.0f clips/s)")
+      assert(dec.getLong(0) == nA, "every clip must decode")
+      val t1 = System.nanoTime()
+      val planted = Multimodal.audioDupPairs(
+          wavs.unionByName(Multimodal.synthAmWavTable(spark, nA / 10,
+            blocks = 64, blockLen = 200, sampleRate = 16000,
+            idOffset = 100000000L, shift = 3)),
+          "doc_id", "payload", maxHamming = 8, maxBucket = 2000L)
+        .filter(col("doc_b") === col("doc_a") + 100000000L).count()
+      val tDup = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] audiodedup: ${nA + nA / 10} clips, banded dedup " +
+        f"$tDup%.2f s, planted copies recovered: $planted of ${nA / 10}")
+      wavs.unpersist(false)
+      assert(planted > nA / 20, "most planted shifted copies must surface")
+      val nV = mult * 100
+      val avis = Multimodal.synthAviTable(spark, nV, w = 24, h = 16,
+          nFrames = 4, fps = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      avis.count()
+      val t2 = System.nanoTime()
+      val vf = Multimodal.videoFrameHashes(avis, "doc_id", "payload").count()
+      val tV = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] videodecode: $nV AVIs -> $vf frames in $tV%.2f s " +
+        f"(${vf / tV}%.0f frames/s)")
+      avis.unpersist(false)
+      assert(vf == nV.toLong * 4, "every frame of every AVI must decode")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=framededup: frame-level dedup (exact md5
     // buckets AND perceptual Hamming bands) on a mult-x duplicate-heavy
     // media corpus — every payload replicated with shifted ids, so frame
