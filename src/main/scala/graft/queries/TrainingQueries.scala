@@ -1661,6 +1661,60 @@ object TrainingQueries {
         .agg(sum(col("sign")).as("val"))
     }),
 
+    // Classifier-based quality filtering (the fastText/DCLM recipe,
+    // bootstrap form): a high-precision seed RULE labels a positive
+    // subset (here 'spark'-dense docs — in deployment, a curated
+    // reference corpus), "training" distills it into integer weights —
+    // per hashed bucket, the signed-count mass in seed docs minus the
+    // mass elsewhere, a centroid difference with no model artifact —
+    // and EVERY doc scores as the exact integer margin
+    // Σ v(doc,bucket)·w(bucket), generalizing the rule to docs the rule
+    // itself never matched. Train and inference share one featurization
+    // (persisted eagerly: a lazily-pinned relation read by two
+    // concurrent subplans races and recomputes); the weight table is
+    // dims-sized and broadcasts; everything is md5-derived integer
+    // arithmetic, so the keep/drop boundary is bit-identical on any
+    // engine and any partitioning — where a float sigmoid would carry
+    // libm and summation-order noise into the verdict.
+    "t_quality_classifier" -> ((s, dir) => {
+      val dims = 64
+      // the seed rule is a DENSITY, not a presence test: "contains
+      // 'spark'" correlates with doc length, so the learned difference
+      // direction degenerates into the global mean and every margin
+      // lands positive; occurrences·20 > n_tokens is length-free
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(col("doc_id"),
+          ((size(split(col("lt"), "spark", -1)) - 1) * 20 >
+            size(TF.tokens(col("lt")))).as("seed"),
+          explode(TF.tokens(col("lt"))).as("token"))
+        .select(col("doc_id"), col("seed"),
+          TF.featureHashBucket(col("token"), dims).as("bucket"),
+          TF.featureHashSign(col("token")).as("sign"))
+        .groupBy("doc_id", "seed", "bucket")
+        .agg(sum(col("sign")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feats.count()
+      // class-size-normalized centroid difference, cross-multiplied so
+      // it stays integer: w = n_neg·Σ_seed v − n_pos·Σ_nonseed v (the
+      // un-normalized form is dominated by the global mean direction
+      // whenever classes are unbalanced — every margin lands one side)
+      val cls = feats.select("doc_id", "seed").distinct()
+        .agg(sum(when(col("seed"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("seed"), 0L).otherwise(1L)).as("nn"))
+      val w = feats.groupBy("bucket")
+        .agg(sum(when(col("seed"), col("v")).otherwise(lit(0L))).as("sp"),
+          sum(when(!col("seed"), col("v")).otherwise(lit(0L))).as("sn"))
+        .crossJoin(broadcast(cls))
+        .select(col("bucket"),
+          (col("nn") * col("sp") - col("np") * col("sn")).as("w"))
+      feats.join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(sum(col("v") * col("w")).as("margin"))
+        .select(col("doc_id"), col("margin"),
+          (col("margin") > 0).as("keep"))
+    }),
+
     // Distribution drift (dbt-elementary distribution-monitor analog):
     // chi-square-style stat per event_type between the first and second
     // half of the log's day range, per-bin terms fixed-pointed BEFORE the
@@ -3802,6 +3856,39 @@ object TrainingQueries {
         |  FROM tok)
         |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // Train-by-counting + inference replayed: same md5 featurization,
+    // centroid-difference weights from the seed-rule positives, exact
+    // margin
+    "t_quality_classifier" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    (length(lt) - length(replace(lt, 'spark', ''))) // 5 * 20
+        |      > len(regexp_extract_all(lt, '\S+')) AS seed,
+        |    unnest(regexp_extract_all(lt, '\S+')) AS token
+        |  FROM lt),
+        |h AS (
+        |  SELECT doc_id, seed,
+        |    CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(token), 5, 1) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok),
+        |f AS (
+        |  SELECT doc_id, seed, bucket, CAST(SUM(sign) AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN seed THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM (SELECT DISTINCT doc_id, seed FROM f)),
+        |w AS (
+        |  SELECT bucket,
+        |    CAST(cls.nn * SUM(CASE WHEN seed THEN v ELSE 0 END)
+        |      - cls.np * SUM(CASE WHEN seed THEN 0 ELSE v END) AS BIGINT) AS w
+        |  FROM f, cls GROUP BY bucket, cls.np, cls.nn)
+        |SELECT f.doc_id, CAST(SUM(f.v * w.w) AS BIGINT) AS margin,
+        |  SUM(f.v * w.w) > 0 AS keep
+        |FROM f JOIN w USING (bucket) GROUP BY 1""".stripMargin,
 
     "t_drift" ->
       """WITH r AS (
