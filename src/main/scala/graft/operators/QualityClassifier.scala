@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Classifier-based quality filtering (the fastText/DCLM bootstrap
+  * recipe) as exact integer dataflow: a high-precision seed rule labels
+  * a positive subset, "training" distills it into per-bucket integer
+  * weights (class-size-normalized centroid difference over hashed
+  * features), and inference scores any doc as the exact integer margin
+  * Σ v(doc,bucket)·w(bucket). No model framework, no floats: the
+  * keep/drop boundary is bit-identical on any engine and any
+  * partitioning, where a float sigmoid would put libm and
+  * summation-order noise in the verdict.
+  *
+  * The train/infer split is the production shape: train once offline
+  * over the labeled corpus, persist the dims-sized weight table as the
+  * model artifact, then score batches or micro-batches against the
+  * FROZEN broadcast weights — per-doc inference is batch-local, so
+  * streaming inference commutes with any slicing of the corpus
+  * ([[graft.streaming.StreamingGate]]'s quality-filter drain).
+  *
+  * Scale shape: featurization is a narrow tokenize+explode into a
+  * (doc, bucket) hash aggregate — one shuffle, token-count-linear;
+  * the weight table is dims-sized and broadcasts; scoring is one more
+  * (doc) hash aggregate. Nothing is corpus-quadratic and no scalar
+  * driver actions exist anywhere in the lazy plans.
+  */
+object QualityClassifier {
+
+  /** Hashed signed-count features with the seed label carried:
+    * (doc_id, seed, bucket, v) where v is the exact signed token count
+    * of the bucket ([[TextFunctions.featureHashBucket]]/`Sign`). `seed`
+    * is built by the caller from the LOWERED text column it receives —
+    * keep the rule length-free (a density, not a presence test): a
+    * presence rule correlates with doc length and the learned
+    * difference direction degenerates into the global mean.
+    */
+  def featurizeSeeded(docs: DataFrame, idCol: String, textCol: String,
+                      seed: Column => Column, dims: Int): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
+      .select(col("doc_id"), seed(col("lt")).as("seed"),
+        explode(TextFunctions.tokens(col("lt"))).as("token"))
+      .select(col("doc_id"), col("seed"),
+        TextFunctions.featureHashBucket(col("token"), dims).as("bucket"),
+        TextFunctions.featureHashSign(col("token")).as("sign"))
+      .groupBy("doc_id", "seed", "bucket")
+      .agg(sum(col("sign")).as("v"))
+  }
+
+  /** Inference-side features (no label): (doc_id, bucket, v). */
+  def featurize(docs: DataFrame, idCol: String, textCol: String,
+                dims: Int): DataFrame =
+    featurizeSeeded(docs, idCol, textCol, _ => lit(false), dims)
+      .drop("seed")
+
+  /** Train by counting: the class-size-normalized centroid difference,
+    * cross-multiplied so weights stay INTEGER —
+    * `w(b) = n_neg·Σ_seed v(b) − n_pos·Σ_nonseed v(b)`. Without the
+    * normalization an unbalanced corpus collapses the difference
+    * direction into the global mean and every margin lands one side.
+    * Output is the dims-sized (bucket, w) model artifact.
+    */
+  def trainWeights(seededFeats: DataFrame): DataFrame = {
+    val cls = seededFeats.select("doc_id", "seed").distinct()
+      .agg(sum(when(col("seed"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("seed"), 0L).otherwise(1L)).as("nn"))
+    seededFeats.groupBy("bucket")
+      .agg(sum(when(col("seed"), col("v")).otherwise(lit(0L))).as("sp"),
+        sum(when(!col("seed"), col("v")).otherwise(lit(0L))).as("sn"))
+      .crossJoin(broadcast(cls))
+      .select(col("bucket"),
+        (col("nn") * col("sp") - col("np") * col("sn")).as("w"))
+  }
+
+  /** Score features against a frozen weight table: the exact integer
+    * margin per doc, and the keep verdict at the zero boundary. */
+  def score(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("v") * col("w")).as("margin"))
+      .select(col("doc_id"), col("margin"), (col("margin") > 0).as("keep"))
+}

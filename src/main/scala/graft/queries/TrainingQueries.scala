@@ -1677,42 +1677,16 @@ object TrainingQueries {
     // engine and any partitioning — where a float sigmoid would carry
     // libm and summation-order noise into the verdict.
     "t_quality_classifier" -> ((s, dir) => {
-      val dims = 64
-      // the seed rule is a DENSITY, not a presence test: "contains
-      // 'spark'" correlates with doc length, so the learned difference
-      // direction degenerates into the global mean and every margin
-      // lands positive; occurrences·20 > n_tokens is length-free
-      val feats = t(s, dir, "documents")
-        .select(col("doc_id"), lower(col("text")).as("lt"))
-        .select(col("doc_id"),
-          ((size(split(col("lt"), "spark", -1)) - 1) * 20 >
-            size(TF.tokens(col("lt")))).as("seed"),
-          explode(TF.tokens(col("lt"))).as("token"))
-        .select(col("doc_id"), col("seed"),
-          TF.featureHashBucket(col("token"), dims).as("bucket"),
-          TF.featureHashSign(col("token")).as("sign"))
-        .groupBy("doc_id", "seed", "bucket")
-        .agg(sum(col("sign")).as("v"))
+      val QC = graft.operators.QualityClassifier
+      // one featurization shared by train+infer, persisted eagerly (a
+      // lazily-pinned relation read by two concurrent subplans races
+      // and recomputes); the seed rule is a length-free DENSITY test
+      val sf = QC.featurizeSeeded(t(s, dir, "documents"), "doc_id",
+          "text", lt => (size(split(lt, "spark", -1)) - 1) * 20 >
+            size(TF.tokens(lt)), dims = 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      feats.count()
-      // class-size-normalized centroid difference, cross-multiplied so
-      // it stays integer: w = n_neg·Σ_seed v − n_pos·Σ_nonseed v (the
-      // un-normalized form is dominated by the global mean direction
-      // whenever classes are unbalanced — every margin lands one side)
-      val cls = feats.select("doc_id", "seed").distinct()
-        .agg(sum(when(col("seed"), 1L).otherwise(0L)).as("np"),
-          sum(when(col("seed"), 0L).otherwise(1L)).as("nn"))
-      val w = feats.groupBy("bucket")
-        .agg(sum(when(col("seed"), col("v")).otherwise(lit(0L))).as("sp"),
-          sum(when(!col("seed"), col("v")).otherwise(lit(0L))).as("sn"))
-        .crossJoin(broadcast(cls))
-        .select(col("bucket"),
-          (col("nn") * col("sp") - col("np") * col("sn")).as("w"))
-      feats.join(broadcast(w), Seq("bucket"))
-        .groupBy("doc_id")
-        .agg(sum(col("v") * col("w")).as("margin"))
-        .select(col("doc_id"), col("margin"),
-          (col("margin") > 0).as("keep"))
+      sf.count()
+      QC.score(sf.drop("seed"), QC.trainWeights(sf))
     }),
 
     // Distribution drift (dbt-elementary distribution-monitor analog):

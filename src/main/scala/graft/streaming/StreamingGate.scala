@@ -714,6 +714,52 @@ object StreamingGate {
       maxHamming = 8, minShared = 2)
   }
 
+  /** Streaming classifier inference with a FROZEN model artifact — the
+    * production train/infer split: the weight table is trained ONCE
+    * offline over the labeled corpus and persisted (the model
+    * artifact), then document micro-batches score against the frozen
+    * broadcast weights and the (doc_id, margin, keep) verdicts commit
+    * exactly-once. Per-doc inference is batch-local, so the drained
+    * verdict table must equal the whole-corpus batch derivation (the
+    * t_quality_classifier oracle) REGARDLESS of slicing — the gate pins
+    * that streaming inference commutes with corpus slicing and that a
+    * replayed trigger cannot double-score a doc.
+    */
+  def qualityFilterGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val in = scratch("qc_in", dir)
+    val idx = scratch("qc_idx", dir)
+    val ck = scratch("qc_ck", dir)
+    val model = scratch("qc_model", dir)
+    Seq(in, idx, ck, model).foreach(cleanDir(spark, _))
+    val sf = QualityClassifier.featurizeSeeded(docs, "doc_id", "text",
+      lt => (size(split(lt, "spark", -1)) - 1) * 20 >
+        size(graft.functions.TextFunctions.tokens(lt)), dims = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sf.count()
+    QualityClassifier.trainWeights(sf).write.mode("overwrite").parquet(model)
+    sf.unpersist(false)
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val w = spark.read.parquet(model)
+        graft.sinks.VersionedTable.commitBatch(
+          QualityClassifier.score(
+            QualityClassifier.featurize(b, "doc_id", "text", dims = 64), w),
+          idx, overwrite = false, txnId = s"qc-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.sinks.VersionedTable.read(spark, idx)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -729,7 +775,8 @@ object StreamingGate {
     "st_scd2" -> (scd2Gate(_, _)),
     "st_priority_sample" -> (prioritySampleGate(_, _)),
     "st_image_ingest" -> (imageIngestGate(_, _)),
-    "st_video_ingest" -> (videoIngestGate(_, _)))
+    "st_video_ingest" -> (videoIngestGate(_, _)),
+    "st_quality_filter" -> (qualityFilterGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -744,6 +791,39 @@ object StreamingGate {
     // law (the t_image_dedup oracle over the gate's 30 + 6 fixture):
     // only an incremental fold whose accumulated index equals the batch
     // decode can match the banded Hamming pair set
+    // the whole-corpus batch classifier derivation (the
+    // t_quality_classifier oracle): frozen-model streaming inference
+    // must reproduce it exactly regardless of slicing
+    "st_quality_filter" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    (length(lt) - length(replace(lt, 'spark', ''))) // 5 * 20
+        |      > len(regexp_extract_all(lt, '\S+')) AS seed,
+        |    unnest(regexp_extract_all(lt, '\S+')) AS token
+        |  FROM lt),
+        |h AS (
+        |  SELECT doc_id, seed,
+        |    CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(token), 5, 1) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok),
+        |f AS (
+        |  SELECT doc_id, seed, bucket, CAST(SUM(sign) AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN seed THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM (SELECT DISTINCT doc_id, seed FROM f)),
+        |w AS (
+        |  SELECT bucket,
+        |    CAST(cls.nn * SUM(CASE WHEN seed THEN v ELSE 0 END)
+        |      - cls.np * SUM(CASE WHEN seed THEN 0 ELSE v END) AS BIGINT) AS w
+        |  FROM f, cls GROUP BY bucket, cls.np, cls.nn)
+        |SELECT f.doc_id, CAST(SUM(f.v * w.w) AS BIGINT) AS margin,
+        |  SUM(f.v * w.w) > 0 AS keep
+        |FROM f JOIN w USING (bucket) GROUP BY 1""".stripMargin,
+
     // whole-corpus replay of the video-decode derivation from the frame
     // law (the t_video_dedup oracle over the gate's 10 + 3 fixture):
     // only an incremental fold whose accumulated frame-hash index equals
