@@ -41,12 +41,25 @@ object QualityClassifier {
   def featurizeSeeded(docs: DataFrame, idCol: String, textCol: String,
                       seed: Column => Column, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
+    val p = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
+      // spread the rows (a narrow two-column shuffle) BEFORE the
+      // per-token md5 work so hashing runs on every slot even when the
+      // source is one parquet split; on a many-split production table
+      // this exchange is AQE-coalesced noise (coEngagementTop500Fresh
+      // precedent)
+      .repartition(p)
       .select(col("doc_id"), seed(col("lt")).as("seed"),
         explode(TextFunctions.tokens(col("lt"))).as("token"))
+      // ONE md5 per token: bucket and sign both read the same digest
+      // column (two featureHash* calls would hash every token twice —
+      // CSE across the aggregate boundary is not guaranteed)
+      .select(col("doc_id"), col("seed"), md5(col("token")).as("h"))
       .select(col("doc_id"), col("seed"),
-        TextFunctions.featureHashBucket(col("token"), dims).as("bucket"),
-        TextFunctions.featureHashSign(col("token")).as("sign"))
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % dims)
+          .as("bucket"),
+        when(conv(substring(col("h"), 5, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L).as("sign"))
       .groupBy("doc_id", "seed", "bucket")
       .agg(sum(col("sign")).as("v"))
   }

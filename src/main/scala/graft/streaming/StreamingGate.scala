@@ -741,14 +741,15 @@ object StreamingGate {
     sf.count()
     QualityClassifier.trainWeights(sf).write.mode("overwrite").parquet(model)
     sf.unpersist(false)
-    docs.repartition(3).write.mode("overwrite").parquet(in)
+    docs.repartition(2).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
+    // the frozen model is one lazy 64-row scan reused by every batch
+    val w = spark.read.parquet(model)
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val w = spark.read.parquet(model)
         graft.sinks.VersionedTable.commitBatch(
           QualityClassifier.score(
             QualityClassifier.featurize(b, "doc_id", "text", dims = 64), w),
