@@ -318,6 +318,18 @@ class LinkAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged LPA community mart == freshly rebuilt sweeps, and a " +
+      "second call reads the stage") {
+    import graft.queries.TrainingQueries
+    val staged = TrainingQueries.lpaLabels3(spark, sfDir)
+    val rebuilt = TrainingQueries.lpaLabels3Fresh(spark, sfDir)
+    assert(staged.except(rebuilt).isEmpty && rebuilt.except(staged).isEmpty,
+      "staged labels must equal the inline rebuild")
+    val again = TrainingQueries.lpaLabels3(spark, sfDir)
+    assert(again.count() == staged.count())
+    spark.catalog.clearCache()
+  }
+
   test("labelPropagation: hand-computed synchronous sweeps on two " +
       "triangles joined by a bridge — communities converge and the " +
       "tie-break is the smallest label") {
