@@ -1859,7 +1859,7 @@ object TrainingQueries {
        |JOIN qc ON a.cell = qc.cell, q
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
-  private val annIvfOracle: String = annIvfOracleAt(4)
+  private[graft] val annIvfOracle: String = annIvfOracleAt(4)
 
   /** The nprobe tuning sweep's oracle: one leg per candidate depth, each
     * the full IVF oracle at that nprobe semi-checked against the brute

@@ -761,6 +761,63 @@ object StreamingGate {
     graft.sinks.VersionedTable.read(spark, idx)
   }
 
+  /** Streaming ANN index ingest — the vector-pipeline form of the
+    * frozen-model contract: the IVF index is built ONCE over the
+    * existing corpus (centroids frozen), then embedding micro-batches
+    * are assigned to their nearest frozen centroid and the quantized
+    * (vec, cell) rows commit exactly-once into a versioned delta index.
+    * The drained probe answers over base ∪ delta restricted to the
+    * probed cells — and must equal the BATCH appendDelta derivation
+    * (the t_ann_ivf_append oracle) regardless of how the delta was
+    * sliced into batches, because assignment depends only on the saved
+    * centroid table. A replayed trigger cannot double-insert a vector
+    * (txn-id idempotence), which a raw parquet-append index would.
+    */
+  def annIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{IvfIndex, VectorFunctions => VF}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val existing = emb.filter(col("vec_id") % 100 =!= 57)
+    val delta = emb.filter(col("vec_id") % 100 === 57)
+    val base = scratch("ann_base", dir)
+    val in = scratch("ann_in", dir)
+    val idx = scratch("ann_delta", dir)
+    val ck = scratch("ann_ck", dir)
+    Seq(in, idx, ck).foreach(cleanDir(spark, _))
+    IvfIndex.build(existing, nlist = 16, base)
+    delta.repartition(2).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // frozen centroids: one lazy 16-row scan reused by every batch
+    val cents = spark.read.parquet(s"$base/centroids")
+    val qs = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val asn = IvfIndex.assign(b, cents, "vec_id", "embedding")
+        graft.sinks.VersionedTable.commitBatch(
+          b.join(asn, "vec_id")
+            .withColumn("sc", VF.quantScale(col("embedding")))
+            .withColumn("q8", VF.quantize(col("embedding"), col("sc"))),
+          idx, overwrite = false, txnId = s"ann-$id")
+        ()
+      }
+      .start()
+    qs.awaitTermination()
+    val cells = IvfIndex.probedCells(spark, base, q, nprobe = 4)
+    val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
+    val scan = spark.read.parquet(s"$base/index").select(cols: _*)
+      .unionByName(graft.sinks.VersionedTable.read(spark, idx)
+        .select(cols: _*))
+      .filter(col("cell").isin(cells: _*))
+    scan.crossJoin(broadcast(q.select(col("embedding").as("__qv"))))
+      .withColumn("cos",
+        round(VF.cosineNative(col("embedding"), col("__qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id", "label", "cos")
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -777,7 +834,8 @@ object StreamingGate {
     "st_priority_sample" -> (prioritySampleGate(_, _)),
     "st_image_ingest" -> (imageIngestGate(_, _)),
     "st_video_ingest" -> (videoIngestGate(_, _)),
-    "st_quality_filter" -> (qualityFilterGate(_, _)))
+    "st_quality_filter" -> (qualityFilterGate(_, _)),
+    "st_ann_ingest" -> (annIngestGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -792,6 +850,11 @@ object StreamingGate {
     // law (the t_image_dedup oracle over the gate's 30 + 6 fixture):
     // only an incremental fold whose accumulated index equals the batch
     // decode can match the banded Hamming pair set
+    // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
+    // a streamed delta ingest must land every vector in the cell the
+    // batch appendDelta would, and the drained probe must match
+    "st_ann_ingest" -> graft.queries.TrainingQueries.annIvfOracle,
+
     // the whole-corpus batch classifier derivation (the
     // t_quality_classifier oracle): frozen-model streaming inference
     // must reproduce it exactly regardless of slicing
