@@ -223,6 +223,11 @@ object TextFunctions {
     * per-batch training data. md5-based, hence bit-reproducible in any
     * engine (signed sums are exact integer arithmetic).
     */
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]]): run it
+    * BEFORE any hashing/dedup pass — precomposed vs combining-mark
+    * encodings of the same text otherwise land in different digests. */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
   def featureHashBucket(token: Column, dims: Int): Column =
     conv(substring(md5(token), 1, 4), 16, 10).cast("long") % dims
 

@@ -93,9 +93,18 @@ object GraftFunctions {
       HilbertIndex(children.head, children(1), litInt(children(2), "bits"))
     })
 
+  private val nfcDescriptor: Descriptor = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_nfc(text) takes one string arg")
+      NfcNormalize(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
-      kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor)
+      kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
+      nfcDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -1679,6 +1679,31 @@ object TrainingQueries {
         .agg(sum(col("sign")).as("val"))
     }),
 
+    // Unicode NFC normalization through the NATIVE graft_nfc expression
+    // — the canonical-composition pass that must run before any
+    // hashing/dedup so precomposed and combining-mark encodings of the
+    // same text land in one digest. Fixture covers marks that compose
+    // (A+grave, e+acute, o+circumflex, u+diaeresis -> length shrinks),
+    // one that cannot (q+acute -> unchanged), and an NFC-preserved
+    // compatibility char (the fi ligature — NFC never changes meaning,
+    // only encoding); the oracle replays with DuckDB's nfc_normalize,
+    // pinning both engines to the same published Unicode tables.
+    "t_nfc_normalize" -> ((s, dir) => {
+      val pieces = array(
+        lit("A" + 0x300.toChar), lit("e" + 0x301.toChar),
+        lit("o" + 0x302.toChar), lit("u" + 0x308.toChar),
+        lit("q" + 0x301.toChar), lit("" + 0xfb01.toChar))
+      val raw = concat(lit("w"),
+        element_at(pieces, (col("doc_id") % 6 + 1).cast("int")), lit("z"))
+      val n = TF.nfc(col("raw"))
+      s.range(30).toDF("doc_id")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          length(col("raw")).cast("long").as("raw_len"),
+          n.as("nfc"), length(n).cast("long").as("nfc_len"),
+          (n =!= col("raw")).as("changed"))
+    }),
+
     // Classifier-based quality filtering (the fastText/DCLM recipe,
     // bootstrap form): a high-precision seed RULE labels a positive
     // subset (here 'spark'-dense docs — in deployment, a curated
@@ -3848,6 +3873,22 @@ object TrainingQueries {
         |  FROM tok)
         |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's nfc_normalize against the JDK's Normalizer — both
+    // implement the published Unicode canonical composition
+    "t_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT r.doc_id,
+        |    'w' || CASE CAST(r.doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 'A' || chr(768) WHEN 1 THEN 'e' || chr(769)
+        |      WHEN 2 THEN 'o' || chr(770) WHEN 3 THEN 'u' || chr(776)
+        |      WHEN 4 THEN 'q' || chr(769) ELSE chr(64257) END || 'z' AS raw
+        |  FROM range(30) r(doc_id))
+        |SELECT doc_id, raw, CAST(length(raw) AS BIGINT) AS raw_len,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+        |  nfc_normalize(raw) <> raw AS changed
+        |FROM d""".stripMargin,
 
     // Train-by-counting + inference replayed: same md5 featurization,
     // centroid-difference weights from the seed-rule positives, exact
