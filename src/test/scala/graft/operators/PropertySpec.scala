@@ -124,6 +124,84 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  private def canon(edges: List[(Long, Long)]): Set[(Long, Long)] =
+    edges.collect { case (a, b) if a != b =>
+      math.min(a, b) -> math.max(a, b)
+    }.toSet
+
+  test("degreeAssortativity equals the brute-force sufficient " +
+      "statistics on ANY small graph") {
+    check(Prop.forAll(graphGen) { edges =>
+      val adj = canon(edges)
+      adj.isEmpty || {
+        val deg = adj.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        val m = adj.size.toLong
+        val s1 = adj.toSeq.map(e => deg(e._1) + deg(e._2)).sum
+        val s2 = adj.toSeq.map(e =>
+          deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+        val sp = adj.toSeq.map(e => deg(e._1) * deg(e._2)).sum
+        val r = LinkAnalysis.degreeAssortativity(
+          edges.toDF("a", "b"), "a", "b").collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)) ==
+          ((m, s1, s2, sp, 4 * m * sp - s1 * s1, 2 * m * s2 - s1 * s1))
+      }
+    }, n = 10)
+  }
+
+  test("linkPredictionTopK (uncut) equals the brute-force non-adjacent " +
+      "common-neighbor set with exact scores on ANY small graph") {
+    check(Prop.forAll(graphGen) { edges =>
+      val adj = canon(edges)
+      adj.isEmpty || {
+        val nbrs = adj.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        val nodes = nbrs.keys.toSeq.sorted
+        val brute = (for {
+          i <- nodes.indices; j <- (i + 1) until nodes.size
+          a = nodes(i); b = nodes(j)
+          if !adj.contains(a -> b)
+          cn = (nbrs(a) & nbrs(b)).size.toLong
+          if cn > 0
+        } yield (a, b) -> (cn, nbrs(a).size.toLong * nbrs(b).size)).toMap
+        val got = LinkAnalysis.linkPredictionTopK(
+            edges.toDF("a", "b"), "a", "b", topK = 1000)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        spark.sharedState.cacheManager.clearCache()
+        got == brute
+      }
+    }, n = 10)
+  }
+
+  test("communityModularity equals the brute-force per-community sums " +
+      "for ANY small graph under an arbitrary 3-way partition") {
+    check(Prop.forAll(graphGen) { edges =>
+      val adj = canon(edges)
+      adj.isEmpty || {
+        val nodes = adj.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+        val lab = nodes.map(n => n -> n % 3).toMap
+        val deg = adj.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        val m = adj.size.toLong
+        val brute = nodes.groupBy(lab).map { case (l, ns) =>
+          val intra = adj.count(e => lab(e._1) == l && lab(e._2) == l).toLong
+          val d = ns.map(deg).sum
+          l -> ((ns.size.toLong, intra, d, 4 * m * intra - d * d))
+        }
+        val labels = nodes.map(n => (n, lab(n))).toDF("node", "label")
+        val got = LinkAnalysis.communityModularity(
+            edges.toDF("a", "b"), "a", "b", labels)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        spark.sharedState.cacheManager.clearCache()
+        got == brute
+      }
+    }, n = 8)
+  }
+
   private val corpusGen: Gen[List[(Long, String)]] = {
     val word = Gen.chooseNum(0, 11).map(i => s"w$i") // tiny vocab → collisions
     Gen.listOfN(6, Gen.listOfN(12, word).map(_.mkString(" ")))
