@@ -422,6 +422,43 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=classifier: the bootstrap quality
+    // classifier at mult-x docs. The duplicate-heavy corpus gives an
+    // EXACT invariant: with every doc replicated mult times, class
+    // sizes and bucket sums all scale by mult, so the integer weights
+    // scale by mult² and every margin by mult² — signs preserved, so
+    // the mult-x corpus must keep EXACTLY mult times the docs. Shuffle
+    // must stay token-linear (featurize is one hash agg; the weight
+    // table is dims-sized).
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("classifier")) {
+      import graft.operators.QualityClassifier
+      def run(df: DataFrame): (Long, Long, Double, Long) = {
+        shuffleWritten.set(0L)
+        val t0 = System.nanoTime()
+        val sf = QualityClassifier.featurizeSeeded(df, "doc_id", "text",
+          lt => (size(split(lt, "spark", -1)) - 1) * 20 >
+            size(graft.functions.TextFunctions.tokens(lt)), dims = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sf.count()
+        val agg = QualityClassifier
+          .score(sf.drop("seed"), QualityClassifier.trainWeights(sf))
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)), count(lit(1))).head
+        sf.unpersist(false)
+        (agg.getLong(0), agg.getLong(1),
+          (System.nanoTime() - t0) / 1e9, shuffleWritten.get())
+      }
+      val (k1, n1, t1, s1) = run(base)
+      val (kM, nM, tM, sM) = run(big)
+      println(f"[scale] classifier 1x: kept $k1/$n1 ${t1}%.2f s " +
+        f"shuffle=${s1 / 1e6}%.1f MB; ${mult}x: kept $kM/$nM ${tM}%.2f s " +
+        f"shuffle=${sM / 1e6}%.1f MB (ratio ${sM.toDouble / s1}%.1f)")
+      assert(kM == mult.toLong * k1,
+        s"replica verdicts must scale exactly: $k1 -> $kM at ${mult}x")
+      assert(sM.toDouble / s1 < 2.0 * mult,
+        s"classifier shuffle grew super-linearly: $s1 -> $sM")
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=graphx2: the round-6 graph additions at
     // mult-x edges on a ring+chord graph (node i ~ i+1, i ~ i+7 mod n:
     // degree-4 regular, so every invariant below is closed-form). Pins
