@@ -90,8 +90,19 @@ object QualityChecks {
     * DAILY rows (one per partition), never raw data.
     */
   def volumeAnomaly(df: DataFrame, dayCol: org.apache.spark.sql.Column,
-                    window: Int, zThreshold: Double): DataFrame = {
-    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+                    window: Int, zThreshold: Double): DataFrame =
+    volumeAnomalyFromDaily(
+      df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n")),
+      window, zThreshold)
+
+  /** [[volumeAnomaly]] over a PRE-AGGREGATED (day, n) table — the form a
+    * streaming monitor folds: per-batch partial day counts sum
+    * associatively, so a drained count table feeds the identical
+    * z-score readout ([[graft.streaming.StreamingGate]]'s drain). The
+    * day-ordered window is day-count-sized — bounded at any log size.
+    */
+  def volumeAnomalyFromDaily(daily: DataFrame, window: Int,
+                             zThreshold: Double): DataFrame = {
     val trail = org.apache.spark.sql.expressions.Window
       .orderBy("day").rowsBetween(-window, -1)
     daily

@@ -818,6 +818,45 @@ object StreamingGate {
       .select("vec_id", "label", "cos")
   }
 
+  /** Streaming volume monitoring — the QA battery's anomaly readout fed
+    * by a streamed fold: each micro-batch commits its PARTIAL per-day
+    * event counts exactly-once; partial counts sum associatively and
+    * commutatively, so the drained daily table equals the batch
+    * aggregation under any slicing, and the identical day-windowed
+    * z-score readout ([[graft.operators.QualityChecks
+    * .volumeAnomalyFromDaily]]) runs over it. The gate's oracle IS the
+    * batch qa_volume_anomaly oracle — a drain that double-counted a
+    * replayed trigger or dropped a slice would shift a mean and break a
+    * z-score.
+    */
+  def volumeAnomalyGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"))
+    val in = scratch("va_in", dir)
+    val idx = scratch("va_idx", dir)
+    val ck = scratch("va_ck", dir)
+    Seq(in, idx, ck).foreach(cleanDir(spark, _))
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sinks.VersionedTable.commitBatch(
+          b.groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")),
+          idx, overwrite = false, txnId = s"va-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val daily = graft.sinks.VersionedTable.read(spark, idx)
+      .groupBy("day").agg(sum(col("n")).as("n"))
+    graft.operators.QualityChecks.volumeAnomalyFromDaily(daily,
+      window = 7, zThreshold = 3.0)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -835,7 +874,8 @@ object StreamingGate {
     "st_image_ingest" -> (imageIngestGate(_, _)),
     "st_video_ingest" -> (videoIngestGate(_, _)),
     "st_quality_filter" -> (qualityFilterGate(_, _)),
-    "st_ann_ingest" -> (annIngestGate(_, _)))
+    "st_ann_ingest" -> (annIngestGate(_, _)),
+    "st_volume_anomaly" -> (volumeAnomalyGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -850,6 +890,11 @@ object StreamingGate {
     // law (the t_image_dedup oracle over the gate's 30 + 6 fixture):
     // only an incremental fold whose accumulated index equals the batch
     // decode can match the banded Hamming pair set
+    // the batch volume-anomaly derivation verbatim: associatively
+    // folded partial day counts must reproduce the batch daily table
+    "st_volume_anomaly" ->
+      graft.queries.WarehouseQueries.oracles("qa_volume_anomaly"),
+
     // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
     // a streamed delta ingest must land every vector in the cell the
     // batch appendDelta would, and the drained probe must match
