@@ -306,6 +306,27 @@ object TrainingQueries {
       Dedup.connectedComponents(docs, "doc_id", pairs)
     }),
 
+    // Quality-aware dedup survivor selection: production dedup keeps
+    // the BEST member of each near-dup cluster, not the smallest id —
+    // min-id survivors systematically prefer whichever copy crawled
+    // first, which correlates with nothing. Per component: argmax by
+    // the quality signal (here n_chars; the classifier margin slots in
+    // at the same place) with a deterministic (quality desc, id asc)
+    // total order carried as a struct max — one hash aggregate over the
+    // component mapping, no window.
+    "t_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
+      cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("canonical_id")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("canonical_id"), (-col("m.nid")).as("kept_doc_id"),
+          col("m.n_chars").as("kept_n_chars"), col("cluster_size"))
+    }),
+
     // Incremental CC: the indexed corpus's component mapping is folded
     // with ONLY the delta-touching candidate edges — no re-pairing of the
     // existing corpus. The oracle is the FULL-corpus recompute, which the
@@ -2734,6 +2755,30 @@ object TrainingQueries {
     "t_ann_lsh_multiband" -> annLshMultibandOracle,
     "t_dedup_embed_mb" -> embedDedupMultibandOracle,
     "t_dedup_cc" -> dedupCcOracle,
+
+    // same recursive-CTE components, argmax survivor via ROW_NUMBER
+    "t_dedup_keep_best" ->
+      (shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          |reach(node, lbl) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+          |cc AS (
+          |  SELECT node AS doc_id, MIN(lbl) AS canonical_id
+          |  FROM reach GROUP BY node),
+          |rk AS (
+          |  SELECT cc.canonical_id, d.doc_id, d.n_chars,
+          |    ROW_NUMBER() OVER (PARTITION BY cc.canonical_id
+          |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+          |    COUNT(*) OVER (PARTITION BY cc.canonical_id) AS cs
+          |  FROM cc JOIN documents d USING (doc_id))
+          |SELECT canonical_id, doc_id AS kept_doc_id,
+          |  CAST(n_chars AS BIGINT) AS kept_n_chars,
+          |  CAST(cs AS BIGINT) AS cluster_size
+          |FROM rk WHERE rn = 1""".stripMargin),
     // incremental must be indistinguishable from the full recompute
     "t_dedup_cc_inc" -> dedupCcOracle,
     "t_dedup_stats" -> {
