@@ -621,6 +621,13 @@ object LinkAnalysis {
     * (the labels table is node-sized; at web scale it hash-joins on the
     * edge key instead), one endpoint-union degree aggregate, and a
     * community-sized rollup; m is one scalar read inlined as a literal.
+    *
+    * Contract: `labels` assigns every node of `edges` (LPA output
+    * does). Nodes absent from `labels` are treated as outside the
+    * partition — their edges count toward m and toward their labeled
+    * endpoint's degree, but never as intra edges, so a PARTIAL label
+    * table reads as "the rest of the graph is unassigned", not as an
+    * error.
     */
   def communityModularity(edges: DataFrame, aCol: String, bCol: String,
                           labels: DataFrame): DataFrame = {

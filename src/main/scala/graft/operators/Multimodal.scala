@@ -960,12 +960,22 @@ object Multimodal {
   /** The candidate/verify/rollup half of [[videoDupPairs]] over a
     * prepared (doc_id, frame_idx, phash) relation — the form an
     * INCREMENTAL video pipeline runs over its accumulated frame-hash
-    * index ([[graft.streaming.StreamingGate]]'s video drain). */
+    * index ([[graft.streaming.StreamingGate]]'s video drain).
+    *
+    * Frame keys pack as doc·1024 + idx, so the contract is < 1024
+    * hashed frames per video (strided sampling keeps any video inside
+    * it; a sampler that doesn't must widen the packing). A violating
+    * row raises rather than silently corrupting pair identity —
+    * observable, never wrong. */
   def videoPairsFromFrameHashes(fhIn: DataFrame, maxHamming: Int = 8,
                                 minShared: Int = 2,
                                 maxBucket: Long = 1000L): DataFrame = {
     val fh = fhIn
-      .select((col("doc_id") * 1024 + col("frame_idx")).as("doc_id"),
+      .select((col("doc_id") * 1024 +
+        when(col("frame_idx") < 1024, col("frame_idx"))
+          .otherwise(raise_error(concat(
+            lit("frame_idx exceeds the 1024-per-video packing bound: "),
+            col("frame_idx").cast("string"))))).as("doc_id"),
         col("phash"))
     hashDupPairs(fh, maxHamming, maxBucket)
       .select(expr("doc_a div 1024").as("video_a"),
