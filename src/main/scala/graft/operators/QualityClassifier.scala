@@ -90,11 +90,15 @@ object QualityClassifier {
   }
 
   /** Score features against a frozen weight table: the exact integer
-    * margin per doc, and the keep verdict at the zero boundary. */
+    * margin per doc, and the keep verdict at the zero boundary. A
+    * bucket the training corpus never populated carries weight 0 (left
+    * join — an inner join would silently DROP a new doc's unseen
+    * features, and a doc made entirely of them), so out-of-vocabulary
+    * inference degrades to margin 0, never to a missing row. */
   def score(feats: DataFrame, weights: DataFrame): DataFrame =
     feats.join(broadcast(weights.select(col("bucket"), col("w"))),
-        Seq("bucket"))
+        Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg(sum(col("v") * col("w")).as("margin"))
+      .agg(sum(col("v") * coalesce(col("w"), lit(0L))).as("margin"))
       .select(col("doc_id"), col("margin"), (col("margin") > 0).as("keep"))
 }

@@ -57,6 +57,21 @@ class QualityClassifierSpec extends SparkSpec {
       s"junk docs must drop: $kept")
   }
 
+  test("out-of-vocabulary inference: a doc whose buckets the training " +
+      "corpus never populated scores margin 0, never a missing row") {
+    val sf = QualityClassifier.featurizeSeeded(docs, "doc_id", "text",
+      seed, dims = 16)
+    val w = QualityClassifier.trainWeights(sf)
+      .filter(col("bucket") < 0) // empty weight table: every bucket unseen
+    val out = QualityClassifier
+      .score(QualityClassifier.featurize(docs, "doc_id", "text", 16), w)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((0L, false)), s"all-zero margins expected: $out")
+    assert(QualityClassifier
+      .score(QualityClassifier.featurize(docs, "doc_id", "text", 16), w)
+      .count() == 5L, "every doc keeps its row")
+  }
+
   test("frozen-model inference commutes with corpus slicing: scoring " +
       "halves independently and unioning equals whole-corpus scoring") {
     val sf = QualityClassifier.featurizeSeeded(docs, "doc_id", "text",
