@@ -127,10 +127,19 @@ object IvfIndex {
            k: Int, nprobe: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = probedCells(spark, dir, queryVec, nprobe, vecCol)
+    topKOver(spark.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(cells: _*)), queryVec, k, idCol, vecCol)
+  }
+
+  /** The ranking half of [[topK]] over an ALREADY-ASSEMBLED probed scan
+    * (e.g. base index ∪ a streamed delta index) — ONE definition of the
+    * ranking contract (round cos to 6, tie-break by id, TakeOrdered k)
+    * so every probe path ranks identically. */
+  def topKOver(scan: DataFrame, queryVec: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queryVec.select(col(vecCol).as("__qv")))
-    spark.read.parquet(s"$dir/index")
-      .filter(col("cell").isin(cells: _*))
-      .crossJoin(q)
+    scan.crossJoin(q)
       .withColumn("cos", round(VF.cosineNative(col(vecCol), col("__qv")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -216,6 +216,11 @@ object TextFunctions {
         col(textCol).substr(col("chunk_idx") * stride + 1, lit(size)))
   }
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]]): run it
+    * BEFORE any hashing/dedup pass — precomposed vs combining-mark
+    * encodings of the same text otherwise land in different digests. */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): a
     * token's coordinate and sign derive from its md5, so text vectorizes
     * into a fixed `dims`-wide integer vector with NO vocabulary pass and
@@ -223,11 +228,6 @@ object TextFunctions {
     * per-batch training data. md5-based, hence bit-reproducible in any
     * engine (signed sums are exact integer arithmetic).
     */
-  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]]): run it
-    * BEFORE any hashing/dedup pass — precomposed vs combining-mark
-    * encodings of the same text otherwise land in different digests. */
-  def nfc(text: Column): Column = call_function("graft_nfc", text)
-
   def featureHashBucket(token: Column, dims: Int): Column =
     conv(substring(md5(token), 1, 4), 16, 10).cast("long") % dims
 

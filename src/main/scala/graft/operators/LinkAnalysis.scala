@@ -637,6 +637,13 @@ object LinkAnalysis {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE action doing double duty: it reads m AND eagerly fills the
+    // pin that the intra and degree legs both re-read — the fully-lazy
+    // alternative (m as a broadcast one-row aggregate) would leave e
+    // lazily pinned under three concurrent subplans, which recomputes
+    // per reference. Construction therefore costs one count job
+    // (assortativity shows the zero-pre-action form when no reuse
+    // exists to protect).
     val m = e.count()
     val nl = labels.select(col("node"), col("label"))
     val intra = e
@@ -729,6 +736,11 @@ object LinkAnalysis {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager fill: four subplans read e (both sym legs, the anti-join,
+    // deg via sym) and a lazily-pinned relation under concurrent AQE
+    // subplans recomputes per reference; released by the session's
+    // per-query cache clear
+    e.count()
     val sym = e.select(col("a").as("c"), col("b").as("n"))
       .unionByName(e.select(col("b").as("c"), col("a").as("n")))
     val wedges = sym.as("x").join(sym.as("y"),

@@ -972,10 +972,11 @@ object Multimodal {
                                 maxBucket: Long = 1000L): DataFrame = {
     val fh = fhIn
       .select((col("doc_id") * 1024 +
-        when(col("frame_idx") < 1024, col("frame_idx"))
+        when(col("frame_idx").between(0, 1023), col("frame_idx"))
           .otherwise(raise_error(concat(
-            lit("frame_idx exceeds the 1024-per-video packing bound: "),
-            col("frame_idx").cast("string"))))).as("doc_id"),
+            lit("frame_idx outside the [0,1024) packing bound: "),
+            coalesce(col("frame_idx").cast("string"), lit("null")))))
+        ).as("doc_id"),
         col("phash"))
     hashDupPairs(fh, maxHamming, maxBucket)
       .select(expr("doc_a div 1024").as("video_a"),

@@ -30,6 +30,14 @@ import graft.functions.TextFunctions
   */
 object QualityClassifier {
 
+  /** The gates' shared seed rule: 'spark'-DENSE text (occurrences·20
+    * beats the token count) — one definition so the batch query, the
+    * streaming gate, and the scale probe cannot drift apart on the
+    * threshold while the oracles replay one rule. */
+  def sparkDensitySeed(lt: Column): Column =
+    (size(split(lt, "spark", -1)) - 1) * 20 >
+      size(TextFunctions.tokens(lt))
+
   /** Hashed signed-count features with the seed label carried:
     * (doc_id, seed, bucket, v) where v is the exact signed token count
     * of the bucket ([[TextFunctions.featureHashBucket]]/`Sign`). `seed`

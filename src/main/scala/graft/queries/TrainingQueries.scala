@@ -1746,8 +1746,7 @@ object TrainingQueries {
       // lazily-pinned relation read by two concurrent subplans races
       // and recomputes); the seed rule is a length-free DENSITY test
       val sf = QC.featurizeSeeded(t(s, dir, "documents"), "doc_id",
-          "text", lt => (size(split(lt, "spark", -1)) - 1) * 20 >
-            size(TF.tokens(lt)), dims = 64)
+          "text", QC.sparkDensitySeed, dims = 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sf.count()
       QC.score(sf.drop("seed"), QC.trainWeights(sf))

@@ -735,8 +735,7 @@ object StreamingGate {
     val model = scratch("qc_model", dir)
     Seq(in, idx, ck, model).foreach(cleanDir(spark, _))
     val sf = QualityClassifier.featurizeSeeded(docs, "doc_id", "text",
-      lt => (size(split(lt, "spark", -1)) - 1) * 20 >
-        size(graft.functions.TextFunctions.tokens(lt)), dims = 64)
+      QualityClassifier.sparkDensitySeed, dims = 64)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sf.count()
     QualityClassifier.trainWeights(sf).write.mode("overwrite").parquet(model)
@@ -810,11 +809,7 @@ object StreamingGate {
       .unionByName(graft.sinks.VersionedTable.read(spark, idx)
         .select(cols: _*))
       .filter(col("cell").isin(cells: _*))
-    scan.crossJoin(broadcast(q.select(col("embedding").as("__qv"))))
-      .withColumn("cos",
-        round(VF.cosineNative(col("embedding"), col("__qv")), 6))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    IvfIndex.topKOver(scan, q, k = 10)
       .select("vec_id", "label", "cos")
   }
 
@@ -900,38 +895,13 @@ object StreamingGate {
     // batch appendDelta would, and the drained probe must match
     "st_ann_ingest" -> graft.queries.TrainingQueries.annIvfOracle,
 
-    // the whole-corpus batch classifier derivation (the
-    // t_quality_classifier oracle): frozen-model streaming inference
-    // must reproduce it exactly regardless of slicing
+    // the whole-corpus batch classifier derivation VERBATIM (one oracle
+    // definition — the engines' seed rule is likewise shared via
+    // QualityClassifier.sparkDensitySeed, so neither side can drift):
+    // frozen-model streaming inference must reproduce it regardless of
+    // slicing
     "st_quality_filter" ->
-      """WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
-        |tok AS (
-        |  SELECT doc_id,
-        |    (length(lt) - length(replace(lt, 'spark', ''))) // 5 * 20
-        |      > len(regexp_extract_all(lt, '\S+')) AS seed,
-        |    unnest(regexp_extract_all(lt, '\S+')) AS token
-        |  FROM lt),
-        |h AS (
-        |  SELECT doc_id, seed,
-        |    CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) % 64 AS bucket,
-        |    CASE WHEN CAST('0x' || substr(md5(token), 5, 1) AS BIGINT) % 2 = 0
-        |         THEN 1 ELSE -1 END AS sign
-        |  FROM tok),
-        |f AS (
-        |  SELECT doc_id, seed, bucket, CAST(SUM(sign) AS BIGINT) AS v
-        |  FROM h GROUP BY 1, 2, 3),
-        |cls AS (
-        |  SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT) AS np,
-        |    CAST(SUM(CASE WHEN seed THEN 0 ELSE 1 END) AS BIGINT) AS nn
-        |  FROM (SELECT DISTINCT doc_id, seed FROM f)),
-        |w AS (
-        |  SELECT bucket,
-        |    CAST(cls.nn * SUM(CASE WHEN seed THEN v ELSE 0 END)
-        |      - cls.np * SUM(CASE WHEN seed THEN 0 ELSE v END) AS BIGINT) AS w
-        |  FROM f, cls GROUP BY bucket, cls.np, cls.nn)
-        |SELECT f.doc_id, CAST(SUM(f.v * w.w) AS BIGINT) AS margin,
-        |  SUM(f.v * w.w) > 0 AS keep
-        |FROM f JOIN w USING (bucket) GROUP BY 1""".stripMargin,
+      graft.queries.TrainingQueries.oracles("t_quality_classifier"),
 
     // whole-corpus replay of the video-decode derivation from the frame
     // law (the t_video_dedup oracle over the gate's 10 + 3 fixture):

@@ -436,8 +436,7 @@ object ScaleProbe {
         shuffleWritten.set(0L)
         val t0 = System.nanoTime()
         val sf = QualityClassifier.featurizeSeeded(df, "doc_id", "text",
-          lt => (size(split(lt, "spark", -1)) - 1) * 20 >
-            size(graft.functions.TextFunctions.tokens(lt)), dims = 64)
+          QualityClassifier.sparkDensitySeed, dims = 64)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sf.count()
         val agg = QualityClassifier
