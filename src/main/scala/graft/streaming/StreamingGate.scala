@@ -852,6 +852,55 @@ object StreamingGate {
       window = 7, zThreshold = 3.0)
   }
 
+  /** Streaming distribution-drift monitoring — st_volume_anomaly's
+    * sibling at the DISTRIBUTION level: the reference/live period split
+    * is fixed configuration (resolved once from the log's day range,
+    * the way a deployed monitor pins its reference window), each
+    * micro-batch commits PARTIAL (event_type, period, bin) counts
+    * exactly-once, partials sum associatively, and the drained bin
+    * table feeds the identical fixed-point chi-square readout
+    * ([[graft.operators.Drift.histDrift]]). Oracle = the batch t_drift
+    * oracle verbatim.
+    */
+  def driftGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val in = scratch("dr_in", dir)
+    val idx = scratch("dr_idx", dir)
+    val ck = scratch("dr_ck", dir)
+    Seq(in, idx, ck).foreach(cleanDir(spark, _))
+    // the monitor's configured reference window: one scalar read over
+    // the log resolves the period boundary the per-batch binning uses
+    val rng = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1")).head
+    val (d0, d1) = (rng.getDate(0), rng.getDate(1))
+    val cutDays = ((d1.toLocalDate.toEpochDay -
+      d0.toLocalDate.toEpochDay) / 2).toInt
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sinks.VersionedTable.commitBatch(
+          b.withColumn("period",
+              when(to_date(col("ts")) <
+                date_add(lit(d0), cutDays), "A").otherwise("B"))
+            .withColumn("bin", floor(col("value") / 5.0).cast("long"))
+            .groupBy(col("event_type"), col("period"), col("bin"))
+            .agg(count(lit(1)).as("cnt")),
+          idx, overwrite = false, txnId = s"dr-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val binned = graft.sinks.VersionedTable.read(spark, idx)
+      .groupBy("event_type", "period", "bin")
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Drift.histDrift(binned, "event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -870,7 +919,8 @@ object StreamingGate {
     "st_video_ingest" -> (videoIngestGate(_, _)),
     "st_quality_filter" -> (qualityFilterGate(_, _)),
     "st_ann_ingest" -> (annIngestGate(_, _)),
-    "st_volume_anomaly" -> (volumeAnomalyGate(_, _)))
+    "st_volume_anomaly" -> (volumeAnomalyGate(_, _)),
+    "st_drift" -> (driftGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -889,6 +939,10 @@ object StreamingGate {
     // folded partial day counts must reproduce the batch daily table
     "st_volume_anomaly" ->
       graft.queries.WarehouseQueries.oracles("qa_volume_anomaly"),
+
+    // the batch drift derivation verbatim: associatively folded partial
+    // bin counts must reproduce the batch histogram
+    "st_drift" -> graft.queries.TrainingQueries.oracles("t_drift"),
 
     // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
     // a streamed delta ingest must land every vector in the cell the
