@@ -160,9 +160,14 @@ object AvroIO {
           }
         } finally writer.close()
         if (!fs.rename(tmp, fin)) {
-          // another attempt committed first — keep its shard
+          // a false rename is only benign when another attempt already
+          // committed the shard — verify, or a transient fs failure
+          // would silently drop every row of this partition behind a
+          // valid _SUCCESS marker
           fs.delete(tmp, false)
-          ()
+          if (!fs.exists(fin))
+            sys.error(s"AvroIO.write: rename to $fin failed and no " +
+              "committed shard exists — refusing to lose the partition")
         }
       }
     }
@@ -195,15 +200,29 @@ object AvroIO {
         val in = ffs.open(new org.apache.hadoop.fs.Path(f))
         val reader = new DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          while (reader.hasNext) {
+        // name drift fails loudly up front (get(name) on a missing
+        // field would return silent nulls on every row), and rows
+        // stream lazily — a shard is never buffered whole in memory
+        schemaFields.foreach { sf =>
+          if (reader.getSchema.getField(sf.name) == null) {
+            reader.close()
+            sys.error(s"AvroIO.read: declared column '${sf.name}' " +
+              s"missing from writer schema of $f")
+          }
+        }
+        new Iterator[Row] {
+          private var open = true
+          override def hasNext: Boolean = {
+            val h = open && reader.hasNext
+            if (open && !h) { reader.close(); open = false }
+            h
+          }
+          override def next(): Row = {
             val rec = reader.next()
-            out += Row.fromSeq(schemaFields.toSeq.map(sf =>
+            Row.fromSeq(schemaFields.toSeq.map(sf =>
               fromAvro(rec.get(sf.name), sf.dataType)))
           }
-        } finally reader.close()
-        out
+        }
       }
     spark.createDataFrame(rdd, sparkSchema)
   }

@@ -25,10 +25,17 @@ object Sinks {
     */
   def partitionedAppend(df: DataFrame, path: String,
                         partitionCols: Seq[String], clusterCols: Seq[String] = Nil): Unit = {
+    // co-locate each partition value into one task BEFORE partitionBy:
+    // without it every (input task x partition value) pair emits its own
+    // tiny file — the small-file explosion that kills day-partitioned
+    // tables at scale (the sandboxCtas convention, applied to K1);
+    // cluster-sorting then happens within the co-located task so each
+    // file keeps tight min/max stats
+    val placed = df.repartition(partitionCols.map(col): _*)
     val sorted =
       if (clusterCols.nonEmpty)
-        df.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
-      else df
+        placed.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
+      else placed
     sorted.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
   }
 

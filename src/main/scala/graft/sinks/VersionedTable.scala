@@ -71,6 +71,20 @@ object VersionedTable {
   private def writeManifest(f: FileSystem, root: String, v: Long,
                             files: Seq[String], txns: Seq[String] = Seq.empty): Unit = {
     f.mkdirs(manifestDir(root))
+    // ATOMIC version claim: rename-if-absent is not a primitive on
+    // local filesystems (File.renameTo silently OVERWRITES, so two
+    // concurrent commits both reading prev = N would have the second
+    // clobber the first's manifest and its txn ledger — a lost commit
+    // behind an exactly-once guarantee). createNewFile is O_EXCL on
+    // local and create-no-overwrite on HDFS: exactly one committer
+    // claims v, the loser errors and retries against v+1. Only the
+    // claim holder ever writes v$v.manifest, so the content rename
+    // below cannot race. Claim markers are dot-files the version
+    // listing ignores.
+    val claim = new Path(manifestDir(root), s".v$v.claim")
+    if (!f.createNewFile(claim))
+      sys.error(s"VersionedTable: version $v of $root already claimed " +
+        "by a concurrent commit — re-read the latest version and retry")
     val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
     val out = f.create(tmp, true)
     val body = txns.map(t => s"#txn:$t\n").mkString +
@@ -79,6 +93,14 @@ object VersionedTable {
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(root), s"v$v.manifest")))
       sys.error(s"VersionedTable: commit rename failed for $root v$v")
+  }
+
+  /** One manifest read serving both halves: (live files, txn ledger). */
+  private def manifestState(f: FileSystem, root: String,
+                            v: Long): (Seq[String], Seq[String]) = {
+    val ls = manifestLines(f, root, v)
+    (ls.filterNot(_.startsWith("#")),
+      ls.collect { case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") })
   }
 
   /** Write `df`'s rows as new immutable data files; return their paths
@@ -101,14 +123,14 @@ object VersionedTable {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val prev = versions(f, root).lastOption
+    val (prevFiles, prevTxns) = prev.map(manifestState(f, root, _))
+      .getOrElse((Seq.empty[String], Seq.empty[String]))
     val newFiles = writeDataFiles(df, root)
-    val live = if (overwrite) newFiles
-      else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
+    val live = if (overwrite) newFiles else prevFiles ++ newFiles
     val v = prev.map(_ + 1).getOrElse(0L)
     // the txn ledger rides through EVERY commit — a plain commit between
     // streaming batches must not erase the replay protection
-    writeManifest(f, root, v, live,
-      prev.map(manifestTxns(f, root, _)).getOrElse(Seq.empty))
+    writeManifest(f, root, v, live, prevTxns)
     v
   }
 
@@ -126,12 +148,12 @@ object VersionedTable {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val prev = versions(f, root).lastOption
-    val prevTxns = prev.map(manifestTxns(f, root, _)).getOrElse(Seq.empty)
+    val (prevFiles, prevTxns) = prev.map(manifestState(f, root, _))
+      .getOrElse((Seq.empty[String], Seq.empty[String]))
     if (prevTxns.contains(txnId)) prev.get // replay: committed, no-op
     else {
       val newFiles = writeDataFiles(df, root)
-      val live = if (overwrite) newFiles
-        else prev.map(readManifest(f, root, _)).getOrElse(Seq.empty) ++ newFiles
+      val live = if (overwrite) newFiles else prevFiles ++ newFiles
       val v = prev.map(_ + 1).getOrElse(0L)
       writeManifest(f, root, v, live, prevTxns :+ txnId)
       v
@@ -237,11 +259,21 @@ object VersionedTable {
     val f = fs(spark, root)
     import spark.implicits._
     val vs = versions(f, root)
-    val ledgers = vs.map(v => v -> manifestTxns(f, root, v).toSet).toMap
+    val states = vs.map(v => v -> manifestState(f, root, v)).toMap
     vs.map { v =>
-      val own = (ledgers(v) -- vs.filter(_ < v).lastOption
-        .map(ledgers).getOrElse(Set.empty)).headOption
-      (v, own, readManifest(f, root, v).length.toLong)
+      // a commit appends its OWN txn as the ledger's last line, so the
+      // version's txn is lastOption exactly when its ledger grew over
+      // its predecessor's; for the oldest kept version after vacuum the
+      // predecessor is gone — report None (unknown provenance) rather
+      // than an arbitrary inherited txn (v0 is the exception: no
+      // predecessor ever existed, so a non-empty ledger is its own)
+      val cur = states(v)._2
+      val own = vs.filter(_ < v).lastOption match {
+        case Some(p) => if (cur.length > states(p)._2.length) cur.lastOption
+                        else None
+        case None => if (v == 0L) cur.lastOption else None
+      }
+      (v, own, states(v)._1.length.toLong)
     }.toDF("version", "txn_id", "n_files")
   }
 

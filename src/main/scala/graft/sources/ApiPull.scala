@@ -47,11 +47,14 @@ object ApiPull {
     val outDir = Paths.get(outRoot, runId)
     Files.createDirectories(outDir)
     val out = outDir.resolve(s"$taskName-exported-entity.txt")
-    val tmp = Files.createTempFile(outDir, s".$taskName-", ".tmp")
+    // parse/connect BEFORE creating the temp file: a bad endpoint must
+    // not leak a .tmp into the output dir on every retry (the Airflow
+    // rerun contract retries exactly this path)
     val conn = java.net.URI.create(endpoint).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
+    val tmp = Files.createTempFile(outDir, s".$taskName-", ".tmp")
     try {
       val code = conn.getResponseCode
       require(code == 200, s"API pull $endpoint answered HTTP $code")
