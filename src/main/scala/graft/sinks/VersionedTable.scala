@@ -82,16 +82,30 @@ object VersionedTable {
     // below cannot race. Claim markers are dot-files the version
     // listing ignores.
     val claim = new Path(manifestDir(root), s".v$v.claim")
-    if (!f.createNewFile(claim))
-      sys.error(s"VersionedTable: version $v of $root already claimed " +
-        "by a concurrent commit — re-read the latest version and retry")
+    val fin = new Path(manifestDir(root), s"v$v.manifest")
+    if (!f.createNewFile(claim)) {
+      // crash recovery: a committer that died between claim and rename
+      // leaves an orphan claim that would block v forever. A claim with
+      // NO manifest after a 60s grace period is such an orphan — break
+      // it and re-race the claim (two recoverers both deleting is
+      // idempotent; createNewFile then picks exactly one winner). A
+      // LIVE concurrent committer inside the grace window still errors
+      // out here, which is the lost-update protection working.
+      val stale = !f.exists(fin) &&
+        scala.util.Try(f.getFileStatus(claim).getModificationTime)
+          .toOption.exists(_ < System.currentTimeMillis() - 60000L)
+      if (stale) f.delete(claim, false)
+      if (!stale || !f.createNewFile(claim))
+        sys.error(s"VersionedTable: version $v of $root already claimed " +
+          "by a concurrent commit — re-read the latest version and retry")
+    }
     val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
     val out = f.create(tmp, true)
     val body = txns.map(t => s"#txn:$t\n").mkString +
       files.mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, new Path(manifestDir(root), s"v$v.manifest")))
+    if (!f.rename(tmp, fin))
       sys.error(s"VersionedTable: commit rename failed for $root v$v")
   }
 
