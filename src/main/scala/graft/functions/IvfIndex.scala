@@ -163,7 +163,12 @@ object IvfIndex {
         aggregate(zip_with(col("q8"), col("qref"),
           (x, y) => x.cast("long") * y.cast("long")), lit(0L), (a, v) => a + v))
       .withColumn("score",
-        round(col("dp").cast("double") / (col("sc") * col("scref")), 3))
+        // an all-zero vector has scale 0 (quantScale's convention):
+        // score 0, never 0/0 = NaN (NaN sorts largest and would rank it
+        // first in every top-k)
+        when(col("sc") === 0.0 || col("scref") === 0.0, lit(0.0))
+          .otherwise(round(
+            col("dp").cast("double") / (col("sc") * col("scref")), 3)))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -305,7 +310,11 @@ object IvfIndex {
       .join(broadcast(lut), col("cu") === col("u") && col("code") === col("j"))
       .groupBy(col(idCol))
       .agg(round(sum(col("s6")).cast("double") / 1e6, 3).as("score"))
-    corpus.select(col(idCol), col("label"))
+    // metadata columns (label here) pass through when present — a
+    // hardcoded col("label") would break every external corpus without
+    // one at analysis time
+    val passthrough = corpus.columns.filter(_ == "label").map(col).toSeq
+    corpus.select((col(idCol) +: passthrough): _*)
       .join(adc, idCol)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -327,11 +336,12 @@ object IvfIndex {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val short = pqTopK(corpus, codes, codebooks, queryVec, shortlist, m, dsub,
       idCol, vecCol).select(col(idCol))
+    val passthrough = corpus.columns.filter(_ == "label").map(col).toSeq
     corpus.join(broadcast(short), idCol)
       .crossJoin(broadcast(queryVec.select(col(vecCol).as("__qv"))))
       .withColumn("cos",
         round(VectorFunctions.cosineNative(col(vecCol), col("__qv")), 6))
-      .select(col(idCol), col("label"), col("cos"))
+      .select((col(idCol) +: passthrough) :+ col("cos"): _*)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -21,7 +21,12 @@ object VectorFunctions {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    // zero-norm yields 0.0 (similar to nothing), never 0/0 = NaN: Spark
+    // orders NaN as the largest double, so a NaN cosine ranks an
+    // all-zero vector first in every top-k and passes every tau
+    when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (norm(a) * norm(b)))
 
   /** Native fused-loop variant (graft.plans.CosineSimilarity) — same
     * semantics and bit-identical results, one codegen'd loop instead of

@@ -146,6 +146,11 @@ object Dedup {
     * than production dedup uses.
     */
   private def bandCols(k: Int, bands: Int): Seq[Column] = {
+    // bands > k would make every band key a constant (a full O(n²)
+    // self-join); a non-dividing bands would silently drop the trailing
+    // signature slots and quietly lower the recall k promises
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide the signature width: k=$k, bands=$bands")
     val rows = k / bands
     (0 until bands).map { b =>
       md5(concat_ws("|",
@@ -422,21 +427,13 @@ object Dedup {
     require(nShared == 0,
       "delta ids overlap the index: re-crawled docs must be dropped from " +
         "the index before their new versions are probed as delta")
-    val dDg = materialize(
-      shingleRows(delta, idCol, textCol, n)
-        .select(col("id"), md5(col("shingle")).as("d"))
-        .distinct())
-    val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
-    val dBands = bandRows(dSigsz, k, bands)
-    // delta x (index U delta) sharing a band; least/greatest normalizes the
-    // unordered pair so a delta-delta collision isn't emitted twice
-    val allBands = index.bands.unionByName(dBands)
-    val cands = materialize(dBands.as("a")
-      .join(allBands.as("b"),
-        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("doc_a"),
-        greatest(col("a.id"), col("b.id")).as("doc_b"))
-      .distinct())
+    // ONE derivation shared with the streaming ingest path
+    // ([[deltaBandPairs]]) — the band/pair rule cannot diverge between
+    // the batch and streaming incremental forms
+    val (dDg, dSigsz, _, pairs) =
+      deltaBandPairs(delta, idCol, textCol, index, n, k, bands)
+    // materialized: read by the touched projection AND the verify join
+    val cands = materialize(pairs)
     // Confine the verify to digests of docs that actually appear in a
     // candidate pair: the touched-id set is bounded by the delta's bucket
     // collisions, so the semi join broadcasts and prunes the index's
@@ -455,12 +452,9 @@ object Dedup {
       .join(allDg.select(col("id").as("doc_a"), col("d")).hint("shuffle_hash"), "doc_a")
       .join(allDg.select(col("id").as("doc_b"), col("d")).hint("shuffle_hash"), Seq("doc_b", "d"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          greatest(col("sz_a") + col("sz_b") - col("n_common"), lit(1L)).cast("double"))
+    withJaccard(common
+        .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -521,6 +515,20 @@ object Dedup {
       .get(new java.net.URI(indexRoot), conf)
     val (_, pins) = pinScope {
       val index = loadNearDupIndex(spark, indexRoot)
+      // Same guard as the batch incremental path: a re-crawled id would
+      // merge both versions' digests under one id and poison every later
+      // probe. Checked on the FIRST attempt only — on a retry whose
+      // index appends already landed, the delta ids ARE in the index by
+      // construction and the fold below is proven retry-safe.
+      val firstAttempt = !f.exists(
+        new org.apache.hadoop.fs.Path(s"$indexRoot/digests/crawl_$txnId"))
+      if (firstAttempt) {
+        val nShared = delta.select(col(idCol).as("id")).distinct()
+          .join(index.sizes, Seq("id"), "left_semi").limit(1).count()
+        require(nShared == 0,
+          "delta ids overlap the index: re-crawled docs must be dropped " +
+            "from the index before their new versions are ingested")
+      }
       val (dDg, dSigsz, dBands, pairs) =
         deltaBandPairs(delta, idCol, textCol, index, n, k, bands)
       // The mapping fold is safe on RETRY even if the previous attempt's
@@ -684,7 +692,11 @@ object Dedup {
     // formulation, at 1/32nd the per-row decode work).
     val tokRows = spread(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
-      .select(col("id"), explode(col("toks")).as("tok"))
+      // an empty doc keeps one "" token so every doc keeps a simhash row
+      // (the shingleRows guarantee — a bare explode would silently drop
+      // empty docs from any downstream inner join against their hash)
+      .select(col("id"), explode(when(size(col("toks")) === 0,
+        array(lit(""))).otherwise(col("toks"))).as("tok"))
       .select(col("id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
     def bitContrib(b: Int): Column =
       when(shiftright(col("v"), 31 - b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
@@ -937,8 +949,14 @@ object Dedup {
     // (work done twice). An eager localCheckpoint evaluates the pipeline
     // exactly once and cuts its lineage out of every CC round.
     val p = pairs.localCheckpoint()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // ids are integral by contract (string ids: map through a dense-id
+    // dictionary first); the explicit long cast widens int32 ids so the
+    // driver union-find's getLong and the min-label fallback's numeric
+    // aggregate both see one type instead of crashing on parquet int ids
+    val edges = p.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(p.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist()
     // Candidate graphs after LSH are sparse by construction (edges << docs),

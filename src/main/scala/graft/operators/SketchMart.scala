@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object SketchMart {
 
-  /** Build (overwrite) the daily sketch mart: (day, mins array). */
+  /** Build (overwrite) the daily sketch mart: (day, mins array). Written
+    * day-PARTITIONED — the same layout [[upsertDaily]]/[[mergeDaily]]
+    * maintain, so a full build followed by incremental maintenance is
+    * one directory structure (a flat build would leave root-level files
+    * the dynamic partition overwrite never replaces: conflicting leaf
+    * depths or double-counted days on the next read). */
   def buildDaily(events: DataFrame, dir: String, k: Int,
                  hash: Column, day: Column): Unit =
     events.groupBy(day.as("day"))
       .agg(call_function("graft_kmv_mins", hash, lit(k)).as("mins"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
 
   /** Incremental maintenance: sketch ONLY the days present in `batch` and
     * dynamic-overwrite exactly those day partitions — the rest of the
@@ -57,8 +62,12 @@ object SketchMart {
   def mergeDaily(batch: DataFrame, dir: String, k: Int,
                  hash: Column, day: Column): Unit = {
     val spark = batch.sparkSession
+    // the union leg AND the semi-join probe both read this aggregate:
+    // cut it eagerly (days-sized) or the batch sketch executes twice
+    // per micro-batch
     val newSk = batch.groupBy(day.as("day"))
       .agg(call_function("graft_kmv_mins", hash, lit(k)).as("mins"))
+      .localCheckpoint()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val merged =

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * common prefix, norms over each full vector, left-to-right double
   * accumulation (bit-identical to a sequential fold — the property the
   * DuckDB oracle comparison relies on). Null elements contribute 0.
+  * A zero-norm side yields 0.0, NOT 0/0 = NaN: Spark orders NaN as the
+  * LARGEST double, so a NaN cosine would rank an all-zero vector as the
+  * #1 neighbor of every query and pass every tau threshold — defining
+  * the zero vector as similar to nothing is the only ranking-safe
+  * semantics (the composable [[graft.functions.VectorFunctions.cosine]]
+  * applies the same rule; oracles replay it where a fixture could
+  * contain one).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -61,7 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val v = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
       nb += v * v; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -90,7 +98,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $v = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
          |  $nb += $v * $v;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -25,6 +25,25 @@ class CosineSimilaritySpec extends SparkSpec {
       "accumulation order must match exactly")
   }
 
+  test("zero-norm vectors score 0.0, never NaN — a NaN would sort " +
+      "LARGEST and rank the zero vector first in every top-k") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f), Array(0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f), Array(0.0f, 0.0f)),
+      (4L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorFunctions.cosineNative(col("a"), col("b")).as("n"),
+        VectorFunctions.cosine(col("a"), col("b")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((0.0, 0.0)), s"zero-norm row $id: ${got(id)}")
+    }
+    assert(math.abs(got(4L)._1 - 1.0) < 1e-12 && !got.values.exists(v =>
+      v._1.isNaN || v._2.isNaN))
+  }
+
   test("null array yields null; null elements contribute zero") {
     val df = Seq(
       (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
