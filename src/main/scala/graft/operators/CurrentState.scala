@@ -88,6 +88,4 @@ object CurrentState {
     val live = deletedCol.fold(latest)(d => latest.filter(!coalesce(col(d), lit(false))))
     live.join(broadcast(spine), col(logSeqCol) === spine(spineSeqCol), "inner")
   }
-
-  def rankCond(keys: Seq[Column]): Column = keys.reduce(_ && _)
 }

@@ -29,9 +29,14 @@ object DataSkipping {
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"zValue bits must be in [1,31], got $bits")
+    // widen FIRST: on IntegerType inputs the shift would run in 32-bit
+    // arithmetic where shift amounts mask & 31 — bit positions >= 31
+    // silently wrap (colliding z-values, negative sort keys) for any
+    // bits >= 16
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)).cast("long")
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
   }
 
@@ -105,8 +110,12 @@ object DataSkipping {
     * not an error).
     */
   def readViaPrunedManifest(spark: SparkSession, manifestDir: String,
-                            schemaFrom: DataFrame): DataFrame = {
+                            schemaFrom: => DataFrame): DataFrame = {
     val files = manifestPaths(spark, manifestDir)
+    // schemaFrom is by-name: the common (files survive) case never
+    // evaluates it — the schema probe is free except when everything
+    // was pruned and an empty, correctly-typed frame must come from
+    // somewhere
     if (files.isEmpty) schemaFrom.filter(lit(false))
     else spark.read.parquet(files: _*)
   }
@@ -136,11 +145,16 @@ object DataSkipping {
                  boxes: Seq[(String, Any, Any)],
                  manifestOut: String): DataFrame = {
     writePrunedManifest(prunedManifestRows(manifest, boxes), manifestOut)
-    // schema probe for the all-pruned case: ONE manifest row's path
-    // (result-sized head, not a file-list materialization)
+    // all-pruned schema probe, evaluated ONLY in that case (by-name):
+    // one manifest row's path, headOption so an empty manifest reports
+    // itself instead of a bare NoSuchElement
     val df = readViaPrunedManifest(spark, manifestOut,
       schemaFrom = spark.read.parquet(
-        manifest.select(col("file")).head.getString(0)))
+        manifest.select(col("file")).limit(1).collect().headOption
+          .map(_.getString(0))
+          .getOrElse(sys.error(
+            "prunedRead: manifest lists no files — no schema to type " +
+              "the empty result with"))))
     boxes.foldLeft(df) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
@@ -222,7 +236,11 @@ object DataSkipping {
       bloomPrunedManifestRows(manifest, values, m, k), manifestOut)
     val df = readViaPrunedManifest(spark, manifestOut,
       schemaFrom = spark.read.parquet(
-        manifest.select(col("file")).head.getString(0)))
+        manifest.select(col("file")).limit(1).collect().headOption
+          .map(_.getString(0))
+          .getOrElse(sys.error(
+            "bloomPrunedRead: manifest lists no files — no schema to " +
+              "type the empty result with"))))
     df.filter(col(colName).cast("string").isin(values: _*))
   }
 }

@@ -42,12 +42,19 @@ object DelIns {
       * partial one and leave stale partitions behind, and streaming's
       * per-query session clones wouldn't reliably observe a mutated conf.
       */
-    def loadBatch(batch: DataFrame): Unit =
+    def loadBatch(batch: DataFrame): Unit = {
+      // without partition columns "dynamic overwrite" has no partitions
+      // to scope to and silently becomes a WHOLE-TABLE overwrite — each
+      // batch would erase all previous batches
+      require(partitionCols.nonEmpty,
+        "loadBatch needs a partitioned table (del-ins scopes the " +
+          "overwrite to the batch's partitions)")
       batch.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)
         .parquet(path)
+    }
 
     def read(): DataFrame = spark.read.parquet(path)
 
@@ -73,7 +80,11 @@ object DelIns {
       if (affected.isEmpty) return
       val prune = affected.map { r =>
         partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          // null-safe equality: `===` on a null partition value is null,
+          // so the prune would read ZERO target rows of the null
+          // partition while the dynamic overwrite still rewrites its
+          // directory — silently deleting every unmerged key in it
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _)
       }.reduce(_ || _)
       val target = read().filter(prune)
@@ -95,8 +106,13 @@ object DelIns {
           new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         emptied.foreach { r =>
           val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+            // a null partition value must render as Spark's
+            // __HIVE_DEFAULT_PARTITION__ directory (getPartitionPathString
+            // maps null/empty there); String.valueOf would render "null"
+            // and miss the doomed directory
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c, String.valueOf(r.get(i)))
+              .getPartitionPathString(c,
+                Option(r.get(i)).map(_.toString).orNull)
           }.mkString("/")
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
         }
@@ -107,19 +123,34 @@ object DelIns {
       * listing plus directory deletes, never a data rewrite (the reference's
       * 450-day partition expiry, reference dags/queries/create_table.sql:1-9).
       */
-    def expirePartitions(cutoff: String, partitionCol: String): Seq[String] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    /** The shared expired-directory listing: decode with SPARK'S OWN
+      * partition-path unescaping, not URL/form decoding — URLDecoder
+      * turns a literal '+' (which Spark's escapePathName does NOT
+      * escape, e.g. a tz-suffixed timestamp value) into a space and
+      * silently moves the value across the cutoff comparison. */
+    private def expiredDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            cutoff: String, partitionCol: String)
+    : Seq[org.apache.hadoop.fs.FileStatus] = {
       val root = new org.apache.hadoop.fs.Path(path)
-      if (!fs.exists(root)) return Seq.empty
-      val dropped = fs.listStatus(root).toSeq
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
         .filter(_.isDirectory)
         .filter { st =>
           val n = st.getPath.getName
           n.startsWith(s"$partitionCol=") &&
-            java.net.URLDecoder.decode(n.stripPrefix(s"$partitionCol="), "UTF-8") < cutoff
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(n.stripPrefix(s"$partitionCol=")) < cutoff
         }
-      dropped.foreach(st => fs.delete(st.getPath, true))
+    }
+
+    def expirePartitions(cutoff: String, partitionCol: String): Seq[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val dropped = expiredDirs(fs, cutoff, partitionCol)
+      dropped.foreach { st =>
+        if (!fs.delete(st.getPath, true) && fs.exists(st.getPath))
+          sys.error(s"expirePartitions: could not delete ${st.getPath}")
+      }
       dropped.map(_.getPath.getName)
     }
 
@@ -133,17 +164,10 @@ object DelIns {
                           archiveRoot: String): Seq[String] = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(path)
-      if (!fs.exists(root)) return Seq.empty
+      val moved = expiredDirs(fs, cutoff, partitionCol)
+      if (moved.isEmpty) return Seq.empty
       val cold = new org.apache.hadoop.fs.Path(archiveRoot)
       fs.mkdirs(cold)
-      val moved = fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .filter { st =>
-          val n = st.getPath.getName
-          n.startsWith(s"$partitionCol=") &&
-            java.net.URLDecoder.decode(n.stripPrefix(s"$partitionCol="), "UTF-8") < cutoff
-        }
       moved.foreach { st =>
         val dst = new org.apache.hadoop.fs.Path(cold, st.getPath.getName)
         fs.delete(dst, true)

@@ -40,18 +40,47 @@ object IncrementalMart {
               batch: DataFrame, dayCol: String,
               martFn: DataFrame => DataFrame,
               martDayCol: String = "day"): Unit = {
+    // day-count-sized driver list (the bounded partition-value-list
+    // pattern): needed both for the join and for the touched-vs-written
+    // audit below; null days were never refreshable (=== null matches
+    // nothing), so they are excluded outright
     val days = batch.select(to_date(col(dayCol)).as("p_day")).distinct()
-    val affected = fact.join(broadcast(days),
-      to_date(fact(dayCol)) === days("p_day"), "left_semi")
+      .collect().map(_.getDate(0)).filter(_ != null).toSeq
+    val daysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(days.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p_day",
+          org.apache.spark.sql.types.DateType))))
+    val affected = fact.join(broadcast(daysDf),
+      to_date(fact(dayCol)) === daysDf("p_day"), "left_semi")
     val refreshed = martFn(affected)
       .withColumn("p_day", col(martDayCol).cast("date"))
       // one file per refreshed day (small-files discipline)
       .repartition(col("p_day"))
+      // the written-day audit below reads this relation a second time
+      .localCheckpoint()
     refreshed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_day")
       .parquet(martPath)
+    // the full-recompute invariant has a hole dynamic overwrite can't
+    // close: a touched day whose recompute produced ZERO mart rows (a
+    // row-reducing martFn after a del-ins reload) writes no partition,
+    // so the obsolete directory would survive — drop touched-minus-
+    // written explicitly (the mergePartitioned emptied-dir discipline)
+    val written = refreshed.select("p_day").distinct()
+      .collect().map(_.getDate(0)).toSet
+    val emptied = days.filterNot(written.contains)
+    if (emptied.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(martPath), spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { d =>
+        val rel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString("p_day", String.valueOf(d))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$martPath/$rel"), true)
+      }
+    }
   }
 
   /** Full (re)materialization — the bootstrap and the equivalence oracle. */

@@ -41,8 +41,7 @@ object Maintenance {
                      id: BatchId, w: BatchWindow,
                      startLedger: Long, endLedger: Long, table: String): Unit = {
     import java.time.Instant
-    val row = Row(id.value,
-      java.time.LocalDateTime.parse(Batch.naiveRunDate(w).toString),
+    val row = Row(id.value, Batch.naiveRunDate(w),
       startLedger, endLedger, table, Instant.now())
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), runStatsSchema)

@@ -65,15 +65,19 @@ object MergeOps {
     require(payload.toSet == after.columns.filterNot(keys.contains).toSet,
       "snapshotDiff requires identical schemas; diff schema evolution separately")
     val a = before.select(before.columns.map(c =>
-      if (keys.contains(c)) col(c) else col(c).as(s"a_$c")): _*)
+      if (keys.contains(c)) col(s"`$c`") else col(s"`$c`").as(s"a_$c")): _*)
       .withColumn("__in_a", lit(true))
     val b = after.select(after.columns.map(c =>
-      if (keys.contains(c)) col(c) else col(c).as(s"b_$c")): _*)
+      if (keys.contains(c)) col(s"`$c`") else col(s"`$c`").as(s"b_$c")): _*)
       .withColumn("__in_b", lit(true))
     // foldLeft, not reduce: a keys-only table (pure membership diff) has an
     // empty payload and must classify added/removed/unchanged, not crash
+    // backtick-quoted: a payload name containing a dot would otherwise
+    // parse as a struct-field access and fail analysis (the
+    // firstByKeyAgg dotted-name hazard)
+    def q(n: String) = col(s"`$n`")
     val nChanged = payload.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(!(col(s"a_$c") <=> col(s"b_$c")), 1).otherwise(0)
+      acc + when(!(q(s"a_$c") <=> q(s"b_$c")), 1).otherwise(0)
     }
     a.join(b, keys, "full_outer")
       .select(keys.map(col) :+

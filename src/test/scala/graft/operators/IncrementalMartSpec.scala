@@ -50,4 +50,37 @@ class IncrementalMartSpec extends SparkSpec {
     }
     assert(batchDays.subsetOf(after.keySet))
   }
+
+  test("a touched day that recomputes to ZERO mart rows drops its " +
+      "partition — dynamic overwrite alone would leave it stale") {
+    import spark.implicits._
+    val mart = graft.core.Scratch.dir("incmart_empty", sfDir)
+    // row-reducing mart: only positive amounts survive
+    val fn: DataFrame => DataFrame = f =>
+      f.filter(col("amount") > 0)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("amount")).as("total"))
+    val mk = (d: String, amt: Long) =>
+      (java.sql.Timestamp.valueOf(s"$d 10:00:00"), amt)
+    val seed = Seq(mk("2024-01-01", 5L), mk("2024-01-02", 7L))
+      .toDF("ts", "amount")
+    IncrementalMart.full(seed, mart, fn)
+    assert(spark.read.parquet(mart).count() == 2)
+    // the del-ins reload of Jan 2 zeroed its amounts: the recompute
+    // yields no mart row for that day, so the stale partition must go
+    val reloaded = Seq(mk("2024-01-01", 5L), mk("2024-01-02", -3L))
+      .toDF("ts", "amount")
+    val batch = Seq(mk("2024-01-02", -3L)).toDF("ts", "amount")
+    IncrementalMart.refresh(spark, reloaded, mart, batch, "ts", fn)
+    val got = spark.read.parquet(mart)
+      .select(col("day").cast("string"), col("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("2024-01-01", 5L)),
+      s"stale Jan-2 partition must be dropped: $got")
+    val stored = spark.read.parquet(mart).select("day", "total")
+    val recomputed = fn(reloaded).select("day", "total")
+    assert(stored.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(stored).isEmpty,
+      "stored mart must equal the full recompute")
+  }
 }
