@@ -94,11 +94,16 @@ object Bpe {
     var syms = initialSymbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
     syms.count()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (rnd <- 1 to rounds) {
+    var exhausted = false
+    for (rnd <- 1 to rounds if !exhausted) {
       val top = pairCounts(syms)
         .orderBy(col("cnt").desc, col("sym"), col("nxt"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) {
+        // no adjacent pair left to merge: every later round would re-run
+        // the same two window passes and an empty collect — stop
+        exhausted = true
+      } else {
         val row = top(0)
         val (l, r) = (row.getString(0), row.getString(1))
         merges += ((rnd, l, r, row.getLong(2)))

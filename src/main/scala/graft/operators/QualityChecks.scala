@@ -91,9 +91,7 @@ object QualityChecks {
     */
   def volumeAnomaly(df: DataFrame, dayCol: org.apache.spark.sql.Column,
                     window: Int, zThreshold: Double): DataFrame =
-    volumeAnomalyFromDaily(
-      df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n")),
-      window, zThreshold)
+    volumeAnomalyFromDaily(dailyCounts(df, dayCol), window, zThreshold)
 
   /** [[volumeAnomaly]] over a PRE-AGGREGATED (day, n) table — the form a
     * streaming monitor folds: per-batch partial day counts sum
@@ -106,6 +104,11 @@ object QualityChecks {
     val trail = org.apache.spark.sql.expressions.Window
       .orderBy("day").rowsBetween(-window, -1)
     daily
+      // a null day would sort FIRST in Spark's window (and LAST in
+      // DuckDB's) and shift every early trailing mean — the dailyCounts
+      // guard, applied here so pre-aggregated (streamed) inputs get it
+      // too
+      .filter(col("day").isNotNull)
       .withColumn("w", count(lit(1)).over(trail))
       .withColumn("s1", sum(col("n")).over(trail))
       .withColumn("s2", sum(col("n") * col("n")).over(trail))
@@ -138,7 +141,7 @@ object QualityChecks {
     */
   def madAnomaly(df: DataFrame, dayCol: org.apache.spark.sql.Column,
                  k: Double = 3.0): DataFrame = {
-    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(df, dayCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val medRow = daily.agg(expr("percentile(n, 0.5)")).head
     if (medRow.isNullAt(0)) {
@@ -207,17 +210,28 @@ object QualityChecks {
       // form's prefix bit-for-bit (same w_1 = 4 initialization).
       return ewmaChunked(daily, chunkDays = 32, maxN)
     }
-    require(nDays == 0 || maxN <= (Long.MaxValue >> (nDays + 1)),
-      s"ewmaDaily weighted sum would overflow: max daily count $maxN " +
-        s"over $nDays days exceeds ${Long.MaxValue >> (nDays + 1)}")
+    if (!(nDays == 0 || maxN <= (Long.MaxValue >> (nDays + 1)))) {
+      // release the pin BEFORE throwing — a guard failure must not leak
+      // the cached daily relation for the session lifetime
+      daily.unpersist(false)
+      sys.error(s"ewmaDaily weighted sum would overflow: max daily " +
+        s"count $maxN over $nDays days exceeds " +
+        s"${Long.MaxValue >> (nDays + 1)}")
+    }
     val w = Window.orderBy("day")
-    daily.withColumn("rn", row_number().over(w))
+    // materialize the small (calendar-sized) result so the pin can be
+    // released HERE instead of riding the session until a cache clear —
+    // across a long bench session unreleased daily pins accumulate
+    val out = daily.withColumn("rn", row_number().over(w))
       .withColumn("wi", when(col("rn") === 1, lit(4L))
         .otherwise(expr("shiftleft(1L, CAST(rn AS INT))")))
       .withColumn("sw", sum(col("n") * col("wi"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("day"), col("n"),
         (col("sw").cast("double") / pow(lit(2.0), col("rn") + 1)).as("ewma"))
+      .localCheckpoint()
+    daily.unpersist(false)
+    out
   }
 
   private def dailyCounts(df: DataFrame,
@@ -254,16 +268,18 @@ object QualityChecks {
   private def ewmaChunked(daily: DataFrame, chunkDays: Int,
                           maxN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(chunkDays >= 1 && chunkDays <= 60,
-      s"chunkDays must be in [1, 60], got $chunkDays")
-    // per-CHUNK overflow guard: the weighted sum inside one chunk is at
-    // most maxN · 2^(chunkDays+1); the chunk cut is exactly what keeps
-    // this bound independent of total history length
-    require(maxN <= (Long.MaxValue >> (chunkDays + 2)),
-      s"ewma chunk sum would overflow: max daily count $maxN with " +
-        s"chunkDays=$chunkDays exceeds ${Long.MaxValue >> (chunkDays + 2)} " +
-        "— use a smaller chunkDays")
+    // guards INSIDE the try: `daily` arrives persisted by the caller,
+    // and a guard failure must release the pin, not leak it
     try {
+      require(chunkDays >= 1 && chunkDays <= 60,
+        s"chunkDays must be in [1, 60], got $chunkDays")
+      // per-CHUNK overflow guard: the weighted sum inside one chunk is
+      // at most maxN · 2^(chunkDays+1); the chunk cut is exactly what
+      // keeps this bound independent of total history length
+      require(maxN <= (Long.MaxValue >> (chunkDays + 2)),
+        s"ewma chunk sum would overflow: max daily count $maxN with " +
+          s"chunkDays=$chunkDays exceeds ${Long.MaxValue >> (chunkDays + 2)} " +
+          "— use a smaller chunkDays")
       val w = Window.orderBy("day")
       val inChunk = daily
         .withColumn("rn", row_number().over(w))
@@ -377,7 +393,13 @@ object QualityChecks {
         col(s"${c}_n").as("n"), col(s"${c}_nulls").as("n_null"),
         col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
         round(s1 / n / fx, 6).as("mean_v"),
-        round(sqrt((n * s2 - s1 * s1)) / n / fx, 6).as("std_v"))
+        // clamp the radicand at 0: for a near-constant column with
+        // large fixed-point sums the double subtraction of two ~equal
+        // 1e32-scale products can land a hair NEGATIVE (ulp error on
+        // sums past 2^53), and sqrt of that is NaN where the true
+        // variance is 0
+        round(sqrt(greatest(n * s2 - s1 * s1, lit(0.0))) / n / fx, 6)
+          .as("std_v"))
     }
     wide.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }

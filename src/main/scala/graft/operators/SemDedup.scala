@@ -31,11 +31,23 @@ object SemDedup {
     */
   def semanticPairs(emb: DataFrame, nlist: Int, iters: Int, tau: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding"): DataFrame =
+    cellPairs(assigned(emb, nlist, iters, idCol, vecCol), tau, idCol, vecCol)
+
+  /** (cell, id, vec) under the refined centroids — the clustered table
+    * both entry points pair over. */
+  private def assigned(emb: DataFrame, nlist: Int, iters: Int,
+                       idCol: String, vecCol: String): DataFrame = {
     val cents = IvfIndex.lloydCentroids(emb, nlist, iters, idCol, vecCol)
     val asn = IvfIndex.assign(emb, cents, idCol, vecCol, nativeCosine = false)
-    val m = emb.join(asn, idCol)
-      .select(col("cell"), col(idCol), col(vecCol))
+    emb.join(asn, idCol).select(col("cell"), col(idCol), col(vecCol))
+  }
+
+  /** ONE pair rule (cell-confined self-join, rounded cosine, >= tau) —
+    * a second copy could silently drift from the shared oracle on
+    * precision or tie-break. */
+  private def cellPairs(m: DataFrame, tau: Double,
+                        idCol: String, vecCol: String): DataFrame = {
     val a = m.select(col("cell"), col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = m.select(col("cell"), col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.join(b, Seq("cell"))
@@ -54,16 +66,8 @@ object SemDedup {
   def semDedup(emb: DataFrame, nlist: Int, iters: Int, tau: Double,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val cents = IvfIndex.lloydCentroids(emb, nlist, iters, idCol, vecCol)
-    val asn = IvfIndex.assign(emb, cents, idCol, vecCol, nativeCosine = false)
-    val m = emb.join(asn, idCol)
-      .select(col("cell"), col(idCol), col(vecCol))
-    val a = m.select(col("cell"), col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = m.select(col("cell"), col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(VF.cosineNative(col("va"), col("vb")), 6))
-      .filter(col("cos") >= tau)
+    val m = assigned(emb, nlist, iters, idCol, vecCol)
+    val pairs = cellPairs(m, tau, idCol, vecCol)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val cc = Dedup.connectedComponents(emb.select(col(idCol)), idCol, pairs)
     m.select(col(idCol), col("cell"))

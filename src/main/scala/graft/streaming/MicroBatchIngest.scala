@@ -189,14 +189,17 @@ object MicroBatchIngest {
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLen: String = "10 minutes",
-                     watermark: String = "30 minutes"): DataFrame = {
+                     watermark: String = "30 minutes",
+                     valueCol: String = "value"): DataFrame = {
     // output window bounds stay TIMESTAMP even for NTZ input: the struct is
     // a derived bucket label, not the caller's column
     val (adapted, _) = toEventTime(events, Seq(tsCol))
     adapted
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      // the summed column is a declared parameter, not an undeclared
+      // 'value' requirement a generic (tsCol, keyCol) signature hides
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("value_sum"))
   }
 
   /** Streaming exact dedup: drop redelivered events by id, with state
@@ -228,44 +231,48 @@ object MicroBatchIngest {
   : org.apache.spark.sql.Dataset[graft.typed.Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapSeconds * 1000L
     events
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, it: Iterator[graft.typed.Event], state: GroupState[graft.typed.Session]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var open = state.getOption
-          val closed = scala.collection.mutable.ListBuffer.empty[graft.typed.Session]
-          if (sorted.isEmpty && state.hasTimedOut) {
-            open.foreach(closed += _)
-            state.remove()
-          } else {
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.ts.getTime - s.end_ts.getTime <= gapSeconds * 1000L =>
-                  // Out-of-order merge: an event inside the watermark may be
-                  // OLDER than the open session's end (late cross-batch
-                  // delivery). The session bounds must only ever widen —
-                  // regressing end_ts would let a later event be judged > gap
-                  // from a falsely-early end and split one real session in two.
-                  open = Some(s.copy(
-                    start_ts = if (e.ts.before(s.start_ts)) e.ts else s.start_ts,
-                    end_ts = if (e.ts.after(s.end_ts)) e.ts else s.end_ts,
-                    n_events = s.n_events + 1,
-                    value_sum = s.value_sum + e.value.getOrElse(0.0)))
-                case Some(s) =>
-                  closed += s
-                  open = Some(graft.typed.Session(uid, e.ts, e.ts, 1L,
-                    e.value.getOrElse(0.0)))
-                case None =>
-                  open = Some(graft.typed.Session(uid, e.ts, e.ts, 1L,
-                    e.value.getOrElse(0.0)))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end_ts.getTime + gapSeconds * 1000L)
-            }
+        (uid: Long, it: Iterator[graft.typed.Event],
+         state: GroupState[List[graft.typed.Session]]) =>
+          // State is the LIST of not-yet-definitive sessions, not just
+          // the newest one: closing a session the moment a later event
+          // opens the next would be premature while the watermark still
+          // admits a BRIDGE event between them (t=1000 then t=4000 with
+          // gap 1800: a late t=2500 inside the watermark merges both
+          // into ONE session — an eagerly-emitted [1000,1000] row could
+          // never be retracted and would contradict the batch
+          // gaps-and-islands semantics the oracle states).
+          val incoming = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => graft.typed.Session(uid, e.ts, e.ts, 1L,
+              e.value.getOrElse(0.0)))
+          val all = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.start_ts.getTime, s.end_ts.getTime))
+          // interval-merge under the gap rule (sorted by start, bounds
+          // only ever widen; sums fold in start order — deterministic)
+          val merged = all.foldLeft(List.empty[graft.typed.Session]) {
+            case (cur :: rest, s)
+              if s.start_ts.getTime - cur.end_ts.getTime <= gapMs =>
+              cur.copy(
+                end_ts = if (s.end_ts.after(cur.end_ts)) s.end_ts
+                         else cur.end_ts,
+                n_events = cur.n_events + s.n_events,
+                value_sum = cur.value_sum + s.value_sum) :: rest
+            case (acc, s) => s :: acc
+          }.reverse
+          // a session is definitive only once NO in-watermark event can
+          // still merge into it: end + gap strictly behind the watermark
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) =
+            merged.partition(_.end_ts.getTime + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end_ts.getTime + gapMs).min, wm + 1L))
           }
           closed.iterator
       }

@@ -29,6 +29,18 @@ object StreamingGate {
   private def cleanDir(spark: SparkSession, path: String): Unit =
     graft.core.Scratch.clean(spark, path)
 
+  /** Run `body` with shuffle partitions sized to DRAIN state volume (8 --
+    * ample for a gate's micro-batches; a cluster sizes this in its own
+    * conf), restoring the session setting afterwards. ONE definition:
+    * the save/set/restore block hand-copied per gate invites a missing
+    * `finally` that leaves every later batch query running at 8. */
+  private def withDrainPartitions[A](spark: SparkSession)(body: => A): A = {
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", pWas)
+  }
+
   /** Stage `df` to parquet and reopen it as a file stream (the shape real
     * ingest has: files arriving in a directory).
     */
@@ -51,9 +63,7 @@ object StreamingGate {
     // the state volume, not the session's scan parallelism: 8 is ample
     // for a gate drain; a cluster deployment sizes this in its own conf
     // (the setting is scoped to the drain and restored).
-    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withDrainPartitions(spark) {
       val q = ds.writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ck)
@@ -65,8 +75,6 @@ object StreamingGate {
         }
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", pWas)
     }
   }
 
@@ -308,9 +316,7 @@ object StreamingGate {
     // foreachBatch runs serially on the driver, so the version pointer is
     // plain local state; it only advances after a batch fully commits
     var cur = s"$mapRoot/v_init"
-    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withDrainPartitions(spark) {
       val q = stream.writeStream
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
@@ -326,8 +332,6 @@ object StreamingGate {
         }
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", pWas)
     }
     spark.read.parquet(cur)
   }
@@ -379,21 +383,23 @@ object StreamingGate {
         .filter(_ < id)
       if (vs.isEmpty) s"$stateRoot/v_init" else s"$stateRoot/v${vs.max}"
     }
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        if (!b.isEmpty) {
-          Sampling.priorityCandidatesPerKey(
-              spark.read.parquet(stateBefore(id)).unionByName(
-                b.select(col("lang"), col("doc_id"), col("n_chars"))),
-              "lang", "doc_id", "n_chars", k = 20)
-            .write.mode("overwrite").parquet(s"$stateRoot/v$id")
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            Sampling.priorityCandidatesPerKey(
+                spark.read.parquet(stateBefore(id)).unionByName(
+                  b.select(col("lang"), col("doc_id"), col("n_chars"))),
+                "lang", "doc_id", "n_chars", k = 20)
+              .write.mode("overwrite").parquet(s"$stateRoot/v$id")
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    q.awaitTermination()
+        .start()
+      q.awaitTermination()
+    }
     Sampling.prioritySamplePerKey(
         spark.read.parquet(stateBefore(Long.MaxValue)),
         "lang", "doc_id", "n_chars", k = 20)
@@ -425,9 +431,7 @@ object StreamingGate {
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     var cur = s"$store/v_init"
-    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withDrainPartitions(spark) {
       val q = stream.writeStream
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
@@ -443,8 +447,6 @@ object StreamingGate {
         }
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", pWas)
     }
     spark.read.parquet(cur)
       .select("user_id", "event_id", "value", "valid_from", "valid_to")
@@ -506,9 +508,7 @@ object StreamingGate {
     var maxSeenUs = Long.MinValue
     var seq = 0
     val audit = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
-    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withDrainPartitions(spark) {
       val q = stream.writeStream
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
@@ -529,8 +529,6 @@ object StreamingGate {
         }
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", pWas)
     }
     import spark.implicits._
     audit.toSeq.toDF("batch_seq", "n_total", "n_late", "late_id_sum")
@@ -583,16 +581,18 @@ object StreamingGate {
     ev.repartition(3).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        graft.operators.SketchMart.mergeDaily(b, mart, 32, col("h"), col("day"))
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.operators.SketchMart.mergeDaily(b, mart, 32, col("h"), col("day"))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     graft.operators.SketchMart.mergedDistinct(spark, mart, 32,
       date_trunc("week", col("day")).cast("date"), "week")
   }
@@ -659,17 +659,19 @@ object StreamingGate {
     media.repartition(3).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(media.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.sinks.VersionedTable.commitBatch(
-          Multimodal.imageHashes(b, "doc_id", "payload"),
-          idx, overwrite = false, txnId = s"img-$id")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            Multimodal.imageHashes(b, "doc_id", "payload"),
+            idx, overwrite = false, txnId = s"img-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     Multimodal.hashDupPairs(
       graft.sinks.VersionedTable.read(spark, idx), maxHamming = 8)
   }
@@ -698,17 +700,19 @@ object StreamingGate {
     media.repartition(3).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(media.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.sinks.VersionedTable.commitBatch(
-          Multimodal.videoFrameHashes(b, "doc_id", "payload"),
-          idx, overwrite = false, txnId = s"vid-$id")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            Multimodal.videoFrameHashes(b, "doc_id", "payload"),
+            idx, overwrite = false, txnId = s"vid-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     Multimodal.videoPairsFromFrameHashes(
       graft.sinks.VersionedTable.read(spark, idx),
       maxHamming = 8, minShared = 2)
@@ -745,18 +749,20 @@ object StreamingGate {
       .option("maxFilesPerTrigger", 1).parquet(in)
     // the frozen model is one lazy 64-row scan reused by every batch
     val w = spark.read.parquet(model)
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.sinks.VersionedTable.commitBatch(
-          QualityClassifier.score(
-            QualityClassifier.featurize(b, "doc_id", "text", dims = 64), w),
-          idx, overwrite = false, txnId = s"qc-$id")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            QualityClassifier.score(
+              QualityClassifier.featurize(b, "doc_id", "text", dims = 64), w),
+            idx, overwrite = false, txnId = s"qc-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     graft.sinks.VersionedTable.read(spark, idx)
   }
 
@@ -789,20 +795,22 @@ object StreamingGate {
       .option("maxFilesPerTrigger", 1).parquet(in)
     // frozen centroids: one lazy 16-row scan reused by every batch
     val cents = spark.read.parquet(s"$base/centroids")
-    val qs = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        val asn = IvfIndex.assign(b, cents, "vec_id", "embedding")
-        graft.sinks.VersionedTable.commitBatch(
-          b.join(asn, "vec_id")
-            .withColumn("sc", VF.quantScale(col("embedding")))
-            .withColumn("q8", VF.quantize(col("embedding"), col("sc"))),
-          idx, overwrite = false, txnId = s"ann-$id")
-        ()
-      }
-      .start()
-    qs.awaitTermination()
+    withDrainPartitions(spark) {
+      val qs = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val asn = IvfIndex.assign(b, cents, "vec_id", "embedding")
+          graft.sinks.VersionedTable.commitBatch(
+            b.join(asn, "vec_id")
+              .withColumn("sc", VF.quantScale(col("embedding")))
+              .withColumn("q8", VF.quantize(col("embedding"), col("sc"))),
+            idx, overwrite = false, txnId = s"ann-$id")
+          ()
+        }
+        .start()
+      qs.awaitTermination()
+    }
     val cells = IvfIndex.probedCells(spark, base, q, nprobe = 4)
     val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
     val scan = spark.read.parquet(s"$base/index").select(cols: _*)
@@ -834,18 +842,20 @@ object StreamingGate {
     ev.repartition(3).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.sinks.VersionedTable.commitBatch(
-          b.groupBy(to_date(col("ts")).as("day"))
-            .agg(count(lit(1)).as("n")),
-          idx, overwrite = false, txnId = s"va-$id")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            b.groupBy(to_date(col("ts")).as("day"))
+              .agg(count(lit(1)).as("n")),
+            idx, overwrite = false, txnId = s"va-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     val daily = graft.sinks.VersionedTable.read(spark, idx)
       .groupBy("day").agg(sum(col("n")).as("n"))
     graft.operators.QualityChecks.volumeAnomalyFromDaily(daily,
@@ -879,22 +889,24 @@ object StreamingGate {
     ev.repartition(3).write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = stream.writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.sinks.VersionedTable.commitBatch(
-          b.withColumn("period",
-              when(to_date(col("ts")) <
-                date_add(lit(d0), cutDays), "A").otherwise("B"))
-            .withColumn("bin", floor(col("value") / 5.0).cast("long"))
-            .groupBy(col("event_type"), col("period"), col("bin"))
-            .agg(count(lit(1)).as("cnt")),
-          idx, overwrite = false, txnId = s"dr-$id")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.commitBatch(
+            b.withColumn("period",
+                when(to_date(col("ts")) <
+                  date_add(lit(d0), cutDays), "A").otherwise("B"))
+              .withColumn("bin", floor(col("value") / 5.0).cast("long"))
+              .groupBy(col("event_type"), col("period"), col("bin"))
+              .agg(count(lit(1)).as("cnt")),
+            idx, overwrite = false, txnId = s"dr-$id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     val binned = graft.sinks.VersionedTable.read(spark, idx)
       .groupBy("event_type", "period", "bin")
       .agg(sum(col("cnt")).as("cnt"))

@@ -242,6 +242,39 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(sessions(1).n_events == 1)
   }
 
+  test("sessionize: a late in-watermark BRIDGE event merges two pending " +
+      "sessions into one — neither may close while a bridge is possible") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, uid: Long) =
+      graft.typed.Event(id, java.sql.Timestamp.valueOf(ts), uid, "click", Some(1.0), "{}")
+    val src = MemoryStream[graft.typed.Event]
+    val out = MicroBatchIngest.sessionize(src.toDS(), gapSeconds = 600L)
+    val q = out.writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").start()
+    // batch 1: t=10:00; batch 2: t=10:18 — 18 min apart (> 10-min gap),
+    // so a naive stream would close [10:00] NOW, though the watermark
+    // (10:08) still admits an event between them
+    src.addData(ev(1, "2024-01-01 10:00:00", 9))
+    q.processAllAvailable()
+    src.addData(ev(2, "2024-01-01 10:18:00", 9))
+    q.processAllAvailable()
+    // batch 3: the bridge at 10:09 (inside the 10:08 watermark) — gaps
+    // 9 min and 9 min, so batch semantics say ONE session of 3 events
+    src.addData(ev(3, "2024-01-01 10:09:00", 9))
+    q.processAllAvailable()
+    src.addData(ev(4, "2024-01-01 12:00:00", 10)) // expire everything
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_bridge")
+      .as[graft.typed.Session].collect().filter(_.user_id == 9)
+    assert(sessions.length == 1, s"bridged session must be ONE: ${sessions.toSeq}")
+    assert(sessions(0).n_events == 3 && sessions(0).value_sum == 3.0)
+    assert(sessions(0).start_ts.toString.startsWith("2024-01-01 10:00") &&
+      sessions(0).end_ts.toString.startsWith("2024-01-01 10:18"))
+  }
+
   test("sessionize: a late in-watermark event widens the session, never splits it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
