@@ -15,10 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * expression emits a single fused primitive loop (no allocations, no
   * virtual calls) via doGenCode, staying inside WholeStageCodegen.
   *
-  * Semantics match the composable version exactly: dot product over the
-  * common prefix, norms over each full vector, left-to-right double
-  * accumulation (bit-identical to a sequential fold — the property the
-  * DuckDB oracle comparison relies on). Null elements contribute 0.
+  * Semantics match the composable version exactly ON THE ENGINE'S
+  * EMBEDDING CONTRACT — equal-length vectors with no null elements
+  * (every corpus path guarantees it): dot product, norms, left-to-right
+  * double accumulation (bit-identical to a sequential fold — the
+  * property the DuckDB oracle comparison relies on). OUTSIDE that
+  * contract the two deliberately differ and callers must not mix them:
+  * here a null ELEMENT contributes 0 and a ragged pair dots the common
+  * prefix, where the composable zip_with/aggregate null-propagates the
+  * whole fold to the guarded 0.0; a NULL vector yields SQL NULL here
+  * (UnaryExpression null-intolerance) vs 0.0 there.
   * A zero-norm side yields 0.0, NOT 0/0 = NaN: Spark orders NaN as the
   * LARGEST double, so a NaN cosine would rank an all-zero vector as the
   * #1 neighbor of every query and pass every tau threshold — defining

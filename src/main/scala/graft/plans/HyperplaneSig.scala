@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
 case class HyperplaneSig(child: Expression, planes: Int, dims: Int)
   extends UnaryExpression {
 
+  // planes = 0 would emit an empty signature for EVERY row — the bucket
+  // equi-join degenerates to the full cross product LSH exists to avoid;
+  // negative values would crash per row instead of at analysis
+  require(planes >= 1 && dims >= 1,
+    s"graft_hplane_sig needs planes >= 1 and dims >= 1, got $planes/$dims")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(

@@ -43,6 +43,12 @@ object IntervalBroadcastRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def broadcastSafe(p: LogicalPlan): Boolean = {
     val auto = conf.autoBroadcastJoinThreshold
+    // threshold <= 0 (auto-broadcast disabled) does NOT disable this
+    // rule — Spark's own broadcast() hint likewise bypasses the
+    // threshold, and rescuing a keyless range join from a cartesian is
+    // exactly why the hint/rule exists; the 256 MB fallback cap bounds
+    // the forced side by what a driver holds (spec-pinned: the rule
+    // fires under threshold=-1 for a tiny side, never for a huge one)
     val cap = if (auto > 0) BigInt(auto) * 8 else BigInt(256L << 20)
     p.stats.sizeInBytes <= cap
   }

@@ -86,24 +86,11 @@ case class KmvKthMin(
       buf.size,
       if (buf.size >= k) UTF8String.fromString(buf.last) else null))
 
-  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) out.writeUTF(it.next())
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] =
+    KmvKthMin.serializeSet(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.TreeSet[String]()
-    var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] =
+    KmvKthMin.deserializeSet(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvKthMin =
     copy(mutableAggBufferOffset = newOffset)
@@ -173,24 +160,11 @@ case class KmvMins(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
-  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) out.writeUTF(it.next())
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] =
+    KmvKthMin.serializeSet(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.TreeSet[String]()
-    var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] =
+    KmvKthMin.deserializeSet(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
     copy(mutableAggBufferOffset = newOffset)
@@ -213,12 +187,41 @@ object KmvKthMin {
     if (buf.size < k) { buf.add(s); () }
     else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.pollLast(); () }
 
+  /** ONE TreeSet codec shared by both KMV aggregates — two hand-copied
+    * implementations could drift shuffle-incompatible. writeUTF is fine
+    * HERE (values are contractually short hex hashes, never unbounded
+    * text — the MgTopK length-prefix concern does not apply). */
+  def serializeSet(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeSet(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    buf
+  }
+
   /** The (k-1)/U(k) estimator over the sketch state; below k distinct
     * values the retained count IS the exact answer.
     */
   def estimate(nCapped: Int, kth: Option[String], k: Int): Double =
     kth match {
       case Some(h) if nCapped >= k =>
+        // the normalization assumes >= 13 hex chars (the md5-hash
+        // contract): a shorter hash would inflate the estimate ~2^20
+        // SILENTLY, a non-hex one would throw a bare NumberFormat
+        require(h.length >= 13 &&
+          h.take(13).forall(c => Character.digit(c, 16) >= 0),
+          s"KMV estimate needs >= 13 hex chars, got '${h.take(16)}'")
         (k - 1).toDouble * TwoPow52 /
           java.lang.Long.parseLong(h.take(13), 16).toDouble
       case _ => nCapped.toDouble

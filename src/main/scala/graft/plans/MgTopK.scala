@@ -91,7 +91,13 @@ case class MgTopK(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed bytes, NOT writeUTF: the tracked values are
+      // arbitrary tokens/URLs from unbounded keyspaces, and writeUTF
+      // throws past 64 KB of modified-UTF-8 — one pathological crawl
+      // token in the k-entry buffer would crash the whole aggregation
+      // at shuffle time
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -102,7 +108,12 @@ case class MgTopK(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long]()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -38,15 +38,32 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_nfc"
 
-  override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString,
-      java.text.Normalizer.Form.NFC))
+  override def nullSafeEval(input: Any): Any = {
+    // isNormalized is a cheap quick-check that passes for nearly all
+    // real text (ASCII and precomposed) — skip both the normalize and
+    // the String -> UTF8String re-encode on the hot pre-dedup path
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"UTF8String.fromString(java.text.Normalizer.normalize(" +
-        s"$c.toString(), java.text.Normalizer.Form.NFC))")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("nfcs")
+      s"""
+         |String $s = $c.toString();
+         |if (java.text.Normalizer.isNormalized(
+         |    $s, java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  ${ev.value} = UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
