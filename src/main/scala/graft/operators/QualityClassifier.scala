@@ -49,27 +49,33 @@ object QualityClassifier {
   def featurizeSeeded(docs: DataFrame, idCol: String, textCol: String,
                       seed: Column => Column, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    val p = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
-      // spread the rows (a narrow two-column shuffle) BEFORE the
-      // per-token md5 work so hashing runs on every slot even when the
-      // source is one parquet split; on a many-split production table
-      // this exchange is AQE-coalesced noise (coEngagementTop500Fresh
-      // precedent)
-      .repartition(p)
+      // hash-spread by doc_id (a narrow two-column shuffle) BEFORE the
+      // per-token work so tokenizing runs on every slot even when the
+      // source is one parquet split — and, because HashPartitioning on
+      // doc_id co-locates every row of both downstream grouping keys
+      // ((doc_id, seed, token) and (doc_id, seed, bucket)), this is the
+      // ONLY exchange in the featurization: both aggregates run
+      // shuffle-free on top of it
+      .repartition(col("doc_id"))
       .select(col("doc_id"), seed(col("lt")).as("seed"),
         explode(TextFunctions.tokens(col("lt"))).as("token"))
-      // ONE md5 per token: bucket and sign both read the same digest
-      // column (two featureHash* calls would hash every token twice —
-      // CSE across the aggregate boundary is not guaranteed)
-      .select(col("doc_id"), col("seed"), md5(col("token")).as("h"))
+      // collapse to DISTINCT (doc, token) with its multiplicity BEFORE
+      // hashing: md5 cost drops by the token-repetition factor — the
+      // digest count is vocabulary-per-doc-sized, not corpus-token-sized
+      .groupBy("doc_id", "seed", "token")
+      .agg(count(lit(1)).as("n"))
+      // ONE md5 per distinct token: bucket and sign both read the same
+      // digest column (two featureHash* calls would hash twice — CSE
+      // across the aggregate boundary is not guaranteed)
+      .select(col("doc_id"), col("seed"), col("n"), md5(col("token")).as("h"))
       .select(col("doc_id"), col("seed"),
         (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % dims)
           .as("bucket"),
-        when(conv(substring(col("h"), 5, 1), 16, 10).cast("long") % 2 === 0,
-          1L).otherwise(-1L).as("sign"))
+        (when(conv(substring(col("h"), 5, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L) * col("n")).as("sv"))
       .groupBy("doc_id", "seed", "bucket")
-      .agg(sum(col("sign")).as("v"))
+      .agg(sum(col("sv")).as("v"))
   }
 
   /** Inference-side features (no label): (doc_id, bucket, v). */
