@@ -201,9 +201,20 @@ object Dedup {
   private val scopePins = new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]]
 
   private def materialize(df: DataFrame): DataFrame = {
+    val p = lazyPin(df)
+    p.count()
+    p
+  }
+
+  /** Pin WITHOUT the eager count — for a relation whose cache is filled
+    * as a side effect of a downstream materialize (it sits on the lineage
+    * of an eagerly-counted child) or whose readers are strictly
+    * sequential actions. NOT safe for a relation first read by two
+    * concurrent subplans of one action (the documented AQE recompute
+    * race) — those need [[materialize]]'s eager fill. */
+  private def lazyPin(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
     val scope = scopePins.get()
     if (scope != null) scope += p else pinned.synchronized { pinned += p }
     p
@@ -490,11 +501,16 @@ object Dedup {
   private def deltaBandPairs(delta: DataFrame, idCol: String, textCol: String,
                              index: NearDupIndex, n: Int, k: Int, bands: Int)
   : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val dDg = materialize(
+    // dDg and dSigsz sit on dBands' lineage, so the ONE eager count below
+    // fills all three caches in a single job — separate counts per
+    // relation tripled the per-crawl fixed job cost for nothing. Their
+    // later readers (verify legs, index commits) are sequential actions
+    // over the already-filled caches, so the lazy pin is race-free.
+    val dDg = lazyPin(
       shingleRows(delta, idCol, textCol, n)
         .select(col("id"), md5(col("shingle")).as("d"))
         .distinct())
-    val dSigsz = materialize(signatureAgg(dDg, k, withSize = true))
+    val dSigsz = lazyPin(signatureAgg(dDg, k, withSize = true))
     val dBands = materialize(bandRows(dSigsz, k, bands))
     val pairs = dBands.as("a")
       .join(index.bands.unionByName(dBands).as("b"),
@@ -556,9 +572,17 @@ object Dedup {
             sys.error(s"ingestDeltaCrawl: commit rename failed for $dst")
         }
       }
-      commitPart("digests", dDg)
-      commitPart("bands", dBands)
-      commitPart("sizes", dSigsz.select(col("id"), col("sz")))
+      // the three part commits are independent (disjoint dirs, all read
+      // already-filled caches), so submit them as concurrent jobs — the
+      // crawl pays one write latency instead of three
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(commitPart("digests", dDg)),
+        Future(commitPart("bands", dBands)),
+        Future(commitPart("sizes", dSigsz.select(col("id"), col("sz")))))),
+        Duration.Inf)
     }
     pins.foreach(_.unpersist(false))
   }
