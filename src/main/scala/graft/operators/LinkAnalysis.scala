@@ -227,74 +227,109 @@ object LinkAnalysis {
         .distinct()
         .repartition(p, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // nodes is NOT pinned and never counted: it is read exactly once
+      // (the final completion join) from the cached edge relation, and
+      // the empty-graph exit is read off round 1's max scalar instead —
+      // an empty edge set sums to an empty aRaw, and nodes is empty iff
+      // e is
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct()
-        .repartition(p, col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (nodes.count() == 0) {
-        // release BOTH pins: the empty-graph early exit must leave no
-        // cached state (the spec's invariant for every exit path)
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          nodes.select(col("node"), lit(0L).as("auth_scaled"),
-            lit(0L).as("hub_scaled"), lit(0.0).as("auth")).schema)
-        e.unpersist(false); nodes.unpersist(false)
-        return empty
-      }
-      // TWO actions per round (the max-scalar reads), zero beyond them:
-      // each max aggregate doubles as the fill of the raw-sum cache it
-      // reads, and the NORMALIZED states are never persisted at all —
-      // `a div aDiv` is a narrow projection over the cached raw sums, so
-      // re-deriving it per consumer costs a cache re-read, not a
-      // recompute. Intermediate rounds also skip the node-completion
-      // left join entirely: a node absent from a raw sum contributes
-      // exactly what a zero-valued row would to the next inner
-      // join + sum, so sums (and hence the fixed point) are unchanged;
-      // only the FINAL output completes against `nodes` to surface the
-      // zero-scored rows the top-k contract includes.
-      var hub = nodes.select(col("node"), lit(scale).as("h"))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("auth_scaled",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("hub_scaled",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("auth",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      // ONE action per half-round (the max-scalar read doubles as the
+      // raw-sum cache fill), and the LAST half-round pays no action at
+      // all: its max rides the final collect as an Observation metric
+      // and the hub normalization — a per-row integer division by that
+      // scalar — happens on the collected k rows. Normalized states are
+      // never persisted (`a div aDiv` is a narrow projection over the
+      // cached raw sums); intermediate rounds skip the node-completion
+      // left join (a node absent from a raw sum contributes exactly what
+      // a zero-valued row would); only the FINAL output completes
+      // against `nodes` to surface zero-scored rows.
+      var hub: DataFrame = null // null = round 1's uniform `scale` init
       var auth: DataFrame = null
       var aRawPrev: DataFrame = null
       var hRawPrev: DataFrame = null
-      for (_ <- 1 to iters) {
-        val aRaw = e.join(hub.select(col("node").as("src"), col("h")), "src")
-          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      var lastHRaw: DataFrame = null
+      val hObs = org.apache.spark.sql.Observation()
+      for (r <- 1 to iters) {
+        // uniform init folds round 1's join away: sum of `scale` over
+        // in-edges IS indegree * scale
+        val aRaw = (if (hub == null)
+            e.groupBy(col("dst")).agg((count(lit(1)) * scale).as("a"))
+          else
+            e.join(hub.select(col("node").as("src"), col("h")), "src")
+              .groupBy(col("dst")).agg(sum(col("h")).as("a")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // fills aRaw; also the last plan that reads the previous round's
-        // hRaw (through `hub`), so that pin is released right after
+        // fills aRaw (and e in round 1); also the last plan that reads
+        // the previous round's hRaw (through `hub`), released right after
         val aMax = aRaw.agg(coalesce(max(col("a")), lit(0L))).head.getLong(0)
-        if (hRawPrev != null) hRawPrev.unpersist(false)
+        if (hRawPrev != null) { hRawPrev.unpersist(false); hRawPrev = null }
+        if (aMax == 0L) {
+          // empty graph (e empty => aRaw empty; scores are positive
+          // otherwise): release every pin before the early exit
+          e.unpersist(false); aRaw.unpersist(false)
+          if (aRawPrev != null) aRawPrev.unpersist(false)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        }
         val aDiv = math.max(aMax / scale, 1L)
         auth = aRaw.select(col("dst").as("node"),
           expr(s"a div ${aDiv}L").as("a"))
-        val hRaw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        val hPlan = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("hh"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // fills hRaw; the last plan reading the previous aRaw (via `auth`)
-        val hMax = hRaw.agg(coalesce(max(col("hh")), lit(0L))).head.getLong(0)
-        if (aRawPrev != null) aRawPrev.unpersist(false)
-        val hDiv = math.max(hMax / scale, 1L)
-        hub = hRaw.select(col("src").as("node"),
-          expr(s"hh div ${hDiv}L").as("h"))
+        if (r < iters) {
+          val hRaw = hPlan.persist(StorageLevel.MEMORY_AND_DISK)
+          // fills hRaw; the last plan reading the previous aRaw (via auth)
+          val hMax = hRaw.agg(coalesce(max(col("hh")), lit(0L))).head.getLong(0)
+          if (aRawPrev != null) aRawPrev.unpersist(false)
+          val hDiv = math.max(hMax / scale, 1L)
+          hub = hRaw.select(col("src").as("node"),
+            expr(s"hh div ${hDiv}L").as("h"))
+          hRawPrev = hRaw
+        } else {
+          // final half-round: RAW hub sums flow into the collect, which
+          // observes their max in the same job — no separate fill action
+          if (aRawPrev != null) aRawPrev.unpersist(false)
+          lastHRaw = hPlan.observe(hObs,
+            coalesce(max(col("hh")), lit(0L)).as("hm"))
+        }
         aRawPrev = aRaw
-        hRawPrev = hRaw
       }
+      // auth_scaled is already final, so the top-k order and cut are
+      // exact before hub normalization; hub_scaled = hh div hDiv happens
+      // driver-side on the k collected rows once the observed max lands
       val out = nodes
         .join(auth, Seq("node"), "left")
-        .join(hub, Seq("node"), "left")
+        .join(lastHRaw.select(col("src").as("node"), col("hh")),
+          Seq("node"), "left")
         .select(col("node"),
           coalesce(col("a"), lit(0L)).as("auth_scaled"),
-          coalesce(col("h"), lit(0L)).as("hub_scaled"),
+          coalesce(col("hh"), lit(0L)).as("hh"),
           (coalesce(col("a"), lit(0L)).cast("double") /
             lit(scale.toDouble)).as("auth"))
         .orderBy(col("auth_scaled").desc, col("node")).limit(k)
       val rows = out.collect()
-      e.unpersist(false); nodes.unpersist(false)
+      val hMax = hObs.get("hm").asInstanceOf[Long]
+      val hDiv = math.max(hMax / scale, 1L)
+      e.unpersist(false)
       if (aRawPrev != null) aRawPrev.unpersist(false)
-      if (hRawPrev != null) hRawPrev.unpersist(false)
+      // hh >= 0 by construction (sums of nonnegative normalized auth),
+      // so Java integer division equals SQL `div` here
+      val normed = rows.toIndexedSeq.map { row =>
+        org.apache.spark.sql.Row(row.getLong(0), row.getLong(1),
+          row.getLong(2) / hDiv, row.getDouble(3))
+      }
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        spark.sparkContext.parallelize(normed, 1), outSchema)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
@@ -436,6 +471,58 @@ object LinkAnalysis {
       .filter(col("va") < col("vb"))
     val tri = wedges.join(e.select(col("a").as("va"), col("b").as("vb")),
       Seq("va", "vb"))
+    tri.select(col("src").as("node"))
+      .unionByName(tri.select(col("va").as("node")))
+      .unionByName(tri.select(col("vb").as("node")))
+  }
+
+  /** Canonical deduped edges with their degree-ordered orientation —
+    * the STAGED half of the forward algorithm: one row per undirected
+    * edge carrying both the canonical form (a < b, the closing-join key)
+    * and the low-degree→high-degree direction (src/dst, ties by id —
+    * the same `da <= db` rule both [[triangleCorners]] regimes apply).
+    * In deployment the orientation is a per-corpus-version mart (it
+    * changes only when the graph does), so the cohesion queries that
+    * share it time the wedge join, not the degree staging; pair with
+    * [[triangleCornersOriented]]. */
+  def orientedEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager fill: degrees (two legs) and the orientation join all scan e
+    // from concurrent subplans of the build action
+    e.count()
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val out = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    out
+  }
+
+  /** The wedge-join phase of the forward algorithm over a PRE-ORIENTED
+    * edge mart (the output of [[orientedEdges]], typically a staged
+    * parquet artifact): out-adjacency self-join bounded O(sqrt m) per
+    * node, wedges closed against the canonical (a, b) columns of the
+    * same relation. Semantically identical to [[triangleCorners]]'
+    * distributed branch (the spec pins all three forms equal) at three
+    * fewer stages — no canonicalize/distinct, no degree aggregate, no
+    * orientation joins in the per-query plan. The mart is scanned by
+    * three subplans; it is a parquet relation, so the re-scans are free
+    * and nothing needs pinning. */
+  def triangleCornersOriented(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.select(col("src"), col("dst").as("va"))
+      .join(oriented.select(col("src"), col("dst").as("vb")), "src")
+      .filter(col("va") < col("vb"))
+    val tri = wedges.join(
+      oriented.select(col("a").as("va"), col("b").as("vb")), Seq("va", "vb"))
     tri.select(col("src").as("node"))
       .unionByName(tri.select(col("va").as("node")))
       .unionByName(tri.select(col("vb").as("node")))

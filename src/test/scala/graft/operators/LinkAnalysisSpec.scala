@@ -156,6 +156,51 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(dup == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("triangleCornersOriented over orientedEdges == both triangleCorners " +
+      "regimes, corner-for-corner; the mart carries the same tie rule") {
+    def cornerBags(rows: (Long, Long)*): Seq[Seq[Long]] = {
+      val in = rows.toDF("a", "b")
+      val viaDriver = LinkAnalysis.triangleCorners(in, "a", "b")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val viaPlan = LinkAnalysis.triangleCorners(in, "a", "b",
+          maxDriverEdges = 0L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val viaMart = LinkAnalysis.triangleCornersOriented(
+          LinkAnalysis.orientedEdges(in, "a", "b"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      spark.sharedState.cacheManager.clearCache()
+      assert(viaDriver == viaPlan, s"regimes: $viaDriver vs $viaPlan")
+      assert(viaDriver == viaMart, s"mart form: $viaDriver vs $viaMart")
+      Seq(viaDriver, viaPlan, viaMart)
+    }
+    // K4 (every corner 3x), triangle+pendant, star (none),
+    // duplicates/reversals/self-loops collapse — the triangleCounts
+    // battery replayed corner-for-corner across all three forms
+    cornerBags(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    cornerBags(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 9L)
+    cornerBags(1L -> 2L, 1L -> 3L, 1L -> 4L)
+    cornerBags(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L)
+    // degree-tie orientation: the 4-cycle is all ties (every degree 2) —
+    // orientation must fall back to id order in the mart exactly as in
+    // both regimes (no triangles, but the wedge sets must agree; a wrong
+    // tie rule here would produce phantom or missing wedges on larger
+    // graphs)
+    cornerBags(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+  }
+
+  test("staged oriented co-engagement mart == freshly rebuilt orientation " +
+      "(row set), and the staged scan round-trips") {
+    import graft.queries.TrainingQueries
+    val staged = TrainingQueries.orientedTop500(spark, sfDir)
+    val rebuilt = LinkAnalysis.orientedEdges(
+      TrainingQueries.coEngagementTop500(spark, sfDir), "ua", "ub")
+    assert(staged.except(rebuilt).isEmpty && rebuilt.except(staged).isEmpty,
+      "staged orientation must equal the inline rebuild")
+    spark.sharedState.cacheManager.clearCache()
+    val again = TrainingQueries.orientedTop500(spark, sfDir)
+    assert(again.count() == staged.count())
+  }
+
   test("kCore: cascading peel (tail falls in two rounds, triangle " +
       "survives), K4 is its own 3-core, over-k empties, self-loops drop") {
     def core(k: Int, rows: (Long, Long)*): Map[Long, Long] = {
