@@ -281,6 +281,13 @@ object Multimodal {
     require(maxHamming >= 0 && maxBucket >= 2)
     val hashed = hashedIn.select(col("doc_id"), col("phash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the hot-bucket aggregate and BOTH self-join legs read
+    // this pin from concurrent subplans of one action — lazily pinned,
+    // each reference can recompute the expensive upstream (real
+    // image/video decode) per the documented AQE race. The pin is
+    // released by the session's per-query cache clear (Verify/Bench),
+    // like the other lazy-returning dedup relations.
+    hashed.count()
     val banded = hashed.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(3))).as("b"))
       .select(col("doc_id"), col("phash"), col("b"),

@@ -200,6 +200,12 @@ object AvroIO {
         val in = ffs.open(new org.apache.hadoop.fs.Path(f))
         val reader = new DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
+        // a task that stops consuming early (limit/take, downstream
+        // failure) never drives hasNext to false, so the stream would
+        // leak until GC — the completion listener closes it
+        // deterministically on every task exit path (close is idempotent)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
         // name drift fails loudly up front (get(name) on a missing
         // field would return silent nulls on every row), and rows
         // stream lazily — a shard is never buffered whole in memory

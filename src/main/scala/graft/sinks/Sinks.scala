@@ -23,15 +23,29 @@ object Sinks {
     * cluster key inside each file give the same scan-pruning benefit
     * min/max parquet stats provide.
     */
+  /** Writer parallelism per partition value in [[partitionedAppend]]:
+    * bounds the file count at `salt` files per partition value while
+    * letting a skewed value (one hot day) write through `salt` tasks
+    * instead of serializing through one. */
+  private val appendSalt = 4
+
   def partitionedAppend(df: DataFrame, path: String,
                         partitionCols: Seq[String], clusterCols: Seq[String] = Nil): Unit = {
-    // co-locate each partition value into one task BEFORE partitionBy:
-    // without it every (input task x partition value) pair emits its own
-    // tiny file — the small-file explosion that kills day-partitioned
-    // tables at scale (the sandboxCtas convention, applied to K1);
-    // cluster-sorting then happens within the co-located task so each
-    // file keeps tight min/max stats
-    val placed = df.repartition(partitionCols.map(col): _*)
+    // co-locate each partition value into a BOUNDED number of tasks
+    // BEFORE partitionBy: repartitioning on the partition columns alone
+    // fixed the small-file explosion (every input task x partition value
+    // emitting its own tiny file) but serialized each value through ONE
+    // task — write throughput and task memory then scale with the
+    // largest partition, and one hot day stalls the job. A bounded salt
+    // keeps the file count at <= appendSalt per value while a skewed
+    // value still writes in parallel; cluster-sorting happens within
+    // each co-located task so files keep tight min/max stats
+    // the id cycles within every input partition, so even a
+    // single-input-partition hot value spreads across all salt buckets
+    val salt = pmod(monotonically_increasing_id(), lit(appendSalt.toLong))
+    val placed = df.withColumn("__salt", salt)
+      .repartition((partitionCols.map(col) :+ col("__salt")): _*)
+      .drop("__salt")
     val sorted =
       if (clusterCols.nonEmpty)
         placed.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)

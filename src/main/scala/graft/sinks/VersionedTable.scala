@@ -68,29 +68,48 @@ object VersionedTable {
     manifestLines(f, root, v).collect {
       case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }
 
+  /** Publish `tmp` as `fin` atomically, FAILING (returning false) if
+    * `fin` already exists — the fencing primitive the commit protocol
+    * rests on. Plain rename is NOT that primitive on local filesystems
+    * (File.renameTo silently overwrites an existing destination), so on
+    * file:// the publish is a hard LINK — link(2) is atomic and fails
+    * with EEXIST — with the tmp unlinked after; on HDFS-like stores,
+    * FileSystem.rename already refuses an existing destination. */
+  private def publishNoReplace(f: FileSystem, tmp: Path, fin: Path): Boolean =
+    if (f.getUri.getScheme == null || f.getUri.getScheme == "file") {
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dst = java.nio.file.Paths.get(fin.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dst, src)
+        f.delete(tmp, false) // Hadoop delete drops the checksum sidecar too
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, fin)
+
   private def writeManifest(f: FileSystem, root: String, v: Long,
                             files: Seq[String], txns: Seq[String] = Seq.empty): Unit = {
     f.mkdirs(manifestDir(root))
-    // ATOMIC version claim: rename-if-absent is not a primitive on
-    // local filesystems (File.renameTo silently OVERWRITES, so two
-    // concurrent commits both reading prev = N would have the second
-    // clobber the first's manifest and its txn ledger — a lost commit
-    // behind an exactly-once guarantee). createNewFile is O_EXCL on
-    // local and create-no-overwrite on HDFS: exactly one committer
-    // claims v, the loser errors and retries against v+1. Only the
-    // claim holder ever writes v$v.manifest, so the content rename
-    // below cannot race. Claim markers are dot-files the version
-    // listing ignores.
+    // Version claim, advisory half: createNewFile is O_EXCL on local and
+    // create-no-overwrite on HDFS, so of two concurrent commits both
+    // reading prev = N exactly one claims v and the loser fails fast
+    // BEFORE writing a manifest. The claim alone is not the safety
+    // argument — see the publish below. Claim markers are dot-files the
+    // version listing ignores.
     val claim = new Path(manifestDir(root), s".v$v.claim")
     val fin = new Path(manifestDir(root), s"v$v.manifest")
     if (!f.createNewFile(claim)) {
-      // crash recovery: a committer that died between claim and rename
+      // crash recovery: a committer that died between claim and publish
       // leaves an orphan claim that would block v forever. A claim with
-      // NO manifest after a 60s grace period is such an orphan — break
-      // it and re-race the claim (two recoverers both deleting is
-      // idempotent; createNewFile then picks exactly one winner). A
-      // LIVE concurrent committer inside the grace window still errors
-      // out here, which is the lost-update protection working.
+      // NO manifest after a 60s grace period is treated as such an
+      // orphan — break it and re-race the claim (two recoverers both
+      // deleting is idempotent; createNewFile picks one winner). A LIVE
+      // committer inside the grace window still errors out here. If the
+      // grace call is ever WRONG — a live committer paused past 60s, or
+      // clock skew on a remote mount mis-ages the claim — the breaker
+      // cannot cause a lost update: both writers proceed to the
+      // no-replace publish and exactly one lands; the other errors.
       val stale = !f.exists(fin) &&
         scala.util.Try(f.getFileStatus(claim).getModificationTime)
           .toOption.exists(_ < System.currentTimeMillis() - 60000L)
@@ -99,14 +118,27 @@ object VersionedTable {
         sys.error(s"VersionedTable: version $v of $root already claimed " +
           "by a concurrent commit — re-read the latest version and retry")
     }
-    val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp")
+    // tmp is nonce-suffixed: after a broken claim, the stale committer
+    // and the recoverer each write their OWN staging file rather than
+    // corrupting a shared one mid-write
+    val nonce = java.util.UUID.randomUUID().toString
+    val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp.$nonce")
     val out = f.create(tmp, true)
     val body = txns.map(t => s"#txn:$t\n").mkString +
       files.mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, fin))
-      sys.error(s"VersionedTable: commit rename failed for $root v$v")
+    // Publish, fencing half: atomic create-if-absent of the FINAL name.
+    // Whatever the claim machinery concluded, at most one writer's
+    // manifest can ever become v$v.manifest; a fenced-out writer (e.g.
+    // one whose claim was broken while it was paused) errors here with
+    // its staging file cleaned up, and the winner's manifest and txn
+    // ledger are untouched.
+    if (!publishNoReplace(f, tmp, fin)) {
+      f.delete(tmp, false)
+      sys.error(s"VersionedTable: version $v of $root was committed by a " +
+        "concurrent writer — re-read the latest version and retry")
+    }
   }
 
   /** One manifest read serving both halves: (live files, txn ledger). */
@@ -364,6 +396,13 @@ object VersionedTable {
           .map(_.getPath.getName)
           .filter(n => exclude.findFirstIn(n).isEmpty)
           .sorted
+        // destructive-precondition guard, computed over the WHOLE
+        // enumeration: every clone destination must differ from every
+        // source table root — dstRoot == srcRoot with an empty suffix
+        // (or a suffix colliding with a sibling table's name) would
+        // recursively delete source manifests and data below
+        val srcTableUris = tables
+          .map(n => new Path(s"$srcRoot/$n").toUri.normalize()).toSet
         tables.map { name =>
           val tRoot = s"$srcRoot/$name"
           val cut = asOfMillis.getOrElse(Long.MaxValue)
@@ -375,6 +414,9 @@ object VersionedTable {
             case None => ("missing_table", name)
             case Some(v) =>
               val dst = s"$dstRoot/$name$suffix"
+              require(!srcTableUris.contains(new Path(dst).toUri.normalize()),
+                s"datasetRefresh: staging destination $dst resolves to a " +
+                  "source table root — refusing to replace the source")
               // CREATE OR REPLACE: drop any previous staging clone's
               // manifests (its data lives in the SOURCE — nothing to reap)
               fs(spark, dst).delete(new Path(dst), true)

@@ -46,6 +46,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) == Set(99L))
   }
 
+  test("publish fence: a committer whose claim was broken cannot clobber " +
+      "the recoverer's committed manifest — the second publish errors out") {
+    val root = java.nio.file.Files.createTempDirectory("vt_fence").toString
+    VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
+    // simulate the ADVICE race: writer A claims v1 then pauses past the
+    // 60s grace (age the claim by back-dating its mtime); recoverer B
+    // breaks the claim and commits v1; A must then FAIL its commit, not
+    // silently overwrite B's manifest + txn ledger
+    val mdir = new java.io.File(root, "_manifests")
+    val claim = new java.io.File(mdir, ".v1.claim")
+    assert(claim.createNewFile(), "A's claim")
+    assert(claim.setLastModified(System.currentTimeMillis() - 120000L))
+    // B: a normal commit — the stale-claim breaker lets it through
+    val vB = VersionedTable.commit(Seq(2L).toDF("id"), root, overwrite = false)
+    assert(vB == 1L)
+    assert(ids(root) == Set(1L, 2L))
+    // A wakes mid-writeManifest (post-claim, pre-publish — unreachable
+    // through the public API without thread injection) and tries to
+    // publish its staging file at v1: the publish primitive is an atomic
+    // create-if-absent (hard link on file://), so the collision REFUSES
+    // and B's manifest content — txn ledger included — stays untouched.
+    // A plain rename here would have silently replaced it (the ADVICE
+    // lost-update).
+    val before = java.nio.file.Files.readString(
+      new java.io.File(mdir, "v1.manifest").toPath)
+    val tmp = new java.io.File(mdir, ".v1.manifest.tmp.stale")
+    java.nio.file.Files.writeString(tmp.toPath, "#txn:ghost\nghost.parquet\n")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(
+        new java.io.File(mdir, "v1.manifest").toPath, tmp.toPath)
+    }
+    val after = java.nio.file.Files.readString(
+      new java.io.File(mdir, "v1.manifest").toPath)
+    assert(after == before, "B's committed manifest must be untouched")
+    assert(ids(root) == Set(1L, 2L))
+  }
+
+  test("datasetRefresh refuses a destination that resolves to a source " +
+      "table root instead of deleting the source") {
+    val src = java.nio.file.Files.createTempDirectory("vt_ds_guard").toString
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), s"$src/t1", overwrite = true)
+    // dstRoot == srcRoot with an empty suffix: the clone target IS the
+    // source table — must refuse before any delete
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.datasetRefresh(spark, src, src, suffix = "")
+    }
+    assert(err.getMessage.contains("refusing to replace the source"))
+    // the source survived intact
+    assert(ids(s"$src/t1") == Set(1L, 2L))
+    // a non-colliding suffix into the same root still works (the
+    // reference's same-dataset _stg shape)
+    val out = VersionedTable.datasetRefresh(spark, src, src, suffix = "_stg")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("cloned_table", "t1")))
+    assert(ids(s"$src/t1_stg") == Set(1L, 2L))
+  }
+
   test("commitBatch: a replayed txn id is a no-op, not a duplicate append") {
     val root = java.nio.file.Files.createTempDirectory("vt_txn").toString
     VersionedTable.commitBatch(Seq(1L, 2L).toDF("id"), root,
