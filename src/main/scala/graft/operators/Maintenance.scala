@@ -54,6 +54,37 @@ object Maintenance {
   def dailyIncrement(src: DataFrame, tsCol: String, day: String): DataFrame =
     src.filter(to_date(col(tsCol)) === lit(day).cast("date"))
 
+  /** Estimated input bytes of `df`'s plan — the "bytes billed" a
+    * warehouse would charge, computed from FILE METADATA ONLY (the
+    * physical plan's file listings, AFTER partition pruning and before
+    * any task runs). Non-file leaves (in-memory relations, ranges)
+    * estimate 0, like a warehouse's cached/metadata reads.
+    */
+  def estimateScanBytes(df: DataFrame): Long =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalFileSize
+    }.sum
+
+  /** Cost guardrail (the reference caps bytes billed per dbt job —
+    * reference airflow_variables_prod.json:120 `dbt_maximum_bytes_billed`,
+    * SURVEY §4): refuse a plan whose estimated input exceeds `maxBytes`
+    * BEFORE anything executes. The estimate is listing-only, so an
+    * over-budget query costs a metadata walk, not a scan; partition
+    * pruning is already applied, so a well-filtered query over a huge
+    * table passes on what it actually reads. Returns `df` unchanged when
+    * within budget (compose at submit time: `enforceScanBudget(q, cap)`).
+    */
+  def enforceScanBudget(df: DataFrame, maxBytes: Long): DataFrame = {
+    require(maxBytes >= 0, s"scan budget must be >= 0, got $maxBytes")
+    val est = estimateScanBytes(df)
+    require(est <= maxBytes,
+      s"scan budget exceeded: plan would read ~$est input bytes, over the " +
+        s"$maxBytes-byte budget — refused before execution " +
+        "(dbt_maximum_bytes_billed analog)")
+    df
+  }
+
   /** Small-file compaction: rewrite a table (or one partition's) directory
     * into `n` files. Ten-minute micro-batches each appending a handful of
     * files is the reference's layout; at cluster scale the accumulated

@@ -1482,6 +1482,20 @@ object WarehouseQueries {
     "qa_volume_mad" -> ((s, dir) =>
       QualityChecks.madAnomaly(t(s, dir, "events"), to_date(col("ts")), k = 3.0)),
 
+    // Cost guardrail in the submit path (SURVEY §4, the reference's
+    // dbt_maximum_bytes_billed): the daily-volume mart runs WRAPPED in
+    // enforceScanBudget — the budget check prices the plan from file
+    // listings (partition pruning applied, zero jobs) and refuses an
+    // over-budget submit; within budget the wrapped plan is returned
+    // unchanged, which is exactly what this gate's oracle pins (the
+    // refusal leg is spec-pinned in MaintenanceSpec, where the job
+    // counter proves nothing executed).
+    "qa_scan_budget" -> ((s, dir) =>
+      graft.operators.Maintenance.enforceScanBudget(
+        t(s, dir, "events").groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        maxBytes = 1L << 40)),
+
     // Ordered funnel: users reaching view -> (later) click -> (later)
     // purchase. Each stage is one min-ts aggregate joined forward —
     // stage N's input is stage N-1's survivors, so work shrinks down the
@@ -2542,6 +2556,12 @@ object WarehouseQueries {
         |md AS (SELECT median(dev) AS mad FROM dev)
         |SELECT day, n, dev, (dev > 3.0 * mad) AS is_anomaly
         |FROM dev, md""".stripMargin,
+
+    // the guardrail returns the wrapped plan unchanged when within
+    // budget — the oracle is the plain mart
+    "qa_scan_budget" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "qa_relationships" ->
       """SELECT 'orders' AS table_name, 'rel_o_custkey_customer' AS check_name,

@@ -19,6 +19,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(back.schema == r.schema)
   }
 
+  test("enforceScanBudget: an over-budget plan refuses BEFORE any scan " +
+      "(zero jobs run), partition pruning shrinks the estimate, and a " +
+      "within-budget plan passes through executable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("budget").toString
+    (1 to 2000).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}"))
+      .toDF("id", "day")
+      .write.partitionBy("day").parquet(s"$dir/t")
+    val all = spark.read.parquet(s"$dir/t")
+    val total = Maintenance.estimateScanBytes(all.groupBy("day").count())
+    assert(total > 0, "file-backed plan must estimate positive input")
+    // over budget: refuse, and the refusal must not have run ANY job —
+    // the estimate is a listing, not a scan
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.enforceScanBudget(all.groupBy("day").count(), total - 1)
+    }
+    assert(err.getMessage.contains("scan budget exceeded"))
+    Thread.sleep(300) // status tracker updates via the async listener bus
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      == jobsBefore, "an over-budget refusal must not execute anything")
+    // partition pruning reaches the estimate: one day's filter halves the
+    // billed bytes, so a budget the full scan busts passes for the
+    // pruned query — and the returned frame is the same plan, executable
+    val pruned = all.filter(col("day") === "2024-01-01").groupBy("day").count()
+    val est1 = Maintenance.estimateScanBytes(pruned)
+    assert(est1 < total, s"pruned estimate $est1 must be under full $total")
+    val ok = Maintenance.enforceScanBudget(pruned, total - 1)
+    assert(ok.collect().map(_.getLong(1)).sum == 1000L)
+  }
+
   test("appendRunStats accumulates one audit row per load") {
     val dir = Files.createTempDirectory("maint2").toString
     val w = BatchWindow(Instant.parse("2024-01-15T00:00:00Z"), Instant.parse("2024-01-15T00:10:00Z"))
