@@ -101,10 +101,57 @@ object GraftFunctions {
       NfcNormalize(children.head)
     })
 
+  private val strkeyDecodeDescriptor: Descriptor = (
+    FunctionIdentifier("graft_strkey_decode"),
+    new ExpressionInfo(classOf[StrkeyDecode].getName, "graft_strkey_decode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_strkey_decode(addr) takes one string arg")
+      StrkeyDecode(children.head)
+    })
+
+  private val strkeyEncodeDescriptor: Descriptor = (
+    FunctionIdentifier("graft_strkey_encode"),
+    new ExpressionInfo(classOf[StrkeyEncode].getName, "graft_strkey_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_strkey_encode(payload, version) takes a binary column and an int literal")
+      StrkeyEncode(children.head, litInt(children(1), "version"))
+    })
+
+  private val xdrU32Descriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_u32"),
+    new ExpressionInfo(classOf[XdrU32].getName, "graft_xdr_u32"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_xdr_u32(bin, offset) takes a binary column and an int literal")
+      XdrU32(children.head, litInt(children(1), "offset"))
+    })
+
+  private val xdrU64Descriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_u64"),
+    new ExpressionInfo(classOf[XdrU64].getName, "graft_xdr_u64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_xdr_u64(bin, offset) takes a binary column and an int literal")
+      XdrU64(children.head, litInt(children(1), "offset"))
+    })
+
+  private val xdrBytesDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_bytes"),
+    new ExpressionInfo(classOf[XdrBytes].getName, "graft_xdr_bytes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_xdr_bytes(bin, offset, len) takes a binary column and two int literals")
+      XdrBytes(children.head, litInt(children(1), "offset"),
+        litInt(children(2), "len"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
-      nfcDescriptor)
+      nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
+      xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -1384,6 +1384,69 @@ object WarehouseQueries {
       graft.sources.Ndjson.read(s, schema, landed)
     }),
 
+    // S2 interior through the gate: base64 XDR field extraction with the
+    // NATIVE graft_xdr_* expressions (RFC 4506 big-endian layout — the
+    // decode the reference delegates to its Go export binary, reference
+    // dags/stellar_etl_airflow/build_export_task.py:94-161). The fixture
+    // is a pseudo ledger header built per order row with PLAIN Spark
+    // byte plumbing (hex/unhex/base64): version u32 @0, prev-hash
+    // opaque[32] @4, close-time u64 @36, base-fee u32 @44. The oracle is
+    // the fixture LAW — it states each field directly from the row key,
+    // so the native extraction must invert the encode bit-for-bit (the
+    // image-decode pixel-law pattern).
+    "s2_xdr_decode" -> ((s, dir) => {
+      val ks = col("k").cast("string")
+      val xdr = concat(
+        unhex(lpad(hex(pmod(col("k"), lit(100L))), 8, "0")),
+        unhex(concat(md5(ks), md5(concat(ks, lit("x"))))),
+        unhex(lpad(hex(lit(1700000000L) + col("k")), 16, "0")),
+        unhex(lpad(hex(lit(100L) + pmod(col("k"), lit(7L))), 8, "0")))
+      t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        // the transport shape the reference lands: a base64 string field
+        .withColumn("xdr_b64", base64(xdr))
+        .withColumn("bin", unbase64(col("xdr_b64")))
+        .select(col("k"),
+          call_function("graft_xdr_u32", col("bin"), lit(0))
+            .as("ledger_version"),
+          lower(hex(call_function("graft_xdr_bytes", col("bin"),
+            lit(4), lit(32)))).as("prev_hash"),
+          call_function("graft_xdr_u64", col("bin"), lit(36))
+            .as("close_time"),
+          call_function("graft_xdr_u32", col("bin"), lit(44))
+            .as("base_fee"))
+    }),
+
+    // S3 interior through the gate: strkey (SEP-23) encode/decode with
+    // the NATIVE expressions — base32 over version||payload||CRC16-XModem
+    // (little-endian checksum), the address format every reference table
+    // stores. Per customer row: a 32-byte payload encodes to a 56-char
+    // G-address (version byte 48), decodes back to the same payload, and
+    // a one-char tamper of the address is REJECTED by the checksum
+    // (decode -> null) — the quarantine posture. The oracle states the
+    // fixture law directly (DuckDB has no base32); the independent
+    // codec laws (known CRC vectors, reimplemented base32, every
+    // single-char substitution rejected) are spec-pinned in
+    // XdrStrkeySpec.
+    "s3_strkey_decode" -> ((s, dir) => {
+      val ks = col("k").cast("string")
+      t(s, dir, "customer").filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("payload",
+          unhex(concat(md5(ks), md5(concat(ks, lit("y"))))))
+        .withColumn("addr",
+          call_function("graft_strkey_encode", col("payload"), lit(48)))
+        .select(col("k"),
+          lower(hex(col("payload"))).as("payload_hex"),
+          length(col("addr")).cast("long").as("addr_len"),
+          lower(hex(call_function("graft_strkey_decode", col("addr"))))
+            .as("decoded_hex"),
+          call_function("graft_strkey_decode",
+            concat(substring(col("addr"), 1, 55),
+              when(substring(col("addr"), 56, 1) === "A", lit("B"))
+                .otherwise(lit("A")))).isNull.as("tamper_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2391,6 +2454,30 @@ object WarehouseQueries {
         |SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM rows_""".stripMargin,
+
+    // the fixture LAW, stated directly: the native XDR extraction must
+    // invert the plain-Spark encode field-for-field
+    "s2_xdr_decode" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(o_orderkey % 100 AS BIGINT) AS ledger_version,
+        |  md5(CAST(o_orderkey AS VARCHAR))
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'x') AS prev_hash,
+        |  CAST(1700000000 + o_orderkey AS BIGINT) AS close_time,
+        |  CAST(100 + o_orderkey % 7 AS BIGINT) AS base_fee
+        |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin,
+
+    // strkey round-trip law (DuckDB has no base32): payload identities
+    // and checksum rejection; codec-vs-independent-reimplementation is
+    // spec-pinned in XdrStrkeySpec
+    "s3_strkey_decode" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  md5(CAST(c_custkey AS VARCHAR))
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'y') AS payload_hex,
+        |  CAST(56 AS BIGINT) AS addr_len,
+        |  md5(CAST(c_custkey AS VARCHAR))
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'y') AS decoded_hex,
+        |  true AS tamper_rejected
+        |FROM customer WHERE c_custkey % 11 = 0""".stripMargin,
 
     "a6_funnel" ->
       """WITH v AS (
