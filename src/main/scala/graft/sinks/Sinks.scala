@@ -23,29 +23,23 @@ object Sinks {
     * cluster key inside each file give the same scan-pruning benefit
     * min/max parquet stats provide.
     */
-  /** Writer parallelism per partition value in [[partitionedAppend]]:
-    * bounds the file count at `salt` files per partition value while
-    * letting a skewed value (one hot day) write through `salt` tasks
-    * instead of serializing through one. */
-  private val appendSalt = 4
-
   def partitionedAppend(df: DataFrame, path: String,
                         partitionCols: Seq[String], clusterCols: Seq[String] = Nil): Unit = {
-    // co-locate each partition value into a BOUNDED number of tasks
-    // BEFORE partitionBy: repartitioning on the partition columns alone
-    // fixed the small-file explosion (every input task x partition value
-    // emitting its own tiny file) but serialized each value through ONE
-    // task — write throughput and task memory then scale with the
-    // largest partition, and one hot day stalls the job. A bounded salt
-    // keeps the file count at <= appendSalt per value while a skewed
-    // value still writes in parallel; cluster-sorting happens within
-    // each co-located task so files keep tight min/max stats
-    // the id cycles within every input partition, so even a
-    // single-input-partition hot value spreads across all salt buckets
-    val salt = pmod(monotonically_increasing_id(), lit(appendSalt.toLong))
-    val placed = df.withColumn("__salt", salt)
-      .repartition((partitionCols.map(col) :+ col("__salt")): _*)
-      .drop("__salt")
+    // co-locate partition values BEFORE partitionBy — but through AQE's
+    // REBALANCE, not a plain repartition: a plain hash repartition on
+    // the partition columns fixed the small-files explosion (every
+    // input task x partition value emitting its own tiny file) yet
+    // serialized each value through ONE task, so write throughput and
+    // task memory scaled with the largest partition and one hot day
+    // stalled the job. REBALANCE is value-clustered with BOTH adaptive
+    // legs: undersized partitions coalesce (each writer task still emits
+    // one file per value it holds — no explosion) and a skewed value
+    // SPLITS across tasks sized by bytes
+    // (spark.sql.adaptive.optimizeSkewsInRebalancePartitions), so
+    // parallelism follows data volume instead of a fixed salt's file
+    // multiplier. Cluster-sorting happens within each co-located task so
+    // files keep tight min/max stats.
+    val placed = df.hint("rebalance", partitionCols.map(col): _*)
     val sorted =
       if (clusterCols.nonEmpty)
         placed.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
