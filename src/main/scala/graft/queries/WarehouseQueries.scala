@@ -89,6 +89,33 @@ object WarehouseQueries {
   private def cleanDir(s: SparkSession, path: String): Unit =
     graft.core.Scratch.clean(s, path)
 
+  /** The alerting gates' shared monitor fixture: the event log split
+    * into 3 equal date windows, and per event_type a volume-DROP check
+    * per later window ("did this window's volume fall below the prior
+    * window's" — the Elementary volume-monitor shape). Two runs come out
+    * (run w2 checks window 2 vs 1, run w3 checks 3 vs 2) as
+    * (run_id, check_key, status, violations) — all integer arithmetic,
+    * so both gates' oracles restate the law exactly.
+    */
+  private def volumeDropRuns(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val rng = ev.agg(min(col("day")).as("d0"),
+      (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+    val c = ev.crossJoin(broadcast(rng))
+      .withColumn("w",
+        least(expr("(CAST(datediff(day, d0) AS BIGINT) * 3) div span"), lit(2L)))
+      .groupBy("event_type")
+      .agg(sum(when(col("w") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("w") === 1L, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("w") === 2L, 1L).otherwise(0L)).as("c3"))
+    def run(id: String, prev: Column, cur: Column): DataFrame =
+      c.select(lit(id).as("run_id"), col("event_type").as("check_key"),
+        when(cur < prev, "fail").otherwise("pass").as("status"),
+        when(cur < prev, prev - cur).otherwise(0L).as("violations"))
+    run("w2", col("c1"), col("c2")).unionByName(run("w3", col("c2"), col("c3")))
+  }
+
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
@@ -1559,6 +1586,35 @@ object WarehouseQueries {
           .agg(count(lit(1)).as("n_events")),
         maxBytes = 1L << 40)),
 
+    // Alert ROUTING (the reference's 15-minute Elementary monitor,
+    // dbt_data_quality_alerts_dag.py:26-37 `monitor --filters
+    // statuses:fail,error`): two monitor runs of a volume-drop check
+    // battery (per event_type, did the window's volume fall below the
+    // prior window's) route through the versioned sent-alert ledger —
+    // run w2's failures emit under txn w2; run w3 emits ONLY checks not
+    // already alerted (Elementary's re-send suppression), exactly-once
+    // via commitBatch txn replay protection. The gate reads the final
+    // ledger; the oracle restates the dedup rule in SQL (w3 rows exclude
+    // w2 failures).
+    "qa_alert_route" -> ((s, dir) => {
+      val root = scratch("alerts", dir)
+      cleanDir(s, root)
+      val runs = volumeDropRuns(s, dir)
+      graft.operators.Alerting.routeAlerts(
+        runs.filter(col("run_id") === "w2").drop("run_id"), root, "w2")
+      graft.operators.Alerting.routeAlerts(
+        runs.filter(col("run_id") === "w3").drop("run_id"), root, "w3")
+      graft.operators.Alerting.sentAlerts(s, root)
+    }),
+
+    // Alert REPORT (the reference's weekly send-report,
+    // elementary_report_dag.py:30-45 `send-report --days-back 7`): the
+    // same two-run check history aggregated per check — runs, failures,
+    // failure rate (dyadic halves — bit-exact), first failing run,
+    // latest status, worst violation count. One hash aggregate.
+    "qa_alert_report" -> ((s, dir) =>
+      graft.operators.Alerting.runReport(volumeDropRuns(s, dir))),
+
     // Ordered funnel: users reaching view -> (later) click -> (later)
     // purchase. Each stage is one min-ts aggregate joined forward —
     // stage N's input is stage N-1's survivors, so work shrinks down the
@@ -2478,6 +2534,62 @@ object WarehouseQueries {
         |    || md5(CAST(c_custkey AS VARCHAR) || 'y') AS decoded_hex,
         |  true AS tamper_rejected
         |FROM customer WHERE c_custkey % 11 = 0""".stripMargin,
+
+    // the routing law restated: w2's failures, plus w3's failures NOT
+    // already alerted in w2 (the ledger dedup)
+    "qa_alert_route" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |r AS (SELECT min(day) AS d0,
+        |  date_diff('day', min(day), max(day)) + 1 AS span FROM e),
+        |c AS (SELECT event_type,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 0
+        |      THEN 1 ELSE 0 END) AS c1,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 1
+        |      THEN 1 ELSE 0 END) AS c2,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 2
+        |      THEN 1 ELSE 0 END) AS c3
+        |  FROM e, r GROUP BY 1)
+        |SELECT event_type AS check_key, CAST(c1 - c2 AS BIGINT) AS violations,
+        |  'w2' AS txn
+        |FROM c WHERE c2 < c1
+        |UNION ALL
+        |SELECT event_type, CAST(c2 - c3 AS BIGINT), 'w3'
+        |FROM c WHERE c3 < c2 AND NOT c2 < c1""".stripMargin,
+
+    // the report law: two runs per check, failure counts/rate (dyadic),
+    // first failing run id, w3 is always the latest status
+    "qa_alert_report" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |r AS (SELECT min(day) AS d0,
+        |  date_diff('day', min(day), max(day)) + 1 AS span FROM e),
+        |c AS (SELECT event_type,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 0
+        |      THEN 1 ELSE 0 END) AS c1,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 1
+        |      THEN 1 ELSE 0 END) AS c2,
+        |  SUM(CASE WHEN least((date_diff('day', r.d0, day) * 3) // r.span, 2) = 2
+        |      THEN 1 ELSE 0 END) AS c3
+        |  FROM e, r GROUP BY 1),
+        |runs AS (
+        |  SELECT 'w2' AS run_id, event_type AS check_key,
+        |    CASE WHEN c2 < c1 THEN 'fail' ELSE 'pass' END AS status,
+        |    CASE WHEN c2 < c1 THEN c1 - c2 ELSE 0 END AS violations
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'w3', event_type,
+        |    CASE WHEN c3 < c2 THEN 'fail' ELSE 'pass' END,
+        |    CASE WHEN c3 < c2 THEN c2 - c3 ELSE 0 END
+        |  FROM c)
+        |SELECT check_key, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(SUM(CASE WHEN status = 'fail' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_failures,
+        |  CAST(SUM(CASE WHEN status = 'fail' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS fail_rate,
+        |  coalesce(min(CASE WHEN status = 'fail' THEN run_id END), '')
+        |    AS first_failed_run,
+        |  max_by(status, run_id) AS last_status,
+        |  CAST(MAX(violations) AS BIGINT) AS worst_violations
+        |FROM runs GROUP BY 1""".stripMargin,
 
     "a6_funnel" ->
       """WITH v AS (
