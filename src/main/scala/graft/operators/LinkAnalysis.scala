@@ -39,10 +39,17 @@ object LinkAnalysis {
     *   rank'(v)  = (scale·(dampDen−dampNum) div dampDen div N)
     *             + ((contrib(v) + share) · dampNum div dampDen)
     */
+  /** `lazyFinal`: skip persisting + reading the LAST round — its dangling
+    * mass is never consumed, so a single-action caller (the top-k
+    * collect) can execute the final round's plan off the previous
+    * round's cache and save one driver action. The returned pin seq then
+    * includes everything the final plan still reads (edges + previous
+    * rank state); the caller releases them after its terminal action. */
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, dampNum: Int, dampDen: Int,
                       scale: Long,
-                      seeds: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                      seeds: Option[DataFrame] = None,
+                      lazyFinal: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     // The edge list is hash-partitioned on src ONCE (the in-session form
     // of a src-bucketed edge table) and the rank state is partitioned on
     // node with the same partition count, so every round's big join is
@@ -57,7 +64,8 @@ object LinkAnalysis {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      iterateNoAqe(spark, edges, srcCol, dstCol, iters, dampNum, dampDen, scale, seeds)
+      iterateNoAqe(spark, edges, srcCol, dstCol, iters, dampNum, dampDen,
+        scale, seeds, lazyFinal)
     } finally {
       // restore even when a round fails — a leaked adaptive=false would
       // silently degrade every later query in a long-lived session
@@ -69,7 +77,8 @@ object LinkAnalysis {
                            srcCol: String, dstCol: String,
                            iters: Int, dampNum: Int, dampDen: Int,
                            scale: Long,
-                           seeds: Option[DataFrame]): (DataFrame, DataFrame) = {
+                           seeds: Option[DataFrame],
+                           lazyFinal: Boolean): (DataFrame, Seq[DataFrame]) = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -97,7 +106,7 @@ object LinkAnalysis {
       e.unpersist(false); nodes.unpersist(false)
       val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
         lit(0.0).as("rank")).filter(lit(false))
-      return (empty, empty)
+      return (empty, Seq.empty)
     }
 
     // Personalization: the teleport vector is uniform over `denom` nodes —
@@ -120,7 +129,7 @@ object LinkAnalysis {
       e.unpersist(false); nodes.unpersist(false)
       val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
         lit(0.0).as("rank")).filter(lit(false))
-      return (empty, empty)
+      return (empty, Seq.empty)
     }
     val flagged = seeds match {
       case None => nodes.withColumn("seed", lit(true))
@@ -157,7 +166,9 @@ object LinkAnalysis {
     var dm = fillAndDanglingMass(ranks)
     nodes.unpersist(false)
     val base = scale * (dampDen - dampNum) / dampDen / denom
-    for (_ <- 1 to iters) {
+    var finalIsLazy = false
+    var lazyParent: DataFrame = null
+    for (r <- 1 to iters) {
       // dangling nodes never appear as e.src, so the contrib join's null
       // `deg` rows are excluded by construction — no filter needed
       val contrib = e
@@ -165,23 +176,39 @@ object LinkAnalysis {
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
       val share = dm / denom
-      val next = ranks.select(col("node"), col("deg"), col("seed"))
+      val nextPlan = ranks.select(col("node"), col("deg"), col("seed"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("deg"), col("seed"),
           expr(s"if(seed, ${base}L, 0L) + " +
               s"(coalesce(insum, 0L) + if(seed, ${share}L, 0L)) " +
               s"* $dampNum div $dampDen")
             .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      dm = fillAndDanglingMass(next)
-      ranks.unpersist(false)
-      ranks = next
+      if (r < iters || !lazyFinal) {
+        val next = nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+        dm = fillAndDanglingMass(next)
+        ranks.unpersist(false)
+        ranks = next
+      } else {
+        // the last round's dangling mass feeds nothing: leave the plan
+        // lazy for the caller's single action, which reads it off the
+        // PREVIOUS round's cache (kept pinned, along with e, until the
+        // caller's terminal action)
+        finalIsLazy = true
+        lazyParent = ranks
+        ranks = nextPlan
+      }
     }
     val out = ranks.select(col("node"), col("rank").as("rank_scaled"),
       (col("rank").cast("double") / lit(scale.toDouble)).as("rank"))
-    // inputs are released — `out` only scans the materialized final state
-    e.unpersist(false)
-    (out, ranks)
+    if (finalIsLazy) {
+      // `out` still reads e and the (iters-1)th round's cached state —
+      // the caller releases both after its terminal action
+      (out, Seq(e, lazyParent))
+    } else {
+      // inputs are released — `out` only scans the materialized final state
+      e.unpersist(false)
+      (out, Seq(ranks))
+    }
   }
 
   /** Full scored node table. The backing rank state stays cached until
@@ -958,11 +985,11 @@ object LinkAnalysis {
                        srcCol: String, dstCol: String, iters: Int, k: Int,
                        dampNum: Int, dampDen: Int, scale: Long,
                        seeds: Option[DataFrame]): DataFrame = {
-    val (ranked, pin) = iterate(edges, srcCol, dstCol, iters, dampNum, dampDen,
-      scale, seeds)
+    val (ranked, pins) = iterate(edges, srcCol, dstCol, iters, dampNum,
+      dampDen, scale, seeds, lazyFinal = true)
     val out = topK(ranked, k)
     val rows = out.collect()
-    pin.unpersist(false)
+    pins.foreach(_.unpersist(false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }

@@ -25,14 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Spread the corpus across every slot BEFORE the per-row vector math:
+    * the Lloyd rounds are one lazy plan whose every unrolled iteration
+    * re-scans the source, and on a few-split table each scan would run
+    * the full distance pass inside one task (the coEngagementTop500Fresh
+    * precedent). One narrow exchange, emitted once — ReuseExchange
+    * dedupes the identical repartition subplan across the iterations;
+    * on a many-split production table it is AQE-coalesced noise. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Same-cell pairs with cosine ≥ tau, under centroids refined by `iters`
     * deterministic Lloyd rounds (the [[IvfIndex.lloydCentroids]] rule, so
     * the oracle regenerates the identical cells round by round).
     */
   def semanticPairs(emb: DataFrame, nlist: Int, iters: Int, tau: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame =
-    cellPairs(assigned(emb, nlist, iters, idCol, vecCol), tau, idCol, vecCol)
+                    vecCol: String = "embedding"): DataFrame = {
+    val e = spread(emb)
+    cellPairs(assigned(e, nlist, iters, idCol, vecCol), tau, idCol, vecCol)
+  }
 
   /** (cell, id, vec) under the refined centroids — the clustered table
     * both entry points pair over. */
@@ -66,10 +78,11 @@ object SemDedup {
   def semDedup(emb: DataFrame, nlist: Int, iters: Int, tau: Double,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val m = assigned(emb, nlist, iters, idCol, vecCol)
+    val e = spread(emb)
+    val m = assigned(e, nlist, iters, idCol, vecCol)
     val pairs = cellPairs(m, tau, idCol, vecCol)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val cc = Dedup.connectedComponents(emb.select(col(idCol)), idCol, pairs)
+    val cc = Dedup.connectedComponents(e.select(col(idCol)), idCol, pairs)
     m.select(col(idCol), col("cell"))
       .join(cc, idCol)
       .select(col(idCol), col("cell"), col("canonical_id"),
