@@ -97,7 +97,7 @@ object WarehouseQueries {
     * (run_id, check_key, status, violations) — all integer arithmetic,
     * so both gates' oracles restate the law exactly.
     */
-  private def volumeDropRuns(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def volumeDropRuns(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"))
     val rng = ev.agg(min(col("day")).as("d0"),

@@ -913,6 +913,52 @@ object StreamingGate {
     graft.operators.Drift.histDrift(binned, "event_type")
   }
 
+  /** Streaming alert routing drained through the sent-alert ledger: the
+    * reference's monitor runs on a cadence (every 15 minutes,
+    * dbt_data_quality_alerts_dag.py:15), so its engine shape is a
+    * micro-batch drain — each arriving batch of check results folds
+    * through [[graft.operators.Alerting.routeAlerts]], which suppresses
+    * already-alerted checks against the versioned ledger and commits
+    * exactly-once under the batch's run id. The staged input is the
+    * SAME two-run volume-drop fixture the batch gate routes
+    * ([[graft.queries.WarehouseQueries.volumeDropRuns]] — one
+    * definition, so the check rule cannot drift), staged as
+    * time-ordered single-file batches (runs arrive in cadence order by
+    * construction). The drained ledger must equal the batch routing —
+    * the oracle is qa_alert_route's, verbatim.
+    */
+  def alertRouteGate(spark: SparkSession, dir: String): DataFrame = {
+    val runs = graft.queries.WarehouseQueries.volumeDropRuns(spark, dir)
+    val in = scratch("alrt_in", dir)
+    val root = scratch("alrt_state", dir)
+    val ck = scratch("alrt_ck", dir)
+    Seq(in, root, ck).foreach(cleanDir(spark, _))
+    stageOrderedSlices(spark, in, Seq(
+      runs.filter(col("run_id") === "w2"),
+      runs.filter(col("run_id") === "w3")))
+    val stream = spark.readStream.schema(runs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            // one staged file per monitor run, so the batch's run id is
+            // a single value — read it as the routing txn (a replayed
+            // batch re-routes under the same txn and no-ops)
+            val runId = b.select("run_id").head.getString(0)
+            graft.operators.Alerting.routeAlerts(
+              b.drop("run_id"), root, runId)
+            ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Alerting.sentAlerts(spark, root)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
@@ -932,7 +978,8 @@ object StreamingGate {
     "st_quality_filter" -> (qualityFilterGate(_, _)),
     "st_ann_ingest" -> (annIngestGate(_, _)),
     "st_volume_anomaly" -> (volumeAnomalyGate(_, _)),
-    "st_drift" -> (driftGate(_, _)))
+    "st_drift" -> (driftGate(_, _)),
+    "st_alert_route" -> (alertRouteGate(_, _)))
 
   /** Batch-semantics oracles. Sessionize merge rule: an event merges when
     * its gap to the session's running max end is <= 1800 s, so a session
@@ -955,6 +1002,12 @@ object StreamingGate {
     // the batch drift derivation verbatim: associatively folded partial
     // bin counts must reproduce the batch histogram
     "st_drift" -> graft.queries.TrainingQueries.oracles("t_drift"),
+
+    // the batch alert-routing law verbatim: cadence-ordered monitor
+    // batches folded through the ledger must produce exactly the batch
+    // routing's emission set and txn attribution
+    "st_alert_route" ->
+      graft.queries.WarehouseQueries.oracles("qa_alert_route"),
 
     // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
     // a streamed delta ingest must land every vector in the cell the
