@@ -52,6 +52,15 @@ object Alerting {
     * no-op), and return the rows routed BY THIS RUN — read back from the
     * committed ledger, so a replay returns the original batch instead of
     * re-routing. `results` columns: check_key, status, violations.
+    *
+    * Concurrency contract: ONE monitor writer per ledger. The
+    * suppression anti-join reads the ledger at entry, so two monitors
+    * racing the same ledger could both emit a check that failed in
+    * both — exactly the interleaving the reference precludes by
+    * serializing monitor runs (`max_active_runs=1`,
+    * dbt_data_quality_alerts_dag.py:19). Retries of the SAME run are
+    * safe at any overlap (txn replay). A multi-writer deployment
+    * shards ledgers per monitor or serializes like the reference.
     */
   def routeAlerts(results: DataFrame, stateRoot: String, txnId: String): DataFrame = {
     val spark = results.sparkSession
@@ -72,6 +81,10 @@ object Alerting {
     * disappear from naive joins), the LATEST run's status, and the worst
     * violation count. One hash aggregate; max_by gives the latest
     * status without a window over the history.
+    *
+    * Run ids must order LEXICOGRAPHICALLY in run order (ISO timestamps,
+    * zero-padded sequence ids): first/latest are string min/max_by, so
+    * an unpadded scheme like run-9/run-10 would misreport both.
     */
   def runReport(history: DataFrame): DataFrame =
     history

@@ -564,12 +564,21 @@ object Dedup {
       def commitPart(part: String, df: DataFrame): Unit = {
         val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/$part/crawl_$txnId")
         if (!f.exists(dst)) {
+          // attempt-unique staging dir: with the three part commits
+          // running concurrently, a FAILED attempt can leave sibling
+          // futures still writing when the caller retries — a shared
+          // .tmp_<txn> path would let the retry delete/rewrite a dir a
+          // live writer is mid-write in and rename a torn part into the
+          // immutable crawl dir. Unique tmps never collide; a loser
+          // (dst appeared while writing) just discards its own staging.
           val tmp = new org.apache.hadoop.fs.Path(
-            s"$indexRoot/$part/.tmp_$txnId")
-          if (f.exists(tmp)) f.delete(tmp, true)
+            s"$indexRoot/$part/.tmp_${txnId}_${java.util.UUID.randomUUID()}")
           df.write.parquet(tmp.toString)
-          if (!f.rename(tmp, dst))
-            sys.error(s"ingestDeltaCrawl: commit rename failed for $dst")
+          if (f.exists(dst) || !f.rename(tmp, dst)) {
+            f.delete(tmp, true)
+            if (!f.exists(dst))
+              sys.error(s"ingestDeltaCrawl: commit rename failed for $dst")
+          }
         }
       }
       // the three part commits are independent (disjoint dirs, all read

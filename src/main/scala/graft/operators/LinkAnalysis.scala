@@ -244,6 +244,10 @@ object LinkAnalysis {
                srcCol: String, dstCol: String, iters: Int, k: Int,
                scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"hitsTopK needs at least one iteration, got $iters")
+    // k = 0 would optimize the limit to an empty relation, pruning the
+    // CollectMetrics node — the observation would never fire and the
+    // final get would block forever
+    require(k >= 1, s"hitsTopK needs k >= 1, got $k")
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -513,15 +517,17 @@ object LinkAnalysis {
     * share it time the wedge join, not the degree staging; pair with
     * [[triangleCornersOriented]]. */
   def orientedEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NOT pinned: the mart is built once per corpus version under a
+    // single write action, and the canonical relation's three reads
+    // (both degree legs + the orientation join) are identical subtrees
+    // ReuseExchange dedupes within that action — a persist here would
+    // leak (this function returns lazily, so it has no release point)
+    // for no saved work
     val e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager fill: degrees (two legs) and the orientation join all scan e
-    // from concurrent subplans of the build action
-    e.count()
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

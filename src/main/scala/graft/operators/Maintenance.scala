@@ -60,11 +60,33 @@ object Maintenance {
     * any task runs). Non-file leaves (in-memory relations, ranges)
     * estimate 0, like a warehouse's cached/metadata reads.
     */
-  def estimateScanBytes(df: DataFrame): Long =
-    df.queryExecution.sparkPlan.collect {
+  def estimateScanBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val main = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.totalFileSize
     }.sum
+    // a scalar/IN subquery's scan is billed too — the dominant cost of a
+    // guarded plan can live entirely inside one. At this stage subquery
+    // expressions still hold LOGICAL plans (PlanSubqueries runs in
+    // execution prep), so they are estimated from their file indexes:
+    // partition-pruning-free, i.e. conservatively the whole table — a
+    // cost CAP may overbill, never underbill
+    val subs = df.queryExecution.sparkPlan
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case pe: PlanExpression[_] => pe.plan })
+      .collect { case lp: LogicalPlan =>
+        lp.collectWithSubqueries {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation => fs.location.sizeInBytes
+            case _ => 0L
+          }
+        }.sum
+      }.sum
+    main + subs
+  }
 
   /** Cost guardrail (the reference caps bytes billed per dbt job —
     * reference airflow_variables_prod.json:120 `dbt_maximum_bytes_billed`,

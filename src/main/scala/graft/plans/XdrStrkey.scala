@@ -217,7 +217,7 @@ case class XdrU32(child: Expression, offset: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    if (b.length < offset + 4) null
+    if (b.length.toLong < offset.toLong + 4L) null
     else ((b(offset) & 0xffL) << 24) | ((b(offset + 1) & 0xffL) << 16) |
       ((b(offset + 2) & 0xffL) << 8) | (b(offset + 3) & 0xffL)
   }
@@ -225,7 +225,7 @@ case class XdrU32(child: Expression, offset: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |if ($c.length < $offset + 4) {
+         |if (((long) $c.length) < ${offset}L + 4L) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = (($c[$offset] & 0xffL) << 24)
@@ -258,7 +258,7 @@ case class XdrU64(child: Expression, offset: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    if (b.length < offset + 8) null
+    if (b.length.toLong < offset.toLong + 8L) null
     else {
       var v = 0L
       var i = 0
@@ -272,7 +272,7 @@ case class XdrU64(child: Expression, offset: Int) extends UnaryExpression {
       val v = ctx.freshName("xv")
       val i = ctx.freshName("xi")
       s"""
-         |if ($c.length < $offset + 8) {
+         |if (((long) $c.length) < ${offset}L + 8L) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $v = 0L;
@@ -307,14 +307,14 @@ case class XdrBytes(child: Expression, offset: Int, len: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    if (b.length < offset + len) null
+    if (b.length.toLong < offset.toLong + len.toLong) null
     else java.util.Arrays.copyOfRange(b, offset, offset + len)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |if ($c.length < $offset + $len) {
+         |if (((long) $c.length) < ${offset}L + ${len}L) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = java.util.Arrays.copyOfRange(

@@ -397,12 +397,23 @@ object VersionedTable {
           .filter(n => exclude.findFirstIn(n).isEmpty)
           .sorted
         // destructive-precondition guard, computed over the WHOLE
-        // enumeration: every clone destination must differ from every
-        // source table root — dstRoot == srcRoot with an empty suffix
-        // (or a suffix colliding with a sibling table's name) would
-        // recursively delete source manifests and data below
-        val srcTableUris = tables
-          .map(n => new Path(s"$srcRoot/$n").toUri.normalize()).toSet
+        // enumeration: every clone destination must differ from — and
+        // not be an ANCESTOR of — every source table root, else the
+        // CREATE OR REPLACE delete below destroys source manifests and
+        // data (dstRoot == srcRoot with an empty suffix, a suffix
+        // colliding with a sibling table's name, or a dst directory the
+        // sources live under). Paths are FileSystem-qualified so a
+        // scheme or relative/absolute spelling difference cannot slip
+        // past an exact-string compare.
+        val srcTablePaths = tables
+          .map(n => f.makeQualified(new Path(s"$srcRoot/$n")).toString).toSet
+        def guardDst(dst: String): Unit = {
+          val q = fs(spark, dst).makeQualified(new Path(dst)).toString
+          require(!srcTablePaths.contains(q) &&
+              !srcTablePaths.exists(_.startsWith(q + "/")),
+            s"datasetRefresh: staging destination $dst resolves to (or " +
+              "contains) a source table root — refusing to replace the source")
+        }
         tables.map { name =>
           val tRoot = s"$srcRoot/$name"
           val cut = asOfMillis.getOrElse(Long.MaxValue)
@@ -414,9 +425,7 @@ object VersionedTable {
             case None => ("missing_table", name)
             case Some(v) =>
               val dst = s"$dstRoot/$name$suffix"
-              require(!srcTableUris.contains(new Path(dst).toUri.normalize()),
-                s"datasetRefresh: staging destination $dst resolves to a " +
-                  "source table root — refusing to replace the source")
+              guardDst(dst)
               // CREATE OR REPLACE: drop any previous staging clone's
               // manifests (its data lives in the SOURCE — nothing to reap)
               fs(spark, dst).delete(new Path(dst), true)

@@ -48,6 +48,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(est1 < total, s"pruned estimate $est1 must be under full $total")
     val ok = Maintenance.enforceScanBudget(pruned, total - 1)
     assert(ok.collect().map(_.getLong(1)).sum == 1000L)
+    // a scan living INSIDE a scalar subquery is billed too — the
+    // dominant cost of a guarded plan can be entirely in one
+    all.createOrReplaceTempView("budget_t")
+    val withSub = spark.sql(
+      "SELECT * FROM budget_t WHERE id > (SELECT max(id) FROM budget_t) - 100000")
+    assert(Maintenance.estimateScanBytes(withSub) >= 2 * total / 2,
+      "subquery scan must contribute to the estimate")
+    assert(Maintenance.estimateScanBytes(withSub) > total,
+      "outer + subquery scans together must exceed one full scan")
   }
 
   test("appendRunStats accumulates one audit row per load") {

@@ -121,6 +121,12 @@ class XdrStrkeySpec extends SparkSpec {
     assert(XdrU32(one, 17).nullSafeEval(buf) == null, "OOB u32")
     assert(XdrU64(one, 13).nullSafeEval(buf) == null, "OOB u64")
     assert(XdrBytes(one, 16, 8).nullSafeEval(buf) == null, "OOB bytes")
+    // near-Int.MaxValue offsets: the bounds check is long arithmetic, so
+    // offset + len cannot wrap negative and sneak past the guard — the
+    // quarantine NULL holds instead of a mid-scan exception
+    assert(XdrU32(one, Int.MaxValue - 1).nullSafeEval(buf) == null)
+    assert(XdrU64(one, Int.MaxValue - 1).nullSafeEval(buf) == null)
+    assert(XdrBytes(one, Int.MaxValue - 2, 8).nullSafeEval(buf) == null)
   }
 
   test("codegen path: the registered functions run inside a real plan " +

@@ -101,6 +101,24 @@ class VersionedTableSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out.contains(("cloned_table", "t1")))
     assert(ids(s"$src/t1_stg") == Set(1L, 2L))
+    // a scheme/spelling difference cannot slip past the guard: the same
+    // destination written file://-qualified still refuses
+    val err2 = intercept[IllegalArgumentException] {
+      VersionedTable.datasetRefresh(spark, src, s"file:$src", suffix = "")
+    }
+    assert(err2.getMessage.contains("refusing to replace the source"))
+    assert(ids(s"$src/t1") == Set(1L, 2L))
+    // ancestor hole: a table named like the dataset dir's own leaf makes
+    // the clone destination the dataset dir itself (an ANCESTOR of every
+    // source table) when dstRoot is the dataset's parent — refused, not
+    // recursively deleted
+    val wrap = java.nio.file.Files.createTempDirectory("vt_anc").toString
+    VersionedTable.commit(Seq(7L).toDF("id"), s"$wrap/ds/ds", overwrite = true)
+    val err3 = intercept[IllegalArgumentException] {
+      VersionedTable.datasetRefresh(spark, s"$wrap/ds", wrap, suffix = "")
+    }
+    assert(err3.getMessage.contains("refusing to replace the source"))
+    assert(ids(s"$wrap/ds/ds") == Set(7L))
   }
 
   test("commitBatch: a replayed txn id is a no-op, not a duplicate append") {
