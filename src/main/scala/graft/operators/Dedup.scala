@@ -564,17 +564,37 @@ object Dedup {
       def commitPart(part: String, df: DataFrame): Unit = {
         val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/$part/crawl_$txnId")
         if (!f.exists(dst)) {
+          // Reap stale staging of THIS txn first (age-gated): orphans
+          // from crashed attempts would otherwise accumulate a full
+          // parquet copy per failure forever. The age gate makes the
+          // reap safe against a live slow writer: unique names mean the
+          // reaper never rewrites a path someone is writing (the torn-
+          // rename hazard), and the worst case is failing that writer's
+          // rename — an error and retry, never corruption.
+          val partDir = new org.apache.hadoop.fs.Path(s"$indexRoot/$part")
+          if (f.exists(partDir)) f.listStatus(partDir).foreach { st =>
+            if (st.getPath.getName.startsWith(s".tmp_${txnId}_") &&
+                st.getModificationTime < System.currentTimeMillis() - 600000L)
+              f.delete(st.getPath, true)
+          }
           // attempt-unique staging dir: with the three part commits
           // running concurrently, a FAILED attempt can leave sibling
           // futures still writing when the caller retries — a shared
           // .tmp_<txn> path would let the retry delete/rewrite a dir a
           // live writer is mid-write in and rename a torn part into the
-          // immutable crawl dir. Unique tmps never collide; a loser
-          // (dst appeared while writing) just discards its own staging.
+          // immutable crawl dir.
           val tmp = new org.apache.hadoop.fs.Path(
             s"$indexRoot/$part/.tmp_${txnId}_${java.util.UUID.randomUUID()}")
           df.write.parquet(tmp.toString)
-          if (f.exists(dst) || !f.rename(tmp, dst)) {
+          val renamed = f.rename(tmp, dst)
+          // Hadoop rename into an EXISTING directory "succeeds" by
+          // nesting the source inside it — a racing loser would bury its
+          // staging in the winner's immutable crawl dir. The nested name
+          // is this attempt's unique tmp name, so detect and remove it.
+          val nested = new org.apache.hadoop.fs.Path(dst, tmp.getName)
+          if (renamed && f.exists(nested)) {
+            f.delete(nested, true)
+          } else if (!renamed) {
             f.delete(tmp, true)
             if (!f.exists(dst))
               sys.error(s"ingestDeltaCrawl: commit rename failed for $dst")

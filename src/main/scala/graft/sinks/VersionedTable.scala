@@ -410,9 +410,15 @@ object VersionedTable {
         def guardDst(dst: String): Unit = {
           val q = fs(spark, dst).makeQualified(new Path(dst)).toString
           require(!srcTablePaths.contains(q) &&
-              !srcTablePaths.exists(_.startsWith(q + "/")),
-            s"datasetRefresh: staging destination $dst resolves to (or " +
-              "contains) a source table root — refusing to replace the source")
+              // dst an ANCESTOR of a source table (deleting it deletes
+              // the table under it)...
+              !srcTablePaths.exists(_.startsWith(q + "/")) &&
+              // ...or a DESCENDANT of one (deleting it wipes part of the
+              // table's own tree, e.g. a dstRoot misconfigured to a
+              // source table root puts every clone inside that table)
+              !srcTablePaths.exists(p => q.startsWith(p + "/")),
+            s"datasetRefresh: staging destination $dst resolves into a " +
+              "source table root — refusing to touch the source")
         }
         tables.map { name =>
           val tRoot = s"$srcRoot/$name"

@@ -92,7 +92,7 @@ class VersionedTableSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       VersionedTable.datasetRefresh(spark, src, src, suffix = "")
     }
-    assert(err.getMessage.contains("refusing to replace the source"))
+    assert(err.getMessage.contains("refusing to touch the source"))
     // the source survived intact
     assert(ids(s"$src/t1") == Set(1L, 2L))
     // a non-colliding suffix into the same root still works (the
@@ -106,7 +106,7 @@ class VersionedTableSpec extends SparkSpec {
     val err2 = intercept[IllegalArgumentException] {
       VersionedTable.datasetRefresh(spark, src, s"file:$src", suffix = "")
     }
-    assert(err2.getMessage.contains("refusing to replace the source"))
+    assert(err2.getMessage.contains("refusing to touch the source"))
     assert(ids(s"$src/t1") == Set(1L, 2L))
     // ancestor hole: a table named like the dataset dir's own leaf makes
     // the clone destination the dataset dir itself (an ANCESTOR of every
@@ -117,7 +117,7 @@ class VersionedTableSpec extends SparkSpec {
     val err3 = intercept[IllegalArgumentException] {
       VersionedTable.datasetRefresh(spark, s"$wrap/ds", wrap, suffix = "")
     }
-    assert(err3.getMessage.contains("refusing to replace the source"))
+    assert(err3.getMessage.contains("refusing to touch the source"))
     assert(ids(s"$wrap/ds/ds") == Set(7L))
   }
 
