@@ -80,11 +80,10 @@ object LinkAnalysis {
                            seeds: Option[DataFrame],
                            lazyFinal: Boolean): (DataFrame, Seq[DataFrame]) = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // n and the per-round dangling mass are RESULT-sized scalars (one
     // aggregated row each), pulled to the driver and inlined as literals —
@@ -94,8 +93,8 @@ object LinkAnalysis {
     // integer arithmetic is unchanged (Scala Long `/` == SQL `div` on
     // the non-negative values here), so the oracle replay is unaffected.
     // The count doubles as the node-cache fill: one job, not two.
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
@@ -103,11 +102,21 @@ object LinkAnalysis {
       // empty graph (every edge null-filtered): empty result, not a
       // divide-by-zero — matching the old relational formulation's
       // behavior over zero rows
-      e.unpersist(false); nodes.unpersist(false)
+      e0.unpersist(false); nodes.unpersist(false)
       val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
         lit(0.0).as("rank")).filter(lit(false))
       return (empty, Seq.empty)
     }
+    // The iteration's partition count is sized to the GRAPH, not the
+    // session's global shuffle constant (AQE would make this call, but
+    // it is deliberately off here): node-sized state on a small graph
+    // otherwise pays p-task scheduling per round for single-task work,
+    // which dominates an iterative loop; a big graph keeps the
+    // configured width. The pinned edge/state partitioning below is
+    // what keeps every round's big join exchange-free on both sides.
+    val p2 = math.max(1, math.min(p, (n / 2000L).toInt + 1))
+    val e = e0.repartition(p2, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Personalization: the teleport vector is uniform over `denom` nodes —
     // the whole graph for classic PageRank, the in-graph seed set for the
@@ -126,7 +135,7 @@ object LinkAnalysis {
     if (denom == 0) {
       // a seed set disjoint from the graph: nothing can ever hold mass —
       // empty result, mirroring the empty-graph exit
-      e.unpersist(false); nodes.unpersist(false)
+      e0.unpersist(false); e.unpersist(false); nodes.unpersist(false)
       val empty = nodes.select(col("node"), lit(0L).as("rank_scaled"),
         lit(0.0).as("rank")).filter(lit(false))
       return (empty, Seq.empty)
@@ -152,7 +161,7 @@ object LinkAnalysis {
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), col("deg"), col("seed"),
         when(col("seed"), lit(scale / denom)).otherwise(lit(0L)).as("rank"))
-      .repartition(p, col("node"))
+      .repartition(p2, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE action per round: the aggregate that reads the round's dangling
@@ -164,7 +173,11 @@ object LinkAnalysis {
         .head.getLong(0)
 
     var dm = fillAndDanglingMass(ranks)
+    // the initial fill read nodes (via flagged) and e (via outdeg, which
+    // pulled e0's cache through the p2 exchange) — both upstream pins
+    // release here; the rounds touch only e and the rank states
     nodes.unpersist(false)
+    e0.unpersist(false)
     val base = scale * (dampDen - dampNum) / dampDen / denom
     var finalIsLazy = false
     var lazyParent: DataFrame = null
