@@ -265,11 +265,18 @@ object LinkAnalysis {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = edges.select(col(srcCol).cast("long").as("src"),
+      val e0 = edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct()
-        .repartition(p, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one scalar action sizes the iteration's pinned partitioning to
+      // the GRAPH (the pageRank p2 rule — AQE is deliberately off, so
+      // this is the adaptive call it would have made) and doubles as
+      // e0's eager fill
+      val nE = e0.count()
+      val p2 = math.max(1, math.min(p, (nE / 2000L).toInt + 1))
+      val e = e0.repartition(p2, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // nodes is NOT pinned and never counted: it is read exactly once
       // (the final completion join) from the cached edge relation, and
@@ -316,6 +323,7 @@ object LinkAnalysis {
         // fills aRaw (and e in round 1); also the last plan that reads
         // the previous round's hRaw (through `hub`), released right after
         val aMax = aRaw.agg(coalesce(max(col("a")), lit(0L))).head.getLong(0)
+        if (hub == null) e0.unpersist(false) // round 1 just filled e
         if (hRawPrev != null) { hRawPrev.unpersist(false); hRawPrev = null }
         if (aMax == 0L) {
           // empty graph (e empty => aRaw empty; scores are positive
