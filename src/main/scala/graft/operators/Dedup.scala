@@ -632,7 +632,11 @@ object Dedup {
       shingleRows(docs, idCol, textCol, n)
         .select(col("id"), md5(col("shingle")).as("d"))
         .distinct())
-    val sigsz = materialize(signatureAgg(dg, k, withSize = true))
+    // lazy pin: est's eager count below fills this cache; its two
+    // self-join legs may race the fill, but a double-computed signature
+    // aggregate reads the MATERIALIZED digest cache — cheap — where a
+    // lazy dg would re-run the tokenize per leg (why dg stays eager)
+    val sigsz = lazyPin(signatureAgg(dg, k, withSize = true))
 
     // The k signature slots ride through the band self-join (they're
     // already on bandRows' parent, 4 hex chars each), so the estimate is
