@@ -47,30 +47,70 @@ object Alerting {
     }
 
   /** Route one monitor run: keep `statuses:fail,error` rows (the
-    * reference's filter), drop every check_key the ledger has already
-    * alerted on, commit the remainder under `txnId` (replayed txns
-    * no-op), and return the rows routed BY THIS RUN — read back from the
-    * committed ledger, so a replay returns the original batch instead of
-    * re-routing. `results` columns: check_key, status, violations.
+    * reference's filter), drop every check_key the ledger alerted on
+    * within the suppression window, commit the remainder under `txnId`
+    * (replayed txns no-op), and return the rows routed BY THIS RUN —
+    * read back from the committed ledger, so a replay returns the
+    * original batch instead of re-routing. `results` columns:
+    * check_key, status, violations.
     *
-    * Concurrency contract: ONE monitor writer per ledger. The
-    * suppression anti-join reads the ledger at entry, so two monitors
-    * racing the same ledger could both emit a check that failed in
-    * both — exactly the interleaving the reference precludes by
+    * `suppressLastRuns` is the re-send suppression window, counted in
+    * MONITOR RUNS (every run commits a ledger version — even an
+    * all-pass run records its txn — so "last N versions" is "last N
+    * runs"): only alerts sent within the newest N runs suppress.
+    * A check that fails, recovers, and fails again N+ runs later
+    * re-alerts — Elementary's interval suppression, with runs as the
+    * deterministic unit instead of wall-clock hours
+    * (elementary's monitor suppresses re-sends inside
+    * `suppression_interval`; the reference runs it every 15 minutes, so
+    * runs and hours are interconvertible). The default
+    * `Int.MaxValue` suppresses against the whole ledger — permanent
+    * dedup, the strictest setting; pass a finite window for
+    * reference-faithful episodic re-alerting. Window membership is
+    * resolved by COMMIT order (the manifest history), not by txn id
+    * spelling, so run ids need not order lexicographically here.
+    *
+    * Concurrency: safe under racing monitors. The suppression anti-join
+    * reads the ledger at entry and the commit is conditional on that
+    * version still being latest ([[VersionedTable.commitBatchIf]]), so
+    * of two monitors racing the same ledger exactly one lands; the
+    * loser errors with its stale decision unshipped ("advanced since
+    * this writer read it — retry"), and its retry re-reads the ledger
+    * and suppresses correctly. The reference gets the same outcome by
     * serializing monitor runs (`max_active_runs=1`,
-    * dbt_data_quality_alerts_dag.py:19). Retries of the SAME run are
-    * safe at any overlap (txn replay). A multi-writer deployment
-    * shards ledgers per monitor or serializes like the reference.
+    * dbt_data_quality_alerts_dag.py:19); here the ledger enforces it.
+    * Retries of the SAME run are safe at any overlap (txn replay
+    * no-ops before the precondition).
     */
-  def routeAlerts(results: DataFrame, stateRoot: String, txnId: String): DataFrame = {
+  def routeAlerts(results: DataFrame, stateRoot: String, txnId: String,
+                  suppressLastRuns: Int = Int.MaxValue): DataFrame = {
     val spark = results.sparkSession
+    val entryV = VersionedTable.latestVersion(spark, stateRoot)
+    val ledger = entryV match {
+      case Some(v) => VersionedTable.read(spark, stateRoot, Some(v))
+        .select(col("check_key"), col("violations"), col("txn"))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], alertSchema)
+    }
+    val suppressing =
+      if (suppressLastRuns == Int.MaxValue || entryV.isEmpty) ledger
+      else {
+        // newest-N txns by commit order; history is manifest-sized
+        val recent = VersionedTable.history(spark, stateRoot)
+          .select("version", "txn_id").collect()
+          .filter(!_.isNullAt(1))
+          .sortBy(-_.getLong(0))
+          .take(suppressLastRuns)
+          .map(_.getString(1)).toSeq
+        if (recent.isEmpty) ledger.limit(0)
+        else ledger.filter(col("txn").isin(recent: _*))
+      }
     val fresh = results
       .filter(lower(col("status")).isin("fail", "error"))
       .select(col("check_key"), col("violations").cast("long").as("violations"))
-      .join(sentAlerts(spark, stateRoot).select("check_key"),
-        Seq("check_key"), "left_anti")
+      .join(suppressing.select("check_key"), Seq("check_key"), "left_anti")
       .withColumn("txn", lit(txnId))
-    VersionedTable.commitBatch(fresh, stateRoot, overwrite = false, txnId)
+    VersionedTable.commitBatchIf(fresh, stateRoot, overwrite = false, txnId, entryV)
     sentAlerts(spark, stateRoot).filter(col("txn") === txnId)
   }
 
@@ -82,12 +122,22 @@ object Alerting {
     * violation count. One hash aggregate; max_by gives the latest
     * status without a window over the history.
     *
-    * Run ids must order LEXICOGRAPHICALLY in run order (ISO timestamps,
-    * zero-padded sequence ids): first/latest are string min/max_by, so
-    * an unpadded scheme like run-9/run-10 would misreport both.
+    * Run ORDER: pass `runOrderCol` naming an orderable column (a run
+    * timestamp, a numeric sequence) when one exists — first/latest key
+    * on it directly. Without one, run ids themselves are the order key
+    * and must sort LEXICOGRAPHICALLY in run order (ISO timestamps,
+    * zero-padded sequence ids); that constraint is ENFORCED, not just
+    * documented: the aggregate also computes the latest run under the
+    * one plausible rival ordering (length-then-lex, which ranks the
+    * unpadded run-9 < run-10 correctly where plain lex inverts them),
+    * and any check where the two orderings disagree on the latest run
+    * fails the query with a raise_error naming both candidates — an
+    * unpadded scheme misreports loudly instead of silently. Schemes
+    * where id length varies legitimately should pass `runOrderCol`.
     */
-  def runReport(history: DataFrame): DataFrame =
-    history
+  def runReport(history: DataFrame, runOrderCol: Option[String] = None): DataFrame = {
+    val ord = col(runOrderCol.getOrElse("run_id"))
+    val base = history
       .withColumn("failed",
         lower(col("status")).isin("fail", "error"))
       .groupBy("check_key")
@@ -96,8 +146,24 @@ object Alerting {
         sum(when(col("failed"), 1L).otherwise(0L)).as("n_failures"),
         (sum(when(col("failed"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double")).as("fail_rate"),
-        coalesce(min(when(col("failed"), col("run_id"))), lit(""))
+        // min_by skips null order keys, so the when() confines it to
+        // failed rows; null (never failed) coalesces to ""
+        coalesce(min_by(col("run_id"), when(col("failed"), ord)), lit(""))
           .as("first_failed_run"),
-        max_by(lower(col("status")), col("run_id")).as("last_status"),
-        max(col("violations").cast("long")).as("worst_violations"))
+        max_by(lower(col("status")), ord).as("last_status"),
+        max(col("violations").cast("long")).as("worst_violations"),
+        max(col("run_id")).as("_lex_last"),
+        max_by(col("run_id"), struct(length(col("run_id")), col("run_id")))
+          .as("_len_last"))
+    val guarded =
+      if (runOrderCol.isDefined) base
+      else base.withColumn("last_status",
+        when(col("_lex_last") =!= col("_len_last"),
+          raise_error(concat(
+            lit("runReport: run ids do not order consistently ("),
+            col("_lex_last"), lit(" vs "), col("_len_last"),
+            lit(") — zero-pad sequence ids or pass runOrderCol"))))
+          .otherwise(col("last_status")))
+    guarded.drop("_lex_last", "_len_last")
+  }
 }

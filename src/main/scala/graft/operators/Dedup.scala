@@ -570,11 +570,29 @@ object Dedup {
           // reap safe against a live slow writer: unique names mean the
           // reaper never rewrites a path someone is writing (the torn-
           // rename hazard), and the worst case is failing that writer's
-          // rename — an error and retry, never corruption.
+          // rename — an error and retry, never corruption. The gate is
+          // the NEWEST mtime anywhere UNDER the staging dir (files and
+          // dirs, recursive), not the dir's own mtime — a directory's
+          // mtime only moves on direct-child creation, so a long
+          // parquet write into a task subdir can look stale from the
+          // top while a writer is mid-flight. Also sweeps pre-UUID
+          // legacy orphans named exactly .tmp_<txn> (older attempts
+          // staged there; nothing writes that name anymore).
+          def newestMtimeUnder(p: org.apache.hadoop.fs.Path): Long = {
+            var newest = f.getFileStatus(p).getModificationTime
+            val it = f.listFiles(p, true)
+            while (it.hasNext) {
+              val m = it.next().getModificationTime
+              if (m > newest) newest = m
+            }
+            newest
+          }
           val partDir = new org.apache.hadoop.fs.Path(s"$indexRoot/$part")
           if (f.exists(partDir)) f.listStatus(partDir).foreach { st =>
-            if (st.getPath.getName.startsWith(s".tmp_${txnId}_") &&
-                st.getModificationTime < System.currentTimeMillis() - 600000L)
+            val nm = st.getPath.getName
+            if ((nm.startsWith(s".tmp_${txnId}_") || nm == s".tmp_$txnId") &&
+                newestMtimeUnder(st.getPath) <
+                  System.currentTimeMillis() - 600000L)
               f.delete(st.getPath, true)
           }
           // attempt-unique staging dir: with the three part commits

@@ -79,12 +79,43 @@ object VersionedTable {
     if (f.getUri.getScheme == null || f.getUri.getScheme == "file") {
       val src = java.nio.file.Paths.get(tmp.toUri.getPath)
       val dst = java.nio.file.Paths.get(fin.toUri.getPath)
+      // carry the ChecksumFileSystem sidecar (.name.crc) to the final
+      // name so the published manifest keeps its checksum — best-effort:
+      // a missing sidecar merely skips verification on read
+      def carrySidecar(): Unit = {
+        val sc = src.resolveSibling("." + src.getFileName.toString + ".crc")
+        val dc = dst.resolveSibling("." + dst.getFileName.toString + ".crc")
+        if (java.nio.file.Files.exists(sc))
+          try { java.nio.file.Files.copy(sc, dc); () }
+          catch { case _: java.io.IOException => () }
+      }
       try {
         java.nio.file.Files.createLink(dst, src)
+        carrySidecar()
         f.delete(tmp, false) // Hadoop delete drops the checksum sidecar too
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // no hard-link support on this mount (some NFS/CIFS/FAT):
+          // fall back to an O_EXCL create-and-write of the FINAL name.
+          // Same at-most-one-winner fence (CREATE_NEW fails with EEXIST);
+          // the one concession is that a concurrent reader can
+          // transiently observe a short manifest, which read()'s
+          // non-empty check turns into a retryable error — never a torn
+          // table or a lost update.
+          try {
+            val out = java.nio.file.Files.newOutputStream(dst,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try out.write(java.nio.file.Files.readAllBytes(src))
+            finally out.close()
+            carrySidecar()
+            f.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       }
     } else f.rename(tmp, fin)
 
@@ -190,7 +221,29 @@ object VersionedTable {
     * table formats use for streaming exactly-once.
     */
   def commitBatch(df: DataFrame, root: String, overwrite: Boolean,
-                  txnId: String): Long = {
+                  txnId: String): Long =
+    commitBatchCore(df, root, overwrite, txnId, expectedPrev = None)
+
+  /** [[commitBatch]] with an optimistic-concurrency precondition: the
+    * commit only lands if the table's latest version still equals
+    * `expected` (the version the caller READ its inputs at). A writer
+    * whose read snapshot went stale — another commit landed in between —
+    * errors out BEFORE writing, instead of committing a decision derived
+    * from outdated state (the lost-update/double-emit shape). Replays of
+    * an already-committed txn still no-op regardless of the precondition:
+    * their rows are already in, whatever the table did since.
+    *
+    * The check alone has a read-then-claim window; it composes with the
+    * claim+fence in [[writeManifest]] (two writers passing the same
+    * precondition target the same version — exactly one publishes).
+    */
+  def commitBatchIf(df: DataFrame, root: String, overwrite: Boolean,
+                    txnId: String, expected: Option[Long]): Long =
+    commitBatchCore(df, root, overwrite, txnId, Some(expected))
+
+  private def commitBatchCore(df: DataFrame, root: String, overwrite: Boolean,
+                              txnId: String,
+                              expectedPrev: Option[Option[Long]]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val prev = versions(f, root).lastOption
@@ -198,6 +251,11 @@ object VersionedTable {
       .getOrElse((Seq.empty[String], Seq.empty[String]))
     if (prevTxns.contains(txnId)) prev.get // replay: committed, no-op
     else {
+      expectedPrev.foreach { exp =>
+        if (exp != prev) sys.error(
+          s"VersionedTable: $root advanced from $exp to $prev since this " +
+            "writer read it — re-read the latest version and retry")
+      }
       val newFiles = writeDataFiles(df, root)
       val live = if (overwrite) newFiles else prevFiles ++ newFiles
       val v = prev.map(_ + 1).getOrElse(0L)

@@ -46,6 +46,67 @@ class AlertingSpec extends SparkSpec {
     assert(r1.count() == 1)
   }
 
+  test("routeAlerts suppression window: a check that fails, recovers, " +
+      "and fails again past the window RE-alerts; inside it stays quiet") {
+    val root = java.nio.file.Files.createTempDirectory("alerts3").toString
+    val w = 2 // suppress re-sends within the newest 2 runs
+    val r1 = Alerting.routeAlerts(results(("a", "fail", 1L)), root, "run-1", w)
+    assert(r1.count() == 1)
+    // immediate re-fail: run-1's alert is inside the 2-run window
+    val r2 = Alerting.routeAlerts(results(("a", "fail", 2L)), root, "run-2", w)
+    assert(r2.isEmpty)
+    // recovery run (all pass) still commits a version = advances the window
+    Alerting.routeAlerts(results(("a", "pass", 0L)), root, "run-3", w)
+    // run-4: the newest 2 runs are run-3/run-2, neither alerted on a —
+    // the episode ended, so this failure routes again
+    val r4 = Alerting.routeAlerts(results(("a", "fail", 3L)), root, "run-4", w)
+    assert(r4.count() == 1)
+    // default window (whole ledger): the same sequence stays suppressed
+    val root2 = java.nio.file.Files.createTempDirectory("alerts4").toString
+    Alerting.routeAlerts(results(("a", "fail", 1L)), root2, "run-1")
+    Alerting.routeAlerts(results(("a", "pass", 0L)), root2, "run-2")
+    assert(Alerting.routeAlerts(results(("a", "fail", 3L)), root2, "run-3").isEmpty)
+  }
+
+  test("routeAlerts concurrency: a writer whose entry snapshot went " +
+      "stale fails its commit instead of double-emitting; its retry " +
+      "re-reads and suppresses") {
+    val root = java.nio.file.Files.createTempDirectory("alerts5").toString
+    Alerting.routeAlerts(results(("a", "fail", 1L)), root, "m1")
+    // simulate monitor B racing monitor A: B read the ledger at v0 (via
+    // commitBatchIf's expected param) while A's m1 commit advanced it
+    val stale = results(("a", "fail", 1L))
+      .withColumn("txn", org.apache.spark.sql.functions.lit("m2"))
+      .select(col("check_key"), col("violations"), col("txn"))
+    val e = intercept[RuntimeException] {
+      graft.sinks.VersionedTable.commitBatchIf(
+        stale, root, overwrite = false, "m2", expected = None)
+    }
+    assert(e.getMessage.contains("advanced"))
+    // the loser's retry goes through routeAlerts proper: fresh read,
+    // correct suppression, nothing double-posts
+    assert(Alerting.routeAlerts(results(("a", "fail", 1L)), root, "m2").isEmpty)
+    assert(Alerting.sentAlerts(spark, root).count() == 1)
+  }
+
+  test("runReport run-order guard: an unpadded id scheme (run-9 vs " +
+      "run-10) fails loudly; an explicit runOrderCol resolves it") {
+    val hist = Seq(
+      ("run-9", 9L, "volume", "fail", 1L), ("run-10", 10L, "volume", "pass", 0L))
+      .toDF("run_id", "run_seq", "check_key", "status", "violations")
+    val e = intercept[Exception] {
+      Alerting.runReport(hist.drop("run_seq")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("order consistently"))
+    // keyed on the numeric sequence: run-10 is latest → pass
+    val rep = Alerting.runReport(hist, Some("run_seq")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep("volume").getString(5) == "pass")
+    assert(rep("volume").getString(4) == "run-9")
+  }
+
   test("runReport: totals, dyadic rate, first failing run, latest " +
       "status, worst violations — hand-computed") {
     val hist = Seq(

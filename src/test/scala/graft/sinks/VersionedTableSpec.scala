@@ -151,6 +151,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) == Set(1L, 2L, 3L, 4L, 5L), "replay after vacuum must no-op")
   }
 
+  test("commitBatchIf: a stale-snapshot writer fails BEFORE writing; a " +
+      "replayed txn no-ops regardless of the precondition; the published " +
+      "manifest carries its checksum sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("vt_cas").toString
+    val v0 = VersionedTable.commitBatchIf(Seq(1L).toDF("id"), root,
+      overwrite = false, txnId = "c0", expected = None)
+    assert(v0 == 0L)
+    // writer that read at "no table yet" but v0 landed since: CAS fails
+    val e = intercept[RuntimeException] {
+      VersionedTable.commitBatchIf(Seq(2L).toDF("id"), root,
+        overwrite = false, txnId = "c1", expected = None)
+    }
+    assert(e.getMessage.contains("advanced"))
+    assert(ids(root) == Set(1L), "failed CAS must not commit")
+    // matching precondition commits
+    VersionedTable.commitBatchIf(Seq(2L).toDF("id"), root,
+      overwrite = false, txnId = "c1", expected = Some(0L))
+    assert(ids(root) == Set(1L, 2L))
+    // replay of c0 with a WRONG precondition still no-ops (already in)
+    val r = VersionedTable.commitBatchIf(Seq(1L).toDF("id"), root,
+      overwrite = false, txnId = "c0", expected = Some(999L))
+    assert(r == 1L && ids(root) == Set(1L, 2L))
+    // local-fs publish keeps the ChecksumFileSystem sidecar at the
+    // final name (the hard-link path copies it before dropping the tmp)
+    val mdir = new java.io.File(root, "_manifests")
+    assert(new java.io.File(mdir, "v0.manifest").exists())
+    assert(new java.io.File(mdir, ".v0.manifest.crc").exists(),
+      s"sidecar missing: ${mdir.listFiles().map(_.getName).toSeq.sorted}")
+  }
+
   test("vacuum drops unreferenced data files but keeps every retained version readable") {
     val root = java.nio.file.Files.createTempDirectory("vt_vac").toString
     VersionedTable.commit(Seq(1L).toDF("id"), root, overwrite = true)
