@@ -147,11 +147,21 @@ object GraftFunctions {
         litInt(children(2), "len"))
     })
 
+  private val xdrLedgerHeaderDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_ledger_header"),
+    new ExpressionInfo(classOf[XdrLedgerHeader].getName, "graft_xdr_ledger_header"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_ledger_header(bin) takes one binary arg")
+      XdrLedgerHeader(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
       nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
-      xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor)
+      xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
+      xdrLedgerHeaderDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

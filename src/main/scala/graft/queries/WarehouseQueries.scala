@@ -1474,6 +1474,90 @@ object WarehouseQueries {
                 .otherwise(lit("A")))).isNull.as("tamper_rejected"))
     }),
 
+    // S2 WHOLE-RECORD decode through the gate: a full Stellar
+    // LedgerHeader (RFC 4506, stellar-core Stellar-ledger.x) decoded to
+    // every history_ledgers scalar/hash column by the native
+    // graft_xdr_ledger_header expression — the composition of the field
+    // primitives into the record the reference's Go binary exports
+    // (build_export_task.py:94-161). The fixture is built per order row
+    // with PLAIN Spark byte plumbing and deliberately exercises the
+    // VARIABLE-length interior literal offsets cannot express: an
+    // upgrades<6> vector of k%3 elements with k-dependent lengths and
+    // XDR zero-padding, a BASIC/SIGNED scp ext union (signed rows carry
+    // a NodeID + variable-length signature), and the v1 header ext with
+    // flags on k%5 rows. The oracle is the fixture LAW — every output
+    // field restated directly from the row key — so the decode must
+    // invert the encode across all interior-shape combinations; a
+    // truncated header must quarantine to NULL.
+    "s2_ledger_header" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def u64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag)))) // 16 bytes
+      def h32(a: String, b: String) = concat(h16(a), h16(b)) // a Hash
+      // opaque<max>: len || bytes || zero-pad to the 4-byte boundary
+      def varOpaque(bytesCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), bytesCol.substr(lit(1), lenCol),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val nU = pmod(k, lit(3L))
+      def upgrade(i: Int): Column =
+        when(nU > i, varOpaque(h16(s"g$i"), pmod(k + lit(i.toLong), lit(4L)) + lit(1L)))
+          .otherwise(unhex(lit("")))
+      val scpExt = when(pmod(k, lit(2L)) === 1L,
+        concat(u32(lit(1L)), u32(lit(0L)), h32("n", "o"),
+          varOpaque(concat(h16("p"), h16("q"), h16("r2")),
+            lit(37L) + pmod(k, lit(5L)))))
+        .otherwise(u32(lit(0L)))
+      val hdrExt = when(pmod(k, lit(5L)) === 0L,
+        concat(u32(lit(1L)), u32(pmod(k, lit(8L))), u32(lit(0L))))
+        .otherwise(u32(lit(0L)))
+      val xdr = concat(
+        u32(pmod(k, lit(100L))),                       // ledgerVersion
+        unhex(concat(md5(ks), md5(concat(ks, lit("x"))))), // prev hash
+        h32("t", "u"),                                 // scp.txSetHash
+        u64(lit(1700000000L) + k),                     // scp.closeTime
+        u32(nU), upgrade(0), upgrade(1),               // scp.upgrades<6>
+        scpExt,                                        // scp.ext union
+        h32("r", "s"),                                 // txSetResultHash
+        h32("b", "c"),                                 // bucketListHash
+        u32(k),                                        // ledgerSeq
+        u64(lit(1000000000000L) + k),                  // totalCoins
+        u64(lit(7000000L) + k),                        // feePool
+        u32(pmod(k, lit(11L))),                        // inflationSeq
+        u64(lit(900000000L) + k),                      // idPool
+        u32(lit(100L) + pmod(k, lit(7L))),             // baseFee
+        u32(lit(5000000L) + pmod(k, lit(13L))),        // baseReserve
+        u32(lit(1000L) + pmod(k, lit(50L))),           // maxTxSetSize
+        concat(h16("s1"), h16("s2"), h16("s3"), h16("s4"),
+          h16("s5"), h16("s6"), h16("s7"), h16("s8")), // skipList[4]
+        hdrExt)                                        // header ext
+      t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr))) // the transport shape
+        .withColumn("h", call_function("graft_xdr_ledger_header", col("bin")))
+        .select(col("k"),
+          col("h.ledger_version").as("ledger_version"),
+          lower(hex(col("h.previous_ledger_hash"))).as("prev_hash"),
+          lower(hex(col("h.tx_set_hash"))).as("tx_set_hash"),
+          col("h.close_time").as("close_time"),
+          col("h.upgrade_count").as("upgrade_count"),
+          col("h.signed").as("signed"),
+          lower(hex(col("h.tx_set_result_hash"))).as("result_hash"),
+          lower(hex(col("h.bucket_list_hash"))).as("bucket_hash"),
+          col("h.ledger_seq").as("ledger_seq"),
+          col("h.total_coins").as("total_coins"),
+          col("h.fee_pool").as("fee_pool"),
+          col("h.inflation_seq").as("inflation_seq"),
+          col("h.id_pool").as("id_pool"),
+          col("h.base_fee").as("base_fee"),
+          col("h.base_reserve").as("base_reserve"),
+          col("h.max_tx_set_size").as("max_tx_set_size"),
+          col("h.flags").as("flags"),
+          call_function("graft_xdr_ledger_header", col("bin").substr(1, 60))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2521,6 +2605,37 @@ object WarehouseQueries {
         |  CAST(1700000000 + o_orderkey AS BIGINT) AS close_time,
         |  CAST(100 + o_orderkey % 7 AS BIGINT) AS base_fee
         |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin,
+
+    // the whole-record fixture LAW: every LedgerHeader column restated
+    // from the row key; the native record decode must invert the
+    // variable-interior encode (upgrades vector, scp ext union, v1
+    // flags ext) bit-for-bit across all shape combinations
+    "s2_ledger_header" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(o_orderkey % 100 AS BIGINT) AS ledger_version,
+        |  md5(CAST(o_orderkey AS VARCHAR))
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'x') AS prev_hash,
+        |  md5(CAST(o_orderkey AS VARCHAR) || 't')
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'u') AS tx_set_hash,
+        |  CAST(1700000000 + o_orderkey AS BIGINT) AS close_time,
+        |  CAST(o_orderkey % 3 AS BIGINT) AS upgrade_count,
+        |  o_orderkey % 2 = 1 AS signed,
+        |  md5(CAST(o_orderkey AS VARCHAR) || 'r')
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 's') AS result_hash,
+        |  md5(CAST(o_orderkey AS VARCHAR) || 'b')
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'c') AS bucket_hash,
+        |  CAST(o_orderkey AS BIGINT) AS ledger_seq,
+        |  CAST(1000000000000 + o_orderkey AS BIGINT) AS total_coins,
+        |  CAST(7000000 + o_orderkey AS BIGINT) AS fee_pool,
+        |  CAST(o_orderkey % 11 AS BIGINT) AS inflation_seq,
+        |  CAST(900000000 + o_orderkey AS BIGINT) AS id_pool,
+        |  CAST(100 + o_orderkey % 7 AS BIGINT) AS base_fee,
+        |  CAST(5000000 + o_orderkey % 13 AS BIGINT) AS base_reserve,
+        |  CAST(1000 + o_orderkey % 50 AS BIGINT) AS max_tx_set_size,
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey % 8 ELSE 0 END
+        |    AS BIGINT) AS flags,
+        |  true AS truncated_rejected
+        |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
 
     // strkey round-trip law (DuckDB has no base32): payload identities
     // and checksum rejection; codec-vs-independent-reimplementation is
