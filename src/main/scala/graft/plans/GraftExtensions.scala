@@ -156,12 +156,21 @@ object GraftFunctions {
       XdrLedgerHeader(children.head)
     })
 
+  private val xdrAccountEntryDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_account_entry"),
+    new ExpressionInfo(classOf[XdrAccountEntryDecode].getName, "graft_xdr_account_entry"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_account_entry(bin) takes one binary arg")
+      XdrAccountEntryDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
       nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
       xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
-      xdrLedgerHeaderDescriptor)
+      xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -172,6 +172,164 @@ object XdrRecords {
   }
 }
 
+/** `graft_xdr_account_entry(bin)`: full AccountEntry record decode —
+  * the second whole-record composition, and the one that exercises the
+  * XDR-cursor × strkey-codec COMPOSITION: account ids arrive as raw
+  * ed25519 PublicKeys and surface as checksum-carrying G-addresses
+  * (SEP-23 strkey, version byte 48), exactly the spelling the
+  * reference's `accounts` table stores. Layout walked
+  * (Stellar-ledger-entries.x):
+  * {{{
+  *   AccountID accountID          // PublicKey: uint32 0 + opaque[32]
+  *   int64  balance
+  *   int64  seqNum
+  *   uint32 numSubEntries
+  *   AccountID* inflationDest     // optional: uint32 0|1 (+ PublicKey)
+  *   uint32 flags
+  *   string32 homeDomain          // len, bytes, pad to 4
+  *   Thresholds thresholds        // opaque[4]: master/low/med/high
+  *   Signer signers<20>           // per signer: SignerKey union
+  *                                //   (0|1|2: opaque[32];
+  *                                //    3: opaque[32] + opaque<64>)
+  *                                //   + uint32 weight
+  *   ext: uint32 0 | 1 (AccountEntryExtensionV1:
+  *     Liabilities { int64 buying; int64 selling } + inner ext 0)
+  * }}}
+  * Same quarantine + exact-consumption semantics as the header decode.
+  */
+object XdrAccountEntry {
+  val accountEntryType: StructType = StructType(Seq(
+    StructField("account_id", StringType),
+    StructField("balance", LongType),
+    StructField("sequence_number", LongType),
+    StructField("num_subentries", LongType),
+    StructField("inflation_destination", StringType),
+    StructField("flags", LongType),
+    StructField("home_domain", StringType),
+    StructField("master_weight", LongType),
+    StructField("threshold_low", LongType),
+    StructField("threshold_med", LongType),
+    StructField("threshold_high", LongType),
+    StructField("num_signers", LongType),
+    StructField("buying_liabilities", LongType),
+    StructField("selling_liabilities", LongType)))
+
+  /** Cursor parse; null on ANY structural violation. */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    var p = 0
+    def has(n: Int): Boolean = n >= 0 && b.length - p >= n
+    def u32(): Long = {
+      val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+      p += 4; v
+    }
+    def i64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      p += 8; v
+    }
+    // PublicKey union: type 0 (ed25519) + opaque[32] → strkey G-address
+    def publicKey(): org.apache.spark.unsafe.types.UTF8String = {
+      if (!has(36) || u32() != 0L) return null
+      val key = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
+      StrkeyCodec.encode(48, key) // 48 = SEP-23 account version byte 'G'
+    }
+    def varBytes(max: Long): Array[Byte] = {
+      if (!has(4)) return null
+      val len = u32()
+      if (len > max) return null
+      val pad = ((4L - len % 4L) % 4L).toInt
+      if (!has(len.toInt + pad)) return null
+      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      var i = 0
+      while (i < pad) { if (b(p + i) != 0) return null; i += 1 }
+      p += pad
+      out
+    }
+
+    val accountId = publicKey()
+    if (accountId == null) return null
+    if (!has(8 + 8 + 4 + 4)) return null
+    val balance = i64()
+    val seqNum = i64()
+    val numSubEntries = u32()
+    val hasInflation = u32()
+    val inflationDest = hasInflation match {
+      case 0L => null
+      case 1L =>
+        val d = publicKey()
+        if (d == null) return null
+        d
+      case _ => return null
+    }
+    if (!has(4)) return null
+    val flags = u32()
+    val homeDomainBytes = varBytes(32) // string32
+    if (homeDomainBytes == null) return null
+    if (!has(4 + 4)) return null
+    val thr = java.util.Arrays.copyOfRange(b, p, p + 4); p += 4
+    val nSigners = u32()
+    if (nSigners > 20) return null // Signer signers<20>
+    var s = 0L
+    while (s < nSigners) {
+      if (!has(4)) return null
+      val keyType = u32()
+      if (keyType < 0L || keyType > 3L) return null
+      if (!has(32)) return null
+      p += 32
+      if (keyType == 3L && varBytes(64) == null) return null // signed payload
+      if (!has(4)) return null
+      u32() // weight
+      s += 1
+    }
+    if (!has(4)) return null
+    val (buying, selling) = u32() match {
+      case 0L => (0L, 0L)
+      case 1L => // AccountEntryExtensionV1: Liabilities + inner ext 0
+        if (!has(8 + 8 + 4)) return null
+        val bl = i64(); val sl = i64()
+        if (u32() != 0L) return null
+        (bl, sl)
+      case _ => return null
+    }
+    if (p != b.length) return null // exact consumption
+    new GenericInternalRow(Array[Any](
+      accountId, balance, seqNum, numSubEntries, inflationDest, flags,
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(homeDomainBytes),
+      (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
+      (thr(2) & 0xff).toLong, (thr(3) & 0xff).toLong,
+      nSigners, buying, selling))
+  }
+}
+
+case class XdrAccountEntryDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_xdr_account_entry requires a binary arg, got ${child.dataType}")
+
+  override def dataType: DataType = XdrAccountEntry.accountEntryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_xdr_account_entry"
+
+  override def nullSafeEval(input: Any): Any =
+    XdrAccountEntry.decode(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.XdrAccountEntry.decode($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XdrAccountEntryDecode =
+    copy(child = newChild)
+}
+
 /** `graft_xdr_ledger_header(bin)`: full LedgerHeader record decode to a
   * struct (see [[XdrRecords.ledgerHeaderType]]); NULL on malformed. */
 case class XdrLedgerHeader(child: Expression) extends UnaryExpression {

@@ -1558,6 +1558,77 @@ object WarehouseQueries {
             .isNull.as("truncated_rejected"))
     }),
 
+    // S3 WHOLE-RECORD decode through the gate: a full AccountEntry
+    // (Stellar-ledger-entries.x) decoded by graft_xdr_account_entry —
+    // the record that exercises the XDR-cursor x STRKEY composition:
+    // raw ed25519 PublicKeys surface as checksum-carrying G-addresses,
+    // the spelling the reference's accounts table stores. The fixture
+    // varies every interior shape: optional inflation destination
+    // (k%3), 0..3 signers (k%4), 0..12-byte home domain with XDR
+    // padding (k%13), v0/v1 liabilities ext (k%2). The oracle restates
+    // the law; address payloads verify through the independent
+    // strkey_decode round-trip (DuckDB has no base32).
+    "s3_account_entry" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val hd = pmod(k, lit(13L))
+      val domain = substring(md5(concat(ks, lit("d"))), 1, 12)
+        .substr(lit(1), hd)
+      val nS = pmod(k, lit(4L))
+      def signer(i: Int): Column =
+        when(nS > i, concat(u32(lit(i.toLong)),
+          h16(s"s$i"), h16(s"t$i"), u32(lit(10L + i))))
+          .otherwise(unhex(lit("")))
+      val xdr = concat(
+        u32(lit(0L)), unhex(concat(md5(ks), md5(concat(ks, lit("a"))))),
+        i64(lit(5000000000L) + k),                     // balance
+        i64(k * lit(4294967296L) + pmod(k, lit(100L))), // seqNum
+        u32(pmod(k, lit(20L))),                        // numSubEntries
+        when(pmod(k, lit(3L)) === 0L,                  // inflationDest*
+          concat(u32(lit(1L)), u32(lit(0L)), h16("i"), h16("j")))
+          .otherwise(u32(lit(0L))),
+        u32(pmod(k, lit(8L))),                         // flags
+        concat(u32(hd), domain.cast("binary"),         // string32 domain
+          zeros.substr(lit(1), (lit(4) - pmod(hd, lit(4))) % lit(4))),
+        unhex(concat(                                  // thresholds[4]
+          lpad(hex(lit(1L) + pmod(k, lit(4L))), 2, "0"),
+          lpad(hex(pmod(k, lit(3L))), 2, "0"),
+          lpad(hex(pmod(k, lit(5L))), 2, "0"),
+          lpad(hex(pmod(k, lit(7L))), 2, "0"))),
+        u32(nS), signer(0), signer(1), signer(2),      // signers<20>
+        when(pmod(k, lit(2L)) === 1L,                  // ext: v1 adds
+          concat(u32(lit(1L)), i64(lit(111222333L) + k), // liabilities
+            i64(lit(444555L) + k), u32(lit(0L))))
+          .otherwise(u32(lit(0L))))
+      t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_account_entry", col("bin")))
+        .select(col("k"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.account_id")))).as("account_payload_hex"),
+          (substring(col("h.account_id"), 1, 1) === "G").as("g_prefix"),
+          col("h.balance").as("balance"),
+          col("h.sequence_number").as("sequence_number"),
+          col("h.num_subentries").as("num_subentries"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.inflation_destination")))).as("inflation_payload_hex"),
+          col("h.flags").as("flags"),
+          col("h.home_domain").as("home_domain"),
+          col("h.master_weight").as("master_weight"),
+          col("h.threshold_low").as("threshold_low"),
+          col("h.threshold_med").as("threshold_med"),
+          col("h.threshold_high").as("threshold_high"),
+          col("h.num_signers").as("num_signers"),
+          col("h.buying_liabilities").as("buying_liabilities"),
+          col("h.selling_liabilities").as("selling_liabilities"),
+          call_function("graft_xdr_account_entry", col("bin").substr(1, 40))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2636,6 +2707,36 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the AccountEntry fixture LAW: every column from the row key;
+    // address payloads verified through the strkey_decode round-trip
+    "s3_account_entry" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  md5(CAST(c_custkey AS VARCHAR))
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'a') AS account_payload_hex,
+        |  true AS g_prefix,
+        |  CAST(5000000000 + c_custkey AS BIGINT) AS balance,
+        |  CAST(c_custkey * 4294967296 + c_custkey % 100 AS BIGINT)
+        |    AS sequence_number,
+        |  CAST(c_custkey % 20 AS BIGINT) AS num_subentries,
+        |  CASE WHEN c_custkey % 3 = 0 THEN
+        |    md5(CAST(c_custkey AS VARCHAR) || 'i')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'j')
+        |  END AS inflation_payload_hex,
+        |  CAST(c_custkey % 8 AS BIGINT) AS flags,
+        |  substring(md5(CAST(c_custkey AS VARCHAR) || 'd'), 1,
+        |    CAST(c_custkey % 13 AS INTEGER)) AS home_domain,
+        |  CAST(1 + c_custkey % 4 AS BIGINT) AS master_weight,
+        |  CAST(c_custkey % 3 AS BIGINT) AS threshold_low,
+        |  CAST(c_custkey % 5 AS BIGINT) AS threshold_med,
+        |  CAST(c_custkey % 7 AS BIGINT) AS threshold_high,
+        |  CAST(c_custkey % 4 AS BIGINT) AS num_signers,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 THEN 111222333 + c_custkey
+        |    ELSE 0 END AS BIGINT) AS buying_liabilities,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 THEN 444555 + c_custkey
+        |    ELSE 0 END AS BIGINT) AS selling_liabilities,
+        |  true AS truncated_rejected
+        |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
 
     // strkey round-trip law (DuckDB has no base32): payload identities
     // and checksum rejection; codec-vs-independent-reimplementation is

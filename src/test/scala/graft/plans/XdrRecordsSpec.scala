@@ -133,6 +133,108 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrRecords.decodeLedgerHeader(badKey) == null)
   }
 
+  /** Independent AccountEntry encoder (Stellar-ledger-entries.x). */
+  private def encodeAccount(balance: Long, seqNum: Long,
+                            inflation: Boolean, homeDomain: String,
+                            signerTypes: Seq[Int], liabilities: Option[(Long, Long)])
+  : Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    def wVar(bytes: Array[Byte]): Unit = {
+      w32(bytes.length.toLong); bb.write(bytes, 0, bytes.length)
+      var pad = (4 - bytes.length % 4) % 4
+      while (pad > 0) { bb.write(0); pad -= 1 }
+    }
+    w32(0L); bb.write(hash(10), 0, 32) // accountID: ed25519 PublicKey
+    w64(balance); w64(seqNum); w32(7L) // numSubEntries
+    if (inflation) { w32(1L); w32(0L); bb.write(hash(11), 0, 32) } else w32(0L)
+    w32(5L) // flags
+    wVar(homeDomain.getBytes("UTF-8"))
+    bb.write(Array[Byte](3, 1, 2, 4), 0, 4) // thresholds
+    w32(signerTypes.length.toLong)
+    signerTypes.foreach { t =>
+      w32(t.toLong); bb.write(hash(12 + t), 0, 32)
+      if (t == 3) wVar(Array.tabulate[Byte](19)(_.toByte)) // signed payload
+      w32(200L + t)
+    }
+    liabilities match {
+      case Some((buy, sell)) => w32(1L); w64(buy); w64(sell); w32(0L)
+      case None              => w32(0L)
+    }
+    bb.toByteArray
+  }
+
+  private val accountShapes: Seq[Array[Byte]] = for {
+    inflation <- Seq(false, true)
+    domain <- Seq("", "a", "stellar.org") // 0, 1 (pad 3), 11 (pad 1) bytes
+    signers <- Seq(Seq.empty[Int], Seq(0), Seq(0, 1, 2, 3))
+    liab <- Seq(None, Some((42L, 77L)))
+  } yield encodeAccount(999L, 1L << 40, inflation, domain, signers, liab)
+
+  test("AccountEntry decode inverts the independent encoder across " +
+      "inflation/domain/signers(incl. type-3)/liabilities shapes, and " +
+      "the account id surfaces as the checksum-valid strkey G-address " +
+      "of the raw key") {
+    for {
+      inflation <- Seq(false, true)
+      domain <- Seq("", "a", "stellar.org")
+      signers <- Seq(Seq.empty[Int], Seq(0), Seq(0, 1, 2, 3))
+      liab <- Seq(None, Some((42L, 77L)))
+    } {
+      val buf = encodeAccount(999L, 1L << 40, inflation, domain, signers, liab)
+      val r = XdrAccountEntry.decode(buf)
+      assert(r != null, s"shape $inflation/$domain/$signers/$liab")
+      val addr = r.getUTF8String(0).toString
+      assert(addr.length == 56 && addr.startsWith("G"))
+      // strkey composition: the independent codec must round-trip the
+      // address back to the raw key bytes the encoder wrote
+      assert(StrkeyCodec.decodePayload(
+        org.apache.spark.unsafe.types.UTF8String.fromString(addr))
+        .toSeq == hash(10).toSeq)
+      assert(r.getLong(1) == 999L && r.getLong(2) == (1L << 40))
+      assert(r.getLong(3) == 7L)
+      if (inflation)
+        assert(StrkeyCodec.decodePayload(r.getUTF8String(4)).toSeq == hash(11).toSeq)
+      else assert(r.isNullAt(4))
+      assert(r.getLong(5) == 5L)
+      assert(r.getUTF8String(6).toString == domain)
+      assert((r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)) ==
+        ((3L, 1L, 2L, 4L)))
+      assert(r.getLong(11) == signers.length.toLong)
+      assert(r.getLong(12) == liab.map(_._1).getOrElse(0L))
+      assert(r.getLong(13) == liab.map(_._2).getOrElse(0L))
+    }
+  }
+
+  test("AccountEntry quarantine: every strict prefix and one-byte " +
+      "extension rejects; so do over-limit domains/signer vectors and " +
+      "unknown discriminants") {
+    accountShapes.foreach { buf =>
+      (0 until buf.length).foreach { n =>
+        assert(XdrAccountEntry.decode(buf.take(n)) == null,
+          s"prefix $n/${buf.length}")
+      }
+      assert(XdrAccountEntry.decode(buf :+ 0.toByte) == null)
+      assert(XdrAccountEntry.decode(buf) != null)
+    }
+    // home domain longer than string32
+    assert(XdrAccountEntry.decode(
+      encodeAccount(1L, 1L, inflation = false, "x" * 33, Nil, None)) == null)
+    // 21 signers exceeds signers<20>
+    assert(XdrAccountEntry.decode(
+      encodeAccount(1L, 1L, inflation = false, "", Seq.fill(21)(0), None)) == null)
+    // unknown signer key type (4)
+    assert(XdrAccountEntry.decode(
+      encodeAccount(1L, 1L, inflation = false, "", Seq(4), None)) == null)
+    // non-ed25519 account key type: flip the leading discriminant
+    val bad = accountShapes.head.clone(); bad(3) = 1
+    assert(XdrAccountEntry.decode(bad) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
