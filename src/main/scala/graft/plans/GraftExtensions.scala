@@ -165,12 +165,22 @@ object GraftFunctions {
       XdrAccountEntryDecode(children.head)
     })
 
+  private val xdrTxEnvelopeDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_tx_envelope"),
+    new ExpressionInfo(classOf[XdrTxEnvelopeDecode].getName, "graft_xdr_tx_envelope"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_tx_envelope(bin) takes one binary arg")
+      XdrTxEnvelopeDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
       nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
       xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
-      xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor)
+      xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
+      xdrTxEnvelopeDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

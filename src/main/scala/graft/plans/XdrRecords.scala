@@ -330,6 +330,243 @@ case class XdrAccountEntryDecode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_xdr_tx_envelope(bin)`: TransactionV1Envelope record decode —
+  * the third whole-record composition and the one that carries the
+  * reference's per-OPERATION table transform: the decoded struct's
+  * `operations` array explodes into history_operations-shaped rows
+  * (the reference's Go binary fans one transaction XDR out to the
+  * transactions + operations tables, build_export_task.py:94-161).
+  * Layout walked (Stellar-transaction.x), ENVELOPE_TYPE_TX = 2:
+  * {{{
+  *   uint32 2                       // TransactionEnvelope union arm
+  *   MuxedAccount sourceAccount     // uint32 0: opaque[32]
+  *                                  // uint32 0x100: uint64 id + opaque[32]
+  *   uint32 fee
+  *   int64  seqNum
+  *   Preconditions: uint32 0 (none) | 1 (TimeBounds: uint64 min, max)
+  *   Memo: uint32 0 | 1 string<28> | 2 uint64 | 3/4 opaque[32]
+  *   Operation operations<100>:     // per op:
+  *     MuxedAccount* sourceAccount  //   optional
+  *     uint32 type: 0 CREATE_ACCOUNT → AccountID dest + int64 balance
+  *                  1 PAYMENT → MuxedAccount dest + Asset + int64 amount
+  *     Asset: uint32 0 native | 1 code[4]+issuer | 2 code[12]+issuer
+  *   uint32 0                       // tx ext
+  *   DecoratedSignature signatures<20>  // opaque[4] hint + opaque<64>
+  * }}}
+  * Ed25519 keys surface as strkey G-addresses; muxed sources surface as
+  * the underlying G-address plus the mux id. DECODE BOUNDARY: v0/fee-bump
+  * envelopes, PRECOND_V2, and operation types beyond CREATE_ACCOUNT /
+  * PAYMENT quarantine to NULL like malformed input — NULL means "this
+  * decoder cannot produce the record", the same routing signal either
+  * way; extending the op-type switch is mechanical.
+  */
+object XdrTxEnvelope {
+
+  val operationType: StructType = StructType(Seq(
+    StructField("op_type", LongType),
+    StructField("source_account", StringType),
+    StructField("destination", StringType),
+    StructField("asset_type", LongType),
+    StructField("asset_code", StringType),
+    StructField("asset_issuer", StringType),
+    StructField("amount", LongType)))
+
+  val txEnvelopeType: StructType = StructType(Seq(
+    StructField("source_account", StringType),
+    StructField("muxed_id", LongType),
+    StructField("fee", LongType),
+    StructField("seq_num", LongType),
+    StructField("min_time", LongType),
+    StructField("max_time", LongType),
+    StructField("memo_type", LongType),
+    StructField("memo_text", StringType),
+    StructField("memo_id", LongType),
+    StructField("memo_hash", BinaryType),
+    StructField("n_operations", LongType),
+    StructField("n_signatures", LongType),
+    StructField("operations", ArrayType(operationType))))
+
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    var p = 0
+    def has(n: Int): Boolean = n >= 0 && b.length - p >= n
+    def u32(): Long = {
+      val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+      p += 4; v
+    }
+    def i64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      p += 8; v
+    }
+    def strkey(): org.apache.spark.unsafe.types.UTF8String = {
+      val key = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
+      StrkeyCodec.encode(48, key)
+    }
+    // MuxedAccount → (G-address of the underlying key, mux id or null)
+    def muxed(): (org.apache.spark.unsafe.types.UTF8String, Any) = {
+      if (!has(4)) return null
+      u32() match {
+        case 0L => // KEY_TYPE_ED25519
+          if (!has(32)) null else (strkey(), null)
+        case 0x100L => // KEY_TYPE_MUXED_ED25519
+          if (!has(40)) null else { val id = i64(); (strkey(), id) }
+        case _ => null
+      }
+    }
+    def accountId(): org.apache.spark.unsafe.types.UTF8String = {
+      if (!has(36) || u32() != 0L) return null
+      strkey()
+    }
+    def varBytes(max: Long): Array[Byte] = {
+      if (!has(4)) return null
+      val len = u32()
+      if (len > max) return null
+      val pad = ((4L - len % 4L) % 4L).toInt
+      if (!has(len.toInt + pad)) return null
+      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      var i = 0
+      while (i < pad) { if (b(p + i) != 0) return null; i += 1 }
+      p += pad
+      out
+    }
+    // trailing-zero-trimmed fixed asset code (opaque[n])
+    def assetCode(n: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val raw = java.util.Arrays.copyOfRange(b, p, p + n); p += n
+      var end = n
+      while (end > 0 && raw(end - 1) == 0) end -= 1
+      org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Arrays.copyOf(raw, end))
+    }
+
+    if (!has(4) || u32() != 2L) return null // ENVELOPE_TYPE_TX only
+    val src = muxed()
+    if (src == null) return null
+    if (!has(4 + 8 + 4)) return null
+    val fee = u32()
+    val seqNum = i64()
+    var minTime: Any = null
+    var maxTime: Any = null
+    u32() match {
+      case 0L => ()
+      case 1L =>
+        if (!has(16)) return null
+        minTime = i64(); maxTime = i64()
+      case _ => return null // PRECOND_V2: outside this decoder's boundary
+    }
+    if (!has(4)) return null
+    val memoType = u32()
+    var memoText: Any = null
+    var memoId: Any = null
+    var memoHash: Any = null
+    memoType match {
+      case 0L => ()
+      case 1L =>
+        val t = varBytes(28)
+        if (t == null) return null
+        memoText = org.apache.spark.unsafe.types.UTF8String.fromBytes(t)
+      case 2L =>
+        if (!has(8)) return null
+        memoId = i64()
+      case 3L | 4L =>
+        if (!has(32)) return null
+        memoHash = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
+      case _ => return null
+    }
+    if (!has(4)) return null
+    val nOps = u32()
+    if (nOps < 1 || nOps > 100) return null // operations<100>, min 1
+    val ops = new Array[Any](nOps.toInt)
+    var oi = 0
+    while (oi < nOps) {
+      if (!has(4)) return null
+      val opSrc: Any = u32() match {
+        case 0L => null
+        case 1L =>
+          val m = muxed()
+          if (m == null) return null
+          m._1 // per-op mux ids are not surfaced; the address is
+        case _ => return null
+      }
+      if (!has(4)) return null
+      val row: InternalRow = u32() match {
+        case 0L => // CREATE_ACCOUNT: AccountID destination + balance
+          val dest = accountId()
+          if (dest == null || !has(8)) return null
+          new GenericInternalRow(Array[Any](
+            0L, opSrc, dest, null, null, null, i64()))
+        case 1L => // PAYMENT: MuxedAccount destination + Asset + amount
+          val dest = muxed()
+          if (dest == null || !has(4)) return null
+          var aType = 0L
+          var aCode: Any = null
+          var aIssuer: Any = null
+          u32() match {
+            case 0L => ()
+            case t @ (1L | 2L) =>
+              val codeLen = if (t == 1L) 4 else 12
+              if (!has(codeLen)) return null
+              aCode = assetCode(codeLen)
+              aIssuer = accountId()
+              if (aIssuer == null) return null
+              aType = t
+            case _ => return null
+          }
+          if (!has(8)) return null
+          new GenericInternalRow(Array[Any](
+            1L, opSrc, dest._1, aType, aCode, aIssuer, i64()))
+        case _ => return null // op types beyond the decode boundary
+      }
+      ops(oi) = row
+      oi += 1
+    }
+    if (!has(4) || u32() != 0L) return null // tx ext
+    if (!has(4)) return null
+    val nSigs = u32()
+    if (nSigs > 20) return null // signatures<20>
+    var si = 0L
+    while (si < nSigs) {
+      if (!has(4)) return null
+      p += 4 // hint opaque[4]
+      if (varBytes(64) == null) return null
+      si += 1
+    }
+    if (p != b.length) return null // exact consumption
+    new GenericInternalRow(Array[Any](
+      src._1, src._2, fee, seqNum, minTime, maxTime, memoType, memoText,
+      memoId, memoHash, nOps, nSigs,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ops)))
+  }
+}
+
+case class XdrTxEnvelopeDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_xdr_tx_envelope requires a binary arg, got ${child.dataType}")
+
+  override def dataType: DataType = XdrTxEnvelope.txEnvelopeType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_xdr_tx_envelope"
+
+  override def nullSafeEval(input: Any): Any =
+    XdrTxEnvelope.decode(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.XdrTxEnvelope.decode($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XdrTxEnvelopeDecode =
+    copy(child = newChild)
+}
+
 /** `graft_xdr_ledger_header(bin)`: full LedgerHeader record decode to a
   * struct (see [[XdrRecords.ledgerHeaderType]]); NULL on malformed. */
 case class XdrLedgerHeader(child: Expression) extends UnaryExpression {

@@ -1629,6 +1629,103 @@ object WarehouseQueries {
             .isNull.as("truncated_rejected"))
     }),
 
+    // S2 TRANSACTION fan-out through the gate: a TransactionV1Envelope
+    // decoded by graft_xdr_tx_envelope and EXPLODED to per-operation
+    // rows — the history_transactions -> history_operations transform
+    // the reference's Go binary performs (build_export_task.py:94-161).
+    // The fixture varies every interior shape: plain vs muxed source
+    // (k%4), time-bounds present (k%2), memo none/text/id (k%3), 1..3
+    // operations alternating CREATE_ACCOUNT/PAYMENT with native vs
+    // alphanum4 assets, optional per-op source, 0..2 variable-length
+    // signatures. The oracle restates the per-op law over a lateral
+    // range; addresses verify through the strkey round-trip.
+    "s2_tx_operations" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val srcAcct = when(pmod(k, lit(4L)) === 0L,
+        concat(u32(lit(256L)), i64(lit(7000L) + k), key32))
+        .otherwise(concat(u32(lit(0L)), key32))
+      val cond = when(pmod(k, lit(2L)) === 1L,
+        concat(u32(lit(1L)), i64(lit(1600000000L) + k), i64(lit(1800000000L) + k)))
+        .otherwise(u32(lit(0L)))
+      val mLen = pmod(k, lit(10L)) + lit(1L)
+      val memo = when(pmod(k, lit(3L)) === 1L,
+        concat(u32(lit(1L)), u32(mLen),
+          substring(md5(concat(ks, lit("m"))), 1, 10).substr(lit(1), mLen)
+            .cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(mLen, lit(4))) % lit(4))))
+        .when(pmod(k, lit(3L)) === 2L, concat(u32(lit(2L)), i64(lit(5000L) + k)))
+        .otherwise(u32(lit(0L)))
+      val nOp = pmod(k, lit(3L)) + lit(1L)
+      def op(i: Int): Column = {
+        val opSrc =
+          if (i == 0) when(pmod(k, lit(5L)) === 0L,
+            concat(u32(lit(1L)), u32(lit(0L)), h16("z"), h16("w")))
+            .otherwise(u32(lit(0L)))
+          else u32(lit(0L))
+        val dest = concat(u32(lit(0L)), h16(s"d$i"), h16(s"e$i"))
+        val body =
+          if (i % 2 == 0) // CREATE_ACCOUNT
+            concat(u32(lit(0L)), dest, i64(lit(10000000L) + k + lit(i.toLong)))
+          else { // PAYMENT with native vs alphanum4 asset
+            val asset = when(pmod(k + lit(i.toLong), lit(2L)) === 0L, u32(lit(0L)))
+              .otherwise(concat(u32(lit(1L)),
+                substring(md5(concat(ks, lit("c"))), 1, 3).cast("binary"),
+                unhex(lit("00")),
+                u32(lit(0L)), h16(s"f$i"), h16(s"g$i")))
+            concat(u32(lit(1L)), dest, asset,
+              i64(lit(20000000L) + k + lit(i.toLong)))
+          }
+        when(nOp > i, concat(opSrc, body)).otherwise(unhex(lit("")))
+      }
+      val nSig = pmod(k, lit(3L))
+      def sig(j: Int): Column =
+        when(nSig > j, concat(
+          unhex(substring(md5(concat(ks, lit(s"h$j"))), 1, 8)), // hint[4]
+          u32(lit(64L)), unhex(concat(md5(concat(ks, lit(s"p$j"))),
+            md5(concat(ks, lit(s"q$j"))), md5(concat(ks, lit(s"r$j"))),
+            md5(concat(ks, lit(s"s$j")))))))
+          .otherwise(unhex(lit("")))
+      val xdr = concat(
+        u32(lit(2L)), srcAcct, u32(lit(100L) * (lit(1L) + pmod(k, lit(3L)))),
+        i64(k * lit(4294967296L) + lit(1L)), cond, memo,
+        u32(nOp), op(0), op(1), op(2), u32(lit(0L)),
+        u32(nSig), sig(0), sig(1))
+      t(s, dir, "orders").filter(col("o_orderkey") % 43 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+        .select(col("k"), col("h"),
+          posexplode(col("h.operations")).as(Seq("i", "op")))
+        .select(col("k"), col("i").cast("long").as("i"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.source_account")))).as("source_payload_hex"),
+          col("h.muxed_id").as("muxed_id"),
+          col("h.fee").as("fee"),
+          col("h.seq_num").as("seq_num"),
+          col("h.min_time").as("min_time"),
+          col("h.max_time").as("max_time"),
+          col("h.memo_type").as("memo_type"),
+          col("h.memo_text").as("memo_text"),
+          col("h.memo_id").as("memo_id"),
+          col("h.n_operations").as("n_operations"),
+          col("h.n_signatures").as("n_signatures"),
+          col("op.op_type").as("op_type"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.source_account")))).as("op_source_payload_hex"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.destination")))).as("dest_payload_hex"),
+          col("op.asset_type").as("asset_type"),
+          col("op.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("op.amount").as("amount"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2707,6 +2804,50 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the per-operation fan-out LAW over a lateral range: one row per
+    // (transaction, operation index), every column from the key pair
+    "s2_tx_operations" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k0,
+        |    CAST(o_orderkey AS VARCHAR) AS ks,
+        |    unnest(range(0, CAST(o_orderkey % 3 AS BIGINT) + 1)) AS i0
+        |  FROM orders WHERE o_orderkey % 43 = 0)
+        |SELECT k0 AS k, CAST(i0 AS BIGINT) AS i,
+        |  md5(ks) || md5(ks || 'a') AS source_payload_hex,
+        |  CASE WHEN k0 % 4 = 0 THEN CAST(7000 + k0 AS BIGINT) END AS muxed_id,
+        |  CAST(100 * (1 + k0 % 3) AS BIGINT) AS fee,
+        |  CAST(k0 * 4294967296 + 1 AS BIGINT) AS seq_num,
+        |  CASE WHEN k0 % 2 = 1 THEN CAST(1600000000 + k0 AS BIGINT) END
+        |    AS min_time,
+        |  CASE WHEN k0 % 2 = 1 THEN CAST(1800000000 + k0 AS BIGINT) END
+        |    AS max_time,
+        |  CAST(k0 % 3 AS BIGINT) AS memo_type,
+        |  CASE WHEN k0 % 3 = 1 THEN
+        |    substring(md5(ks || 'm'), 1, CAST(k0 % 10 AS INTEGER) + 1)
+        |  END AS memo_text,
+        |  CASE WHEN k0 % 3 = 2 THEN CAST(5000 + k0 AS BIGINT) END AS memo_id,
+        |  CAST(1 + k0 % 3 AS BIGINT) AS n_operations,
+        |  CAST(k0 % 3 AS BIGINT) AS n_signatures,
+        |  CAST(i0 % 2 AS BIGINT) AS op_type,
+        |  CASE WHEN i0 = 0 AND k0 % 5 = 0 THEN
+        |    md5(ks || 'z') || md5(ks || 'w')
+        |  END AS op_source_payload_hex,
+        |  md5(ks || 'd' || CAST(i0 AS VARCHAR))
+        |    || md5(ks || 'e' || CAST(i0 AS VARCHAR)) AS dest_payload_hex,
+        |  CASE WHEN i0 % 2 = 1 THEN
+        |    CAST(CASE WHEN (k0 + i0) % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |  END AS asset_type,
+        |  CASE WHEN i0 % 2 = 1 AND (k0 + i0) % 2 = 1 THEN
+        |    substring(md5(ks || 'c'), 1, 3)
+        |  END AS asset_code,
+        |  CASE WHEN i0 % 2 = 1 AND (k0 + i0) % 2 = 1 THEN
+        |    md5(ks || 'f' || CAST(i0 AS VARCHAR))
+        |      || md5(ks || 'g' || CAST(i0 AS VARCHAR))
+        |  END AS asset_issuer_payload_hex,
+        |  CAST(CASE WHEN i0 % 2 = 0 THEN 10000000 + k0 + i0
+        |    ELSE 20000000 + k0 + i0 END AS BIGINT) AS amount
+        |FROM src""".stripMargin,
 
     // the AccountEntry fixture LAW: every column from the row key;
     // address payloads verified through the strkey_decode round-trip

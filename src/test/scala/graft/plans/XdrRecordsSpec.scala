@@ -235,6 +235,146 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrAccountEntry.decode(bad) == null)
   }
 
+  /** Independent TransactionV1Envelope encoder (Stellar-transaction.x). */
+  private def encodeTx(muxedSrc: Option[Long], timeBounds: Boolean,
+                       memo: Int, ops: Seq[Int], nSigs: Int,
+                       envType: Long = 2L, opSrcOnFirst: Boolean = false,
+                       muxedDest: Boolean = false): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    def wVar(bytes: Array[Byte]): Unit = {
+      w32(bytes.length.toLong); bb.write(bytes, 0, bytes.length)
+      var pad = (4 - bytes.length % 4) % 4
+      while (pad > 0) { bb.write(0); pad -= 1 }
+    }
+    w32(envType)
+    muxedSrc match {
+      case Some(id) => w32(0x100L); w64(id); bb.write(hash(20), 0, 32)
+      case None     => w32(0L); bb.write(hash(20), 0, 32)
+    }
+    w32(500L) // fee
+    w64(9000000L) // seqNum
+    if (timeBounds) { w32(1L); w64(111L); w64(222L) } else w32(0L)
+    memo match {
+      case 0 => w32(0L)
+      case 1 => w32(1L); wVar("hello memo".getBytes("UTF-8"))
+      case 2 => w32(2L); w64(31337L)
+      case 3 => w32(3L); bb.write(hash(21), 0, 32)
+    }
+    w32(ops.length.toLong)
+    ops.zipWithIndex.foreach { case (t, i) =>
+      if (i == 0 && opSrcOnFirst) { w32(1L); w32(0L); bb.write(hash(22), 0, 32) }
+      else w32(0L)
+      w32(t.toLong)
+      t match {
+        case 0 => // CREATE_ACCOUNT
+          w32(0L); bb.write(hash(23 + i), 0, 32); w64(1000L + i)
+        case 1 => // PAYMENT, alphanum4 asset
+          if (muxedDest) { w32(0x100L); w64(55L) } else w32(0L)
+          bb.write(hash(23 + i), 0, 32)
+          w32(1L); bb.write("USD ".getBytes("UTF-8"), 0, 4)
+          w32(0L); bb.write(hash(29), 0, 32)
+          w64(2000L + i)
+        case other => w32(9L) // unsupported body: junk the parser must reject
+      }
+    }
+    w32(0L) // tx ext
+    w32(nSigs.toLong)
+    (0 until nSigs).foreach { j =>
+      bb.write(Array[Byte](1, 2, 3, (4 + j).toByte), 0, 4)
+      wVar(Array.tabulate[Byte](37 + j)(x => (x + j).toByte))
+    }
+    bb.toByteArray
+  }
+
+  private val txShapes: Seq[Array[Byte]] = for {
+    muxedSrc <- Seq(None, Some(42L))
+    timeBounds <- Seq(false, true)
+    memo <- 0 to 3
+    ops <- Seq(Seq(0), Seq(1), Seq(0, 1, 0))
+    nSigs <- Seq(0, 2)
+  } yield encodeTx(muxedSrc, timeBounds, memo, ops, nSigs)
+
+  test("TxEnvelope decode inverts the independent encoder across " +
+      "muxed/timebounds/memo/ops/signature shapes; the operations array " +
+      "fans out with per-op fields intact") {
+    for {
+      muxedSrc <- Seq(None, Some(42L))
+      timeBounds <- Seq(false, true)
+      memo <- 0 to 3
+      ops <- Seq(Seq(0), Seq(1), Seq(0, 1, 0))
+      nSigs <- Seq(0, 2)
+    } {
+      val buf = encodeTx(muxedSrc, timeBounds, memo, ops, nSigs)
+      val r = XdrTxEnvelope.decode(buf)
+      assert(r != null, s"shape $muxedSrc/$timeBounds/$memo/$ops/$nSigs")
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(20).toSeq)
+      if (muxedSrc.isDefined) assert(r.getLong(1) == 42L) else assert(r.isNullAt(1))
+      assert(r.getLong(2) == 500L && r.getLong(3) == 9000000L)
+      if (timeBounds) assert(r.getLong(4) == 111L && r.getLong(5) == 222L)
+      else assert(r.isNullAt(4) && r.isNullAt(5))
+      assert(r.getLong(6) == memo.toLong)
+      if (memo == 1) assert(r.getUTF8String(7).toString == "hello memo")
+      if (memo == 2) assert(r.getLong(8) == 31337L)
+      if (memo == 3) assert(r.getBinary(9).toSeq == hash(21).toSeq)
+      assert(r.getLong(10) == ops.length.toLong)
+      assert(r.getLong(11) == nSigs.toLong)
+      val arr = r.getArray(12)
+      assert(arr.numElements() == ops.length)
+      ops.zipWithIndex.foreach { case (t, i) =>
+        val op = arr.getStruct(i, 7)
+        assert(op.getLong(0) == t.toLong)
+        assert(StrkeyCodec.decodePayload(op.getUTF8String(2)).toSeq ==
+          hash(23 + i).toSeq)
+        if (t == 0) {
+          assert(op.isNullAt(3) && op.isNullAt(4) && op.isNullAt(5))
+          assert(op.getLong(6) == 1000L + i)
+        } else {
+          assert(op.getLong(3) == 1L)
+          assert(op.getUTF8String(4).toString == "USD")
+          assert(StrkeyCodec.decodePayload(op.getUTF8String(5)).toSeq ==
+            hash(29).toSeq)
+          assert(op.getLong(6) == 2000L + i)
+        }
+      }
+    }
+    // optional per-op source and muxed payment destination both decode
+    val withOpSrc = XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Seq(0), 0, opSrcOnFirst = true))
+    assert(StrkeyCodec.decodePayload(
+      withOpSrc.getArray(12).getStruct(0, 7).getUTF8String(1)).toSeq ==
+      hash(22).toSeq)
+    val withMuxedDest = XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Seq(1), 0, muxedDest = true))
+    assert(StrkeyCodec.decodePayload(
+      withMuxedDest.getArray(12).getStruct(0, 7).getUTF8String(2)).toSeq ==
+      hash(23).toSeq)
+  }
+
+  test("TxEnvelope quarantine: strict prefixes, trailing bytes, and the " +
+      "documented decode boundary (v0/fee-bump envelopes, unsupported op " +
+      "types, zero ops) all reject") {
+    txShapes.take(12).foreach { buf =>
+      (0 until buf.length).foreach { n =>
+        assert(XdrTxEnvelope.decode(buf.take(n)) == null, s"prefix $n")
+      }
+      assert(XdrTxEnvelope.decode(buf :+ 0.toByte) == null)
+      assert(XdrTxEnvelope.decode(buf) != null)
+    }
+    assert(XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Seq(0), 0, envType = 0L)) == null, "v0 envelope")
+    assert(XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Seq(0), 0, envType = 5L)) == null, "fee bump")
+    assert(XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Seq(6), 0)) == null, "unsupported op type")
+    assert(XdrTxEnvelope.decode(
+      encodeTx(None, false, 0, Nil, 0)) == null, "a tx needs >= 1 op")
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
