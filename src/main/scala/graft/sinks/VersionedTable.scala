@@ -108,8 +108,13 @@ object VersionedTable {
             val out = java.nio.file.Files.newOutputStream(dst,
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
-            try out.write(java.nio.file.Files.readAllBytes(src))
-            finally out.close()
+            // a mid-write failure (disk full, I/O error) must not leave
+            // a TORN final manifest permanently blocking this version:
+            // unwind the created name before rethrowing
+            try { try out.write(java.nio.file.Files.readAllBytes(src))
+                  finally out.close() }
+            catch { case e: Throwable =>
+              java.nio.file.Files.deleteIfExists(dst); throw e }
             carrySidecar()
             f.delete(tmp, false)
             true
