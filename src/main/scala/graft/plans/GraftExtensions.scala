@@ -174,13 +174,31 @@ object GraftFunctions {
       XdrTxEnvelopeDecode(children.head)
     })
 
+  private val xdrTrustLineDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_trust_line"),
+    new ExpressionInfo(classOf[XdrTrustLineDecode].getName, "graft_xdr_trust_line"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_trust_line(bin) takes one binary arg")
+      XdrTrustLineDecode(children.head)
+    })
+
+  private val xdrOfferDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_offer"),
+    new ExpressionInfo(classOf[XdrOfferDecode].getName, "graft_xdr_offer"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_offer(bin) takes one binary arg")
+      XdrOfferDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
       nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
       xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
       xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
-      xdrTxEnvelopeDescriptor)
+      xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

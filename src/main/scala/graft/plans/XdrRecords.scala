@@ -5,55 +5,138 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Whole-record XDR decode: a raw Stellar `LedgerHeader` (RFC 4506
-  * encoding of the struct in stellar-core's Stellar-ledger.x) → one
-  * typed struct with every scalar/hash column the reference's
-  * `history_ledgers` table carries (reference
-  * dags/stellar_etl_airflow/build_export_task.py:94-161 delegates this
-  * decode to its Go export binary; the field list mirrors that table's
-  * schema). This composes the [[XdrStrkey]] field primitives into the
-  * full record: unlike those literal-offset extractors, a LedgerHeader
-  * has a VARIABLE-length interior — the SCP value's `upgrades<6>`
-  * vector (count-prefixed, each element length-prefixed and padded to
-  * the XDR 4-byte boundary) and its BASIC/SIGNED ext union — so the
-  * decode is a sequential cursor, not a set of static offsets.
-  *
-  * Layout walked (all big-endian, 4-byte aligned):
-  * {{{
-  *   uint32 ledgerVersion
-  *   Hash   previousLedgerHash            // opaque[32]
-  *   StellarValue scpValue:
-  *     Hash      txSetHash                // opaque[32]
-  *     TimePoint closeTime                // uint64
-  *     UpgradeType upgrades<6>            // count, then per element:
-  *                                        //   len, bytes, pad to 4
-  *     ext: uint32 0 (BASIC) | 1 (SIGNED) // SIGNED adds
-  *       NodeID    = uint32 keyType + opaque[32]
-  *       Signature = opaque<64>: len, bytes, pad to 4
-  *   Hash   txSetResultHash               // opaque[32]
-  *   Hash   bucketListHash                // opaque[32]
-  *   uint32 ledgerSeq
-  *   int64  totalCoins
-  *   int64  feePool
-  *   uint32 inflationSeq
-  *   uint64 idPool
-  *   uint32 baseFee
-  *   uint32 baseReserve
-  *   uint32 maxTxSetSize
-  *   Hash   skipList[4]                   // opaque[128]
-  *   ext: uint32 0 | 1 (v1 adds uint32 flags + uint32 inner ext 0)
-  * }}}
+/** Whole-record XDR decodes: raw Stellar ledger structures (RFC 4506
+  * encodings of the structs in stellar-core's .x files) → typed Spark
+  * structs carrying the columns the reference's warehouse tables store
+  * (reference dags/stellar_etl_airflow/build_export_task.py:94-161
+  * delegates these decodes to its Go export binary). These compose the
+  * [[XdrStrkey]] primitives into full records: unlike the
+  * literal-offset extractors, every record here has a VARIABLE-length
+  * interior (count-prefixed vectors, optionals, unions), so each decode
+  * is a sequential cursor walk over one shared [[XdrCursor]].
   *
   * Failure semantics are the pack's quarantine convention: any
-  * structural violation — short buffer, upgrade count > 6, an element
-  * length past the buffer, an unknown union discriminant, nonzero
-  * padding bytes, trailing garbage (the record must consume the buffer
+  * structural violation — short buffer, over-limit vector, an element
+  * length past the buffer, an unknown union discriminant, nonzero XDR
+  * padding, trailing garbage (each record must consume its buffer
   * EXACTLY) — decodes to NULL, never an exception, so an ingest filter
-  * routes bad rows instead of dying mid-scan. The expression itself
-  * stays inside WholeStageCodegen: one static parser call per row.
+  * routes bad rows instead of dying mid-scan. Constructs a decoder
+  * recognizes as valid-but-outside-its-switch (a fee-bump envelope, an
+  * exotic operation type) quarantine the same way: NULL means "this
+  * decoder cannot produce the record", the same routing signal either
+  * way. Every expression stays inside WholeStageCodegen — one static
+  * parser call per row.
   */
+private[plans] object XdrCursor {
+  /** Quarantine signal — a stackless control throwable so the hot path
+    * pays nothing for the failure channel. */
+  object Malformed extends Throwable(null, null, false, false)
+}
+
+/** Sequential big-endian cursor over one XDR buffer. Every accessor
+  * either returns a decoded value or throws [[XdrCursor.Malformed]] —
+  * the record parsers stay linear and the entry points translate the
+  * throw to the quarantine NULL.
+  */
+private[plans] final class XdrCursor(b: Array[Byte]) {
+  private var p = 0
+
+  private def fail(): Nothing = throw XdrCursor.Malformed
+  private def need(n: Int): Unit = if (n < 0 || b.length - p < n) fail()
+
+  def u32(): Long = {
+    need(4)
+    val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    p += 4; v
+  }
+
+  def i64(): Long = {
+    need(8)
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    p += 8; v
+  }
+
+  def bytes(n: Int): Array[Byte] = {
+    need(n)
+    val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n; out
+  }
+
+  def skip(n: Int): Unit = { need(n); p += n }
+
+  /** Discriminant that must equal `want` (a required union arm). */
+  def expect(want: Long): Unit = if (u32() != want) fail()
+
+  /** Variable opaque<max>: length-prefixed, zero-padded to the 4-byte
+    * boundary; rejects over-limit lengths and nonzero pad bytes. */
+  def varBytes(max: Int): Array[Byte] = {
+    val len = u32()
+    if (len > max) fail()
+    val out = bytes(len.toInt)
+    val pad = ((4L - len % 4L) % 4L).toInt
+    need(pad)
+    var i = 0
+    while (i < pad) { if (b(p + i) != 0) fail(); i += 1 }
+    p += pad
+    out
+  }
+
+  /** 32-byte key → SEP-23 G-address (account strkey, version byte 48). */
+  def strkey32(): UTF8String = StrkeyCodec.encode(48, bytes(32))
+
+  /** AccountID = PublicKey union: ed25519 only. */
+  def accountId(): UTF8String = { expect(0L); strkey32() }
+
+  /** MuxedAccount → (G-address of the underlying key, mux id or null). */
+  def muxedAccount(): (UTF8String, Any) = u32() match {
+    case 0L     => (strkey32(), null) // KEY_TYPE_ED25519
+    case 0x100L => val id = i64(); (strkey32(), id) // KEY_TYPE_MUXED_ED25519
+    case _      => fail()
+  }
+
+  /** Fixed asset code opaque[n], trailing zero bytes trimmed. */
+  def assetCode(n: Int): UTF8String = {
+    val raw = bytes(n)
+    var end = n
+    while (end > 0 && raw(end - 1) == 0) end -= 1
+    UTF8String.fromBytes(java.util.Arrays.copyOf(raw, end))
+  }
+
+  /** Asset union → (type, code or null, issuer G-address or null).
+    * `poolShareArm` admits the TrustLineAsset-only arm 3 (PoolID),
+    * surfacing the 32-byte pool id hex as the "code". */
+  def asset(poolShareArm: Boolean = false): (Long, Any, Any) = u32() match {
+    case 0L => (0L, null, null) // native
+    case 1L => val c = assetCode(4); (1L, c, accountId())
+    case 2L => val c = assetCode(12); (2L, c, accountId())
+    case 3L if poolShareArm =>
+      val hex = bytes(32).map(x => f"${x & 0xff}%02x").mkString
+      (3L, UTF8String.fromString(hex), null)
+    case _ => fail()
+  }
+
+  /** The record must consume the buffer exactly — no trailing bytes. */
+  def done(): Unit = if (p != b.length) fail()
+}
+
+/** Shared entry-point plumbing: run a cursor parse, translate the
+  * quarantine throw to NULL. */
+private[plans] object XdrParse {
+  def apply(b: Array[Byte])(body: XdrCursor => InternalRow): InternalRow =
+    if (b == null) null
+    else try body(new XdrCursor(b))
+    catch { case XdrCursor.Malformed => null }
+}
+
+/** Full `LedgerHeader` decode (Stellar-ledger.x) — the
+  * history_ledgers-shaped record. Variable interior: the SCP value's
+  * `upgrades<6>` vector and its BASIC/SIGNED ext union; the v1 header
+  * ext carries flags. */
 object XdrRecords {
 
   /** Result schema — history_ledgers-shaped; hashes stay binary (the
@@ -77,94 +160,42 @@ object XdrRecords {
     StructField("max_tx_set_size", LongType),
     StructField("flags", LongType)))
 
-  /** Cursor parse; null on ANY structural violation (see object doc). */
-  def decodeLedgerHeader(b: Array[Byte]): InternalRow = {
-    if (b == null) return null
-    var p = 0
-    def has(n: Int): Boolean = n >= 0 && b.length - p >= n
-    def u32(): Long = {
-      val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
-        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
-      p += 4; v
-    }
-    def u64(): Long = {
-      var v = 0L; var i = 0
-      while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
-      p += 8; v
-    }
-    def bytes(n: Int): Array[Byte] = {
-      val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n; out
-    }
-    // variable opaque<max>: len-prefixed, zero-padded to the 4 boundary;
-    // returns false on violation (short, over max, nonzero pad byte)
-    def skipVarOpaque(max: Long): Boolean = {
-      if (!has(4)) return false
-      val len = u32()
-      if (len > max) return false
-      val pad = ((4L - len % 4L) % 4L).toInt
-      if (!has((len + pad).toInt) || len + pad > Int.MaxValue) return false
-      p += len.toInt
-      var i = 0
-      while (i < pad) { if (b(p + i) != 0) return false; i += 1 }
-      p += pad
-      true
-    }
-
-    if (!has(4)) return null
-    val ledgerVersion = u32()
-    if (!has(32)) return null
-    val prevHash = bytes(32)
-    if (!has(32)) return null
-    val txSetHash = bytes(32)
-    if (!has(8)) return null
-    val closeTime = u64()
-    if (!has(4)) return null
-    val nUpgrades = u32()
-    if (nUpgrades > 6) return null // UpgradeType upgrades<6>
+  def decodeLedgerHeader(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val ledgerVersion = c.u32()
+    val prevHash = c.bytes(32)
+    val txSetHash = c.bytes(32) // scp.txSetHash
+    val closeTime = c.i64()
+    val nUpgrades = c.u32()
+    if (nUpgrades > 6) throw XdrCursor.Malformed // UpgradeType upgrades<6>
     var u = 0L
-    while (u < nUpgrades) {
-      if (!skipVarOpaque(128)) return null // UpgradeType = opaque<128>
-      u += 1
-    }
-    if (!has(4)) return null
-    val scpExt = u32()
-    val signed = scpExt match {
+    while (u < nUpgrades) { c.varBytes(128); u += 1 } // opaque<128> each
+    val signed = c.u32() match {
       case 0L => false
       case 1L => // LedgerCloseValueSignature: NodeID + Signature
-        if (!has(4)) return null
-        val keyType = u32()
-        if (keyType != 0L) return null // PUBLIC_KEY_TYPE_ED25519
-        if (!has(32)) return null
-        p += 32
-        if (!skipVarOpaque(64)) return null // Signature = opaque<64>
+        c.expect(0L) // PUBLIC_KEY_TYPE_ED25519
+        c.skip(32)
+        c.varBytes(64) // Signature = opaque<64>
         true
-      case _ => return null
+      case _ => throw XdrCursor.Malformed
     }
-    if (!has(32)) return null
-    val txSetResultHash = bytes(32)
-    if (!has(32)) return null
-    val bucketListHash = bytes(32)
-    if (!has(4 + 8 + 8 + 4 + 8 + 4 + 4 + 4 + 128 + 4)) return null
-    val ledgerSeq = u32()
-    val totalCoins = u64()
-    val feePool = u64()
-    val inflationSeq = u32()
-    val idPool = u64()
-    val baseFee = u32()
-    val baseReserve = u32()
-    val maxTxSetSize = u32()
-    p += 128 // skipList: Hash[4], validated for presence above
-    val hdrExt = u32()
-    val flags = hdrExt match {
+    val txSetResultHash = c.bytes(32)
+    val bucketListHash = c.bytes(32)
+    val ledgerSeq = c.u32()
+    val totalCoins = c.i64()
+    val feePool = c.i64()
+    val inflationSeq = c.u32()
+    val idPool = c.i64()
+    val baseFee = c.u32()
+    val baseReserve = c.u32()
+    val maxTxSetSize = c.u32()
+    c.skip(128) // skipList: Hash[4]
+    val flags = c.u32() match {
       case 0L => 0L
       case 1L => // LedgerHeaderExtensionV1: uint32 flags + ext(0)
-        if (!has(8)) return null
-        val fl = u32()
-        if (u32() != 0L) return null
-        fl
-      case _ => return null
+        val fl = c.u32(); c.expect(0L); fl
+      case _ => throw XdrCursor.Malformed
     }
-    if (p != b.length) return null // exact consumption: no trailing bytes
+    c.done()
     new GenericInternalRow(Array[Any](
       ledgerVersion, prevHash, txSetHash, closeTime, nUpgrades, signed,
       txSetResultHash, bucketListHash, ledgerSeq, totalCoins, feePool,
@@ -172,31 +203,13 @@ object XdrRecords {
   }
 }
 
-/** `graft_xdr_account_entry(bin)`: full AccountEntry record decode —
-  * the second whole-record composition, and the one that exercises the
-  * XDR-cursor × strkey-codec COMPOSITION: account ids arrive as raw
-  * ed25519 PublicKeys and surface as checksum-carrying G-addresses
-  * (SEP-23 strkey, version byte 48), exactly the spelling the
-  * reference's `accounts` table stores. Layout walked
-  * (Stellar-ledger-entries.x):
-  * {{{
-  *   AccountID accountID          // PublicKey: uint32 0 + opaque[32]
-  *   int64  balance
-  *   int64  seqNum
-  *   uint32 numSubEntries
-  *   AccountID* inflationDest     // optional: uint32 0|1 (+ PublicKey)
-  *   uint32 flags
-  *   string32 homeDomain          // len, bytes, pad to 4
-  *   Thresholds thresholds        // opaque[4]: master/low/med/high
-  *   Signer signers<20>           // per signer: SignerKey union
-  *                                //   (0|1|2: opaque[32];
-  *                                //    3: opaque[32] + opaque<64>)
-  *                                //   + uint32 weight
-  *   ext: uint32 0 | 1 (AccountEntryExtensionV1:
-  *     Liabilities { int64 buying; int64 selling } + inner ext 0)
-  * }}}
-  * Same quarantine + exact-consumption semantics as the header decode.
-  */
+/** Full `AccountEntry` decode (Stellar-ledger-entries.x) — the record
+  * that exercises the XDR-cursor × strkey COMPOSITION: raw ed25519
+  * PublicKeys surface as checksum-carrying G-addresses, the spelling
+  * the reference's `accounts` table stores. Variable interior: optional
+  * inflation destination, string32 home domain, `signers<20>` (key
+  * types 0–3, type 3 carrying a variable signed payload), v0/v1
+  * liabilities ext. */
 object XdrAccountEntry {
   val accountEntryType: StructType = StructType(Seq(
     StructField("account_id", StringType),
@@ -214,152 +227,133 @@ object XdrAccountEntry {
     StructField("buying_liabilities", LongType),
     StructField("selling_liabilities", LongType)))
 
-  /** Cursor parse; null on ANY structural violation. */
-  def decode(b: Array[Byte]): InternalRow = {
-    if (b == null) return null
-    var p = 0
-    def has(n: Int): Boolean = n >= 0 && b.length - p >= n
-    def u32(): Long = {
-      val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
-        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
-      p += 4; v
-    }
-    def i64(): Long = {
-      var v = 0L; var i = 0
-      while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
-      p += 8; v
-    }
-    // PublicKey union: type 0 (ed25519) + opaque[32] → strkey G-address
-    def publicKey(): org.apache.spark.unsafe.types.UTF8String = {
-      if (!has(36) || u32() != 0L) return null
-      val key = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
-      StrkeyCodec.encode(48, key) // 48 = SEP-23 account version byte 'G'
-    }
-    def varBytes(max: Long): Array[Byte] = {
-      if (!has(4)) return null
-      val len = u32()
-      if (len > max) return null
-      val pad = ((4L - len % 4L) % 4L).toInt
-      if (!has(len.toInt + pad)) return null
-      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
-      p += len.toInt
-      var i = 0
-      while (i < pad) { if (b(p + i) != 0) return null; i += 1 }
-      p += pad
-      out
-    }
-
-    val accountId = publicKey()
-    if (accountId == null) return null
-    if (!has(8 + 8 + 4 + 4)) return null
-    val balance = i64()
-    val seqNum = i64()
-    val numSubEntries = u32()
-    val hasInflation = u32()
-    val inflationDest = hasInflation match {
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val accountId = c.accountId()
+    val balance = c.i64()
+    val seqNum = c.i64()
+    val numSubEntries = c.u32()
+    val inflationDest: Any = c.u32() match {
       case 0L => null
-      case 1L =>
-        val d = publicKey()
-        if (d == null) return null
-        d
-      case _ => return null
+      case 1L => c.accountId()
+      case _  => throw XdrCursor.Malformed
     }
-    if (!has(4)) return null
-    val flags = u32()
-    val homeDomainBytes = varBytes(32) // string32
-    if (homeDomainBytes == null) return null
-    if (!has(4 + 4)) return null
-    val thr = java.util.Arrays.copyOfRange(b, p, p + 4); p += 4
-    val nSigners = u32()
-    if (nSigners > 20) return null // Signer signers<20>
+    val flags = c.u32()
+    val homeDomain = UTF8String.fromBytes(c.varBytes(32)) // string32
+    val thr = c.bytes(4)
+    val nSigners = c.u32()
+    if (nSigners > 20) throw XdrCursor.Malformed // Signer signers<20>
     var s = 0L
     while (s < nSigners) {
-      if (!has(4)) return null
-      val keyType = u32()
-      if (keyType < 0L || keyType > 3L) return null
-      if (!has(32)) return null
-      p += 32
-      if (keyType == 3L && varBytes(64) == null) return null // signed payload
-      if (!has(4)) return null
-      u32() // weight
+      val keyType = c.u32()
+      if (keyType < 0L || keyType > 3L) throw XdrCursor.Malformed
+      c.skip(32)
+      if (keyType == 3L) c.varBytes(64) // ed25519SignedPayload
+      c.u32() // weight
       s += 1
     }
-    if (!has(4)) return null
-    val (buying, selling) = u32() match {
+    val (buying, selling) = c.u32() match {
       case 0L => (0L, 0L)
       case 1L => // AccountEntryExtensionV1: Liabilities + inner ext 0
-        if (!has(8 + 8 + 4)) return null
-        val bl = i64(); val sl = i64()
-        if (u32() != 0L) return null
-        (bl, sl)
-      case _ => return null
+        val bl = c.i64(); val sl = c.i64(); c.expect(0L); (bl, sl)
+      case _ => throw XdrCursor.Malformed
     }
-    if (p != b.length) return null // exact consumption
+    c.done()
     new GenericInternalRow(Array[Any](
       accountId, balance, seqNum, numSubEntries, inflationDest, flags,
-      org.apache.spark.unsafe.types.UTF8String.fromBytes(homeDomainBytes),
-      (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
+      homeDomain, (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
       (thr(2) & 0xff).toLong, (thr(3) & 0xff).toLong,
       nSigners, buying, selling))
   }
 }
 
-case class XdrAccountEntryDecode(child: Expression) extends UnaryExpression {
+/** Full `TrustLineEntry` decode (Stellar-ledger-entries.x) — the
+  * reference's `trust_lines` table shape. The TrustLineAsset union
+  * admits the pool-share arm (PoolID surfaces as the 64-hex-char
+  * asset_code with asset_type 3); the nested ext chain carries v1
+  * liabilities and the v2 liquidity-pool use count. */
+object XdrTrustLineEntry {
+  val trustLineType: StructType = StructType(Seq(
+    StructField("account_id", StringType),
+    StructField("asset_type", LongType),
+    StructField("asset_code", StringType),
+    StructField("asset_issuer", StringType),
+    StructField("balance", LongType),
+    StructField("trust_limit", LongType),
+    StructField("flags", LongType),
+    StructField("buying_liabilities", LongType),
+    StructField("selling_liabilities", LongType),
+    StructField("pool_use_count", LongType)))
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_xdr_account_entry requires a binary arg, got ${child.dataType}")
-
-  override def dataType: DataType = XdrAccountEntry.accountEntryType
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_xdr_account_entry"
-
-  override def nullSafeEval(input: Any): Any =
-    XdrAccountEntry.decode(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      s"""
-         |${ev.value} = graft.plans.XdrAccountEntry.decode($c);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): XdrAccountEntryDecode =
-    copy(child = newChild)
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val accountId = c.accountId()
+    val (aType, aCode, aIssuer) = c.asset(poolShareArm = true)
+    val balance = c.i64()
+    val limit = c.i64()
+    val flags = c.u32()
+    var buying = 0L; var selling = 0L; var poolUse = 0L
+    c.u32() match {
+      case 0L => ()
+      case 1L => // TrustLineEntryExtensionV1
+        buying = c.i64(); selling = c.i64()
+        c.u32() match {
+          case 0L => ()
+          case 2L => // TrustLineEntryExtensionV2: int32 useCount + ext 0
+            poolUse = c.u32(); c.expect(0L)
+          case _ => throw XdrCursor.Malformed
+        }
+      case _ => throw XdrCursor.Malformed
+    }
+    c.done()
+    new GenericInternalRow(Array[Any](
+      accountId, aType, aCode, aIssuer, balance, limit, flags,
+      buying, selling, poolUse))
+  }
 }
 
-/** `graft_xdr_tx_envelope(bin)`: TransactionV1Envelope record decode —
-  * the third whole-record composition and the one that carries the
-  * reference's per-OPERATION table transform: the decoded struct's
-  * `operations` array explodes into history_operations-shaped rows
-  * (the reference's Go binary fans one transaction XDR out to the
-  * transactions + operations tables, build_export_task.py:94-161).
-  * Layout walked (Stellar-transaction.x), ENVELOPE_TYPE_TX = 2:
-  * {{{
-  *   uint32 2                       // TransactionEnvelope union arm
-  *   MuxedAccount sourceAccount     // uint32 0: opaque[32]
-  *                                  // uint32 0x100: uint64 id + opaque[32]
-  *   uint32 fee
-  *   int64  seqNum
-  *   Preconditions: uint32 0 (none) | 1 (TimeBounds: uint64 min, max)
-  *   Memo: uint32 0 | 1 string<28> | 2 uint64 | 3/4 opaque[32]
-  *   Operation operations<100>:     // per op:
-  *     MuxedAccount* sourceAccount  //   optional
-  *     uint32 type: 0 CREATE_ACCOUNT → AccountID dest + int64 balance
-  *                  1 PAYMENT → MuxedAccount dest + Asset + int64 amount
-  *     Asset: uint32 0 native | 1 code[4]+issuer | 2 code[12]+issuer
-  *   uint32 0                       // tx ext
-  *   DecoratedSignature signatures<20>  // opaque[4] hint + opaque<64>
-  * }}}
-  * Ed25519 keys surface as strkey G-addresses; muxed sources surface as
-  * the underlying G-address plus the mux id. DECODE BOUNDARY: v0/fee-bump
-  * envelopes, PRECOND_V2, and operation types beyond CREATE_ACCOUNT /
-  * PAYMENT quarantine to NULL like malformed input — NULL means "this
-  * decoder cannot produce the record", the same routing signal either
-  * way; extending the op-type switch is mechanical.
-  */
+/** Full `OfferEntry` decode (Stellar-ledger-entries.x) — the
+  * reference's `offers` table shape: seller, offer id, both Asset
+  * unions, amount, the n/d Price fraction, flags. */
+object XdrOfferEntry {
+  val offerType: StructType = StructType(Seq(
+    StructField("seller_id", StringType),
+    StructField("offer_id", LongType),
+    StructField("selling_asset_type", LongType),
+    StructField("selling_asset_code", StringType),
+    StructField("selling_asset_issuer", StringType),
+    StructField("buying_asset_type", LongType),
+    StructField("buying_asset_code", StringType),
+    StructField("buying_asset_issuer", StringType),
+    StructField("amount", LongType),
+    StructField("price_n", LongType),
+    StructField("price_d", LongType),
+    StructField("flags", LongType)))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val sellerId = c.accountId()
+    val offerId = c.i64()
+    val (sType, sCode, sIssuer) = c.asset()
+    val (bType, bCode, bIssuer) = c.asset()
+    val amount = c.i64()
+    val priceN = c.u32() // Price { int32 n; int32 d }
+    val priceD = c.u32()
+    if (priceD == 0L) throw XdrCursor.Malformed // a price is a fraction
+    val flags = c.u32()
+    c.expect(0L) // ext
+    c.done()
+    new GenericInternalRow(Array[Any](
+      sellerId, offerId, sType, sCode, sIssuer, bType, bCode, bIssuer,
+      amount, priceN, priceD, flags))
+  }
+}
+
+/** `TransactionV1Envelope` decode (Stellar-transaction.x) — the record
+  * that carries the reference's per-OPERATION table transform: the
+  * decoded struct's `operations` array explodes into
+  * history_operations-shaped rows. Ed25519 keys surface as strkey
+  * G-addresses; muxed sources surface as the underlying G-address plus
+  * the mux id. DECODE BOUNDARY: v0/fee-bump envelopes, PRECOND_V2, and
+  * operation types beyond CREATE_ACCOUNT / PAYMENT quarantine to NULL;
+  * extending the op-type switch is mechanical. */
 object XdrTxEnvelope {
 
   val operationType: StructType = StructType(Seq(
@@ -386,212 +380,136 @@ object XdrTxEnvelope {
     StructField("n_signatures", LongType),
     StructField("operations", ArrayType(operationType))))
 
-  def decode(b: Array[Byte]): InternalRow = {
-    if (b == null) return null
-    var p = 0
-    def has(n: Int): Boolean = n >= 0 && b.length - p >= n
-    def u32(): Long = {
-      val v = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
-        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
-      p += 4; v
-    }
-    def i64(): Long = {
-      var v = 0L; var i = 0
-      while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
-      p += 8; v
-    }
-    def strkey(): org.apache.spark.unsafe.types.UTF8String = {
-      val key = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
-      StrkeyCodec.encode(48, key)
-    }
-    // MuxedAccount → (G-address of the underlying key, mux id or null)
-    def muxed(): (org.apache.spark.unsafe.types.UTF8String, Any) = {
-      if (!has(4)) return null
-      u32() match {
-        case 0L => // KEY_TYPE_ED25519
-          if (!has(32)) null else (strkey(), null)
-        case 0x100L => // KEY_TYPE_MUXED_ED25519
-          if (!has(40)) null else { val id = i64(); (strkey(), id) }
-        case _ => null
-      }
-    }
-    def accountId(): org.apache.spark.unsafe.types.UTF8String = {
-      if (!has(36) || u32() != 0L) return null
-      strkey()
-    }
-    def varBytes(max: Long): Array[Byte] = {
-      if (!has(4)) return null
-      val len = u32()
-      if (len > max) return null
-      val pad = ((4L - len % 4L) % 4L).toInt
-      if (!has(len.toInt + pad)) return null
-      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
-      p += len.toInt
-      var i = 0
-      while (i < pad) { if (b(p + i) != 0) return null; i += 1 }
-      p += pad
-      out
-    }
-    // trailing-zero-trimmed fixed asset code (opaque[n])
-    def assetCode(n: Int): org.apache.spark.unsafe.types.UTF8String = {
-      val raw = java.util.Arrays.copyOfRange(b, p, p + n); p += n
-      var end = n
-      while (end > 0 && raw(end - 1) == 0) end -= 1
-      org.apache.spark.unsafe.types.UTF8String
-        .fromBytes(java.util.Arrays.copyOf(raw, end))
-    }
-
-    if (!has(4) || u32() != 2L) return null // ENVELOPE_TYPE_TX only
-    val src = muxed()
-    if (src == null) return null
-    if (!has(4 + 8 + 4)) return null
-    val fee = u32()
-    val seqNum = i64()
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    c.expect(2L) // ENVELOPE_TYPE_TX only (v0/fee-bump: boundary)
+    val (srcAddr, muxId) = c.muxedAccount()
+    val fee = c.u32()
+    val seqNum = c.i64()
     var minTime: Any = null
     var maxTime: Any = null
-    u32() match {
+    c.u32() match {
       case 0L => ()
-      case 1L =>
-        if (!has(16)) return null
-        minTime = i64(); maxTime = i64()
-      case _ => return null // PRECOND_V2: outside this decoder's boundary
+      case 1L => minTime = c.i64(); maxTime = c.i64() // TimeBounds
+      case _  => throw XdrCursor.Malformed // PRECOND_V2: boundary
     }
-    if (!has(4)) return null
-    val memoType = u32()
+    val memoType = c.u32()
     var memoText: Any = null
     var memoId: Any = null
     var memoHash: Any = null
     memoType match {
-      case 0L => ()
-      case 1L =>
-        val t = varBytes(28)
-        if (t == null) return null
-        memoText = org.apache.spark.unsafe.types.UTF8String.fromBytes(t)
-      case 2L =>
-        if (!has(8)) return null
-        memoId = i64()
-      case 3L | 4L =>
-        if (!has(32)) return null
-        memoHash = java.util.Arrays.copyOfRange(b, p, p + 32); p += 32
-      case _ => return null
+      case 0L      => ()
+      case 1L      => memoText = UTF8String.fromBytes(c.varBytes(28))
+      case 2L      => memoId = c.i64()
+      case 3L | 4L => memoHash = c.bytes(32)
+      case _       => throw XdrCursor.Malformed
     }
-    if (!has(4)) return null
-    val nOps = u32()
-    if (nOps < 1 || nOps > 100) return null // operations<100>, min 1
+    val nOps = c.u32()
+    if (nOps < 1 || nOps > 100) throw XdrCursor.Malformed // operations<100>
     val ops = new Array[Any](nOps.toInt)
     var oi = 0
     while (oi < nOps) {
-      if (!has(4)) return null
-      val opSrc: Any = u32() match {
+      val opSrc: Any = c.u32() match {
         case 0L => null
-        case 1L =>
-          val m = muxed()
-          if (m == null) return null
-          m._1 // per-op mux ids are not surfaced; the address is
-        case _ => return null
+        case 1L => c.muxedAccount()._1 // per-op mux ids are not surfaced
+        case _  => throw XdrCursor.Malformed
       }
-      if (!has(4)) return null
-      val row: InternalRow = u32() match {
+      ops(oi) = c.u32() match {
         case 0L => // CREATE_ACCOUNT: AccountID destination + balance
-          val dest = accountId()
-          if (dest == null || !has(8)) return null
+          val dest = c.accountId()
           new GenericInternalRow(Array[Any](
-            0L, opSrc, dest, null, null, null, i64()))
+            0L, opSrc, dest, null, null, null, c.i64()))
         case 1L => // PAYMENT: MuxedAccount destination + Asset + amount
-          val dest = muxed()
-          if (dest == null || !has(4)) return null
-          var aType = 0L
-          var aCode: Any = null
-          var aIssuer: Any = null
-          u32() match {
-            case 0L => ()
-            case t @ (1L | 2L) =>
-              val codeLen = if (t == 1L) 4 else 12
-              if (!has(codeLen)) return null
-              aCode = assetCode(codeLen)
-              aIssuer = accountId()
-              if (aIssuer == null) return null
-              aType = t
-            case _ => return null
-          }
-          if (!has(8)) return null
+          val dest = c.muxedAccount()._1
+          val (aType, aCode, aIssuer) = c.asset()
           new GenericInternalRow(Array[Any](
-            1L, opSrc, dest._1, aType, aCode, aIssuer, i64()))
-        case _ => return null // op types beyond the decode boundary
+            1L, opSrc, dest, aType, aCode, aIssuer, c.i64()))
+        case _ => throw XdrCursor.Malformed // boundary
       }
-      ops(oi) = row
       oi += 1
     }
-    if (!has(4) || u32() != 0L) return null // tx ext
-    if (!has(4)) return null
-    val nSigs = u32()
-    if (nSigs > 20) return null // signatures<20>
+    c.expect(0L) // tx ext
+    val nSigs = c.u32()
+    if (nSigs > 20) throw XdrCursor.Malformed // signatures<20>
     var si = 0L
     while (si < nSigs) {
-      if (!has(4)) return null
-      p += 4 // hint opaque[4]
-      if (varBytes(64) == null) return null
+      c.skip(4) // hint opaque[4]
+      c.varBytes(64)
       si += 1
     }
-    if (p != b.length) return null // exact consumption
+    c.done()
     new GenericInternalRow(Array[Any](
-      src._1, src._2, fee, seqNum, minTime, maxTime, memoType, memoText,
-      memoId, memoHash, nOps, nSigs,
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(ops)))
+      srcAddr, muxId, fee, seqNum, minTime, maxTime, memoType, memoText,
+      memoId, memoHash, nOps, nSigs, new GenericArrayData(ops)))
   }
 }
 
-case class XdrTxEnvelopeDecode(child: Expression) extends UnaryExpression {
-
+private[plans] abstract class XdrRecordExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_xdr_tx_envelope requires a binary arg, got ${child.dataType}")
-
-  override def dataType: DataType = XdrTxEnvelope.txEnvelopeType
+      s"$prettyName requires a binary arg, got ${child.dataType}")
+  // malformed input decodes to null even when the input is non-null
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_xdr_tx_envelope"
-
-  override def nullSafeEval(input: Any): Any =
-    XdrTxEnvelope.decode(input.asInstanceOf[Array[Byte]])
-
+  /** Fully-qualified static decode entry point for codegen. */
+  protected def staticDecode: String
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.plans.XdrTxEnvelope.decode($c);
+         |${ev.value} = $staticDecode($c);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
-
-  override protected def withNewChildInternal(newChild: Expression): XdrTxEnvelopeDecode =
-    copy(child = newChild)
 }
 
 /** `graft_xdr_ledger_header(bin)`: full LedgerHeader record decode to a
   * struct (see [[XdrRecords.ledgerHeaderType]]); NULL on malformed. */
-case class XdrLedgerHeader(child: Expression) extends UnaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_xdr_ledger_header requires a binary arg, got ${child.dataType}")
-
+case class XdrLedgerHeader(child: Expression) extends XdrRecordExpression {
   override def dataType: DataType = XdrRecords.ledgerHeaderType
-  // malformed input decodes to null even when the input is non-null
-  override def nullable: Boolean = true
   override def prettyName: String = "graft_xdr_ledger_header"
-
+  override protected def staticDecode: String =
+    "graft.plans.XdrRecords.decodeLedgerHeader"
   override def nullSafeEval(input: Any): Any =
     XdrRecords.decodeLedgerHeader(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      s"""
-         |${ev.value} = graft.plans.XdrRecords.decodeLedgerHeader($c);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
-    })
-
   override protected def withNewChildInternal(newChild: Expression): XdrLedgerHeader =
+    copy(child = newChild)
+}
+
+case class XdrAccountEntryDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrAccountEntry.accountEntryType
+  override def prettyName: String = "graft_xdr_account_entry"
+  override protected def staticDecode: String = "graft.plans.XdrAccountEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrAccountEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrAccountEntryDecode =
+    copy(child = newChild)
+}
+
+case class XdrTrustLineDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrTrustLineEntry.trustLineType
+  override def prettyName: String = "graft_xdr_trust_line"
+  override protected def staticDecode: String = "graft.plans.XdrTrustLineEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrTrustLineEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrTrustLineDecode =
+    copy(child = newChild)
+}
+
+case class XdrOfferDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrOfferEntry.offerType
+  override def prettyName: String = "graft_xdr_offer"
+  override protected def staticDecode: String = "graft.plans.XdrOfferEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrOfferEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrOfferDecode =
+    copy(child = newChild)
+}
+
+case class XdrTxEnvelopeDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrTxEnvelope.txEnvelopeType
+  override def prettyName: String = "graft_xdr_tx_envelope"
+  override protected def staticDecode: String = "graft.plans.XdrTxEnvelope.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrTxEnvelope.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrTxEnvelopeDecode =
     copy(child = newChild)
 }

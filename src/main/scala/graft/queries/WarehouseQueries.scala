@@ -1726,6 +1726,104 @@ object WarehouseQueries {
           col("op.amount").as("amount"))
     }),
 
+    // S3 state-entry decodes through the gate: TrustLineEntry (all four
+    // TrustLineAsset arms incl. the pool-share PoolID, and the nested
+    // v0/v1/v2 ext chain carrying liabilities + pool use count) and
+    // OfferEntry (both Asset unions, the n/d Price fraction) — the
+    // remaining two core state tables of the reference's export
+    // (trust_lines, offers). Same fixture-law pattern: every column
+    // restated from the row key, addresses via the strkey round-trip.
+    "s3_trust_line" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val issuer = concat(u32(lit(0L)), h16("f"), h16("g"))
+      val at = pmod(k, lit(4L))
+      val asset = when(at === 0L, u32(lit(0L)))
+        .when(at === 1L, concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit("c"))), 1, 3).cast("binary"),
+          unhex(lit("00")), issuer))
+        .when(at === 2L, concat(u32(lit(2L)),
+          substring(md5(concat(ks, lit("c"))), 1, 10).cast("binary"),
+          unhex(lit("0000")), issuer))
+        .otherwise(concat(u32(lit(3L)), h16("p"), h16("q")))
+      val e = pmod(k, lit(3L))
+      val ext = when(e === 0L, u32(lit(0L)))
+        .when(e === 1L, concat(u32(lit(1L)),
+          i64(lit(11L) + k), i64(lit(22L) + k), u32(lit(0L))))
+        .otherwise(concat(u32(lit(1L)),
+          i64(lit(11L) + k), i64(lit(22L) + k),
+          u32(lit(2L)), u32(pmod(k, lit(5L))), u32(lit(0L))))
+      val xdr = concat(u32(lit(0L)), key32, asset,
+        i64(lit(31337000L) + k), i64(lit(900000000L) + k),
+        u32(pmod(k, lit(4L))), ext)
+      t(s, dir, "customer").filter(col("c_custkey") % 19 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_trust_line", col("bin")))
+        .select(col("k"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.account_id")))).as("account_payload_hex"),
+          col("h.asset_type").as("asset_type"),
+          col("h.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("h.balance").as("balance"),
+          col("h.trust_limit").as("trust_limit"),
+          col("h.flags").as("flags"),
+          col("h.buying_liabilities").as("buying_liabilities"),
+          col("h.selling_liabilities").as("selling_liabilities"),
+          col("h.pool_use_count").as("pool_use_count"),
+          call_function("graft_xdr_trust_line", col("bin").substr(1, 30))
+            .isNull.as("truncated_rejected"))
+    }),
+
+    "s3_offer_entry" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      def asset(sel: Column, tag: String): Column =
+        when(sel === 0L, u32(lit(0L)))
+          .when(sel === 1L, concat(u32(lit(1L)),
+            substring(md5(concat(ks, lit(tag))), 1, 3).cast("binary"),
+            unhex(lit("00")), u32(lit(0L)), h16(tag + "i"), h16(tag + "j")))
+          .otherwise(concat(u32(lit(2L)),
+            substring(md5(concat(ks, lit(tag))), 1, 10).cast("binary"),
+            unhex(lit("0000")), u32(lit(0L)), h16(tag + "i"), h16(tag + "j")))
+      val xdr = concat(u32(lit(0L)), key32,
+        i64(lit(4000000000L) + k),
+        asset(pmod(k, lit(3L)), "s"), asset(pmod(k + lit(1L), lit(3L)), "b"),
+        i64(lit(777000L) + k),
+        u32(lit(1L) + pmod(k, lit(97L))), u32(lit(1L) + pmod(k, lit(89L))),
+        u32(pmod(k, lit(4L))), u32(lit(0L)))
+      t(s, dir, "orders").filter(col("o_orderkey") % 47 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_offer", col("bin")))
+        .select(col("k"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.seller_id")))).as("seller_payload_hex"),
+          col("h.offer_id").as("offer_id"),
+          col("h.selling_asset_type").as("selling_asset_type"),
+          col("h.selling_asset_code").as("selling_asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.selling_asset_issuer")))).as("selling_issuer_payload_hex"),
+          col("h.buying_asset_type").as("buying_asset_type"),
+          col("h.buying_asset_code").as("buying_asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.buying_asset_issuer")))).as("buying_issuer_payload_hex"),
+          col("h.amount").as("amount"),
+          col("h.price_n").as("price_n"),
+          col("h.price_d").as("price_d"),
+          col("h.flags").as("flags"),
+          call_function("graft_xdr_offer", col("bin").substr(1, 44))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2848,6 +2946,67 @@ object WarehouseQueries {
         |  CAST(CASE WHEN i0 % 2 = 0 THEN 10000000 + k0 + i0
         |    ELSE 20000000 + k0 + i0 END AS BIGINT) AS amount
         |FROM src""".stripMargin,
+
+    // the TrustLineEntry fixture LAW: all four asset arms (the pool
+    // share surfaces its PoolID as the 64-hex asset_code) and the
+    // nested ext chain, every column from the row key
+    "s3_trust_line" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  md5(CAST(c_custkey AS VARCHAR))
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'a') AS account_payload_hex,
+        |  CAST(c_custkey % 4 AS BIGINT) AS asset_type,
+        |  CASE c_custkey % 4
+        |    WHEN 1 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 'c'), 1, 3)
+        |    WHEN 2 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 'c'), 1, 10)
+        |    WHEN 3 THEN md5(CAST(c_custkey AS VARCHAR) || 'p')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'q')
+        |  END AS asset_code,
+        |  CASE WHEN c_custkey % 4 IN (1, 2) THEN
+        |    md5(CAST(c_custkey AS VARCHAR) || 'f')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'g')
+        |  END AS asset_issuer_payload_hex,
+        |  CAST(31337000 + c_custkey AS BIGINT) AS balance,
+        |  CAST(900000000 + c_custkey AS BIGINT) AS trust_limit,
+        |  CAST(c_custkey % 4 AS BIGINT) AS flags,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 11 + c_custkey END
+        |    AS BIGINT) AS buying_liabilities,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 22 + c_custkey END
+        |    AS BIGINT) AS selling_liabilities,
+        |  CAST(CASE WHEN c_custkey % 3 = 2 THEN c_custkey % 5 ELSE 0 END
+        |    AS BIGINT) AS pool_use_count,
+        |  true AS truncated_rejected
+        |FROM customer WHERE c_custkey % 19 = 0""".stripMargin,
+
+    // the OfferEntry fixture LAW: both asset unions + the price fraction
+    "s3_offer_entry" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  md5(CAST(o_orderkey AS VARCHAR))
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'a') AS seller_payload_hex,
+        |  CAST(4000000000 + o_orderkey AS BIGINT) AS offer_id,
+        |  CAST(o_orderkey % 3 AS BIGINT) AS selling_asset_type,
+        |  CASE o_orderkey % 3
+        |    WHEN 1 THEN substring(md5(CAST(o_orderkey AS VARCHAR) || 's'), 1, 3)
+        |    WHEN 2 THEN substring(md5(CAST(o_orderkey AS VARCHAR) || 's'), 1, 10)
+        |  END AS selling_asset_code,
+        |  CASE WHEN o_orderkey % 3 IN (1, 2) THEN
+        |    md5(CAST(o_orderkey AS VARCHAR) || 'si')
+        |      || md5(CAST(o_orderkey AS VARCHAR) || 'sj')
+        |  END AS selling_issuer_payload_hex,
+        |  CAST((o_orderkey + 1) % 3 AS BIGINT) AS buying_asset_type,
+        |  CASE (o_orderkey + 1) % 3
+        |    WHEN 1 THEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'b'), 1, 3)
+        |    WHEN 2 THEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'b'), 1, 10)
+        |  END AS buying_asset_code,
+        |  CASE WHEN (o_orderkey + 1) % 3 IN (1, 2) THEN
+        |    md5(CAST(o_orderkey AS VARCHAR) || 'bi')
+        |      || md5(CAST(o_orderkey AS VARCHAR) || 'bj')
+        |  END AS buying_issuer_payload_hex,
+        |  CAST(777000 + o_orderkey AS BIGINT) AS amount,
+        |  CAST(1 + o_orderkey % 97 AS BIGINT) AS price_n,
+        |  CAST(1 + o_orderkey % 89 AS BIGINT) AS price_d,
+        |  CAST(o_orderkey % 4 AS BIGINT) AS flags,
+        |  true AS truncated_rejected
+        |FROM orders WHERE o_orderkey % 47 = 0""".stripMargin,
 
     // the AccountEntry fixture LAW: every column from the row key;
     // address payloads verified through the strkey_decode round-trip

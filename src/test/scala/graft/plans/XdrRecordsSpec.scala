@@ -276,7 +276,7 @@ class XdrRecordsSpec extends SparkSpec {
         case 1 => // PAYMENT, alphanum4 asset
           if (muxedDest) { w32(0x100L); w64(55L) } else w32(0L)
           bb.write(hash(23 + i), 0, 32)
-          w32(1L); bb.write("USD ".getBytes("UTF-8"), 0, 4)
+          w32(1L); bb.write("USD\u0000".getBytes("UTF-8"), 0, 4)
           w32(0L); bb.write(hash(29), 0, 32)
           w64(2000L + i)
         case other => w32(9L) // unsupported body: junk the parser must reject
@@ -373,6 +373,107 @@ class XdrRecordsSpec extends SparkSpec {
       encodeTx(None, false, 0, Seq(6), 0)) == null, "unsupported op type")
     assert(XdrTxEnvelope.decode(
       encodeTx(None, false, 0, Nil, 0)) == null, "a tx needs >= 1 op")
+  }
+
+  /** Independent TrustLineEntry / OfferEntry encoders. */
+  private def wAsset(bb: java.io.ByteArrayOutputStream, arm: Int): Unit = {
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    arm match {
+      case 0 => w32(0L)
+      case 1 => w32(1L); bb.write("EUR\u0000".getBytes("UTF-8"), 0, 4)
+        w32(0L); bb.write(hash(30), 0, 32)
+      case 2 => w32(2L); bb.write("LONGCODE\u0000\u0000\u0000\u0000".getBytes("UTF-8"), 0, 12)
+        w32(0L); bb.write(hash(30), 0, 32)
+      case 3 => w32(3L); bb.write(hash(31), 0, 32) // pool share (PoolID)
+    }
+  }
+
+  private def encodeTrustLine(assetArm: Int, ext: Int): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    w32(0L); bb.write(hash(32), 0, 32) // accountID
+    wAsset(bb, assetArm)
+    w64(5000L); w64(9999L); w32(1L) // balance, limit, flags
+    ext match {
+      case 0 => w32(0L)
+      case 1 => w32(1L); w64(70L); w64(80L); w32(0L)
+      case 2 => w32(1L); w64(70L); w64(80L); w32(2L); w32(4L); w32(0L)
+    }
+    bb.toByteArray
+  }
+
+  private def encodeOffer(selling: Int, buying: Int, priceD: Long = 7L): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    w32(0L); bb.write(hash(33), 0, 32) // sellerID
+    w64(12345L) // offerID
+    wAsset(bb, selling); wAsset(bb, buying)
+    w64(600L); w32(3L); w32(priceD); w32(2L); w32(0L)
+    bb.toByteArray
+  }
+
+  test("TrustLineEntry decode: all four asset arms (incl. pool share) " +
+      "and the v0/v1/v2 ext chain invert the independent encoder; " +
+      "prefixes and bad arms reject") {
+    for (arm <- 0 to 3; ext <- 0 to 2) {
+      val r = XdrTrustLineEntry.decode(encodeTrustLine(arm, ext))
+      assert(r != null, s"arm=$arm ext=$ext")
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(32).toSeq)
+      assert(r.getLong(1) == arm.toLong)
+      arm match {
+        case 0 => assert(r.isNullAt(2) && r.isNullAt(3))
+        case 1 => assert(r.getUTF8String(2).toString == "EUR")
+          assert(StrkeyCodec.decodePayload(r.getUTF8String(3)).toSeq == hash(30).toSeq)
+        case 2 => assert(r.getUTF8String(2).toString == "LONGCODE")
+        case 3 => // the PoolID surfaces as 64 hex chars, no issuer
+          assert(r.getUTF8String(2).toString ==
+            hash(31).map("%02x".format(_)).mkString)
+          assert(r.isNullAt(3))
+      }
+      assert(r.getLong(4) == 5000L && r.getLong(5) == 9999L && r.getLong(6) == 1L)
+      assert(r.getLong(7) == (if (ext >= 1) 70L else 0L))
+      assert(r.getLong(8) == (if (ext >= 1) 80L else 0L))
+      assert(r.getLong(9) == (if (ext == 2) 4L else 0L))
+    }
+    val full = encodeTrustLine(1, 2)
+    (0 until full.length).foreach { n =>
+      assert(XdrTrustLineEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTrustLineEntry.decode(full :+ 0.toByte) == null)
+  }
+
+  test("OfferEntry decode: asset pairs + price fraction invert the " +
+      "independent encoder; a zero price denominator, the pool-share arm, " +
+      "and prefixes reject") {
+    for (selling <- 0 to 2; buying <- 0 to 2) {
+      val r = XdrOfferEntry.decode(encodeOffer(selling, buying))
+      assert(r != null, s"$selling/$buying")
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(33).toSeq)
+      assert(r.getLong(1) == 12345L)
+      assert(r.getLong(2) == selling.toLong && r.getLong(5) == buying.toLong)
+      assert(r.getLong(8) == 600L)
+      assert((r.getLong(9), r.getLong(10), r.getLong(11)) == ((3L, 7L, 2L)))
+    }
+    assert(XdrOfferEntry.decode(encodeOffer(0, 0, priceD = 0L)) == null,
+      "price denominator 0 is not a fraction")
+    assert(XdrOfferEntry.decode(encodeOffer(3, 0)) == null,
+      "the pool-share arm is TrustLineAsset-only")
+    val full = encodeOffer(1, 2)
+    (0 until full.length).foreach { n =>
+      assert(XdrOfferEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrOfferEntry.decode(full :+ 0.toByte) == null)
   }
 
   test("codegen path: the registered function decodes inside a real " +
