@@ -118,6 +118,108 @@ object WarehouseQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** The s2_tx_operations fixture: one pseudo TransactionV1Envelope per
+    * order row as (k, bin), varying every interior shape — plain vs
+    * muxed source (k%4), time bounds (k%2), none/text/id memo (k%3),
+    * 1..3 operations alternating CREATE_ACCOUNT/PAYMENT with native vs
+    * alphanum4 assets, optional per-op source, 0..2 variable-length
+    * signatures. Shared verbatim by the batch gate and the st_xdr_ops
+    * streaming drain so both sides decode the identical corpus.
+    */
+  private[graft] def txEnvelopeFixture(s: SparkSession, dir: String): DataFrame = {
+    val zeros = unhex(lit("000000"))
+    def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val k = col("k"); val ks = k.cast("string")
+    def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+    val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+    val srcAcct = when(pmod(k, lit(4L)) === 0L,
+      concat(u32(lit(256L)), i64(lit(7000L) + k), key32))
+      .otherwise(concat(u32(lit(0L)), key32))
+    val cond = when(pmod(k, lit(2L)) === 1L,
+      concat(u32(lit(1L)), i64(lit(1600000000L) + k), i64(lit(1800000000L) + k)))
+      .otherwise(u32(lit(0L)))
+    val mLen = pmod(k, lit(10L)) + lit(1L)
+    val memo = when(pmod(k, lit(3L)) === 1L,
+      concat(u32(lit(1L)), u32(mLen),
+        substring(md5(concat(ks, lit("m"))), 1, 10).substr(lit(1), mLen)
+          .cast("binary"),
+        zeros.substr(lit(1), (lit(4) - pmod(mLen, lit(4))) % lit(4))))
+      .when(pmod(k, lit(3L)) === 2L, concat(u32(lit(2L)), i64(lit(5000L) + k)))
+      .otherwise(u32(lit(0L)))
+    val nOp = pmod(k, lit(3L)) + lit(1L)
+    def op(i: Int): Column = {
+      val opSrc =
+        if (i == 0) when(pmod(k, lit(5L)) === 0L,
+          concat(u32(lit(1L)), u32(lit(0L)), h16("z"), h16("w")))
+          .otherwise(u32(lit(0L)))
+        else u32(lit(0L))
+      val dest = concat(u32(lit(0L)), h16(s"d$i"), h16(s"e$i"))
+      val body =
+        if (i % 2 == 0) // CREATE_ACCOUNT
+          concat(u32(lit(0L)), dest, i64(lit(10000000L) + k + lit(i.toLong)))
+        else { // PAYMENT with native vs alphanum4 asset
+          val asset = when(pmod(k + lit(i.toLong), lit(2L)) === 0L, u32(lit(0L)))
+            .otherwise(concat(u32(lit(1L)),
+              substring(md5(concat(ks, lit("c"))), 1, 3).cast("binary"),
+              unhex(lit("00")),
+              u32(lit(0L)), h16(s"f$i"), h16(s"g$i")))
+          concat(u32(lit(1L)), dest, asset,
+            i64(lit(20000000L) + k + lit(i.toLong)))
+        }
+      when(nOp > i, concat(opSrc, body)).otherwise(unhex(lit("")))
+    }
+    val nSig = pmod(k, lit(3L))
+    def sig(j: Int): Column =
+      when(nSig > j, concat(
+        unhex(substring(md5(concat(ks, lit(s"h$j"))), 1, 8)), // hint[4]
+        u32(lit(64L)), unhex(concat(md5(concat(ks, lit(s"p$j"))),
+          md5(concat(ks, lit(s"q$j"))), md5(concat(ks, lit(s"r$j"))),
+          md5(concat(ks, lit(s"s$j")))))))
+        .otherwise(unhex(lit("")))
+    val xdr = concat(
+      u32(lit(2L)), srcAcct, u32(lit(100L) * (lit(1L) + pmod(k, lit(3L)))),
+      i64(k * lit(4294967296L) + lit(1L)), cond, memo,
+      u32(nOp), op(0), op(1), op(2), u32(lit(0L)),
+      u32(nSig), sig(0), sig(1))
+    t(s, dir, "orders").filter(col("o_orderkey") % 43 === 0)
+      .select(col("o_orderkey").cast("long").as("k"))
+      .withColumn("bin", unbase64(base64(xdr)))
+  }
+
+  /** The per-operation fan-out over a (k, bin) envelope relation: decode,
+    * posexplode the operations array, flatten to the
+    * history_operations-shaped projection. Stateless row transform —
+    * valid on a streaming relation too (the st_xdr_ops drain).
+    */
+  private[graft] def txOpsProject(df: DataFrame): DataFrame =
+    df.withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+      .select(col("k"), col("h"),
+        posexplode(col("h.operations")).as(Seq("i", "op")))
+      .select(col("k"), col("i").cast("long").as("i"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("h.source_account")))).as("source_payload_hex"),
+        col("h.muxed_id").as("muxed_id"),
+        col("h.fee").as("fee"),
+        col("h.seq_num").as("seq_num"),
+        col("h.min_time").as("min_time"),
+        col("h.max_time").as("max_time"),
+        col("h.memo_type").as("memo_type"),
+        col("h.memo_text").as("memo_text"),
+        col("h.memo_id").as("memo_id"),
+        col("h.n_operations").as("n_operations"),
+        col("h.n_signatures").as("n_signatures"),
+        col("op.op_type").as("op_type"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.source_account")))).as("op_source_payload_hex"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.destination")))).as("dest_payload_hex"),
+        col("op.asset_type").as("asset_type"),
+        col("op.asset_code").as("asset_code"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
+        col("op.amount").as("amount"))
+
   val queries: Map[String, QFn] = Map(
     // A1/A5: map-side-combinable aggregation; the canonical pricing summary.
     "q1_pricing_summary" -> ((s, dir) => {
@@ -1639,92 +1741,8 @@ object WarehouseQueries {
     // alphanum4 assets, optional per-op source, 0..2 variable-length
     // signatures. The oracle restates the per-op law over a lateral
     // range; addresses verify through the strkey round-trip.
-    "s2_tx_operations" -> ((s, dir) => {
-      val zeros = unhex(lit("000000"))
-      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
-      val k = col("k"); val ks = k.cast("string")
-      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
-      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
-      val srcAcct = when(pmod(k, lit(4L)) === 0L,
-        concat(u32(lit(256L)), i64(lit(7000L) + k), key32))
-        .otherwise(concat(u32(lit(0L)), key32))
-      val cond = when(pmod(k, lit(2L)) === 1L,
-        concat(u32(lit(1L)), i64(lit(1600000000L) + k), i64(lit(1800000000L) + k)))
-        .otherwise(u32(lit(0L)))
-      val mLen = pmod(k, lit(10L)) + lit(1L)
-      val memo = when(pmod(k, lit(3L)) === 1L,
-        concat(u32(lit(1L)), u32(mLen),
-          substring(md5(concat(ks, lit("m"))), 1, 10).substr(lit(1), mLen)
-            .cast("binary"),
-          zeros.substr(lit(1), (lit(4) - pmod(mLen, lit(4))) % lit(4))))
-        .when(pmod(k, lit(3L)) === 2L, concat(u32(lit(2L)), i64(lit(5000L) + k)))
-        .otherwise(u32(lit(0L)))
-      val nOp = pmod(k, lit(3L)) + lit(1L)
-      def op(i: Int): Column = {
-        val opSrc =
-          if (i == 0) when(pmod(k, lit(5L)) === 0L,
-            concat(u32(lit(1L)), u32(lit(0L)), h16("z"), h16("w")))
-            .otherwise(u32(lit(0L)))
-          else u32(lit(0L))
-        val dest = concat(u32(lit(0L)), h16(s"d$i"), h16(s"e$i"))
-        val body =
-          if (i % 2 == 0) // CREATE_ACCOUNT
-            concat(u32(lit(0L)), dest, i64(lit(10000000L) + k + lit(i.toLong)))
-          else { // PAYMENT with native vs alphanum4 asset
-            val asset = when(pmod(k + lit(i.toLong), lit(2L)) === 0L, u32(lit(0L)))
-              .otherwise(concat(u32(lit(1L)),
-                substring(md5(concat(ks, lit("c"))), 1, 3).cast("binary"),
-                unhex(lit("00")),
-                u32(lit(0L)), h16(s"f$i"), h16(s"g$i")))
-            concat(u32(lit(1L)), dest, asset,
-              i64(lit(20000000L) + k + lit(i.toLong)))
-          }
-        when(nOp > i, concat(opSrc, body)).otherwise(unhex(lit("")))
-      }
-      val nSig = pmod(k, lit(3L))
-      def sig(j: Int): Column =
-        when(nSig > j, concat(
-          unhex(substring(md5(concat(ks, lit(s"h$j"))), 1, 8)), // hint[4]
-          u32(lit(64L)), unhex(concat(md5(concat(ks, lit(s"p$j"))),
-            md5(concat(ks, lit(s"q$j"))), md5(concat(ks, lit(s"r$j"))),
-            md5(concat(ks, lit(s"s$j")))))))
-          .otherwise(unhex(lit("")))
-      val xdr = concat(
-        u32(lit(2L)), srcAcct, u32(lit(100L) * (lit(1L) + pmod(k, lit(3L)))),
-        i64(k * lit(4294967296L) + lit(1L)), cond, memo,
-        u32(nOp), op(0), op(1), op(2), u32(lit(0L)),
-        u32(nSig), sig(0), sig(1))
-      t(s, dir, "orders").filter(col("o_orderkey") % 43 === 0)
-        .select(col("o_orderkey").cast("long").as("k"))
-        .withColumn("bin", unbase64(base64(xdr)))
-        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
-        .select(col("k"), col("h"),
-          posexplode(col("h.operations")).as(Seq("i", "op")))
-        .select(col("k"), col("i").cast("long").as("i"),
-          lower(hex(call_function("graft_strkey_decode",
-            col("h.source_account")))).as("source_payload_hex"),
-          col("h.muxed_id").as("muxed_id"),
-          col("h.fee").as("fee"),
-          col("h.seq_num").as("seq_num"),
-          col("h.min_time").as("min_time"),
-          col("h.max_time").as("max_time"),
-          col("h.memo_type").as("memo_type"),
-          col("h.memo_text").as("memo_text"),
-          col("h.memo_id").as("memo_id"),
-          col("h.n_operations").as("n_operations"),
-          col("h.n_signatures").as("n_signatures"),
-          col("op.op_type").as("op_type"),
-          lower(hex(call_function("graft_strkey_decode",
-            col("op.source_account")))).as("op_source_payload_hex"),
-          lower(hex(call_function("graft_strkey_decode",
-            col("op.destination")))).as("dest_payload_hex"),
-          col("op.asset_type").as("asset_type"),
-          col("op.asset_code").as("asset_code"),
-          lower(hex(call_function("graft_strkey_decode",
-            col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
-          col("op.amount").as("amount"))
-    }),
+    "s2_tx_operations" -> ((s, dir) =>
+      txOpsProject(txEnvelopeFixture(s, dir))),
 
     // S3 state-entry decodes through the gate: TrustLineEntry (all four
     // TrustLineAsset arms incl. the pool-share PoolID, and the nested

@@ -959,7 +959,26 @@ object StreamingGate {
     graft.operators.Alerting.sentAlerts(spark, root)
   }
 
+  /** XDR decode IN-STREAM: the tx-envelope corpus (the s2_tx_operations
+    * fixture verbatim) arrives as parquet files of (k, bin) rows; each
+    * micro-batch decodes the envelope and fans out to per-operation rows
+    * — a stateless scan → project → generate plan, no state store, the
+    * whole-record decode running as one codegen'd expression inside the
+    * micro-batch. The drained table must equal the batch fan-out: the
+    * gate reuses the s2_tx_operations oracle verbatim.
+    */
+  def xdrOpsGate(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = graft.queries.WarehouseQueries.txEnvelopeFixture(spark, dir)
+    val in = scratch("xdrops_in", dir)
+    val out = scratch("xdrops_out", dir)
+    val ck = scratch("xdrops_ck", dir)
+    val stream = stage(spark, fixture, in)
+    drain(graft.queries.WarehouseQueries.txOpsProject(stream), out, ck)
+    spark.read.parquet(out)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st_xdr_ops" -> (xdrOpsGate(_, _)),
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
     "st_kmv_estimate" -> (kmvGate(_, _)),
@@ -1008,6 +1027,12 @@ object StreamingGate {
     // routing's emission set and txn attribution
     "st_alert_route" ->
       graft.queries.WarehouseQueries.oracles("qa_alert_route"),
+
+    // the batch per-operation fan-out law verbatim: decoding the same
+    // envelope corpus through micro-batches must produce exactly the
+    // batch decode's row set
+    "st_xdr_ops" ->
+      graft.queries.WarehouseQueries.oracles("s2_tx_operations"),
 
     // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
     // a streamed delta ingest must land every vector in the cell the
