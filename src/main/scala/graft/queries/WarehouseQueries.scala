@@ -191,11 +191,23 @@ object WarehouseQueries {
     * posexplode the operations array, flatten to the
     * history_operations-shaped projection. Stateless row transform —
     * valid on a streaming relation too (the st_xdr_ops drain).
+    *
+    * The explode is the OUTER variant + a post-generate null filter, not
+    * a plain posexplode, deliberately: for a non-outer generate Catalyst
+    * infers `size(ops) > 0` and pushes it below the projection
+    * (InferFiltersFromGenerate), re-substituting the WHOLE decode
+    * expression into the filter — the record parse, the dominant per-row
+    * cost of envelope ingest, would run TWICE per row. The inference
+    * rule skips outer generates, so the decode evaluates once in the
+    * projection; quarantined (NULL-decode) rows surface as a single
+    * null-position row the filter drops — row-set identical, half the
+    * decode work. Plan-audited in PlanAuditSpec.
     */
   private[graft] def txOpsProject(df: DataFrame): DataFrame =
     df.withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
       .select(col("k"), col("h"),
-        posexplode(col("h.operations")).as(Seq("i", "op")))
+        posexplode_outer(col("h.operations")).as(Seq("i", "op")))
+      .filter(col("i").isNotNull)
       .select(col("k"), col("i").cast("long").as("i"),
         lower(hex(call_function("graft_strkey_decode",
           col("h.source_account")))).as("source_payload_hex"),

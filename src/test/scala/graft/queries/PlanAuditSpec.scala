@@ -333,4 +333,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"minute totals must stay keyed on minute_idx:\n$p")
   }
+
+  test("s2_tx_operations: whole-record decode + per-op fan-out is one " +
+      "shuffle-free scan -> project -> generate pass inside codegen, " +
+      "and the decode runs ONCE per row") {
+    val p = planOf("s2_tx_operations", "/root/testdata/sf0.01")
+    // the decode is per-row work: NOTHING here justifies an exchange —
+    // at 100 TB this plan ingests embarrassingly parallel
+    assert(!p.contains("Exchange"), s"record decode must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"the operations array must explode:\n$p")
+    assert(p.contains("*("),
+      s"the decode expressions must run inside codegen stages:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one pass over the envelope relation, found $scans:\n$p")
+    // a non-outer generate lets InferFiltersFromGenerate re-substitute
+    // the WHOLE decode into a pushed-down size() filter — the parse, the
+    // dominant per-row ingest cost, would run twice per row (the
+    // posexplode_outer + null-filter shape in txOpsProject avoids it)
+    val decodes = "graft_xdr_tx_envelope".r.findAllIn(p).size
+    assert(decodes == 1,
+      s"the record decode must appear ONCE in the plan, found $decodes:\n$p")
+  }
 }
