@@ -211,6 +211,12 @@ object XdrRecords {
   * types 0–3, type 3 carrying a variable signed payload), v0/v1
   * liabilities ext. */
 object XdrAccountEntry {
+
+  val signerType: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("key_type", LongType),
+    StructField("weight", LongType)))
+
   val accountEntryType: StructType = StructType(Seq(
     StructField("account_id", StringType),
     StructField("balance", LongType),
@@ -225,7 +231,13 @@ object XdrAccountEntry {
     StructField("threshold_high", LongType),
     StructField("num_signers", LongType),
     StructField("buying_liabilities", LongType),
-    StructField("selling_liabilities", LongType)))
+    StructField("selling_liabilities", LongType),
+    // exploding this array IS the reference's account_signers table
+    StructField("signers", ArrayType(signerType))))
+
+  // SEP-23 version bytes per SignerKey arm: ed25519 'G', preAuthTx 'T',
+  // hashX 'X', ed25519SignedPayload 'P'
+  private val signerVersionByte = Array(48, 152, 184, 120)
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
     val accountId = c.accountId()
@@ -242,13 +254,31 @@ object XdrAccountEntry {
     val thr = c.bytes(4)
     val nSigners = c.u32()
     if (nSigners > 20) throw XdrCursor.Malformed // Signer signers<20>
-    var s = 0L
+    val signers = new Array[Any](nSigners.toInt)
+    var s = 0
     while (s < nSigners) {
       val keyType = c.u32()
-      if (keyType < 0L || keyType > 3L) throw XdrCursor.Malformed
-      c.skip(32)
-      if (keyType == 3L) c.varBytes(64) // ed25519SignedPayload
-      c.u32() // weight
+      if (keyType > 3L) throw XdrCursor.Malformed
+      val key = c.bytes(32)
+      // the strkey payload: the raw key, except the signed-payload arm,
+      // whose SEP-23 'P' payload is key || 4-byte BE length || payload
+      // zero-padded to 4 — exactly the XDR wire bytes of the arm
+      val payload =
+        if (keyType == 3L) {
+          val sp = c.varBytes(64)
+          val pad = (4 - sp.length % 4) % 4
+          val out = new Array[Byte](32 + 4 + sp.length + pad)
+          System.arraycopy(key, 0, out, 0, 32)
+          out(32) = ((sp.length >> 24) & 0xff).toByte
+          out(33) = ((sp.length >> 16) & 0xff).toByte
+          out(34) = ((sp.length >> 8) & 0xff).toByte
+          out(35) = (sp.length & 0xff).toByte
+          System.arraycopy(sp, 0, out, 36, sp.length)
+          out
+        } else key
+      signers(s) = new GenericInternalRow(Array[Any](
+        StrkeyCodec.encode(signerVersionByte(keyType.toInt), payload),
+        keyType, c.u32()))
       s += 1
     }
     val (buying, selling) = c.u32() match {
@@ -262,7 +292,7 @@ object XdrAccountEntry {
       accountId, balance, seqNum, numSubEntries, inflationDest, flags,
       homeDomain, (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
       (thr(2) & 0xff).toLong, (thr(3) & 0xff).toLong,
-      nSigners, buying, selling))
+      nSigners.toLong, buying, selling, new GenericArrayData(signers)))
   }
 }
 

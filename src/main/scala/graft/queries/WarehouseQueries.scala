@@ -187,6 +187,52 @@ object WarehouseQueries {
       .withColumn("bin", unbase64(base64(xdr)))
   }
 
+  /** The s3_account_entry fixture: one pseudo AccountEntry per customer
+    * row as (k, bin), varying every interior shape — optional inflation
+    * destination (k%3), 0..12-byte home domain with XDR padding (k%13),
+    * 0..3 signers of types 0/1/2 (k%4), v0/v1 liabilities ext (k%2).
+    * Shared by the record gate and the account_signers fan-out gate.
+    */
+  private[graft] def accountEntryFixture(s: SparkSession, dir: String): DataFrame = {
+    val zeros = unhex(lit("000000"))
+    def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val k = col("k"); val ks = k.cast("string")
+    def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+    val hd = pmod(k, lit(13L))
+    val domain = substring(md5(concat(ks, lit("d"))), 1, 12)
+      .substr(lit(1), hd)
+    val nS = pmod(k, lit(4L))
+    def signer(i: Int): Column =
+      when(nS > i, concat(u32(lit(i.toLong)),
+        h16(s"s$i"), h16(s"t$i"), u32(lit(10L + i))))
+        .otherwise(unhex(lit("")))
+    val xdr = concat(
+      u32(lit(0L)), unhex(concat(md5(ks), md5(concat(ks, lit("a"))))),
+      i64(lit(5000000000L) + k),                     // balance
+      i64(k * lit(4294967296L) + pmod(k, lit(100L))), // seqNum
+      u32(pmod(k, lit(20L))),                        // numSubEntries
+      when(pmod(k, lit(3L)) === 0L,                  // inflationDest*
+        concat(u32(lit(1L)), u32(lit(0L)), h16("i"), h16("j")))
+        .otherwise(u32(lit(0L))),
+      u32(pmod(k, lit(8L))),                         // flags
+      concat(u32(hd), domain.cast("binary"),         // string32 domain
+        zeros.substr(lit(1), (lit(4) - pmod(hd, lit(4))) % lit(4))),
+      unhex(concat(                                  // thresholds[4]
+        lpad(hex(lit(1L) + pmod(k, lit(4L))), 2, "0"),
+        lpad(hex(pmod(k, lit(3L))), 2, "0"),
+        lpad(hex(pmod(k, lit(5L))), 2, "0"),
+        lpad(hex(pmod(k, lit(7L))), 2, "0"))),
+      u32(nS), signer(0), signer(1), signer(2),      // signers<20>
+      when(pmod(k, lit(2L)) === 1L,                  // ext: v1 adds
+        concat(u32(lit(1L)), i64(lit(111222333L) + k), // liabilities
+          i64(lit(444555L) + k), u32(lit(0L))))
+        .otherwise(u32(lit(0L))))
+    t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey").cast("long").as("k"))
+      .withColumn("bin", unbase64(base64(xdr)))
+  }
+
   /** The per-operation fan-out over a (k, bin) envelope relation: decode,
     * posexplode the operations array, flatten to the
     * history_operations-shaped projection. Stateless row transform —
@@ -1682,44 +1728,8 @@ object WarehouseQueries {
     // padding (k%13), v0/v1 liabilities ext (k%2). The oracle restates
     // the law; address payloads verify through the independent
     // strkey_decode round-trip (DuckDB has no base32).
-    "s3_account_entry" -> ((s, dir) => {
-      val zeros = unhex(lit("000000"))
-      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
-      val k = col("k"); val ks = k.cast("string")
-      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
-      val hd = pmod(k, lit(13L))
-      val domain = substring(md5(concat(ks, lit("d"))), 1, 12)
-        .substr(lit(1), hd)
-      val nS = pmod(k, lit(4L))
-      def signer(i: Int): Column =
-        when(nS > i, concat(u32(lit(i.toLong)),
-          h16(s"s$i"), h16(s"t$i"), u32(lit(10L + i))))
-          .otherwise(unhex(lit("")))
-      val xdr = concat(
-        u32(lit(0L)), unhex(concat(md5(ks), md5(concat(ks, lit("a"))))),
-        i64(lit(5000000000L) + k),                     // balance
-        i64(k * lit(4294967296L) + pmod(k, lit(100L))), // seqNum
-        u32(pmod(k, lit(20L))),                        // numSubEntries
-        when(pmod(k, lit(3L)) === 0L,                  // inflationDest*
-          concat(u32(lit(1L)), u32(lit(0L)), h16("i"), h16("j")))
-          .otherwise(u32(lit(0L))),
-        u32(pmod(k, lit(8L))),                         // flags
-        concat(u32(hd), domain.cast("binary"),         // string32 domain
-          zeros.substr(lit(1), (lit(4) - pmod(hd, lit(4))) % lit(4))),
-        unhex(concat(                                  // thresholds[4]
-          lpad(hex(lit(1L) + pmod(k, lit(4L))), 2, "0"),
-          lpad(hex(pmod(k, lit(3L))), 2, "0"),
-          lpad(hex(pmod(k, lit(5L))), 2, "0"),
-          lpad(hex(pmod(k, lit(7L))), 2, "0"))),
-        u32(nS), signer(0), signer(1), signer(2),      // signers<20>
-        when(pmod(k, lit(2L)) === 1L,                  // ext: v1 adds
-          concat(u32(lit(1L)), i64(lit(111222333L) + k), // liabilities
-            i64(lit(444555L) + k), u32(lit(0L))))
-          .otherwise(u32(lit(0L))))
-      t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
-        .select(col("c_custkey").cast("long").as("k"))
-        .withColumn("bin", unbase64(base64(xdr)))
+    "s3_account_entry" -> ((s, dir) =>
+      accountEntryFixture(s, dir)
         .withColumn("h", call_function("graft_xdr_account_entry", col("bin")))
         .select(col("k"),
           lower(hex(call_function("graft_strkey_decode",
@@ -1740,8 +1750,26 @@ object WarehouseQueries {
           col("h.buying_liabilities").as("buying_liabilities"),
           col("h.selling_liabilities").as("selling_liabilities"),
           call_function("graft_xdr_account_entry", col("bin").substr(1, 40))
-            .isNull.as("truncated_rejected"))
-    }),
+            .isNull.as("truncated_rejected"))),
+
+    // The reference's account_signers TABLE: the signers vector of each
+    // AccountEntry exploded to one row per signer, the key spelled as
+    // its type-correct SEP-23 strkey (ed25519 'G', preAuthTx 'T', hashX
+    // 'X') — strkey_decode strips whichever version byte, so the oracle
+    // verifies the raw key payload directly. Outer explode + null
+    // filter: same decode-once posture as the tx fan-out (zero-signer
+    // accounts drop; the decode never re-substitutes into a filter).
+    "s3_account_signers" -> ((s, dir) =>
+      accountEntryFixture(s, dir)
+        .withColumn("h", call_function("graft_xdr_account_entry", col("bin")))
+        .select(col("k"),
+          posexplode_outer(col("h.signers")).as(Seq("i", "sg")))
+        .filter(col("i").isNotNull)
+        .select(col("k"), col("i").cast("long").as("i"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("sg.key")))).as("key_payload_hex"),
+          col("sg.key_type").as("key_type"),
+          col("sg.weight").as("weight"))),
 
     // S2 TRANSACTION fan-out through the gate: a TransactionV1Envelope
     // decoded by graft_xdr_tx_envelope and EXPLODED to per-operation
@@ -2932,6 +2960,21 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the per-signer fan-out LAW: one row per (account, signer index);
+    // key payloads verify through the version-agnostic strkey round-trip
+    "s3_account_signers" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k0,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    unnest(range(0, CAST(c_custkey % 4 AS BIGINT))) AS i0
+        |  FROM customer WHERE c_custkey % 17 = 0)
+        |SELECT k0 AS k, CAST(i0 AS BIGINT) AS i,
+        |  md5(ks || 's' || CAST(i0 AS VARCHAR))
+        |    || md5(ks || 't' || CAST(i0 AS VARCHAR)) AS key_payload_hex,
+        |  CAST(i0 AS BIGINT) AS key_type,
+        |  CAST(10 + i0 AS BIGINT) AS weight
+        |FROM src""".stripMargin,
 
     // the per-operation fan-out LAW over a lateral range: one row per
     // (transaction, operation index), every column from the key pair

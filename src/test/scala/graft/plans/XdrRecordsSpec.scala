@@ -207,6 +207,28 @@ class XdrRecordsSpec extends SparkSpec {
       assert(r.getLong(11) == signers.length.toLong)
       assert(r.getLong(12) == liab.map(_._1).getOrElse(0L))
       assert(r.getLong(13) == liab.map(_._2).getOrElse(0L))
+      // the signers array: one row per signer, key as the TYPE-CORRECT
+      // SEP-23 strkey (G/T/X/P per arm), weight carried through
+      val arr = r.getArray(14)
+      assert(arr.numElements() == signers.length)
+      signers.zipWithIndex.foreach { case (t, i) =>
+        val sg = arr.getStruct(i, 3)
+        val addr = sg.getUTF8String(0).toString
+        assert(addr.head == "GTXP".charAt(t), s"type $t prefix: $addr")
+        val payload = StrkeyCodec.decodePayload(sg.getUTF8String(0))
+        if (t == 3) {
+          // 'P' payload = key || 4-byte BE len || payload padded to 4
+          assert(payload.take(32).toSeq == hash(12 + t).toSeq)
+          val len = ((payload(32) & 0xff) << 24) | ((payload(33) & 0xff) << 16) |
+            ((payload(34) & 0xff) << 8) | (payload(35) & 0xff)
+          assert(len == 19)
+          assert(payload.slice(36, 36 + 19).toSeq ==
+            Array.tabulate[Byte](19)(_.toByte).toSeq)
+          assert(payload.length == 32 + 4 + 19 + 1, "zero-padded to 4")
+        } else assert(payload.toSeq == hash(12 + t).toSeq)
+        assert(sg.getLong(1) == t.toLong)
+        assert(sg.getLong(2) == 200L + t)
+      }
     }
   }
 
