@@ -192,13 +192,32 @@ object GraftFunctions {
       XdrOfferDecode(children.head)
     })
 
+  private val xdrLiquidityPoolDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_liquidity_pool"),
+    new ExpressionInfo(classOf[XdrLiquidityPoolDecode].getName, "graft_xdr_liquidity_pool"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_liquidity_pool(bin) takes one binary arg")
+      XdrLiquidityPoolDecode(children.head)
+    })
+
+  private val xdrClaimableBalanceDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_claimable_balance"),
+    new ExpressionInfo(classOf[XdrClaimableBalanceDecode].getName, "graft_xdr_claimable_balance"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_claimable_balance(bin) takes one binary arg")
+      XdrClaimableBalanceDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
       nfcDescriptor, strkeyDecodeDescriptor, strkeyEncodeDescriptor,
       xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
       xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
-      xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor)
+      xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor,
+      xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

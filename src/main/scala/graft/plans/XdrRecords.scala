@@ -376,6 +376,137 @@ object XdrOfferEntry {
   }
 }
 
+/** Full `LiquidityPoolEntry` decode (Stellar-ledger-entries.x) — the
+  * reference's `liquidity_pools` table shape: pool id, the
+  * constant-product body's asset pair, fee, reserves, share totals. */
+object XdrLiquidityPoolEntry {
+  val liquidityPoolType: StructType = StructType(Seq(
+    StructField("pool_id", StringType),
+    StructField("asset_a_type", LongType),
+    StructField("asset_a_code", StringType),
+    StructField("asset_a_issuer", StringType),
+    StructField("asset_b_type", LongType),
+    StructField("asset_b_code", StringType),
+    StructField("asset_b_issuer", StringType),
+    StructField("fee", LongType),
+    StructField("reserve_a", LongType),
+    StructField("reserve_b", LongType),
+    StructField("total_pool_shares", LongType),
+    StructField("pool_shares_trust_line_count", LongType)))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val poolId = UTF8String.fromString(
+      c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+    c.expect(0L) // LIQUIDITY_POOL_CONSTANT_PRODUCT, the only arm
+    val (aT, aC, aI) = c.asset()
+    val (bT, bC, bI) = c.asset()
+    val fee = c.u32() // int32 fee (basis points)
+    val reserveA = c.i64()
+    val reserveB = c.i64()
+    val totalShares = c.i64()
+    val tlCount = c.i64()
+    c.done()
+    new GenericInternalRow(Array[Any](
+      poolId, aT, aC, aI, bT, bC, bI, fee, reserveA, reserveB,
+      totalShares, tlCount))
+  }
+}
+
+/** Full `ClaimableBalanceEntry` decode (Stellar-ledger-entries.x) — the
+  * reference's `claimable_balances` table shape, including the
+  * RECURSIVE ClaimPredicate tree each claimant carries (AND/OR carry
+  * predicate vectors<2>, NOT an optional child, the leaves are
+  * unconditional or abs/rel time bounds). The tree is walked with a
+  * depth guard and surfaced as per-claimant summary columns — root
+  * type, node count, depth, and the earliest absolute-time bound — the
+  * queryable shape; claimants explode like signers/operations. */
+object XdrClaimableBalanceEntry {
+
+  val claimantType: StructType = StructType(Seq(
+    StructField("destination", StringType),
+    StructField("predicate_type", LongType),
+    StructField("predicate_nodes", LongType),
+    StructField("predicate_depth", LongType),
+    StructField("abs_before_min", LongType)))
+
+  val claimableBalanceType: StructType = StructType(Seq(
+    StructField("balance_id", StringType),
+    StructField("asset_type", LongType),
+    StructField("asset_code", StringType),
+    StructField("asset_issuer", StringType),
+    StructField("amount", LongType),
+    StructField("flags", LongType),
+    StructField("n_claimants", LongType),
+    StructField("claimants", ArrayType(claimantType))))
+
+  /** Walk one predicate subtree: (root type, node count, depth, min
+    * abs-before or null). Recursive calls drop the child's root type. */
+  private def predicate(c: XdrCursor, depth: Int): (Long, Long, Long, Any) = {
+    if (depth > 16) throw XdrCursor.Malformed // defensive recursion bound
+    def minAbs(a: Any, b: Any): Any = (a, b) match {
+      case (null, v)          => v
+      case (v, null)          => v
+      case (x: Long, y: Long) => if (x < y) x else y
+    }
+    c.u32() match {
+      case 0L => (0L, 1L, 1L, null) // UNCONDITIONAL
+      case t @ (1L | 2L) => // AND / OR: ClaimPredicate vector<2>
+        val n = c.u32()
+        if (n > 2) throw XdrCursor.Malformed
+        var nodes = 1L; var dMax = 0L; var abs: Any = null
+        var i = 0L
+        while (i < n) {
+          val (_, cn, cd, ca) = predicate(c, depth + 1)
+          nodes += cn
+          if (cd > dMax) dMax = cd
+          abs = minAbs(abs, ca)
+          i += 1
+        }
+        (t, nodes, dMax + 1L, abs)
+      case 3L => // NOT: optional child
+        c.u32() match {
+          case 0L => (3L, 1L, 1L, null)
+          case 1L =>
+            val (_, cn, cd, ca) = predicate(c, depth + 1)
+            (3L, cn + 1L, cd + 1L, ca)
+          case _ => throw XdrCursor.Malformed
+        }
+      case 4L => (4L, 1L, 1L, c.i64()) // BEFORE_ABSOLUTE_TIME
+      case 5L => { c.i64(); (5L, 1L, 1L, null) } // BEFORE_RELATIVE_TIME
+      case _ => throw XdrCursor.Malformed
+    }
+  }
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    c.expect(0L) // CLAIMABLE_BALANCE_ID_TYPE_V0
+    val balanceId = UTF8String.fromString(
+      c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+    val nClaimants = c.u32()
+    if (nClaimants < 1 || nClaimants > 10) throw XdrCursor.Malformed
+    val claimants = new Array[Any](nClaimants.toInt)
+    var i = 0
+    while (i < nClaimants) {
+      c.expect(0L) // CLAIMANT_TYPE_V0
+      val dest = c.accountId()
+      val (rootType, nodes, depth, absMin) = predicate(c, 1)
+      claimants(i) = new GenericInternalRow(Array[Any](
+        dest, rootType, nodes, depth, absMin))
+      i += 1
+    }
+    val (aT, aC, aI) = c.asset()
+    val amount = c.i64()
+    val flags = c.u32() match {
+      case 0L => 0L
+      case 1L => val fl = c.u32(); c.expect(0L); fl
+      case _  => throw XdrCursor.Malformed
+    }
+    c.done()
+    new GenericInternalRow(Array[Any](
+      balanceId, aT, aC, aI, amount, flags, nClaimants.toLong,
+      new GenericArrayData(claimants)))
+  }
+}
+
 /** `TransactionV1Envelope` decode (Stellar-transaction.x) — the record
   * that carries the reference's per-OPERATION table transform: the
   * decoded struct's `operations` array explodes into
@@ -531,6 +662,28 @@ case class XdrOfferDecode(child: Expression) extends XdrRecordExpression {
   override def nullSafeEval(input: Any): Any =
     XdrOfferEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrOfferDecode =
+    copy(child = newChild)
+}
+
+case class XdrLiquidityPoolDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrLiquidityPoolEntry.liquidityPoolType
+  override def prettyName: String = "graft_xdr_liquidity_pool"
+  override protected def staticDecode: String =
+    "graft.plans.XdrLiquidityPoolEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrLiquidityPoolEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrLiquidityPoolDecode =
+    copy(child = newChild)
+}
+
+case class XdrClaimableBalanceDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrClaimableBalanceEntry.claimableBalanceType
+  override def prettyName: String = "graft_xdr_claimable_balance"
+  override protected def staticDecode: String =
+    "graft.plans.XdrClaimableBalanceEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrClaimableBalanceEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrClaimableBalanceDecode =
     copy(child = newChild)
 }
 

@@ -1882,6 +1882,115 @@ object WarehouseQueries {
             .isNull.as("truncated_rejected"))
     }),
 
+    // S3 remaining state entries through the gate: LiquidityPoolEntry
+    // (constant-product body: asset pair, fee, reserves, share totals)
+    // and ClaimableBalanceEntry (RECURSIVE ClaimPredicate trees per
+    // claimant — AND/OR vectors, NOT optionals, abs/rel time leaves —
+    // summarized as root type / node count / depth / earliest absolute
+    // bound, claimants exploded per row). With these the reference's
+    // state-table family is fully decoded natively: accounts,
+    // account_signers, trust_lines, offers, liquidity_pools,
+    // claimable_balances.
+    "s3_liquidity_pool" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def asset(sel: Column, tag: String): Column =
+        when(sel === 0L, u32(lit(0L)))
+          .when(sel === 1L, concat(u32(lit(1L)),
+            substring(md5(concat(ks, lit(tag))), 1, 3).cast("binary"),
+            unhex(lit("00")), u32(lit(0L)), h16(tag + "i"), h16(tag + "j")))
+          .otherwise(concat(u32(lit(2L)),
+            substring(md5(concat(ks, lit(tag))), 1, 10).cast("binary"),
+            unhex(lit("0000")), u32(lit(0L)), h16(tag + "i"), h16(tag + "j")))
+      val xdr = concat(
+        h16("p"), h16("q"),                            // PoolID
+        u32(lit(0L)),                                  // constant product
+        asset(pmod(k, lit(3L)), "s"), asset(pmod(k + lit(1L), lit(3L)), "b"),
+        u32(lit(30L)),                                 // fee (bps)
+        i64(lit(111000L) + k), i64(lit(222000L) + k),  // reserves
+        i64(lit(333000L) + k), i64(pmod(k, lit(50L)))) // shares, tl count
+      t(s, dir, "customer").filter(col("c_custkey") % 23 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_liquidity_pool", col("bin")))
+        .select(col("k"),
+          col("h.pool_id").as("pool_id"),
+          col("h.asset_a_type").as("asset_a_type"),
+          col("h.asset_a_code").as("asset_a_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.asset_a_issuer")))).as("asset_a_issuer_payload_hex"),
+          col("h.asset_b_type").as("asset_b_type"),
+          col("h.asset_b_code").as("asset_b_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.asset_b_issuer")))).as("asset_b_issuer_payload_hex"),
+          col("h.fee").as("fee"),
+          col("h.reserve_a").as("reserve_a"),
+          col("h.reserve_b").as("reserve_b"),
+          col("h.total_pool_shares").as("total_pool_shares"),
+          col("h.pool_shares_trust_line_count").as("pool_shares_tl_count"),
+          call_function("graft_xdr_liquidity_pool", col("bin").substr(1, 35))
+            .isNull.as("truncated_rejected"))
+    }),
+
+    "s3_claimable_balance" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val pm3 = pmod(k, lit(3L))
+      // claimant 0's predicate varies: UNCONDITIONAL | AND(ABS, UNCOND)
+      // | NOT(REL) — exercising leaf, vector, and optional arms
+      val pred0 = when(pm3 === 0L, u32(lit(0L)))
+        .when(pm3 === 1L, concat(u32(lit(1L)), u32(lit(2L)),
+          u32(lit(4L)), i64(lit(1700000L) + k), u32(lit(0L))))
+        .otherwise(concat(u32(lit(3L)), u32(lit(1L)),
+          u32(lit(5L)), i64(lit(60L) + pmod(k, lit(100L)))))
+      val claimant0 = concat(u32(lit(0L)),
+        u32(lit(0L)), h16("d0"), h16("e0"), pred0)
+      // claimant 1 (on k%2 rows): OR(UNCOND, ABS)
+      val claimant1 = when(pmod(k, lit(2L)) === 1L,
+        concat(u32(lit(0L)), u32(lit(0L)), h16("d1"), h16("e1"),
+          u32(lit(2L)), u32(lit(2L)), u32(lit(0L)),
+          u32(lit(4L)), i64(lit(1800000L) + k)))
+        .otherwise(unhex(lit("")))
+      val asset = when(pmod(k, lit(2L)) === 0L, u32(lit(0L)))
+        .otherwise(concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit("x"))), 1, 3).cast("binary"),
+          unhex(lit("00")), u32(lit(0L)), h16("f"), h16("g")))
+      val ext = when(pmod(k, lit(5L)) === 0L,
+        concat(u32(lit(1L)), u32(pmod(k, lit(4L))), u32(lit(0L))))
+        .otherwise(u32(lit(0L)))
+      val xdr = concat(
+        u32(lit(0L)), h16("b"), h16("c"),              // balance id v0
+        u32(lit(1L) + pmod(k, lit(2L))),               // claimants<10>
+        claimant0, claimant1, asset,
+        i64(lit(555000L) + k), ext)
+      t(s, dir, "customer").filter(col("c_custkey") % 29 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_claimable_balance", col("bin")))
+        .select(col("k"), col("h"),
+          posexplode_outer(col("h.claimants")).as(Seq("i", "cl")))
+        .filter(col("i").isNotNull)
+        .select(col("k"), col("i").cast("long").as("i"),
+          col("h.balance_id").as("balance_id"),
+          col("h.asset_type").as("asset_type"),
+          col("h.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("h.amount").as("amount"),
+          col("h.flags").as("flags"),
+          col("h.n_claimants").as("n_claimants"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("cl.destination")))).as("dest_payload_hex"),
+          col("cl.predicate_type").as("predicate_type"),
+          col("cl.predicate_nodes").as("predicate_nodes"),
+          col("cl.predicate_depth").as("predicate_depth"),
+          col("cl.abs_before_min").as("abs_before_min"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -2960,6 +3069,71 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the LiquidityPoolEntry fixture LAW
+    "s3_liquidity_pool" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  md5(CAST(c_custkey AS VARCHAR) || 'p')
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'q') AS pool_id,
+        |  CAST(c_custkey % 3 AS BIGINT) AS asset_a_type,
+        |  CASE c_custkey % 3
+        |    WHEN 1 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 3)
+        |    WHEN 2 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 10)
+        |  END AS asset_a_code,
+        |  CASE WHEN c_custkey % 3 IN (1, 2) THEN
+        |    md5(CAST(c_custkey AS VARCHAR) || 'si')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'sj')
+        |  END AS asset_a_issuer_payload_hex,
+        |  CAST((c_custkey + 1) % 3 AS BIGINT) AS asset_b_type,
+        |  CASE (c_custkey + 1) % 3
+        |    WHEN 1 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 3)
+        |    WHEN 2 THEN substring(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 10)
+        |  END AS asset_b_code,
+        |  CASE WHEN (c_custkey + 1) % 3 IN (1, 2) THEN
+        |    md5(CAST(c_custkey AS VARCHAR) || 'bi')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'bj')
+        |  END AS asset_b_issuer_payload_hex,
+        |  CAST(30 AS BIGINT) AS fee,
+        |  CAST(111000 + c_custkey AS BIGINT) AS reserve_a,
+        |  CAST(222000 + c_custkey AS BIGINT) AS reserve_b,
+        |  CAST(333000 + c_custkey AS BIGINT) AS total_pool_shares,
+        |  CAST(c_custkey % 50 AS BIGINT) AS pool_shares_tl_count,
+        |  true AS truncated_rejected
+        |FROM customer WHERE c_custkey % 23 = 0""".stripMargin,
+
+    // the ClaimableBalanceEntry per-claimant LAW: record scalars repeat
+    // per claimant row; the predicate-tree summaries restate each
+    // fixture shape (UNCONDITIONAL / AND(ABS,UNCOND) / NOT(REL) / OR)
+    "s3_claimable_balance" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k0,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    unnest(range(0, 1 + CAST(c_custkey % 2 AS BIGINT))) AS i0
+        |  FROM customer WHERE c_custkey % 29 = 0)
+        |SELECT k0 AS k, CAST(i0 AS BIGINT) AS i,
+        |  md5(ks || 'b') || md5(ks || 'c') AS balance_id,
+        |  CAST(CASE WHEN k0 % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS asset_type,
+        |  CASE WHEN k0 % 2 = 1 THEN substring(md5(ks || 'x'), 1, 3) END
+        |    AS asset_code,
+        |  CASE WHEN k0 % 2 = 1 THEN md5(ks || 'f') || md5(ks || 'g') END
+        |    AS asset_issuer_payload_hex,
+        |  CAST(555000 + k0 AS BIGINT) AS amount,
+        |  CAST(CASE WHEN k0 % 5 = 0 THEN k0 % 4 ELSE 0 END AS BIGINT) AS flags,
+        |  CAST(1 + k0 % 2 AS BIGINT) AS n_claimants,
+        |  md5(ks || 'd' || CAST(i0 AS VARCHAR))
+        |    || md5(ks || 'e' || CAST(i0 AS VARCHAR)) AS dest_payload_hex,
+        |  CAST(CASE WHEN i0 = 1 THEN 2
+        |    WHEN k0 % 3 = 0 THEN 0 WHEN k0 % 3 = 1 THEN 1 ELSE 3 END
+        |    AS BIGINT) AS predicate_type,
+        |  CAST(CASE WHEN i0 = 1 THEN 3
+        |    WHEN k0 % 3 = 0 THEN 1 WHEN k0 % 3 = 1 THEN 3 ELSE 2 END
+        |    AS BIGINT) AS predicate_nodes,
+        |  CAST(CASE WHEN i0 = 1 THEN 2
+        |    WHEN k0 % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS predicate_depth,
+        |  CASE WHEN i0 = 1 THEN CAST(1800000 + k0 AS BIGINT)
+        |    WHEN k0 % 3 = 1 THEN CAST(1700000 + k0 AS BIGINT)
+        |  END AS abs_before_min
+        |FROM src""".stripMargin,
 
     // the per-signer fan-out LAW: one row per (account, signer index);
     // key payloads verify through the version-agnostic strkey round-trip

@@ -498,6 +498,142 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrOfferEntry.decode(full :+ 0.toByte) == null)
   }
 
+  /** Independent predicate-tree encoder: a tiny ADT mirrored to wire. */
+  private sealed trait Pred
+  private case object Uncond extends Pred
+  private case class And(ps: Seq[Pred]) extends Pred
+  private case class Or(ps: Seq[Pred]) extends Pred
+  private case class Not(p: Option[Pred]) extends Pred
+  private case class AbsBefore(t: Long) extends Pred
+  private case class RelBefore(t: Long) extends Pred
+
+  private def encodeClaimable(preds: Seq[Pred], nativeAsset: Boolean,
+                              flagsExt: Option[Long]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    def wPred(p: Pred): Unit = p match {
+      case Uncond       => w32(0L)
+      case And(ps)      => w32(1L); w32(ps.length.toLong); ps.foreach(wPred)
+      case Or(ps)       => w32(2L); w32(ps.length.toLong); ps.foreach(wPred)
+      case Not(None)    => w32(3L); w32(0L)
+      case Not(Some(q)) => w32(3L); w32(1L); wPred(q)
+      case AbsBefore(t) => w32(4L); w64(t)
+      case RelBefore(t) => w32(5L); w64(t)
+    }
+    w32(0L); bb.write(hash(40), 0, 32) // balance id v0
+    w32(preds.length.toLong)
+    preds.zipWithIndex.foreach { case (p, i) =>
+      w32(0L); w32(0L); bb.write(hash(41 + i), 0, 32) // claimant + dest
+      wPred(p)
+    }
+    if (nativeAsset) w32(0L)
+    else { w32(1L); bb.write("USD\u0000".getBytes("UTF-8"), 0, 4)
+      w32(0L); bb.write(hash(50), 0, 32) }
+    w64(987654L)
+    flagsExt match {
+      case Some(fl) => w32(1L); w32(fl); w32(0L)
+      case None     => w32(0L)
+    }
+    bb.toByteArray
+  }
+
+  test("LiquidityPoolEntry decode inverts an independent encoder over " +
+      "asset-pair shapes; prefixes and a non-constant-product body reject") {
+    def enc(a: Int, b: Int, body: Long = 0L): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+        bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+      }
+      def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+      bb.write(hash(35), 0, 32) // pool id
+      w32(body)
+      wAsset(bb, a); wAsset(bb, b)
+      w32(30L); w64(11L); w64(22L); w64(33L); w64(4L)
+      bb.toByteArray
+    }
+    for (a <- 0 to 2; b <- 0 to 2) {
+      val r = XdrLiquidityPoolEntry.decode(enc(a, b))
+      assert(r != null, s"$a/$b")
+      assert(r.getUTF8String(0).toString == hash(35).map("%02x".format(_)).mkString)
+      assert(r.getLong(1) == a.toLong && r.getLong(4) == b.toLong)
+      assert((r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11)) == ((30L, 11L, 22L, 33L, 4L)))
+    }
+    assert(XdrLiquidityPoolEntry.decode(enc(0, 0, body = 1L)) == null,
+      "only the constant-product arm exists")
+    val full = enc(1, 2)
+    (0 until full.length).foreach { n =>
+      assert(XdrLiquidityPoolEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrLiquidityPoolEntry.decode(full :+ 0.toByte) == null)
+  }
+
+  test("ClaimableBalanceEntry decode: recursive predicate trees " +
+      "summarize to (type, nodes, depth, min abs) exactly; claimant and " +
+      "recursion bounds reject") {
+    // hand-computed summaries for a shape battery
+    val cases: Seq[(Pred, (Long, Long, Long, Any))] = Seq(
+      Uncond -> ((0L, 1L, 1L, null)),
+      AbsBefore(1700L) -> ((4L, 1L, 1L, 1700L)),
+      RelBefore(60L) -> ((5L, 1L, 1L, null)),
+      Not(None) -> ((3L, 1L, 1L, null)),
+      Not(Some(RelBefore(9L))) -> ((3L, 2L, 2L, null)),
+      And(Seq(AbsBefore(50L), Uncond)) -> ((1L, 3L, 2L, 50L)),
+      Or(Seq(AbsBefore(80L), AbsBefore(20L))) -> ((2L, 3L, 2L, 20L)),
+      // nested: AND(OR(ABS(70), NOT(REL(1))), ABS(90)) — 6 nodes, depth 4
+      // via the NOT chain, min abs 70
+      And(Seq(Or(Seq(AbsBefore(70L), Not(Some(RelBefore(1L))))),
+        AbsBefore(90L))) -> ((1L, 6L, 4L, 70L)))
+    cases.foreach { case (p, (t, n, d, a)) =>
+      val r = XdrClaimableBalanceEntry.decode(
+        encodeClaimable(Seq(p), nativeAsset = true, None))
+      assert(r != null, s"$p")
+      val cl = r.getArray(7).getStruct(0, 5)
+      assert(StrkeyCodec.decodePayload(cl.getUTF8String(0)).toSeq == hash(41).toSeq)
+      assert(cl.getLong(1) == t, s"$p type")
+      assert(cl.getLong(2) == n, s"$p nodes")
+      assert(cl.getLong(3) == d, s"$p depth")
+      if (a == null) assert(cl.isNullAt(4), s"$p abs")
+      else assert(cl.getLong(4) == a.asInstanceOf[Long], s"$p abs")
+    }
+    // record scalars + multi-claimant + flags ext
+    val r2 = XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Seq(Uncond, AbsBefore(5L)), nativeAsset = false, Some(2L)))
+    assert(r2.getUTF8String(0).toString == hash(40).map("%02x".format(_)).mkString)
+    assert(r2.getLong(1) == 1L && r2.getUTF8String(2).toString == "USD")
+    assert(r2.getLong(4) == 987654L && r2.getLong(5) == 2L && r2.getLong(6) == 2L)
+    // bounds: zero claimants, 11 claimants, AND vector of 3, recursion
+    // past the depth guard, bad predicate discriminant
+    assert(XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Nil, nativeAsset = true, None)) == null)
+    assert(XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Seq.fill(11)(Uncond), nativeAsset = true, None)) == null)
+    assert(XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Seq(And(Seq(Uncond, Uncond, Uncond))),
+        nativeAsset = true, None)) == null, "AND carries a vector<2>")
+    val deep = (1 to 20).foldLeft(Uncond: Pred)((p, _) => Not(Some(p)))
+    assert(XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Seq(deep), nativeAsset = true, None)) == null,
+      "recursion bound")
+    val okDepth = (1 to 10).foldLeft(Uncond: Pred)((p, _) => Not(Some(p)))
+    assert(XdrClaimableBalanceEntry.decode(
+      encodeClaimable(Seq(okDepth), nativeAsset = true, None)) != null,
+      "deep-but-bounded trees decode")
+    // prefix sweep on a representative shape
+    val full = encodeClaimable(
+      Seq(And(Seq(AbsBefore(1L), Uncond)), Or(Seq(Uncond, RelBefore(2L)))),
+      nativeAsset = false, Some(1L))
+    (0 until full.length).foreach { n =>
+      assert(XdrClaimableBalanceEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrClaimableBalanceEntry.decode(full :+ 0.toByte) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
