@@ -1991,6 +1991,22 @@ object WarehouseQueries {
           col("cl.abs_before_min").as("abs_before_min"))
     }),
 
+    // The decode-to-mart COMPOSITION: raw envelope bytes → whole-record
+    // decode → per-op fan-out → hash aggregate, one plan end to end —
+    // the shape a real ingest lands (the reference decodes in its Go
+    // binary, loads, THEN aggregates in BigQuery; here the decode is a
+    // codegen'd expression inside the same Catalyst plan as the mart).
+    // Grouped on (op_type, asset_type): op volumes, amount totals,
+    // distinct-transaction counts, worst fee.
+    "s2_xdr_op_mart" -> ((s, dir) =>
+      txOpsProject(txEnvelopeFixture(s, dir))
+        .groupBy("op_type", "asset_type")
+        .agg(
+          count(lit(1)).as("n_ops"),
+          sum(col("amount")).as("total_amount"),
+          countDistinct(col("k")).as("n_tx"),
+          max(col("fee")).as("max_fee"))),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -3149,6 +3165,23 @@ object WarehouseQueries {
         |  CAST(i0 AS BIGINT) AS key_type,
         |  CAST(10 + i0 AS BIGINT) AS weight
         |FROM src""".stripMargin,
+
+    // the decode-to-mart law: the same lateral fan-out aggregated
+    "s2_xdr_op_mart" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k0,
+        |    unnest(range(0, CAST(o_orderkey % 3 AS BIGINT) + 1)) AS i0
+        |  FROM orders WHERE o_orderkey % 43 = 0)
+        |SELECT CAST(i0 % 2 AS BIGINT) AS op_type,
+        |  CASE WHEN i0 % 2 = 1 THEN
+        |    CAST(CASE WHEN (k0 + i0) % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |  END AS asset_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ops,
+        |  CAST(SUM(CASE WHEN i0 % 2 = 0 THEN 10000000 + k0 + i0
+        |    ELSE 20000000 + k0 + i0 END) AS BIGINT) AS total_amount,
+        |  CAST(COUNT(DISTINCT k0) AS BIGINT) AS n_tx,
+        |  CAST(MAX(100 * (1 + k0 % 3)) AS BIGINT) AS max_fee
+        |FROM src GROUP BY 1, 2""".stripMargin,
 
     // the per-operation fan-out LAW over a lateral range: one row per
     // (transaction, operation index), every column from the key pair
