@@ -70,6 +70,43 @@ object ScaleProbe {
     // step otherwise lands in a burst on every run.
     val corpusOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("corpus")
 
+    // SPARK_GRAFT_PROBE_ONLY=xdr: whole-record decode throughput at
+    // mult-x — the number that anchors the 100 TB ingest story. The
+    // envelope fixture is replicated with shifted keys (every row a
+    // DISTINCT record: the decode cost is per-row, dedup-free), then
+    // timed through (a) the decode + per-op fan-out and (b) the full
+    // decode-to-mart aggregate. Per the plan audits both run as one
+    // shuffle-free scan (plus the mart's one exchange), so rows/s here
+    // divides straight into cluster size: the probe prints the per-core
+    // rate a deployment multiplies out.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("xdr")) {
+      val fix = graft.queries.WarehouseQueries.txEnvelopeFixture(spark, sfDir)
+      val bigFix = (0 until mult).map { m =>
+        fix.select((col("k") + lit(m.toLong * 100000000L)).as("k"), col("bin"))
+      }.reduce(_.unionByName(_))
+        // the fixture inherits the orders table's few input splits; the
+        // probe measures DECODE, so spread it across the cores first
+        .repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEnv = bigFix.count()
+      val t0 = System.nanoTime()
+      val nOps = graft.queries.WarehouseQueries.txOpsProject(bigFix)
+        .queryExecution.toRdd.count()
+      val dtFan = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nMart = graft.queries.WarehouseQueries.txOpsProject(bigFix)
+        .groupBy("op_type", "asset_type")
+        .agg(count(lit(1)).as("n_ops"), sum(col("amount")).as("total_amount"),
+          countDistinct(col("k")).as("n_tx"), max(col("fee")).as("max_fee"))
+        .queryExecution.toRdd.count()
+      val dtMart = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] xdr: $nEnv%d envelopes -> $nOps%d op rows in " +
+        f"$dtFan%.2f s (${nEnv / dtFan / cpus.toInt}%.0f envelopes/s/core " +
+        f"decode+fanout); mart ($nMart%d groups) $dtMart%.2f s")
+      bigFix.unpersist()
+      spark.stop(); return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=text: the text-analysis pipeline at mult-x —
     // every op here is explode -> hash-agg or a narrow projection, so the
     // probe verifies LINEAR wall-clock growth (no quadratic candidate
