@@ -210,6 +210,15 @@ object GraftFunctions {
       XdrClaimableBalanceDecode(children.head)
     })
 
+  private val xdrContractDataDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_contract_data"),
+    new ExpressionInfo(classOf[XdrContractDataDecode].getName, "graft_xdr_contract_data"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_contract_data(bin) takes one binary arg")
+      XdrContractDataDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
@@ -217,7 +226,8 @@ object GraftFunctions {
       xdrU32Descriptor, xdrU64Descriptor, xdrBytesDescriptor,
       xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
       xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor,
-      xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor)
+      xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
+      xdrContractDataDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -507,6 +507,95 @@ object XdrClaimableBalanceEntry {
   }
 }
 
+/** Full `ContractDataEntry` decode (Stellar-contract/ledger-entries.x,
+  * the Soroban-era `contract_data` table): contract address, durability,
+  * and the key/val SCVal trees. SCVal is a large recursive union; the
+  * walker covers the arms a data pipeline reads — BOOL, VOID, U32, I32,
+  * U64, I64, TIMEPOINT, DURATION, BYTES, STRING, SYMBOL, and the
+  * recursive VEC/MAP containers (depth-16 guard) — and QUARANTINES the
+  * exotic rest (errors, 128/256-bit ints, addresses-in-vals, contract
+  * instances) to NULL, the documented boundary posture; extending the
+  * switch is mechanical. Each tree is summarized to queryable columns:
+  * type, node count, depth, and the scalar rendering when the value IS
+  * a scalar (numerics as i64, text/symbol as string, bytes as hex).
+  */
+object XdrContractDataEntry {
+
+  val contractDataType: StructType = StructType(Seq(
+    StructField("contract_id", StringType),
+    StructField("contract_kind", LongType), // 0 account, 1 contract
+    StructField("durability", LongType),    // 0 temporary, 1 persistent
+    StructField("key_type", LongType),
+    StructField("key_text", StringType),
+    StructField("key_num", LongType),
+    StructField("val_type", LongType),
+    StructField("val_text", StringType),
+    StructField("val_num", LongType),
+    StructField("val_nodes", LongType),
+    StructField("val_depth", LongType)))
+
+  /** Walk one SCVal: (type, nodes, depth, text-or-null, num-or-null). */
+  private def scval(c: XdrCursor, depth: Int): (Long, Long, Long, Any, Any) = {
+    if (depth > 16) throw XdrCursor.Malformed
+    val t = c.u32()
+    t match {
+      case 0L => (t, 1L, 1L, null, c.u32()) // SCV_BOOL as 0/1
+      case 1L => (t, 1L, 1L, null, null)    // SCV_VOID
+      case 3L => (t, 1L, 1L, null, c.u32()) // SCV_U32
+      case 4L => // SCV_I32: sign-extend the 32-bit value
+        (t, 1L, 1L, null, c.u32().toInt.toLong)
+      case 5L | 6L | 7L | 8L => // U64 / I64 / TIMEPOINT / DURATION
+        (t, 1L, 1L, null, c.i64())
+      case 13L => // SCV_BYTES → hex rendering
+        val raw = c.varBytes(Int.MaxValue)
+        (t, 1L, 1L, UTF8String.fromString(
+          raw.map(x => f"${x & 0xff}%02x").mkString), null)
+      case 14L => (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(Int.MaxValue)), null)
+      case 15L => (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(32)), null) // SYMBOL
+      case arm @ (16L | 17L) => // SCV_VEC / SCV_MAP: optional container
+        c.u32() match {
+          case 0L => (arm, 1L, 1L, null, null)
+          case 1L =>
+            val n = c.u32()
+            if (n > 256) throw XdrCursor.Malformed // defensive bound
+            var nodes = 1L; var dMax = 0L
+            var i = 0L
+            while (i < n) {
+              val (_, kn, kd, _, _) = scval(c, depth + 1)
+              nodes += kn; if (kd > dMax) dMax = kd
+              if (arm == 17L) { // a map entry carries key AND val
+                val (_, vn, vd, _, _) = scval(c, depth + 1)
+                nodes += vn; if (vd > dMax) dMax = vd
+              }
+              i += 1
+            }
+            (arm, nodes, dMax + 1L, null, null)
+          case _ => throw XdrCursor.Malformed
+        }
+      case _ => throw XdrCursor.Malformed // boundary: exotic arms
+    }
+  }
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    c.expect(0L) // ExtensionPoint
+    val (contractId: UTF8String, kind) = c.u32() match {
+      case 0L => (c.accountId(), 0L) // SC_ADDRESS_TYPE_ACCOUNT
+      case 1L => // SC_ADDRESS_TYPE_CONTRACT: Hash → SEP-23 C-address (16)
+        (StrkeyCodec.encode(16, c.bytes(32)), 1L)
+      case _ => throw XdrCursor.Malformed
+    }
+    val (kT, _, _, kText, kNum) = scval(c, 1) // container keys allowed:
+    // their text/num render null, the type still surfaces
+    val durability = c.u32()
+    if (durability > 1L) throw XdrCursor.Malformed
+    val (vT, vNodes, vDepth, vText, vNum) = scval(c, 1)
+    c.done()
+    new GenericInternalRow(Array[Any](
+      contractId, kind, durability, kT, kText, kNum, vT, vText, vNum,
+      vNodes, vDepth))
+  }
+}
+
 /** `TransactionV1Envelope` decode (Stellar-transaction.x) — the record
   * that carries the reference's per-OPERATION table transform: the
   * decoded struct's `operations` array explodes into
@@ -684,6 +773,17 @@ case class XdrClaimableBalanceDecode(child: Expression) extends XdrRecordExpress
   override def nullSafeEval(input: Any): Any =
     XdrClaimableBalanceEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrClaimableBalanceDecode =
+    copy(child = newChild)
+}
+
+case class XdrContractDataDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrContractDataEntry.contractDataType
+  override def prettyName: String = "graft_xdr_contract_data"
+  override protected def staticDecode: String =
+    "graft.plans.XdrContractDataEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrContractDataEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrContractDataDecode =
     copy(child = newChild)
 }
 

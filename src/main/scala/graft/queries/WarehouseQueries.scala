@@ -2007,6 +2007,64 @@ object WarehouseQueries {
           countDistinct(col("k")).as("n_tx"),
           max(col("fee")).as("max_fee"))),
 
+    // S3 Soroban-era state through the gate: ContractDataEntry — the
+    // contract address union (account G vs contract C strkeys), a
+    // SYMBOL key, durability, and an SCVal value tree varying scalar
+    // U64 / STRING / VEC / MAP shapes, summarized to queryable columns.
+    "s3_contract_data" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val contract = when(pmod(k, lit(2L)) === 0L,
+        concat(u32(lit(0L)), u32(lit(0L)),
+          unhex(concat(md5(ks), md5(concat(ks, lit("a")))))))
+        .otherwise(concat(u32(lit(1L)), h16("h"), h16("i")))
+      val keyLen = pmod(k, lit(9L)) + lit(1L)
+      val keyVal = concat(u32(lit(15L)), // SCV_SYMBOL
+        varStr(substring(md5(concat(ks, lit("k"))), 1, 9), keyLen))
+      val vLen = pmod(k, lit(12L)) + lit(1L)
+      val pm4 = pmod(k, lit(4L))
+      val valVal = when(pm4 === 0L,
+        concat(u32(lit(5L)), i64(lit(7000000L) + k))) // SCV_U64
+        .when(pm4 === 1L, concat(u32(lit(14L)),       // SCV_STRING
+          varStr(substring(md5(concat(ks, lit("v"))), 1, 12), vLen)))
+        .when(pm4 === 2L, concat(u32(lit(16L)),       // SCV_VEC of 2 U32
+          u32(lit(1L)), u32(lit(2L)),
+          u32(lit(3L)), u32(pmod(k, lit(100L))),
+          u32(lit(3L)), u32(pmod(k + lit(1L), lit(100L)))))
+        .otherwise(concat(u32(lit(17L)),              // SCV_MAP of 1
+          u32(lit(1L)), u32(lit(1L)),
+          u32(lit(15L)), varStr(substring(md5(concat(ks, lit("m"))), 1, 1),
+            lit(1L)),
+          u32(lit(6L)), i64(lit(900L) + k)))
+      val xdr = concat(u32(lit(0L)), contract, keyVal,
+        u32(pmod(k, lit(2L))), valVal)
+      t(s, dir, "customer").filter(col("c_custkey") % 31 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_contract_data", col("bin")))
+        .select(col("k"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.contract_id")))).as("contract_payload_hex"),
+          substring(col("h.contract_id"), 1, 1).as("addr_prefix"),
+          col("h.contract_kind").as("contract_kind"),
+          col("h.durability").as("durability"),
+          col("h.key_type").as("key_type"),
+          col("h.key_text").as("key_text"),
+          col("h.val_type").as("val_type"),
+          col("h.val_text").as("val_text"),
+          col("h.val_num").as("val_num"),
+          col("h.val_nodes").as("val_nodes"),
+          col("h.val_depth").as("val_depth"),
+          call_function("graft_xdr_contract_data", col("bin").substr(1, 30))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -3085,6 +3143,36 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the ContractDataEntry fixture LAW: address union, SCVal shapes
+    "s3_contract_data" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CASE WHEN c_custkey % 2 = 0 THEN
+        |    md5(CAST(c_custkey AS VARCHAR))
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'a')
+        |  ELSE md5(CAST(c_custkey AS VARCHAR) || 'h')
+        |      || md5(CAST(c_custkey AS VARCHAR) || 'i')
+        |  END AS contract_payload_hex,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'G' ELSE 'C' END AS addr_prefix,
+        |  CAST(c_custkey % 2 AS BIGINT) AS contract_kind,
+        |  CAST(c_custkey % 2 AS BIGINT) AS durability,
+        |  CAST(15 AS BIGINT) AS key_type,
+        |  substring(md5(CAST(c_custkey AS VARCHAR) || 'k'), 1,
+        |    CAST(c_custkey % 9 AS INTEGER) + 1) AS key_text,
+        |  CAST(CASE c_custkey % 4 WHEN 0 THEN 5 WHEN 1 THEN 14
+        |    WHEN 2 THEN 16 ELSE 17 END AS BIGINT) AS val_type,
+        |  CASE WHEN c_custkey % 4 = 1 THEN
+        |    substring(md5(CAST(c_custkey AS VARCHAR) || 'v'), 1,
+        |      CAST(c_custkey % 12 AS INTEGER) + 1)
+        |  END AS val_text,
+        |  CASE WHEN c_custkey % 4 = 0 THEN CAST(7000000 + c_custkey AS BIGINT)
+        |  END AS val_num,
+        |  CAST(CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 3 END
+        |    AS BIGINT) AS val_nodes,
+        |  CAST(CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 2 END
+        |    AS BIGINT) AS val_depth,
+        |  true AS truncated_rejected
+        |FROM customer WHERE c_custkey % 31 = 0""".stripMargin,
 
     // the LiquidityPoolEntry fixture LAW
     "s3_liquidity_pool" ->

@@ -634,6 +634,115 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrClaimableBalanceEntry.decode(full :+ 0.toByte) == null)
   }
 
+  /** Independent SCVal/ContractData encoder. */
+  private sealed trait Sv
+  private case class SvBool(v: Boolean) extends Sv
+  private case object SvVoid extends Sv
+  private case class SvU32(v: Long) extends Sv
+  private case class SvI64(v: Long) extends Sv
+  private case class SvStr(s: String) extends Sv
+  private case class SvSym(s: String) extends Sv
+  private case class SvBytes(bs: Array[Byte]) extends Sv
+  private case class SvVec(vs: Option[Seq[Sv]]) extends Sv
+  private case class SvMap(kvs: Option[Seq[(Sv, Sv)]]) extends Sv
+  private case class SvRaw(arm: Long) extends Sv // unsupported arm probe
+
+  private def encodeContractData(contractAccount: Boolean, key: Sv,
+                                 durability: Long, value: Sv): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    def wVar(bytes: Array[Byte]): Unit = {
+      w32(bytes.length.toLong); bb.write(bytes, 0, bytes.length)
+      var pad = (4 - bytes.length % 4) % 4
+      while (pad > 0) { bb.write(0); pad -= 1 }
+    }
+    def wVal(v: Sv): Unit = v match {
+      case SvBool(x)   => w32(0L); w32(if (x) 1L else 0L)
+      case SvVoid      => w32(1L)
+      case SvU32(x)    => w32(3L); w32(x)
+      case SvI64(x)    => w32(6L); w64(x)
+      case SvStr(s)    => w32(14L); wVar(s.getBytes("UTF-8"))
+      case SvSym(s)    => w32(15L); wVar(s.getBytes("UTF-8"))
+      case SvBytes(bs) => w32(13L); wVar(bs)
+      case SvVec(None)     => w32(16L); w32(0L)
+      case SvVec(Some(vs)) => w32(16L); w32(1L); w32(vs.length.toLong)
+        vs.foreach(wVal)
+      case SvMap(None)     => w32(17L); w32(0L)
+      case SvMap(Some(kv)) => w32(17L); w32(1L); w32(kv.length.toLong)
+        kv.foreach { case (a, b) => wVal(a); wVal(b) }
+      case SvRaw(arm)  => w32(arm)
+    }
+    w32(0L) // ExtensionPoint
+    if (contractAccount) { w32(0L); w32(0L); bb.write(hash(60), 0, 32) }
+    else { w32(1L); bb.write(hash(61), 0, 32) }
+    wVal(key)
+    w32(durability)
+    wVal(value)
+    bb.toByteArray
+  }
+
+  test("ContractDataEntry decode: address union, SCVal scalar/container " +
+      "shapes, and tree summaries invert the independent encoder") {
+    // (value, expected (type, nodes, depth, text, num))
+    val cases: Seq[(Sv, (Long, Long, Long, Any, Any))] = Seq(
+      SvBool(true) -> ((0L, 1L, 1L, null, 1L)),
+      SvVoid -> ((1L, 1L, 1L, null, null)),
+      SvU32(77L) -> ((3L, 1L, 1L, null, 77L)),
+      SvI64(-5L) -> ((6L, 1L, 1L, null, -5L)),
+      SvStr("hello") -> ((14L, 1L, 1L, "hello", null)),
+      SvBytes(Array[Byte](1, 2, 0xff.toByte)) -> ((13L, 1L, 1L, "0102ff", null)),
+      SvVec(None) -> ((16L, 1L, 1L, null, null)),
+      SvVec(Some(Seq(SvU32(1L), SvStr("x")))) -> ((16L, 3L, 2L, null, null)),
+      SvMap(Some(Seq(SvSym("a") -> SvI64(9L)))) -> ((17L, 3L, 2L, null, null)),
+      // nested: VEC(MAP(sym -> VEC(u32)), void) — 6 nodes, depth 4
+      SvVec(Some(Seq(SvMap(Some(Seq(SvSym("k") -> SvVec(Some(Seq(SvU32(2L))))))),
+        SvVoid))) -> ((16L, 6L, 4L, null, null)))
+    cases.foreach { case (v, (t, n, d, text, num)) =>
+      val r = XdrContractDataEntry.decode(
+        encodeContractData(contractAccount = true, SvSym("key1"), 1L, v))
+      assert(r != null, s"$v")
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(60).toSeq)
+      assert(r.getUTF8String(0).toString.head == 'G' && r.getLong(1) == 0L)
+      assert(r.getLong(2) == 1L)
+      assert(r.getLong(3) == 15L && r.getUTF8String(4).toString == "key1")
+      assert(r.getLong(6) == t, s"$v type")
+      if (text == null) assert(r.isNullAt(7), s"$v text")
+      else assert(r.getUTF8String(7).toString == text, s"$v text")
+      if (num == null) assert(r.isNullAt(8), s"$v num")
+      else assert(r.getLong(8) == num.asInstanceOf[Long], s"$v num")
+      assert(r.getLong(9) == n && r.getLong(10) == d, s"$v nodes/depth")
+    }
+    // contract-kind address: C-prefix strkey of the raw hash
+    val rc = XdrContractDataEntry.decode(
+      encodeContractData(contractAccount = false, SvSym("k"), 0L, SvVoid))
+    assert(rc.getUTF8String(0).toString.head == 'C' && rc.getLong(1) == 1L)
+    assert(StrkeyCodec.decodePayload(rc.getUTF8String(0)).toSeq == hash(61).toSeq)
+  }
+
+  test("ContractDataEntry quarantine: unsupported SCVal arms, bad " +
+      "durability, container blow-ups, depth bound, and prefixes reject") {
+    def enc(v: Sv, dur: Long = 0L) =
+      encodeContractData(contractAccount = true, SvSym("k"), dur, v)
+    assert(XdrContractDataEntry.decode(enc(SvRaw(9L))) == null, "U128 arm")
+    assert(XdrContractDataEntry.decode(enc(SvRaw(18L))) == null, "address arm")
+    assert(XdrContractDataEntry.decode(enc(SvVoid, dur = 2L)) == null)
+    assert(XdrContractDataEntry.decode(
+      enc(SvVec(Some(Seq.fill(257)(SvVoid))))) == null, "container bound")
+    val deep = (1 to 20).foldLeft(SvVoid: Sv)((v, _) => SvVec(Some(Seq(v))))
+    assert(XdrContractDataEntry.decode(enc(deep)) == null, "depth bound")
+    val ok = (1 to 10).foldLeft(SvVoid: Sv)((v, _) => SvVec(Some(Seq(v))))
+    assert(XdrContractDataEntry.decode(enc(ok)) != null, "bounded depth decodes")
+    val full = enc(SvMap(Some(Seq(SvSym("a") -> SvStr("bb")))))
+    (0 until full.length).foreach { n =>
+      assert(XdrContractDataEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrContractDataEntry.decode(full :+ 0.toByte) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
