@@ -219,6 +219,23 @@ object GraftFunctions {
       XdrContractDataDecode(children.head)
     })
 
+  private val xdrTtlDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_ttl"),
+    new ExpressionInfo(classOf[XdrTtlDecode].getName, "graft_xdr_ttl"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_xdr_ttl(bin) takes one binary arg")
+      XdrTtlDecode(children.head)
+    })
+
+  private val xdrContractCodeDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_contract_code"),
+    new ExpressionInfo(classOf[XdrContractCodeDecode].getName, "graft_xdr_contract_code"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_contract_code(bin) takes one binary arg")
+      XdrContractCodeDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
@@ -227,7 +244,7 @@ object GraftFunctions {
       xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
       xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor,
       xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
-      xdrContractDataDescriptor)
+      xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -596,6 +596,48 @@ object XdrContractDataEntry {
   }
 }
 
+/** `TTLEntry` + `ContractCodeEntry` decodes (Stellar-ledger-entries.x /
+  * Stellar-contract.x) — the last two Soroban state tables the
+  * reference exports (`ttl`, `contract_code`). TTL is the minimal
+  * record (keyHash + liveUntilLedgerSeq, exactly 36 bytes — the
+  * exact-consumption rule does the heavy lifting); ContractCode
+  * surfaces the code hash and size without shipping the WASM blob
+  * through the row (a sha256 fingerprint stands in for the bytes —
+  * the pixels-stay-in-the-task posture applied to code). The v1
+  * cost-inputs extension is outside this decoder's boundary
+  * (quarantines; mechanical to add). */
+object XdrTtlEntry {
+  val ttlType: StructType = StructType(Seq(
+    StructField("key_hash", StringType),
+    StructField("live_until_ledger_seq", LongType)))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val keyHash = UTF8String.fromString(
+      c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+    val liveUntil = c.u32()
+    c.done()
+    new GenericInternalRow(Array[Any](keyHash, liveUntil))
+  }
+}
+
+object XdrContractCodeEntry {
+  val contractCodeType: StructType = StructType(Seq(
+    StructField("code_hash", StringType),
+    StructField("code_size", LongType),
+    StructField("code_sha256", StringType)))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    c.expect(0L) // ExtensionPoint (v1 cost inputs: boundary)
+    val hash = UTF8String.fromString(
+      c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+    val code = c.varBytes(Int.MaxValue)
+    c.done()
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(code)
+    new GenericInternalRow(Array[Any](hash, code.length.toLong,
+      UTF8String.fromString(sha.map(x => f"${x & 0xff}%02x").mkString)))
+  }
+}
+
 /** `TransactionV1Envelope` decode (Stellar-transaction.x) — the record
   * that carries the reference's per-OPERATION table transform: the
   * decoded struct's `operations` array explodes into
@@ -784,6 +826,27 @@ case class XdrContractDataDecode(child: Expression) extends XdrRecordExpression 
   override def nullSafeEval(input: Any): Any =
     XdrContractDataEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrContractDataDecode =
+    copy(child = newChild)
+}
+
+case class XdrTtlDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrTtlEntry.ttlType
+  override def prettyName: String = "graft_xdr_ttl"
+  override protected def staticDecode: String = "graft.plans.XdrTtlEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrTtlEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrTtlDecode =
+    copy(child = newChild)
+}
+
+case class XdrContractCodeDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrContractCodeEntry.contractCodeType
+  override def prettyName: String = "graft_xdr_contract_code"
+  override protected def staticDecode: String =
+    "graft.plans.XdrContractCodeEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrContractCodeEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrContractCodeDecode =
     copy(child = newChild)
 }
 

@@ -2065,6 +2065,53 @@ object WarehouseQueries {
             .isNull.as("truncated_rejected"))
     }),
 
+    // S3 Soroban tail through the gate: TTLEntry (the minimal 36-byte
+    // record — exact consumption IS the check) and ContractCodeEntry
+    // (code hash + size + a sha256 fingerprint of the blob instead of
+    // the blob itself — code bytes stay out of the row). The code
+    // fixture uses ASCII (hex-string) bytes so the DuckDB oracle's
+    // VARCHAR-only sha256 hashes the identical byte sequence.
+    "s3_ttl" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      val xdr = concat(
+        unhex(concat(md5(concat(ks, lit("t"))), md5(concat(ks, lit("u"))))),
+        u32(lit(4000000L) + k))
+      t(s, dir, "customer").filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_ttl", col("bin")))
+        .select(col("k"),
+          col("h.key_hash").as("key_hash"),
+          col("h.live_until_ledger_seq").as("live_until_ledger_seq"),
+          call_function("graft_xdr_ttl", col("bin").substr(1, 35))
+            .isNull.as("truncated_rejected"))
+    }),
+
+    "s3_contract_code" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      val cl = pmod(k, lit(40L)) + lit(8L)
+      val codeStr = concat(md5(concat(ks, lit("p"))), md5(concat(ks, lit("q"))))
+        .substr(lit(1), cl)
+      val xdr = concat(
+        u32(lit(0L)),
+        unhex(concat(md5(concat(ks, lit("h"))), md5(concat(ks, lit("i"))))),
+        u32(cl), codeStr.cast("binary"),
+        zeros.substr(lit(1), (lit(4) - pmod(cl, lit(4))) % lit(4)))
+      t(s, dir, "orders").filter(col("o_orderkey") % 53 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_contract_code", col("bin")))
+        .select(col("k"),
+          col("h.code_hash").as("code_hash"),
+          col("h.code_size").as("code_size"),
+          col("h.code_sha256").as("code_sha256"),
+          call_function("graft_xdr_contract_code", col("bin").substr(1, 38))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // Incremental mart refresh through the gate: bootstrap the daily mart
     // from the seed window, land a 2-day batch, refresh ONLY those two
     // mart partitions — the read-back must equal the full recompute the
@@ -3143,6 +3190,29 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the TTL fixture LAW (36 exact bytes)
+    "s3_ttl" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  md5(CAST(c_custkey AS VARCHAR) || 't')
+        |    || md5(CAST(c_custkey AS VARCHAR) || 'u') AS key_hash,
+        |  CAST(4000000 + c_custkey AS BIGINT) AS live_until_ledger_seq,
+        |  true AS truncated_rejected
+        |FROM customer WHERE c_custkey % 37 = 0""".stripMargin,
+
+    // the ContractCode fixture LAW: the ASCII code bytes hash the same
+    // through DuckDB's VARCHAR sha256 and the decoder's byte sha256
+    "s3_contract_code" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  md5(CAST(o_orderkey AS VARCHAR) || 'h')
+        |    || md5(CAST(o_orderkey AS VARCHAR) || 'i') AS code_hash,
+        |  CAST(o_orderkey % 40 + 8 AS BIGINT) AS code_size,
+        |  sha256(substring(
+        |    md5(CAST(o_orderkey AS VARCHAR) || 'p')
+        |      || md5(CAST(o_orderkey AS VARCHAR) || 'q'),
+        |    1, CAST(o_orderkey % 40 AS INTEGER) + 8)) AS code_sha256,
+        |  true AS truncated_rejected
+        |FROM orders WHERE o_orderkey % 53 = 0""".stripMargin,
 
     // the ContractDataEntry fixture LAW: address union, SCVal shapes
     "s3_contract_data" ->

@@ -743,6 +743,45 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrContractDataEntry.decode(full :+ 0.toByte) == null)
   }
 
+  test("TTLEntry and ContractCodeEntry: minimal-record inversion, the " +
+      "sha256 fingerprint, and prefix/extension rejection") {
+    // TTL: exactly 36 bytes
+    val ttl = new java.io.ByteArrayOutputStream()
+    ttl.write(hash(70), 0, 32)
+    ttl.write(Array[Byte](0, 0x3d, 9, 0), 0, 4) // 0x003d0900 = 4000000
+    val tr = XdrTtlEntry.decode(ttl.toByteArray)
+    assert(tr.getUTF8String(0).toString == hash(70).map("%02x".format(_)).mkString)
+    assert(tr.getLong(1) == 4000000L)
+    (0 until 36).foreach { n =>
+      assert(XdrTtlEntry.decode(ttl.toByteArray.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTtlEntry.decode(ttl.toByteArray :+ 0.toByte) == null)
+    // ContractCode: code bytes never surface — size + sha256 do
+    val code = Array.tabulate[Byte](37)(i => (i * 3 + 1).toByte)
+    val cc = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      cc.write(((v >> 24) & 0xff).toInt); cc.write(((v >> 16) & 0xff).toInt)
+      cc.write(((v >> 8) & 0xff).toInt); cc.write((v & 0xff).toInt)
+    }
+    w32(0L); cc.write(hash(71), 0, 32)
+    w32(code.length.toLong); cc.write(code, 0, code.length)
+    cc.write(Array[Byte](0, 0, 0), 0, (4 - code.length % 4) % 4)
+    val cr = XdrContractCodeEntry.decode(cc.toByteArray)
+    assert(cr.getUTF8String(0).toString == hash(71).map("%02x".format(_)).mkString)
+    assert(cr.getLong(1) == 37L)
+    val expectSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(code).map("%02x".format(_)).mkString
+    assert(cr.getUTF8String(2).toString == expectSha)
+    // v1 cost-inputs ext is outside the boundary
+    val v1 = cc.toByteArray.clone(); v1(3) = 1
+    assert(XdrContractCodeEntry.decode(v1) == null)
+    (0 until cc.size()).foreach { n =>
+      assert(XdrContractCodeEntry.decode(cc.toByteArray.take(n)) == null,
+        s"prefix $n")
+    }
+    assert(XdrContractCodeEntry.decode(cc.toByteArray :+ 0.toByte) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
