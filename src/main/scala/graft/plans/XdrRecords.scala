@@ -328,7 +328,7 @@ object XdrTrustLineEntry {
         c.u32() match {
           case 0L => ()
           case 2L => // TrustLineEntryExtensionV2: int32 useCount + ext 0
-            poolUse = c.u32(); c.expect(0L)
+            poolUse = c.u32().toInt.toLong; c.expect(0L) // sign-extend int32
           case _ => throw XdrCursor.Malformed
         }
       case _ => throw XdrCursor.Malformed
@@ -364,8 +364,8 @@ object XdrOfferEntry {
     val (sType, sCode, sIssuer) = c.asset()
     val (bType, bCode, bIssuer) = c.asset()
     val amount = c.i64()
-    val priceN = c.u32() // Price { int32 n; int32 d }
-    val priceD = c.u32()
+    val priceN = c.u32().toInt.toLong // Price { int32 n; int32 d }:
+    val priceD = c.u32().toInt.toLong // sign-extended int32s
     if (priceD == 0L) throw XdrCursor.Malformed // a price is a fraction
     val flags = c.u32()
     c.expect(0L) // ext
@@ -400,7 +400,7 @@ object XdrLiquidityPoolEntry {
     c.expect(0L) // LIQUIDITY_POOL_CONSTANT_PRODUCT, the only arm
     val (aT, aC, aI) = c.asset()
     val (bT, bC, bI) = c.asset()
-    val fee = c.u32() // int32 fee (basis points)
+    val fee = c.u32().toInt.toLong // int32 fee (basis points), sign-extended
     val reserveA = c.i64()
     val reserveB = c.i64()
     val totalShares = c.i64()
@@ -497,8 +497,12 @@ object XdrClaimableBalanceEntry {
     val amount = c.i64()
     val flags = c.u32() match {
       case 0L => 0L
-      case 1L => val fl = c.u32(); c.expect(0L); fl
-      case _  => throw XdrCursor.Malformed
+      case 1L =>
+        // ClaimableBalanceEntryExtensionV1 is the INNER ext union FIRST,
+        // then uint32 flags (Stellar-ledger-entries.x) — the reverse of
+        // LedgerHeaderExtensionV1's flags-then-ext layout.
+        c.expect(0L); c.u32()
+      case _ => throw XdrCursor.Malformed
     }
     c.done()
     new GenericInternalRow(Array[Any](

@@ -1959,8 +1959,9 @@ object WarehouseQueries {
         .otherwise(concat(u32(lit(1L)),
           substring(md5(concat(ks, lit("x"))), 1, 3).cast("binary"),
           unhex(lit("00")), u32(lit(0L)), h16("f"), h16("g")))
+      // ClaimableBalanceEntryExtensionV1: inner ext union FIRST, then flags
       val ext = when(pmod(k, lit(5L)) === 0L,
-        concat(u32(lit(1L)), u32(pmod(k, lit(4L))), u32(lit(0L))))
+        concat(u32(lit(1L)), u32(lit(0L)), u32(pmod(k, lit(4L)))))
         .otherwise(u32(lit(0L)))
       val xdr = concat(
         u32(lit(0L)), h16("b"), h16("c"),              // balance id v0

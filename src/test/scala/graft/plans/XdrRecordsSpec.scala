@@ -413,7 +413,8 @@ class XdrRecordsSpec extends SparkSpec {
     }
   }
 
-  private def encodeTrustLine(assetArm: Int, ext: Int): Array[Byte] = {
+  private def encodeTrustLine(assetArm: Int, ext: Int,
+                              useCount: Long = 4L): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
@@ -426,12 +427,13 @@ class XdrRecordsSpec extends SparkSpec {
     ext match {
       case 0 => w32(0L)
       case 1 => w32(1L); w64(70L); w64(80L); w32(0L)
-      case 2 => w32(1L); w64(70L); w64(80L); w32(2L); w32(4L); w32(0L)
+      case 2 => w32(1L); w64(70L); w64(80L); w32(2L); w32(useCount); w32(0L)
     }
     bb.toByteArray
   }
 
-  private def encodeOffer(selling: Int, buying: Int, priceD: Long = 7L): Array[Byte] = {
+  private def encodeOffer(selling: Int, buying: Int, priceD: Long = 7L,
+                          priceN: Long = 3L): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
@@ -441,7 +443,7 @@ class XdrRecordsSpec extends SparkSpec {
     w32(0L); bb.write(hash(33), 0, 32) // sellerID
     w64(12345L) // offerID
     wAsset(bb, selling); wAsset(bb, buying)
-    w64(600L); w32(3L); w32(priceD); w32(2L); w32(0L)
+    w64(600L); w32(priceN); w32(priceD); w32(2L); w32(0L)
     bb.toByteArray
   }
 
@@ -498,6 +500,39 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrOfferEntry.decode(full :+ 0.toByte) == null)
   }
 
+  test("int32 fields sign-extend: negative Price n/d, liquidity-pool fee, " +
+      "and trust-line pool use count decode as negative longs, not large " +
+      "positives; the swapped ClaimableBalance ext order rejects") {
+    def u(v: Int): Long = v.toLong & 0xffffffffL
+    // Offer Price { int32 n; int32 d } — protocol-invalid but encodable
+    val o = XdrOfferEntry.decode(encodeOffer(0, 0, priceD = u(-7), priceN = u(-3)))
+    assert(o != null && o.getLong(9) == -3L && o.getLong(10) == -7L)
+    // TrustLineEntryExtensionV2 int32 liquidityPoolUseCount
+    val tl = XdrTrustLineEntry.decode(encodeTrustLine(0, 2, useCount = u(-4)))
+    assert(tl != null && tl.getLong(9) == -4L)
+    // LiquidityPoolEntry int32 fee
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    bb.write(hash(60), 0, 32); w32(0L) // PoolID + constant-product arm
+    w32(0L); w32(0L)                   // two native assets
+    w32(u(-30))                        // int32 fee
+    w64(1L); w64(2L); w64(3L); w64(4L)
+    val lp = XdrLiquidityPoolEntry.decode(bb.toByteArray)
+    assert(lp != null && lp.getLong(7) == -30L)
+    // the PRE-fix ClaimableBalance ext layout (flags before the inner ext
+    // union) must quarantine: the inner-ext discriminant reads the flags
+    val ok = encodeClaimable(Seq(Uncond), nativeAsset = true, Some(5L))
+    assert(XdrClaimableBalanceEntry.decode(ok) != null)
+    val swapped = ok.dropRight(8) ++
+      Array[Byte](0, 0, 0, 5, 0, 0, 0, 0) // flags=5 first, then ext=0
+    assert(XdrClaimableBalanceEntry.decode(swapped) == null,
+      "nonzero flags in the swapped order must reject")
+  }
+
   /** Independent predicate-tree encoder: a tiny ADT mirrored to wire. */
   private sealed trait Pred
   private case object Uncond extends Pred
@@ -535,7 +570,8 @@ class XdrRecordsSpec extends SparkSpec {
       w32(0L); bb.write(hash(50), 0, 32) }
     w64(987654L)
     flagsExt match {
-      case Some(fl) => w32(1L); w32(fl); w32(0L)
+      // ClaimableBalanceEntryExtensionV1: inner ext union FIRST, then flags
+      case Some(fl) => w32(1L); w32(0L); w32(fl)
       case None     => w32(0L)
     }
     bb.toByteArray
