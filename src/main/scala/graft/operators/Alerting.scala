@@ -134,8 +134,21 @@ object Alerting {
     * fails the query with a raise_error naming both candidates — an
     * unpadded scheme misreports loudly instead of silently. Schemes
     * where id length varies legitimately should pass `runOrderCol`.
+    *
+    * The guard's REACH is exactly length-inconsistency: an id scheme
+    * that is equal-length but non-chronological (e.g. 'MM-DD-YYYY'
+    * dates) agrees under both orderings and still silently misreports
+    * first/latest — no ordering oracle exists inside the ids alone, so
+    * such schemes MUST pass `runOrderCol`. And because raise_error
+    * evaluates inside the aggregate, one inconsistent check_key fails
+    * the ENTIRE report at collect time; set `ambiguousAsFlag` to true
+    * to instead surface the disagreement per row — an
+    * `order_ambiguous` boolean column, with the ambiguous rows'
+    * last_status nulled — so one bad scheme quarantines its own rows
+    * without taking down every other check's report.
     */
-  def runReport(history: DataFrame, runOrderCol: Option[String] = None): DataFrame = {
+  def runReport(history: DataFrame, runOrderCol: Option[String] = None,
+                ambiguousAsFlag: Boolean = false): DataFrame = {
     val ord = col(runOrderCol.getOrElse("run_id"))
     val base = history
       .withColumn("failed",
@@ -157,6 +170,12 @@ object Alerting {
           .as("_len_last"))
     val guarded =
       if (runOrderCol.isDefined) base
+      else if (ambiguousAsFlag)
+        base.withColumn("order_ambiguous",
+            col("_lex_last") =!= col("_len_last"))
+          .withColumn("last_status",
+            when(col("order_ambiguous"), lit(null: String))
+              .otherwise(col("last_status")))
       else base.withColumn("last_status",
         when(col("_lex_last") =!= col("_len_last"),
           raise_error(concat(

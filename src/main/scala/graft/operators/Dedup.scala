@@ -578,15 +578,25 @@ object Dedup {
           // top while a writer is mid-flight. Also sweeps pre-UUID
           // legacy orphans named exactly .tmp_<txn> (older attempts
           // staged there; nothing writes that name anymore).
-          def newestMtimeUnder(p: org.apache.hadoop.fs.Path): Long = {
-            var newest = f.getFileStatus(p).getModificationTime
-            val it = f.listFiles(p, true)
-            while (it.hasNext) {
-              val m = it.next().getModificationTime
-              if (m > newest) newest = m
+          // Recurse with listStatus (NOT listFiles, which enumerates
+          // files only) so DIRECTORY mtimes count too: a writer that has
+          // so far created only nested dirs — no files yet — must not
+          // look stale from the top. A vanished entry mid-scan (a racing
+          // reaper or the writer's own rename) reports "infinitely
+          // fresh": it is already gone, and this writer's commit must
+          // not fail over it.
+          def newestMtimeUnder(p: org.apache.hadoop.fs.Path): Long =
+            try {
+              val st = f.getFileStatus(p)
+              var newest = st.getModificationTime
+              if (st.isDirectory) f.listStatus(p).foreach { c =>
+                val m = newestMtimeUnder(c.getPath)
+                if (m > newest) newest = m
+              }
+              newest
+            } catch {
+              case _: java.io.FileNotFoundException => Long.MaxValue
             }
-            newest
-          }
           val partDir = new org.apache.hadoop.fs.Path(s"$indexRoot/$part")
           if (f.exists(partDir)) f.listStatus(partDir).foreach { st =>
             val nm = st.getPath.getName

@@ -208,8 +208,12 @@ object XdrRecords {
   * PublicKeys surface as checksum-carrying G-addresses, the spelling
   * the reference's `accounts` table stores. Variable interior: optional
   * inflation destination, string32 home domain, `signers<20>` (key
-  * types 0–3, type 3 carrying a variable signed payload), v0/v1
-  * liabilities ext. */
+  * types 0–3, type 3 carrying a variable signed payload), and the full
+  * v0/v1/v2/v3 ext chain: v1 liabilities, v2 sponsorship counters with
+  * the SponsorshipDescriptor (optional AccountID) vector, v3 seq
+  * ledger/time — the columns the reference's accounts table stores
+  * (num_sponsored / num_sponsoring / sequence_ledger / sequence_time,
+  * reference schemas/accounts_schema.json). */
 object XdrAccountEntry {
 
   val signerType: StructType = StructType(Seq(
@@ -232,6 +236,10 @@ object XdrAccountEntry {
     StructField("num_signers", LongType),
     StructField("buying_liabilities", LongType),
     StructField("selling_liabilities", LongType),
+    StructField("num_sponsored", LongType),
+    StructField("num_sponsoring", LongType),
+    StructField("seq_ledger", LongType),
+    StructField("seq_time", LongType),
     // exploding this array IS the reference's account_signers table
     StructField("signers", ArrayType(signerType))))
 
@@ -281,10 +289,40 @@ object XdrAccountEntry {
         keyType, c.u32()))
       s += 1
     }
+    var numSponsored = 0L; var numSponsoring = 0L
+    var seqLedger = 0L; var seqTime = 0L
     val (buying, selling) = c.u32() match {
       case 0L => (0L, 0L)
-      case 1L => // AccountEntryExtensionV1: Liabilities + inner ext 0
-        val bl = c.i64(); val sl = c.i64(); c.expect(0L); (bl, sl)
+      case 1L => // AccountEntryExtensionV1: Liabilities + inner ext 0|2
+        val bl = c.i64(); val sl = c.i64()
+        c.u32() match {
+          case 0L => ()
+          case 2L => // AccountEntryExtensionV2: sponsorship counters +
+            // signerSponsoringIDs<20> of SponsorshipDescriptor
+            // (optional AccountID), then the 0|3 inner ext
+            numSponsored = c.u32(); numSponsoring = c.u32()
+            val nIds = c.u32()
+            if (nIds > 20) throw XdrCursor.Malformed
+            var i = 0L
+            while (i < nIds) {
+              c.u32() match {
+                case 0L => ()
+                case 1L => c.expect(0L); c.skip(32) // present AccountID
+                case _  => throw XdrCursor.Malformed
+              }
+              i += 1
+            }
+            c.u32() match {
+              case 0L => ()
+              case 3L => // AccountEntryExtensionV3: ExtensionPoint +
+                // uint32 seqLedger + TimePoint seqTime
+                c.expect(0L)
+                seqLedger = c.u32(); seqTime = c.i64()
+              case _ => throw XdrCursor.Malformed
+            }
+          case _ => throw XdrCursor.Malformed
+        }
+        (bl, sl)
       case _ => throw XdrCursor.Malformed
     }
     c.done()
@@ -292,7 +330,8 @@ object XdrAccountEntry {
       accountId, balance, seqNum, numSubEntries, inflationDest, flags,
       homeDomain, (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
       (thr(2) & 0xff).toLong, (thr(3) & 0xff).toLong,
-      nSigners.toLong, buying, selling, new GenericArrayData(signers)))
+      nSigners.toLong, buying, selling, numSponsored, numSponsoring,
+      seqLedger, seqTime, new GenericArrayData(signers)))
   }
 }
 

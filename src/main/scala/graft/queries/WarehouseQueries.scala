@@ -190,7 +190,10 @@ object WarehouseQueries {
   /** The s3_account_entry fixture: one pseudo AccountEntry per customer
     * row as (k, bin), varying every interior shape — optional inflation
     * destination (k%3), 0..12-byte home domain with XDR padding (k%13),
-    * 0..3 signers of types 0/1/2 (k%4), v0/v1 liabilities ext (k%2).
+    * 0..3 signers of types 0/1/2 (k%4), and the full ext chain (k%2
+    * selects v0 vs v1 liabilities; within v1, k%3 selects the plain
+    * inner ext vs the v2 sponsorship arm — counters plus an optional-
+    * AccountID vector — and k%3==2 nests the v3 seq-ledger/time arm).
     * Shared by the record gate and the account_signers fan-out gate.
     */
   private[graft] def accountEntryFixture(s: SparkSession, dir: String): DataFrame = {
@@ -207,6 +210,27 @@ object WarehouseQueries {
       when(nS > i, concat(u32(lit(i.toLong)),
         h16(s"s$i"), h16(s"t$i"), u32(lit(10L + i))))
         .otherwise(unhex(lit("")))
+    // the v1 inner ext: plain (k%3==1) vs the v2 sponsorship arm —
+    // counters + a SponsorshipDescriptor (optional AccountID) vector of
+    // the signer count, each slot present iff (k+i)%3==0 — with the v3
+    // seq-ledger/time arm nested on k%3==2 rows
+    def extV2(k: Column, nS: Column): Column = {
+      def sponsor(i: Int): Column =
+        when(nS > i,
+          when(pmod(k + lit(i.toLong), lit(3L)) === 0L,
+            concat(u32(lit(1L)), u32(lit(0L)), h16(s"u$i"), h16(s"v$i")))
+            .otherwise(u32(lit(0L))))
+          .otherwise(unhex(lit("")))
+      val extV3 = when(pmod(k, lit(3L)) === 2L,
+        concat(u32(lit(3L)), u32(lit(0L)),
+          u32(lit(100000L) + pmod(k, lit(1000L))),
+          i64(lit(1650000000L) + k)))
+        .otherwise(u32(lit(0L)))
+      when(pmod(k, lit(3L)) === 1L, u32(lit(0L)))
+        .otherwise(concat(u32(lit(2L)),
+          u32(pmod(k, lit(5L))), u32(pmod(k, lit(7L))),
+          u32(nS), sponsor(0), sponsor(1), sponsor(2), extV3))
+    }
     val xdr = concat(
       u32(lit(0L)), unhex(concat(md5(ks), md5(concat(ks, lit("a"))))),
       i64(lit(5000000000L) + k),                     // balance
@@ -226,7 +250,7 @@ object WarehouseQueries {
       u32(nS), signer(0), signer(1), signer(2),      // signers<20>
       when(pmod(k, lit(2L)) === 1L,                  // ext: v1 adds
         concat(u32(lit(1L)), i64(lit(111222333L) + k), // liabilities
-          i64(lit(444555L) + k), u32(lit(0L))))
+          i64(lit(444555L) + k), extV2(k, nS)))
         .otherwise(u32(lit(0L))))
     t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
       .select(col("c_custkey").cast("long").as("k"))
@@ -1749,6 +1773,10 @@ object WarehouseQueries {
           col("h.num_signers").as("num_signers"),
           col("h.buying_liabilities").as("buying_liabilities"),
           col("h.selling_liabilities").as("selling_liabilities"),
+          col("h.num_sponsored").as("num_sponsored"),
+          col("h.num_sponsoring").as("num_sponsoring"),
+          col("h.seq_ledger").as("seq_ledger"),
+          col("h.seq_time").as("seq_time"),
           call_function("graft_xdr_account_entry", col("bin").substr(1, 40))
             .isNull.as("truncated_rejected"))),
 
@@ -3474,6 +3502,14 @@ object WarehouseQueries {
         |    ELSE 0 END AS BIGINT) AS buying_liabilities,
         |  CAST(CASE WHEN c_custkey % 2 = 1 THEN 444555 + c_custkey
         |    ELSE 0 END AS BIGINT) AS selling_liabilities,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 <> 1
+        |    THEN c_custkey % 5 ELSE 0 END AS BIGINT) AS num_sponsored,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 <> 1
+        |    THEN c_custkey % 7 ELSE 0 END AS BIGINT) AS num_sponsoring,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 2
+        |    THEN 100000 + c_custkey % 1000 ELSE 0 END AS BIGINT) AS seq_ledger,
+        |  CAST(CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 2
+        |    THEN 1650000000 + c_custkey ELSE 0 END AS BIGINT) AS seq_time,
         |  true AS truncated_rejected
         |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
 

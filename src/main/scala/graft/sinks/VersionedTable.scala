@@ -48,10 +48,24 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(fs(spark, root), root).lastOption
 
+  /** Manifest terminator, written LAST. The no-hardlink CREATE_NEW
+    * fallback in [[publishNoReplace]] writes the final name in place, so
+    * a concurrent reader can observe a partially-flushed manifest whose
+    * prefix is complete lines — without a completeness mark it would
+    * pass a non-empty check and silently act on a TRUNCATED file set
+    * (worse: a concurrent commit reading prev mid-write would carry the
+    * truncated set forward, permanently dropping live files). Requiring
+    * the terminator turns every torn read into a retryable error. */
+  private val Terminator = "#end"
+
   private def manifestLines(f: FileSystem, root: String, v: Long): Seq[String] = {
     val in = f.open(new Path(manifestDir(root), s"v$v.manifest"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-    finally in.close()
+    val ls =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    if (ls.lastOption.contains(Terminator)) ls.init
+    else sys.error(s"VersionedTable: manifest v$v of $root is incomplete " +
+      "(no terminator line) — a concurrent publish is mid-write; retry")
   }
 
   // '#'-prefixed lines are metadata (the txn ledger); the rest are files
@@ -101,9 +115,10 @@ object VersionedTable {
           // fall back to an O_EXCL create-and-write of the FINAL name.
           // Same at-most-one-winner fence (CREATE_NEW fails with EEXIST);
           // the one concession is that a concurrent reader can
-          // transiently observe a short manifest, which read()'s
-          // non-empty check turns into a retryable error — never a torn
-          // table or a lost update.
+          // transiently observe a short manifest — which the terminator
+          // check in manifestLines turns into a retryable error (the
+          // last line is written last, so ANY truncated prefix lacks
+          // it) — never a torn table or a lost update.
           try {
             val out = java.nio.file.Files.newOutputStream(dst,
               java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -161,7 +176,7 @@ object VersionedTable {
     val tmp = new Path(manifestDir(root), s".v$v.manifest.tmp.$nonce")
     val out = f.create(tmp, true)
     val body = txns.map(t => s"#txn:$t\n").mkString +
-      files.mkString("\n") + "\n"
+      files.mkString("\n") + "\n" + Terminator + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
     // Publish, fencing half: atomic create-if-absent of the FINAL name.

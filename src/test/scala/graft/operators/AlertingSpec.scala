@@ -107,6 +107,24 @@ class AlertingSpec extends SparkSpec {
     assert(rep("volume").getString(4) == "run-9")
   }
 
+  test("runReport ambiguousAsFlag: the inconsistent check quarantines " +
+      "per row (order_ambiguous + null last_status) while every other " +
+      "check's report row survives") {
+    val hist = Seq(
+      ("run-9", "volume", "fail", 1L), ("run-10", "volume", "pass", 0L),
+      ("run-1", "fk", "pass", 0L), ("run-2", "fk", "fail", 3L))
+      .toDF("run_id", "check_key", "status", "violations")
+    val rep = Alerting.runReport(hist, ambiguousAsFlag = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val vol = rep("volume")
+    assert(vol.getBoolean(vol.fieldIndex("order_ambiguous")))
+    assert(vol.isNullAt(vol.fieldIndex("last_status")))
+    val fk = rep("fk")
+    assert(!fk.getBoolean(fk.fieldIndex("order_ambiguous")))
+    assert(fk.getString(fk.fieldIndex("last_status")) == "fail")
+    assert(fk.getLong(fk.fieldIndex("n_runs")) == 2L)
+  }
+
   test("runReport: totals, dyadic rate, first failing run, latest " +
       "status, worst violations — hand-computed") {
     val hist = Seq(

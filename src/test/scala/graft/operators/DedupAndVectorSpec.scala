@@ -285,6 +285,35 @@ class DedupAndVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stale-staging reaper: a live writer that has so far created only " +
+      "nested DIRS (no files) is not reaped — directory mtimes count — " +
+      "while a fully aged orphan is") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("reap").toString
+    Dedup.saveNearDupIndex(Dedup.nearDupIndex(existing, "doc_id", "text"),
+      s"$tmp/idx")
+    Dedup.connectedComponents(existing, "doc_id",
+        Dedup.minhashCandidatePairs(existing, "doc_id", "text"))
+      .write.parquet(s"$tmp/m0")
+    val old = System.currentTimeMillis() - 1200000L
+    // a slow writer mid-flight: top dirs aged, the deepest dir fresh
+    val live = new java.io.File(s"$tmp/idx/digests/.tmp_c1_live/task_0/sub")
+    assert(live.mkdirs())
+    assert(live.getParentFile.getParentFile.setLastModified(old))
+    assert(live.getParentFile.setLastModified(old))
+    // a crashed attempt's orphan: aged at every level
+    val dead = new java.io.File(s"$tmp/idx/digests/.tmp_c1_dead/task_0")
+    assert(dead.mkdirs())
+    assert(dead.setLastModified(old) && dead.getParentFile.setLastModified(old))
+    Dedup.ingestDeltaCrawl(delta, "doc_id", "text", s"$tmp/idx",
+      spark.read.parquet(s"$tmp/m0"), s"$tmp/m1", txnId = "c1")
+    assert(live.exists(), "fresh nested dir must shield the live writer")
+    assert(!dead.getParentFile.exists(), "aged orphan must be reaped")
+    spark.catalog.clearCache()
+  }
+
   test("duplicateSpanStats counts cross-doc window overlap, ignores in-doc repeats") {
     // 10 tokens -> 3 positional 8-grams per doc. Docs 1 and 2 share a
     // 9-token prefix -> windows at positions 1,2 match; position 3 differs.

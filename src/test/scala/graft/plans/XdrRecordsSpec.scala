@@ -133,10 +133,17 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrRecords.decodeLedgerHeader(badKey) == null)
   }
 
+  /** Sponsorship ext shape: counters, per-slot descriptor presence, and
+    * the optional v3 (seqLedger, seqTime). */
+  private case class Sponsorship(numSponsored: Long, numSponsoring: Long,
+                                 slots: Seq[Boolean],
+                                 v3: Option[(Long, Long)])
+
   /** Independent AccountEntry encoder (Stellar-ledger-entries.x). */
   private def encodeAccount(balance: Long, seqNum: Long,
                             inflation: Boolean, homeDomain: String,
-                            signerTypes: Seq[Int], liabilities: Option[(Long, Long)])
+                            signerTypes: Seq[Int], liabilities: Option[(Long, Long)],
+                            sponsorship: Option[Sponsorship] = None)
   : Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
@@ -162,18 +169,43 @@ class XdrRecordsSpec extends SparkSpec {
       w32(200L + t)
     }
     liabilities match {
-      case Some((buy, sell)) => w32(1L); w64(buy); w64(sell); w32(0L)
-      case None              => w32(0L)
+      case Some((buy, sell)) =>
+        w32(1L); w64(buy); w64(sell)
+        sponsorship match {
+          case None => w32(0L)
+          case Some(Sponsorship(nd, ng, slots, v3)) =>
+            w32(2L); w32(nd); w32(ng) // AccountEntryExtensionV2
+            w32(slots.length.toLong)
+            slots.zipWithIndex.foreach { case (present, i) =>
+              if (present) { w32(1L); w32(0L); bb.write(hash(70 + i), 0, 32) }
+              else w32(0L)
+            }
+            v3 match {
+              case None => w32(0L)
+              case Some((sl, st)) => // AccountEntryExtensionV3
+                w32(3L); w32(0L); w32(sl); w64(st)
+            }
+        }
+      case None => w32(0L)
     }
     bb.toByteArray
   }
 
-  private val accountShapes: Seq[Array[Byte]] = for {
+  private val sponsorshipShapes: Seq[Option[Sponsorship]] = Seq(
+    None,
+    Some(Sponsorship(3L, 5L, Nil, None)),
+    Some(Sponsorship(1L, 0L, Seq(true, false, true), None)),
+    Some(Sponsorship(2L, 4L, Seq(false), Some((123456L, 1650000042L)))))
+
+  private val accountShapes: Seq[Array[Byte]] = (for {
     inflation <- Seq(false, true)
     domain <- Seq("", "a", "stellar.org") // 0, 1 (pad 3), 11 (pad 1) bytes
     signers <- Seq(Seq.empty[Int], Seq(0), Seq(0, 1, 2, 3))
     liab <- Seq(None, Some((42L, 77L)))
-  } yield encodeAccount(999L, 1L << 40, inflation, domain, signers, liab)
+  } yield encodeAccount(999L, 1L << 40, inflation, domain, signers, liab)) ++
+    sponsorshipShapes.flatten.map(sp =>
+      encodeAccount(999L, 1L << 40, inflation = true, "s.org", Seq(0),
+        Some((42L, 77L)), Some(sp)))
 
   test("AccountEntry decode inverts the independent encoder across " +
       "inflation/domain/signers(incl. type-3)/liabilities shapes, and " +
@@ -184,10 +216,12 @@ class XdrRecordsSpec extends SparkSpec {
       domain <- Seq("", "a", "stellar.org")
       signers <- Seq(Seq.empty[Int], Seq(0), Seq(0, 1, 2, 3))
       liab <- Seq(None, Some((42L, 77L)))
+      sp <- sponsorshipShapes
     } {
-      val buf = encodeAccount(999L, 1L << 40, inflation, domain, signers, liab)
+      val buf = encodeAccount(999L, 1L << 40, inflation, domain, signers,
+        liab, if (liab.isDefined) sp else None)
       val r = XdrAccountEntry.decode(buf)
-      assert(r != null, s"shape $inflation/$domain/$signers/$liab")
+      assert(r != null, s"shape $inflation/$domain/$signers/$liab/$sp")
       val addr = r.getUTF8String(0).toString
       assert(addr.length == 56 && addr.startsWith("G"))
       // strkey composition: the independent codec must round-trip the
@@ -207,9 +241,16 @@ class XdrRecordsSpec extends SparkSpec {
       assert(r.getLong(11) == signers.length.toLong)
       assert(r.getLong(12) == liab.map(_._1).getOrElse(0L))
       assert(r.getLong(13) == liab.map(_._2).getOrElse(0L))
+      // the v2 sponsorship counters and v3 seq ledger/time (0 when the
+      // chain stops at v0/v1)
+      val spEff = if (liab.isDefined) sp else None
+      assert(r.getLong(14) == spEff.map(_.numSponsored).getOrElse(0L))
+      assert(r.getLong(15) == spEff.map(_.numSponsoring).getOrElse(0L))
+      assert(r.getLong(16) == spEff.flatMap(_.v3).map(_._1).getOrElse(0L))
+      assert(r.getLong(17) == spEff.flatMap(_.v3).map(_._2).getOrElse(0L))
       // the signers array: one row per signer, key as the TYPE-CORRECT
       // SEP-23 strkey (G/T/X/P per arm), weight carried through
-      val arr = r.getArray(14)
+      val arr = r.getArray(18)
       assert(arr.numElements() == signers.length)
       signers.zipWithIndex.foreach { case (t, i) =>
         val sg = arr.getStruct(i, 3)

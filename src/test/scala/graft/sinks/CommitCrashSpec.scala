@@ -135,6 +135,36 @@ class CommitCrashSpec extends SparkSpec {
     assert(ids(root) == Set(1L, 2L, 77L), "live versions untouched")
   }
 
+  test("torn manifest (no-hardlink fallback mid-write): a complete-lines " +
+      "prefix WITHOUT the terminator is rejected retryably by reads AND " +
+      "by a commit reading prev — never silently acted on") {
+    val root = mkTable()
+    // emulate the CREATE_NEW fallback observed mid-flush: the final name
+    // exists, its prefix is complete lines, the terminator not yet out
+    val v0 = new java.io.File(mdir(root), "v0.manifest")
+    // drop the checksum sidecar: the hand-rewrite below must exercise the
+    // terminator check, not the ChecksumFileSystem mismatch
+    new java.io.File(mdir(root), ".v0.manifest.crc").delete()
+    val full = new String(
+      java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+    assert(full.trim.endsWith("#end"), "fixture self-check: terminator last")
+    val torn = full.linesIterator.toList.dropRight(1) // drop only #end
+    java.nio.file.Files.write(v0.toPath,
+      (torn.mkString("\n") + "\n").getBytes("UTF-8"))
+    val e1 = intercept[RuntimeException] { ids(root) }
+    assert(e1.getMessage.contains("incomplete"))
+    // a concurrent commit reading prev mid-write must NOT carry a
+    // truncated file set forward — it errors retryably instead
+    val e2 = intercept[RuntimeException] {
+      VersionedTable.commitBatch(Seq(9L).toDF("id"), root,
+        overwrite = false, txnId = "during-torn")
+    }
+    assert(e2.getMessage.contains("incomplete"))
+    // the publish completing (terminator lands) makes the same reads pass
+    java.nio.file.Files.write(v0.toPath, full.getBytes("UTF-8"))
+    assert(ids(root) == Set(1L, 2L))
+  }
+
   test("every crash state composes with the CAS: a stale-snapshot " +
       "writer still errors before committing, whatever debris is on disk") {
     val root = mkTable()
