@@ -35,6 +35,10 @@ private[plans] object XdrCursor {
   /** Quarantine signal — a stackless control throwable so the hot path
     * pays nothing for the failure channel. */
   object Malformed extends Throwable(null, null, false, false)
+
+  // SEP-23 version bytes per SignerKey arm: ed25519 'G', preAuthTx 'T',
+  // hashX 'X', ed25519SignedPayload 'P'
+  private[plans] val signerVersionByte = Array(48, 152, 184, 120)
 }
 
 /** Sequential big-endian cursor over one XDR buffer. Every accessor
@@ -118,6 +122,32 @@ private[plans] final class XdrCursor(b: Array[Byte]) {
       val hex = bytes(32).map(x => f"${x & 0xff}%02x").mkString
       (3L, UTF8String.fromString(hex), null)
     case _ => fail()
+  }
+
+  /** SignerKey union (key types 0–3, type 3 carrying a variable signed
+    * payload) → (type-correct SEP-23 strkey, key type). The 'P' arm's
+    * strkey payload is key ‖ 4-byte BE length ‖ payload zero-padded to
+    * 4 — exactly the XDR wire bytes of the arm. Shared by AccountEntry
+    * signers and SET_OPTIONS' optional signer. */
+  def signerKey(): (UTF8String, Long) = {
+    val keyType = u32()
+    if (keyType > 3L) fail()
+    val key = bytes(32)
+    val payload =
+      if (keyType == 3L) {
+        val sp = varBytes(64)
+        val pad = (4 - sp.length % 4) % 4
+        val out = new Array[Byte](32 + 4 + sp.length + pad)
+        System.arraycopy(key, 0, out, 0, 32)
+        out(32) = ((sp.length >> 24) & 0xff).toByte
+        out(33) = ((sp.length >> 16) & 0xff).toByte
+        out(34) = ((sp.length >> 8) & 0xff).toByte
+        out(35) = (sp.length & 0xff).toByte
+        System.arraycopy(sp, 0, out, 36, sp.length)
+        out
+      } else key
+    (StrkeyCodec.encode(XdrCursor.signerVersionByte(keyType.toInt), payload),
+      keyType)
   }
 
   /** The record must consume the buffer exactly — no trailing bytes. */
@@ -243,10 +273,6 @@ object XdrAccountEntry {
     // exploding this array IS the reference's account_signers table
     StructField("signers", ArrayType(signerType))))
 
-  // SEP-23 version bytes per SignerKey arm: ed25519 'G', preAuthTx 'T',
-  // hashX 'X', ed25519SignedPayload 'P'
-  private val signerVersionByte = Array(48, 152, 184, 120)
-
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
     val accountId = c.accountId()
     val balance = c.i64()
@@ -265,28 +291,8 @@ object XdrAccountEntry {
     val signers = new Array[Any](nSigners.toInt)
     var s = 0
     while (s < nSigners) {
-      val keyType = c.u32()
-      if (keyType > 3L) throw XdrCursor.Malformed
-      val key = c.bytes(32)
-      // the strkey payload: the raw key, except the signed-payload arm,
-      // whose SEP-23 'P' payload is key || 4-byte BE length || payload
-      // zero-padded to 4 — exactly the XDR wire bytes of the arm
-      val payload =
-        if (keyType == 3L) {
-          val sp = c.varBytes(64)
-          val pad = (4 - sp.length % 4) % 4
-          val out = new Array[Byte](32 + 4 + sp.length + pad)
-          System.arraycopy(key, 0, out, 0, 32)
-          out(32) = ((sp.length >> 24) & 0xff).toByte
-          out(33) = ((sp.length >> 16) & 0xff).toByte
-          out(34) = ((sp.length >> 8) & 0xff).toByte
-          out(35) = (sp.length & 0xff).toByte
-          System.arraycopy(sp, 0, out, 36, sp.length)
-          out
-        } else key
-      signers(s) = new GenericInternalRow(Array[Any](
-        StrkeyCodec.encode(signerVersionByte(keyType.toInt), payload),
-        keyType, c.u32()))
+      val (key, keyType) = c.signerKey()
+      signers(s) = new GenericInternalRow(Array[Any](key, keyType, c.u32()))
       s += 1
     }
     var numSponsored = 0L; var numSponsoring = 0L
@@ -686,10 +692,39 @@ object XdrContractCodeEntry {
   * decoded struct's `operations` array explodes into
   * history_operations-shaped rows. Ed25519 keys surface as strkey
   * G-addresses; muxed sources surface as the underlying G-address plus
-  * the mux id. DECODE BOUNDARY: v0/fee-bump envelopes, PRECOND_V2, and
-  * operation types beyond CREATE_ACCOUNT / PAYMENT quarantine to NULL;
-  * extending the op-type switch is mechanical. */
+  * the mux id.
+  *
+  * The operation switch covers the high-traffic types the reference's
+  * `history_operations.details` RECORD carries (reference
+  * schemas/history_operations_schema.json; projection
+  * dags/queries/generate_avro/history_operations.sql): CREATE_ACCOUNT,
+  * PAYMENT, both PATH_PAYMENT regimes (with the repeated `path` asset
+  * RECORD), MANAGE_SELL/BUY_OFFER, CREATE_PASSIVE_SELL_OFFER,
+  * SET_OPTIONS (all nine optionals, the signer as its type-correct
+  * strkey), CHANGE_TRUST (incl. the pool-share ChangeTrustAsset arm —
+  * the pool's two assets surface in the selling/buying slots, its fee
+  * in lp_fee; the pool-ID hash derivation is left to downstream marts),
+  * and LIQUIDITY_POOL_DEPOSIT/WITHDRAW. Per-type fields are nullable
+  * columns of one wide struct, mirroring the reference's details
+  * RECORD.
+  *
+  * All three envelope KINDS decode: the legacy v0 layout (raw ed25519
+  * source key), the v1 transaction, and the fee-bump wrap — whose
+  * feeSource/fee surface as fee_account/new_max_fee (the reference's
+  * history_transactions fee-bump columns,
+  * schemas/history_transactions_schema.json) while the inner v1
+  * transaction fills the rest of the row. Preconditions decode all
+  * three arms (NONE / TIME / V2 with ledger bounds, min seq
+  * num/age/gap, extra signers). DECODE BOUNDARY: the remaining
+  * operation types (notably INVOKE_HOST_FUNCTION) quarantine to NULL;
+  * extending the switch is mechanical. */
 object XdrTxEnvelope {
+
+  /** One `path` element — the reference's repeated asset RECORD. */
+  val pathAssetType: StructType = StructType(Seq(
+    StructField("asset_type", LongType),
+    StructField("asset_code", StringType),
+    StructField("asset_issuer", StringType)))
 
   val operationType: StructType = StructType(Seq(
     StructField("op_type", LongType),
@@ -698,7 +733,173 @@ object XdrTxEnvelope {
     StructField("asset_type", LongType),
     StructField("asset_code", StringType),
     StructField("asset_issuer", StringType),
-    StructField("amount", LongType)))
+    StructField("amount", LongType),
+    // path payments
+    StructField("source_asset_type", LongType),
+    StructField("source_asset_code", StringType),
+    StructField("source_asset_issuer", StringType),
+    StructField("source_max", LongType),
+    StructField("source_amount", LongType),
+    StructField("dest_min", LongType),
+    StructField("path", ArrayType(pathAssetType)),
+    // offers
+    StructField("selling_asset_type", LongType),
+    StructField("selling_asset_code", StringType),
+    StructField("selling_asset_issuer", StringType),
+    StructField("buying_asset_type", LongType),
+    StructField("buying_asset_code", StringType),
+    StructField("buying_asset_issuer", StringType),
+    StructField("offer_id", LongType),
+    StructField("price_n", LongType),
+    StructField("price_d", LongType),
+    // change trust
+    StructField("trust_limit", LongType),
+    StructField("lp_fee", LongType),
+    // set options
+    StructField("inflation_dest", StringType),
+    StructField("clear_flags", LongType),
+    StructField("set_flags", LongType),
+    StructField("master_weight", LongType),
+    StructField("low_threshold", LongType),
+    StructField("med_threshold", LongType),
+    StructField("high_threshold", LongType),
+    StructField("home_domain", StringType),
+    StructField("signer_key", StringType),
+    StructField("signer_weight", LongType),
+    // liquidity pools
+    StructField("liquidity_pool_id", StringType),
+    StructField("max_amount_a", LongType),
+    StructField("max_amount_b", LongType),
+    StructField("min_amount_a", LongType),
+    StructField("min_amount_b", LongType),
+    StructField("min_price_n", LongType),
+    StructField("min_price_d", LongType),
+    StructField("max_price_n", LongType),
+    StructField("max_price_d", LongType)))
+
+  val opFieldCount: Int = operationType.length
+
+  private def hex32(c: XdrCursor): UTF8String = UTF8String.fromString(
+    c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+
+  /** One Operation body → the wide per-type row ([[operationType]]
+    * order). `opSrc` is the already-decoded optional per-op source. */
+  private def decodeOp(c: XdrCursor, opSrc: Any): GenericInternalRow = {
+    val f = new Array[Any](opFieldCount)
+    f(1) = opSrc
+    def path(): Unit = { // Asset path<5>, the repeated path RECORD
+      val n = c.u32()
+      if (n > 5) throw XdrCursor.Malformed
+      val es = new Array[Any](n.toInt)
+      var i = 0
+      while (i < n) {
+        val (t, cd, is) = c.asset()
+        es(i) = new GenericInternalRow(Array[Any](t, cd, is))
+        i += 1
+      }
+      f(13) = new GenericArrayData(es)
+    }
+    def optU32(idx: Int): Unit = c.u32() match {
+      case 0L => ()
+      case 1L => f(idx) = c.u32()
+      case _  => throw XdrCursor.Malformed
+    }
+    val t = c.u32()
+    f(0) = t
+    t match {
+      case 0L => // CREATE_ACCOUNT: destination + starting balance
+        f(2) = c.accountId(); f(6) = c.i64()
+      case 1L => // PAYMENT: MuxedAccount + Asset + amount
+        f(2) = c.muxedAccount()._1
+        val (aT, aC, aI) = c.asset()
+        f(3) = aT; f(4) = aC; f(5) = aI
+        f(6) = c.i64()
+      case 2L => // PATH_PAYMENT_STRICT_RECEIVE: send asset/max, dest +
+        // dest asset/amount, path — the delivered amount is the dest one
+        val (sT, sC, sI) = c.asset()
+        f(7) = sT; f(8) = sC; f(9) = sI
+        f(10) = c.i64() // sendMax
+        f(2) = c.muxedAccount()._1
+        val (dT, dC, dI) = c.asset()
+        f(3) = dT; f(4) = dC; f(5) = dI
+        f(6) = c.i64() // destAmount
+        path()
+      case 13L => // PATH_PAYMENT_STRICT_SEND: the sent amount is fixed,
+        // the destination amount only floor-bounded (dest_min)
+        val (sT, sC, sI) = c.asset()
+        f(7) = sT; f(8) = sC; f(9) = sI
+        f(11) = c.i64() // sendAmount
+        f(2) = c.muxedAccount()._1
+        val (dT, dC, dI) = c.asset()
+        f(3) = dT; f(4) = dC; f(5) = dI
+        f(12) = c.i64() // destMin
+        path()
+      case 3L | 4L | 12L => // MANAGE_SELL_OFFER / CREATE_PASSIVE_SELL_OFFER
+        // / MANAGE_BUY_OFFER: asset pair, amount, Price, offer id (the
+        // passive variant carries none)
+        val (sT, sC, sI) = c.asset()
+        f(14) = sT; f(15) = sC; f(16) = sI
+        val (bT, bC, bI) = c.asset()
+        f(17) = bT; f(18) = bC; f(19) = bI
+        f(6) = c.i64() // amount (buyAmount for MANAGE_BUY_OFFER)
+        f(21) = c.u32().toInt.toLong // Price { int32 n; int32 d }
+        f(22) = c.u32().toInt.toLong
+        if (f(22) == 0L) throw XdrCursor.Malformed
+        if (t != 4L) f(20) = c.i64() // offerID
+      case 5L => // SET_OPTIONS: nine optionals, in wire order
+        c.u32() match { // AccountID* inflationDest
+          case 0L => ()
+          case 1L => f(25) = c.accountId()
+          case _  => throw XdrCursor.Malformed
+        }
+        optU32(26); optU32(27); optU32(28) // clear/set flags, master weight
+        optU32(29); optU32(30); optU32(31) // low/med/high thresholds
+        c.u32() match { // string32* homeDomain
+          case 0L => ()
+          case 1L => f(32) = UTF8String.fromBytes(c.varBytes(32))
+          case _  => throw XdrCursor.Malformed
+        }
+        c.u32() match { // Signer* signer: SignerKey + uint32 weight
+          case 0L => ()
+          case 1L =>
+            val (key, _) = c.signerKey()
+            f(33) = key; f(34) = c.u32()
+          case _ => throw XdrCursor.Malformed
+        }
+      case 6L => // CHANGE_TRUST: ChangeTrustAsset + limit. The pool-share
+        // arm surfaces the constant-product params in the selling/buying
+        // slots + lp_fee (the pool-ID hash derivation is a mart concern)
+        c.u32() match {
+          case 0L => f(3) = 0L
+          case 1L => f(3) = 1L; f(4) = c.assetCode(4); f(5) = c.accountId()
+          case 2L => f(3) = 2L; f(4) = c.assetCode(12); f(5) = c.accountId()
+          case 3L =>
+            c.expect(0L) // LIQUIDITY_POOL_CONSTANT_PRODUCT
+            f(3) = 3L
+            val (aT, aC, aI) = c.asset()
+            f(14) = aT; f(15) = aC; f(16) = aI
+            val (bT, bC, bI) = c.asset()
+            f(17) = bT; f(18) = bC; f(19) = bI
+            f(24) = c.u32().toInt.toLong // int32 fee
+          case _ => throw XdrCursor.Malformed
+        }
+        f(23) = c.i64() // limit
+      case 22L => // LIQUIDITY_POOL_DEPOSIT: pool id, max amounts, the
+        // min/max Price fractions
+        f(35) = hex32(c)
+        f(36) = c.i64(); f(37) = c.i64()
+        f(40) = c.u32().toInt.toLong; f(41) = c.u32().toInt.toLong
+        f(42) = c.u32().toInt.toLong; f(43) = c.u32().toInt.toLong
+        if (f(41) == 0L || f(43) == 0L) throw XdrCursor.Malformed
+      case 23L => // LIQUIDITY_POOL_WITHDRAW: pool id, shares burned
+        // (amount), min amounts out
+        f(35) = hex32(c)
+        f(6) = c.i64()
+        f(38) = c.i64(); f(39) = c.i64()
+      case _ => throw XdrCursor.Malformed // boundary: remaining op types
+    }
+    new GenericInternalRow(f)
+  }
 
   val txEnvelopeType: StructType = StructType(Seq(
     StructField("source_account", StringType),
@@ -713,29 +914,80 @@ object XdrTxEnvelope {
     StructField("memo_hash", BinaryType),
     StructField("n_operations", LongType),
     StructField("n_signatures", LongType),
-    StructField("operations", ArrayType(operationType))))
+    StructField("operations", ArrayType(operationType)),
+    // envelope kind: 0 legacy v0, 2 v1, 5 fee-bump (EnvelopeType values)
+    StructField("envelope_kind", LongType),
+    // fee-bump outer layer (the reference's history_transactions
+    // fee_account / new_max_fee columns); the inner v1 transaction
+    // fills every other field
+    StructField("fee_account", StringType),
+    StructField("new_max_fee", LongType),
+    // Preconditions: 0 none, 1 time bounds, 2 PRECOND_V2 (whose
+    // time bounds still fill min_time/max_time)
+    StructField("cond_type", LongType),
+    StructField("min_ledger", LongType),
+    StructField("max_ledger", LongType),
+    StructField("min_seq_num", LongType),
+    StructField("min_seq_age", LongType),
+    StructField("min_seq_ledger_gap", LongType),
+    StructField("n_extra_signers", LongType)))
 
-  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
-    c.expect(2L) // ENVELOPE_TYPE_TX only (v0/fee-bump: boundary)
-    val (srcAddr, muxId) = c.muxedAccount()
-    val fee = c.u32()
-    val seqNum = c.i64()
-    var minTime: Any = null
-    var maxTime: Any = null
+  /** Field count of [[txEnvelopeType]] — row width for the builders. */
+  val envFieldCount: Int = txEnvelopeType.length
+
+  /** Parse one transaction body + its DecoratedSignature vector into the
+    * envelope row fields (indices per [[txEnvelopeType]]). `v0` selects
+    * the legacy layout: a RAW ed25519 source key (no PublicKey
+    * discriminant) and a plain optional-TimeBounds cond arm. The v1
+    * layout reads the full Preconditions union (NONE / TIME / V2). */
+  private def parseTxBody(c: XdrCursor, f: Array[Any], v0: Boolean): Unit = {
+    if (v0) {
+      f(0) = c.strkey32() // uint256 sourceAccountEd25519, no discriminant
+      f(13) = 0L
+    } else {
+      val (srcAddr, muxId) = c.muxedAccount()
+      f(0) = srcAddr; f(1) = muxId
+      f(13) = 2L
+    }
+    f(2) = c.u32() // fee
+    f(3) = c.i64() // seqNum
     c.u32() match {
-      case 0L => ()
-      case 1L => minTime = c.i64(); maxTime = c.i64() // TimeBounds
-      case _  => throw XdrCursor.Malformed // PRECOND_V2: boundary
+      case 0L => f(16) = 0L
+      case 1L => // TimeBounds (and v0's optional-present arm)
+        f(16) = 1L; f(4) = c.i64(); f(5) = c.i64()
+      case 2L if !v0 => // PreconditionsV2 (Stellar-transaction.x)
+        f(16) = 2L
+        c.u32() match { // TimeBounds*
+          case 0L => ()
+          case 1L => f(4) = c.i64(); f(5) = c.i64()
+          case _  => throw XdrCursor.Malformed
+        }
+        c.u32() match { // LedgerBounds*
+          case 0L => ()
+          case 1L => f(17) = c.u32(); f(18) = c.u32()
+          case _  => throw XdrCursor.Malformed
+        }
+        c.u32() match { // SequenceNumber* minSeqNum
+          case 0L => ()
+          case 1L => f(19) = c.i64()
+          case _  => throw XdrCursor.Malformed
+        }
+        f(20) = c.i64() // Duration minSeqAge
+        f(21) = c.u32() // uint32 minSeqLedgerGap
+        val nExtra = c.u32()
+        if (nExtra > 2) throw XdrCursor.Malformed // SignerKey extraSigners<2>
+        var e = 0L
+        while (e < nExtra) { c.signerKey(); e += 1 }
+        f(22) = nExtra
+      case _ => throw XdrCursor.Malformed
     }
     val memoType = c.u32()
-    var memoText: Any = null
-    var memoId: Any = null
-    var memoHash: Any = null
+    f(6) = memoType
     memoType match {
       case 0L      => ()
-      case 1L      => memoText = UTF8String.fromBytes(c.varBytes(28))
-      case 2L      => memoId = c.i64()
-      case 3L | 4L => memoHash = c.bytes(32)
+      case 1L      => f(7) = UTF8String.fromBytes(c.varBytes(28))
+      case 2L      => f(8) = c.i64()
+      case 3L | 4L => f(9) = c.bytes(32)
       case _       => throw XdrCursor.Malformed
     }
     val nOps = c.u32()
@@ -748,20 +1000,11 @@ object XdrTxEnvelope {
         case 1L => c.muxedAccount()._1 // per-op mux ids are not surfaced
         case _  => throw XdrCursor.Malformed
       }
-      ops(oi) = c.u32() match {
-        case 0L => // CREATE_ACCOUNT: AccountID destination + balance
-          val dest = c.accountId()
-          new GenericInternalRow(Array[Any](
-            0L, opSrc, dest, null, null, null, c.i64()))
-        case 1L => // PAYMENT: MuxedAccount destination + Asset + amount
-          val dest = c.muxedAccount()._1
-          val (aType, aCode, aIssuer) = c.asset()
-          new GenericInternalRow(Array[Any](
-            1L, opSrc, dest, aType, aCode, aIssuer, c.i64()))
-        case _ => throw XdrCursor.Malformed // boundary
-      }
+      ops(oi) = decodeOp(c, opSrc)
       oi += 1
     }
+    f(10) = nOps
+    f(12) = new GenericArrayData(ops)
     c.expect(0L) // tx ext
     val nSigs = c.u32()
     if (nSigs > 20) throw XdrCursor.Malformed // signatures<20>
@@ -771,10 +1014,35 @@ object XdrTxEnvelope {
       c.varBytes(64)
       si += 1
     }
+    f(11) = nSigs
+  }
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val f = new Array[Any](envFieldCount)
+    c.u32() match {
+      case 0L => // ENVELOPE_TYPE_TX_V0: the legacy pre-protocol-13 layout
+        parseTxBody(c, f, v0 = true)
+      case 2L => // ENVELOPE_TYPE_TX
+        parseTxBody(c, f, v0 = false)
+      case 5L => // ENVELOPE_TYPE_TX_FEE_BUMP: feeSource + int64 fee wrap
+        // a FULL inner v1 envelope; the inner tx fills the row, the
+        // wrapper surfaces as fee_account / new_max_fee
+        val (feeSrc, _) = c.muxedAccount()
+        val newMaxFee = c.i64()
+        c.expect(2L) // innerTx: ENVELOPE_TYPE_TX only
+        parseTxBody(c, f, v0 = false)
+        c.expect(0L) // fee-bump ext
+        val nOuter = c.u32()
+        if (nOuter > 20) throw XdrCursor.Malformed
+        var so = 0L
+        while (so < nOuter) { c.skip(4); c.varBytes(64); so += 1 }
+        f(13) = 5L
+        f(14) = feeSrc
+        f(15) = newMaxFee
+      case _ => throw XdrCursor.Malformed
+    }
     c.done()
-    new GenericInternalRow(Array[Any](
-      srcAddr, muxId, fee, seqNum, minTime, maxTime, memoType, memoText,
-      memoId, memoHash, nOps, nSigs, new GenericArrayData(ops)))
+    new GenericInternalRow(f)
   }
 }
 

@@ -187,6 +187,178 @@ object WarehouseQueries {
       .withColumn("bin", unbase64(base64(xdr)))
   }
 
+  /** The s2_tx_ops_ext fixture: one pseudo TransactionV1Envelope per
+    * order row (k, bin), each carrying exactly ONE operation of the
+    * EXTENDED arm family, selected by k%9 — PATH_PAYMENT_STRICT_RECEIVE
+    * / _SEND (with 0..2-hop path vectors over native/alphanum4 arms),
+    * MANAGE_SELL_OFFER / MANAGE_BUY_OFFER / CREATE_PASSIVE_SELL_OFFER,
+    * SET_OPTIONS (each of the nine optionals present on its own k-law),
+    * CHANGE_TRUST (all four ChangeTrustAsset arms incl. pool share),
+    * LIQUIDITY_POOL_DEPOSIT / _WITHDRAW. The envelope boilerplate stays
+    * minimal (plain source, no cond, no memo, no signatures) so the
+    * oracle law is about the op bodies.
+    */
+  private[graft] def txEnvelopeExtFixture(s: SparkSession, dir: String): DataFrame = {
+    val zeros = unhex(lit("000000"))
+    def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val k = col("k"); val ks = k.cast("string")
+    def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+    def issuer(tag: String) = concat(u32(lit(0L)), h16(tag + "i"), h16(tag + "j"))
+    // Asset union over arms 0/1/2, codes from md5(k‖tag)
+    def asset(sel: Column, tag: String): Column =
+      when(sel === 0L, u32(lit(0L)))
+        .when(sel === 1L, concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit(tag))), 1, 3).cast("binary"),
+          unhex(lit("00")), issuer(tag)))
+        .otherwise(concat(u32(lit(2L)),
+          substring(md5(concat(ks, lit(tag))), 1, 10).cast("binary"),
+          unhex(lit("0000")), issuer(tag)))
+    val m = pmod(k, lit(9L))
+    val dest = concat(u32(lit(0L)), h16("d"), h16("e"))
+    val nPath = pmod(k, lit(3L))
+    def pathEl(i: Int): Column =
+      when(nPath > i, asset(pmod(k + lit(i.toLong), lit(2L)), s"p$i"))
+        .otherwise(unhex(lit("")))
+    val path = concat(u32(nPath), pathEl(0), pathEl(1))
+    def pathBody(opType: Long, firstAmt: Long, secondAmt: Long): Column =
+      concat(u32(lit(opType)), asset(pmod(k, lit(3L)), "sa"),
+        i64(lit(firstAmt) + k), dest, asset(pmod(k + lit(1L), lit(3L)), "da"),
+        i64(lit(secondAmt) + k), path)
+    def offerBody(opType: Long, withId: Boolean): Column = {
+      val base = concat(u32(lit(opType)),
+        asset(pmod(k, lit(3L)), "sl"), asset(pmod(k + lit(1L), lit(3L)), "bu"),
+        i64(lit(50000000L) + k),
+        u32(lit(1L) + pmod(k, lit(97L))), u32(lit(1L) + pmod(k, lit(89L))))
+      if (withId) concat(base, i64(lit(7000000L) + k)) else base
+    }
+    def opt(present: Column, value: Column): Column =
+      when(present, concat(u32(lit(1L)), value)).otherwise(u32(lit(0L)))
+    val hdLen = pmod(k, lit(13L))
+    val setOptionsBody = concat(u32(lit(5L)),
+      opt(pmod(k, lit(2L)) === 0L, concat(u32(lit(0L)), h16("i"), h16("j"))),
+      opt(pmod(k, lit(3L)) === 0L, u32(pmod(k, lit(16L)))),
+      opt(pmod(k, lit(3L)) === 1L, u32(pmod(k, lit(32L)))),
+      opt(pmod(k, lit(2L)) === 1L, u32(pmod(k, lit(256L)))),
+      opt(pmod(k, lit(5L)) === 0L, u32(pmod(k, lit(10L)))),
+      opt(pmod(k, lit(5L)) === 1L, u32(pmod(k, lit(11L)))),
+      opt(pmod(k, lit(5L)) === 2L, u32(pmod(k, lit(12L)))),
+      opt(pmod(k, lit(7L)) === 0L,
+        concat(u32(hdLen),
+          substring(md5(concat(ks, lit("hd"))), 1, 12).substr(lit(1), hdLen)
+            .cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(hdLen, lit(4))) % lit(4)))),
+      opt(pmod(k, lit(4L)) === 0L,
+        concat(u32(pmod(k, lit(3L))), h16("sk"), h16("sl"),
+          u32(lit(1L) + pmod(k, lit(255L))))))
+    val ctArm = pmod(k, lit(4L))
+    val changeTrustBody = concat(u32(lit(6L)),
+      when(ctArm === 3L,
+        concat(u32(lit(3L)), u32(lit(0L)),
+          asset(pmod(k, lit(2L)), "la"), asset(lit(1L), "lb"), u32(lit(30L))))
+        .otherwise(asset(ctArm, "ct")),
+      i64(lit(60000000L) + k))
+    val poolId = concat(h16("pl"), h16("pm"))
+    val lpDepositBody = concat(u32(lit(22L)), poolId,
+      i64(lit(61000000L) + k), i64(lit(62000000L) + k),
+      u32(lit(1L) + pmod(k, lit(7L))), u32(lit(1L) + pmod(k, lit(11L))),
+      u32(lit(1L) + pmod(k, lit(13L))), u32(lit(1L) + pmod(k, lit(17L))))
+    val lpWithdrawBody = concat(u32(lit(23L)), poolId,
+      i64(lit(63000000L) + k), i64(lit(64000000L) + k), i64(lit(65000000L) + k))
+    val opBody = when(m === 0L, pathBody(2L, 30000000L, 40000000L))
+      .when(m === 1L, pathBody(13L, 31000000L, 41000000L))
+      .when(m === 2L, offerBody(3L, withId = true))
+      .when(m === 3L, offerBody(12L, withId = true))
+      .when(m === 4L, setOptionsBody)
+      .when(m === 5L, changeTrustBody)
+      .when(m === 6L, lpDepositBody)
+      .when(m === 7L, lpWithdrawBody)
+      .otherwise(offerBody(4L, withId = false))
+    val xdr = concat(
+      u32(lit(2L)), u32(lit(0L)),
+      unhex(concat(md5(ks), md5(concat(ks, lit("a"))))),
+      u32(lit(100L)), i64(k * lit(4294967296L) + lit(1L)),
+      u32(lit(0L)), u32(lit(0L)),          // no cond, no memo
+      u32(lit(1L)), u32(lit(0L)), opBody,  // one op, no per-op source
+      u32(lit(0L)), u32(lit(0L)))          // ext, no signatures
+    t(s, dir, "orders").filter(col("o_orderkey") % 59 === 0)
+      .select(col("o_orderkey").cast("long").as("k"))
+      .withColumn("bin", unbase64(base64(xdr)))
+  }
+
+  /** The s2_envelope_kinds fixture: one envelope per order row (k, bin)
+    * cycling the three envelope KINDS by k%3 — the legacy v0 layout
+    * (raw source key, optional time bounds, no memo, unsigned), a v1
+    * transaction cycling all three Preconditions arms by k%4 (NONE /
+    * TIME / V2-minimal / V2-full with ledger bounds + min seq + two
+    * extra signers) with a text memo and one signature, and a fee-bump
+    * wrap (plain/muxed fee source by k%2, id memo) around a full inner
+    * v1. Shared by the kinds gate and the transaction-grain mart.
+    */
+  private[graft] def txEnvelopeKindsFixture(s: SparkSession, dir: String): DataFrame = {
+    val zeros = unhex(lit("000000"))
+    def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val k = col("k"); val ks = k.cast("string")
+    def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+    val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+    val fee = u32(lit(100L) + pmod(k, lit(50L)))
+    val seq = i64(k * lit(4294967296L) + lit(1L))
+    val tb = concat(u32(lit(1L)),
+      i64(lit(1600000000L) + k), i64(lit(1800000000L) + k))
+    val optTb = when(pmod(k, lit(2L)) === 1L, tb).otherwise(u32(lit(0L)))
+    val createOp = concat(u32(lit(0L)), u32(lit(0L)),
+      u32(lit(0L)), h16("d"), h16("e"), i64(lit(10000000L) + k))
+    val payOp = concat(u32(lit(0L)), u32(lit(1L)),
+      u32(lit(0L)), h16("d"), h16("e"), u32(lit(0L)), i64(lit(20000000L) + k))
+    val sig = concat(unhex(substring(md5(concat(ks, lit("h0"))), 1, 8)),
+      u32(lit(64L)), unhex(concat(md5(concat(ks, lit("p0"))),
+        md5(concat(ks, lit("q0"))), md5(concat(ks, lit("r0"))),
+        md5(concat(ks, lit("s0"))))))
+    val mLen = pmod(k, lit(10L)) + lit(1L)
+    val memoText = concat(u32(lit(1L)), u32(mLen),
+      substring(md5(concat(ks, lit("m"))), 1, 10).substr(lit(1), mLen)
+        .cast("binary"),
+      zeros.substr(lit(1), (lit(4) - pmod(mLen, lit(4))) % lit(4)))
+    val pm4 = pmod(k, lit(4L))
+    // PRECOND_V2: the minimal arm (no optionals, zero extra signers) on
+    // k%4==2, the full arm (tb + ledger bounds + min seq + two ed25519
+    // extra signers) on k%4==3
+    val v2cond = when(pm4 === 2L,
+      concat(u32(lit(2L)), u32(lit(0L)), u32(lit(0L)), u32(lit(0L)),
+        i64(lit(3600L) + pmod(k, lit(100L))), u32(pmod(k, lit(7L))),
+        u32(lit(0L))))
+      .otherwise(concat(u32(lit(2L)), tb,
+        u32(lit(1L)), u32(pmod(k, lit(1000L))),
+        u32(pmod(k, lit(1000L)) + lit(500L)),
+        u32(lit(1L)), i64(k),
+        i64(lit(3600L) + pmod(k, lit(100L))), u32(pmod(k, lit(7L))),
+        u32(lit(2L)), u32(lit(0L)), h16("x0"), h16("y0"),
+        u32(lit(0L)), h16("x1"), h16("y1")))
+    val v1cond = when(pm4 === 0L, u32(lit(0L)))
+      .when(pm4 === 1L, tb).otherwise(v2cond)
+    val v0env = concat(u32(lit(0L)), key32, fee, seq, optTb,
+      u32(lit(0L)), u32(lit(1L)), createOp, u32(lit(0L)), u32(lit(0L)))
+    val v1src = when(pmod(k, lit(5L)) === 0L,
+      concat(u32(lit(256L)), i64(lit(7000L) + k), key32))
+      .otherwise(concat(u32(lit(0L)), key32))
+    val v1env = concat(u32(lit(2L)), v1src, fee, seq, v1cond,
+      memoText, u32(lit(1L)), payOp, u32(lit(0L)), u32(lit(1L)), sig)
+    val fbInner = concat(u32(lit(2L)), u32(lit(0L)), key32, fee, seq, optTb,
+      u32(lit(2L)), i64(lit(5000L) + k),
+      u32(lit(1L)), createOp, u32(lit(0L)), u32(lit(1L)), sig)
+    val fbSrc = when(pmod(k, lit(2L)) === 1L,
+      concat(u32(lit(256L)), i64(lit(8000L) + k), h16("f"), h16("g")))
+      .otherwise(concat(u32(lit(0L)), h16("f"), h16("g")))
+    val fbEnv = concat(u32(lit(5L)), fbSrc, i64(lit(90000000L) + k), fbInner,
+      u32(lit(0L)), u32(lit(1L)), sig)
+    val km3 = pmod(k, lit(3L))
+    val xdr = when(km3 === 0L, v0env).when(km3 === 1L, v1env).otherwise(fbEnv)
+    t(s, dir, "orders").filter(col("o_orderkey") % 61 === 0)
+      .select(col("o_orderkey").cast("long").as("k"))
+      .withColumn("bin", unbase64(base64(xdr)))
+  }
+
   /** The s3_account_entry fixture: one pseudo AccountEntry per customer
     * row as (k, bin), varying every interior shape — optional inflation
     * destination (k%3), 0..12-byte home domain with XDR padding (k%13),
@@ -1812,6 +1984,144 @@ object WarehouseQueries {
     "s2_tx_operations" -> ((s, dir) =>
       txOpsProject(txEnvelopeFixture(s, dir))),
 
+    // The EXTENDED operation family through the gate: one op per
+    // envelope, arm selected by k%9 — both PATH_PAYMENT regimes (path
+    // vector rendered per element), all three offer variants,
+    // SET_OPTIONS' nine optionals, CHANGE_TRUST (incl. pool share), and
+    // both LIQUIDITY_POOL ops — flattened to the wide per-type nullable
+    // projection the reference's history_operations.details RECORD
+    // carries. Same decode-once posture as the tx fan-out (outer
+    // generate + null filter). The oracle restates every column's law
+    // from the row key per arm.
+    "s2_tx_ops_ext" -> ((s, dir) =>
+      txEnvelopeExtFixture(s, dir)
+        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+        .select(col("k"), col("h"),
+          posexplode_outer(col("h.operations")).as(Seq("i", "op")))
+        .filter(col("i").isNotNull)
+        .select(col("k"),
+          col("op.op_type").as("op_type"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.destination")))).as("dest_payload_hex"),
+          col("op.asset_type").as("asset_type"),
+          col("op.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("op.amount").as("amount"),
+          col("op.source_asset_type").as("source_asset_type"),
+          col("op.source_asset_code").as("source_asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.source_asset_issuer"))))
+            .as("source_asset_issuer_payload_hex"),
+          col("op.source_max").as("source_max"),
+          col("op.source_amount").as("source_amount"),
+          col("op.dest_min").as("dest_min"),
+          when(col("op.path").isNotNull, size(col("op.path")).cast("long"))
+            .as("path_count"),
+          concat_ws("|", transform(col("op.path"), x =>
+            concat_ws(":", x.getField("asset_type").cast("string"),
+              coalesce(x.getField("asset_code"), lit("")),
+              coalesce(lower(hex(call_function("graft_strkey_decode",
+                x.getField("asset_issuer")))), lit("")))))
+            .as("path_rendered"),
+          col("op.selling_asset_type").as("selling_asset_type"),
+          col("op.selling_asset_code").as("selling_asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.selling_asset_issuer")))).as("selling_issuer_payload_hex"),
+          col("op.buying_asset_type").as("buying_asset_type"),
+          col("op.buying_asset_code").as("buying_asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.buying_asset_issuer")))).as("buying_issuer_payload_hex"),
+          col("op.offer_id").as("offer_id"),
+          col("op.price_n").as("price_n"),
+          col("op.price_d").as("price_d"),
+          col("op.trust_limit").as("trust_limit"),
+          col("op.lp_fee").as("lp_fee"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.inflation_dest")))).as("inflation_payload_hex"),
+          col("op.clear_flags").as("clear_flags"),
+          col("op.set_flags").as("set_flags"),
+          col("op.master_weight").as("master_weight"),
+          col("op.low_threshold").as("low_threshold"),
+          col("op.med_threshold").as("med_threshold"),
+          col("op.high_threshold").as("high_threshold"),
+          col("op.home_domain").as("home_domain"),
+          substring(col("op.signer_key"), 1, 1).as("signer_prefix"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.signer_key")))).as("signer_payload_hex"),
+          col("op.signer_weight").as("signer_weight"),
+          col("op.liquidity_pool_id").as("liquidity_pool_id"),
+          col("op.max_amount_a").as("max_amount_a"),
+          col("op.max_amount_b").as("max_amount_b"),
+          col("op.min_amount_a").as("min_amount_a"),
+          col("op.min_amount_b").as("min_amount_b"),
+          col("op.min_price_n").as("min_price_n"),
+          col("op.min_price_d").as("min_price_d"),
+          col("op.max_price_n").as("max_price_n"),
+          col("op.max_price_d").as("max_price_d"))),
+
+    // All three envelope KINDS through the gate: legacy v0, v1 across
+    // every Preconditions arm (NONE / TIME / V2-minimal / V2-full), and
+    // the fee-bump wrap — the envelope surface of the reference's
+    // history_transactions (fee_account / new_max_fee / precondition
+    // columns, schemas/history_transactions_schema.json). The decoded
+    // struct is a single non-cheap alias, so the projection reads it
+    // once (CollapseProject does not inline expensive aliases).
+    "s2_envelope_kinds" -> ((s, dir) =>
+      txEnvelopeKindsFixture(s, dir)
+        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+        .select(col("k"),
+          col("h.envelope_kind").as("envelope_kind"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.source_account")))).as("source_payload_hex"),
+          col("h.muxed_id").as("muxed_id"),
+          col("h.fee").as("fee"),
+          col("h.seq_num").as("seq_num"),
+          col("h.cond_type").as("cond_type"),
+          col("h.min_time").as("min_time"),
+          col("h.max_time").as("max_time"),
+          col("h.min_ledger").as("min_ledger"),
+          col("h.max_ledger").as("max_ledger"),
+          col("h.min_seq_num").as("min_seq_num"),
+          col("h.min_seq_age").as("min_seq_age"),
+          col("h.min_seq_ledger_gap").as("min_seq_ledger_gap"),
+          col("h.n_extra_signers").as("n_extra_signers"),
+          col("h.memo_type").as("memo_type"),
+          col("h.memo_text").as("memo_text"),
+          col("h.memo_id").as("memo_id"),
+          col("h.n_operations").as("n_operations"),
+          col("h.n_signatures").as("n_signatures"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.fee_account")))).as("fee_account_payload_hex"),
+          col("h.new_max_fee").as("new_max_fee"))),
+
+    // The transaction-grain mart (history_transactions-shaped sibling
+    // of s2_xdr_op_mart): decode → tx-level projection (the fee-bump
+    // cap as max_fee, the op-amount total via a lambda aggregate over
+    // the operations array, no explode) → hash aggregate by envelope
+    // kind × precondition arm — decode to mart in ONE Catalyst plan.
+    "s2_tx_mart" -> ((s, dir) =>
+      txEnvelopeKindsFixture(s, dir)
+        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+        .select(col("k"),
+          col("h.envelope_kind").as("envelope_kind"),
+          col("h.cond_type").as("cond_type"),
+          col("h.fee").as("fee"),
+          coalesce(col("h.new_max_fee"), col("h.fee")).as("max_fee"),
+          col("h.n_operations").as("n_ops"),
+          col("h.memo_text").isNotNull.as("has_memo_text"),
+          aggregate(col("h.operations"), lit(0L),
+            (acc, op) => acc + coalesce(op.getField("amount"), lit(0L)))
+            .as("op_amount"))
+        .groupBy("envelope_kind", "cond_type")
+        .agg(
+          count(lit(1)).as("n_tx"),
+          sum(col("fee")).as("total_fee"),
+          sum(col("max_fee")).as("total_max_fee"),
+          sum(col("n_ops")).as("total_ops"),
+          sum(col("op_amount")).as("total_amount"),
+          sum(when(col("has_memo_text"), 1L).otherwise(0L)).as("n_memo_text"))),
+
     // S3 state-entry decodes through the gate: TrustLineEntry (all four
     // TrustLineAsset arms incl. the pool-share PoolID, and the nested
     // v0/v1/v2 ext chain carrying liabilities + pool use count) and
@@ -3413,6 +3723,203 @@ object WarehouseQueries {
         |  CAST(CASE WHEN i0 % 2 = 0 THEN 10000000 + k0 + i0
         |    ELSE 20000000 + k0 + i0 END AS BIGINT) AS amount
         |FROM src""".stripMargin,
+
+    // the extended-arm fixture LAW: one op per envelope, arm m = k%9,
+    // EVERY per-type column restated from the row key — path elements
+    // as the rendered per-hop string, addresses via the strkey
+    // round-trip, each SET_OPTIONS optional under its own presence law
+    "s2_tx_ops_ext" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS ks,
+        |    CAST(o_orderkey % 9 AS BIGINT) AS m
+        |  FROM orders WHERE o_orderkey % 59 = 0)
+        |SELECT k,
+        |  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 13 WHEN 2 THEN 3
+        |    WHEN 3 THEN 12 WHEN 4 THEN 5 WHEN 5 THEN 6 WHEN 6 THEN 22
+        |    WHEN 7 THEN 23 ELSE 4 END AS BIGINT) AS op_type,
+        |  CASE WHEN m IN (0,1) THEN md5(ks||'d')||md5(ks||'e') END
+        |    AS dest_payload_hex,
+        |  CAST(CASE WHEN m IN (0,1) THEN (k+1)%3 WHEN m=5 THEN k%4 END
+        |    AS BIGINT) AS asset_type,
+        |  CASE WHEN m IN (0,1) THEN
+        |      CASE (k+1)%3 WHEN 1 THEN substring(md5(ks||'da'),1,3)
+        |        WHEN 2 THEN substring(md5(ks||'da'),1,10) END
+        |    WHEN m=5 THEN
+        |      CASE k%4 WHEN 1 THEN substring(md5(ks||'ct'),1,3)
+        |        WHEN 2 THEN substring(md5(ks||'ct'),1,10) END
+        |  END AS asset_code,
+        |  CASE WHEN m IN (0,1) AND (k+1)%3 IN (1,2)
+        |      THEN md5(ks||'dai')||md5(ks||'daj')
+        |    WHEN m=5 AND k%4 IN (1,2) THEN md5(ks||'cti')||md5(ks||'ctj')
+        |  END AS asset_issuer_payload_hex,
+        |  CAST(CASE WHEN m=0 THEN 40000000+k
+        |    WHEN m IN (2,3,8) THEN 50000000+k
+        |    WHEN m=7 THEN 63000000+k END AS BIGINT) AS amount,
+        |  CAST(CASE WHEN m IN (0,1) THEN k%3 END AS BIGINT)
+        |    AS source_asset_type,
+        |  CASE WHEN m IN (0,1) THEN
+        |    CASE k%3 WHEN 1 THEN substring(md5(ks||'sa'),1,3)
+        |      WHEN 2 THEN substring(md5(ks||'sa'),1,10) END
+        |  END AS source_asset_code,
+        |  CASE WHEN m IN (0,1) AND k%3 IN (1,2)
+        |    THEN md5(ks||'sai')||md5(ks||'saj')
+        |  END AS source_asset_issuer_payload_hex,
+        |  CAST(CASE WHEN m=0 THEN 30000000+k END AS BIGINT) AS source_max,
+        |  CAST(CASE WHEN m=1 THEN 31000000+k END AS BIGINT) AS source_amount,
+        |  CAST(CASE WHEN m=1 THEN 41000000+k END AS BIGINT) AS dest_min,
+        |  CAST(CASE WHEN m IN (0,1) THEN k%3 END AS BIGINT) AS path_count,
+        |  CASE WHEN m IN (0,1) THEN
+        |    CASE k%3
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN
+        |        CASE k%2 WHEN 0 THEN '0::'
+        |          ELSE '1:'||substring(md5(ks||'p0'),1,3)||':'
+        |            ||md5(ks||'p0i')||md5(ks||'p0j') END
+        |      ELSE
+        |        CASE k%2 WHEN 0 THEN '0::'
+        |          ELSE '1:'||substring(md5(ks||'p0'),1,3)||':'
+        |            ||md5(ks||'p0i')||md5(ks||'p0j') END
+        |        ||'|'||
+        |        CASE (k+1)%2 WHEN 0 THEN '0::'
+        |          ELSE '1:'||substring(md5(ks||'p1'),1,3)||':'
+        |            ||md5(ks||'p1i')||md5(ks||'p1j') END
+        |    END
+        |  ELSE '' END AS path_rendered,
+        |  CAST(CASE WHEN m IN (2,3,8) THEN k%3
+        |    WHEN m=5 AND k%4=3 THEN k%2 END AS BIGINT) AS selling_asset_type,
+        |  CASE WHEN m IN (2,3,8) THEN
+        |      CASE k%3 WHEN 1 THEN substring(md5(ks||'sl'),1,3)
+        |        WHEN 2 THEN substring(md5(ks||'sl'),1,10) END
+        |    WHEN m=5 AND k%4=3 AND k%2=1 THEN substring(md5(ks||'la'),1,3)
+        |  END AS selling_asset_code,
+        |  CASE WHEN m IN (2,3,8) AND k%3 IN (1,2)
+        |      THEN md5(ks||'sli')||md5(ks||'slj')
+        |    WHEN m=5 AND k%4=3 AND k%2=1 THEN md5(ks||'lai')||md5(ks||'laj')
+        |  END AS selling_issuer_payload_hex,
+        |  CAST(CASE WHEN m IN (2,3,8) THEN (k+1)%3
+        |    WHEN m=5 AND k%4=3 THEN 1 END AS BIGINT) AS buying_asset_type,
+        |  CASE WHEN m IN (2,3,8) THEN
+        |      CASE (k+1)%3 WHEN 1 THEN substring(md5(ks||'bu'),1,3)
+        |        WHEN 2 THEN substring(md5(ks||'bu'),1,10) END
+        |    WHEN m=5 AND k%4=3 THEN substring(md5(ks||'lb'),1,3)
+        |  END AS buying_asset_code,
+        |  CASE WHEN m IN (2,3,8) AND (k+1)%3 IN (1,2)
+        |      THEN md5(ks||'bui')||md5(ks||'buj')
+        |    WHEN m=5 AND k%4=3 THEN md5(ks||'lbi')||md5(ks||'lbj')
+        |  END AS buying_issuer_payload_hex,
+        |  CAST(CASE WHEN m IN (2,3) THEN 7000000+k END AS BIGINT) AS offer_id,
+        |  CAST(CASE WHEN m IN (2,3,8) THEN 1+k%97 END AS BIGINT) AS price_n,
+        |  CAST(CASE WHEN m IN (2,3,8) THEN 1+k%89 END AS BIGINT) AS price_d,
+        |  CAST(CASE WHEN m=5 THEN 60000000+k END AS BIGINT) AS trust_limit,
+        |  CAST(CASE WHEN m=5 AND k%4=3 THEN 30 END AS BIGINT) AS lp_fee,
+        |  CASE WHEN m=4 AND k%2=0 THEN md5(ks||'i')||md5(ks||'j') END
+        |    AS inflation_payload_hex,
+        |  CAST(CASE WHEN m=4 AND k%3=0 THEN k%16 END AS BIGINT) AS clear_flags,
+        |  CAST(CASE WHEN m=4 AND k%3=1 THEN k%32 END AS BIGINT) AS set_flags,
+        |  CAST(CASE WHEN m=4 AND k%2=1 THEN k%256 END AS BIGINT)
+        |    AS master_weight,
+        |  CAST(CASE WHEN m=4 AND k%5=0 THEN k%10 END AS BIGINT)
+        |    AS low_threshold,
+        |  CAST(CASE WHEN m=4 AND k%5=1 THEN k%11 END AS BIGINT)
+        |    AS med_threshold,
+        |  CAST(CASE WHEN m=4 AND k%5=2 THEN k%12 END AS BIGINT)
+        |    AS high_threshold,
+        |  CASE WHEN m=4 AND k%7=0
+        |    THEN substring(md5(ks||'hd'),1,CAST(k%13 AS INTEGER))
+        |  END AS home_domain,
+        |  CASE WHEN m=4 AND k%4=0 THEN
+        |    CASE k%3 WHEN 0 THEN 'G' WHEN 1 THEN 'T' ELSE 'X' END
+        |  END AS signer_prefix,
+        |  CASE WHEN m=4 AND k%4=0 THEN md5(ks||'sk')||md5(ks||'sl') END
+        |    AS signer_payload_hex,
+        |  CAST(CASE WHEN m=4 AND k%4=0 THEN 1+k%255 END AS BIGINT)
+        |    AS signer_weight,
+        |  CASE WHEN m IN (6,7) THEN md5(ks||'pl')||md5(ks||'pm') END
+        |    AS liquidity_pool_id,
+        |  CAST(CASE WHEN m=6 THEN 61000000+k END AS BIGINT) AS max_amount_a,
+        |  CAST(CASE WHEN m=6 THEN 62000000+k END AS BIGINT) AS max_amount_b,
+        |  CAST(CASE WHEN m=7 THEN 64000000+k END AS BIGINT) AS min_amount_a,
+        |  CAST(CASE WHEN m=7 THEN 65000000+k END AS BIGINT) AS min_amount_b,
+        |  CAST(CASE WHEN m=6 THEN 1+k%7 END AS BIGINT) AS min_price_n,
+        |  CAST(CASE WHEN m=6 THEN 1+k%11 END AS BIGINT) AS min_price_d,
+        |  CAST(CASE WHEN m=6 THEN 1+k%13 END AS BIGINT) AS max_price_n,
+        |  CAST(CASE WHEN m=6 THEN 1+k%17 END AS BIGINT) AS max_price_d
+        |FROM src""".stripMargin,
+
+    // the envelope-kinds fixture LAW: kind by k%3, the v1 Preconditions
+    // arm by k%4, every envelope column restated from the row key
+    "s2_envelope_kinds" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS ks
+        |  FROM orders WHERE o_orderkey % 61 = 0)
+        |SELECT k,
+        |  CAST(CASE k%3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 5 END AS BIGINT)
+        |    AS envelope_kind,
+        |  md5(ks)||md5(ks||'a') AS source_payload_hex,
+        |  CAST(CASE WHEN k%3=1 AND k%5=0 THEN 7000+k END AS BIGINT)
+        |    AS muxed_id,
+        |  CAST(100+k%50 AS BIGINT) AS fee,
+        |  CAST(k*4294967296+1 AS BIGINT) AS seq_num,
+        |  CAST(CASE WHEN k%3=0 THEN k%2
+        |    WHEN k%3=1 THEN CASE k%4 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END
+        |    ELSE k%2 END AS BIGINT) AS cond_type,
+        |  CAST(CASE WHEN (k%3=0 AND k%2=1) OR (k%3=1 AND k%4 IN (1,3))
+        |      OR (k%3=2 AND k%2=1) THEN 1600000000+k END AS BIGINT)
+        |    AS min_time,
+        |  CAST(CASE WHEN (k%3=0 AND k%2=1) OR (k%3=1 AND k%4 IN (1,3))
+        |      OR (k%3=2 AND k%2=1) THEN 1800000000+k END AS BIGINT)
+        |    AS max_time,
+        |  CAST(CASE WHEN k%3=1 AND k%4=3 THEN k%1000 END AS BIGINT)
+        |    AS min_ledger,
+        |  CAST(CASE WHEN k%3=1 AND k%4=3 THEN k%1000+500 END AS BIGINT)
+        |    AS max_ledger,
+        |  CAST(CASE WHEN k%3=1 AND k%4=3 THEN k END AS BIGINT) AS min_seq_num,
+        |  CAST(CASE WHEN k%3=1 AND k%4 IN (2,3) THEN 3600+k%100 END
+        |    AS BIGINT) AS min_seq_age,
+        |  CAST(CASE WHEN k%3=1 AND k%4 IN (2,3) THEN k%7 END AS BIGINT)
+        |    AS min_seq_ledger_gap,
+        |  CAST(CASE WHEN k%3=1 AND k%4=3 THEN 2
+        |    WHEN k%3=1 AND k%4=2 THEN 0 END AS BIGINT) AS n_extra_signers,
+        |  CAST(CASE k%3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS memo_type,
+        |  CASE WHEN k%3=1
+        |    THEN substring(md5(ks||'m'),1,CAST(k%10 AS INTEGER)+1)
+        |  END AS memo_text,
+        |  CAST(CASE WHEN k%3=2 THEN 5000+k END AS BIGINT) AS memo_id,
+        |  CAST(1 AS BIGINT) AS n_operations,
+        |  CAST(CASE WHEN k%3=0 THEN 0 ELSE 1 END AS BIGINT) AS n_signatures,
+        |  CASE WHEN k%3=2 THEN md5(ks||'f')||md5(ks||'g') END
+        |    AS fee_account_payload_hex,
+        |  CAST(CASE WHEN k%3=2 THEN 90000000+k END AS BIGINT) AS new_max_fee
+        |FROM src""".stripMargin,
+
+    // the transaction-grain mart law: the same per-envelope laws
+    // aggregated by kind × precondition arm
+    "s2_tx_mart" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k
+        |  FROM orders WHERE o_orderkey % 61 = 0),
+        |tx AS (SELECT k,
+        |  CAST(CASE k%3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 5 END AS BIGINT)
+        |    AS envelope_kind,
+        |  CAST(CASE WHEN k%3=0 THEN k%2
+        |    WHEN k%3=1 THEN CASE k%4 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END
+        |    ELSE k%2 END AS BIGINT) AS cond_type,
+        |  100+k%50 AS fee,
+        |  CASE WHEN k%3=2 THEN 90000000+k ELSE 100+k%50 END AS max_fee,
+        |  CASE WHEN k%3=1 THEN 20000000+k ELSE 10000000+k END AS amount,
+        |  CASE WHEN k%3=1 THEN 1 ELSE 0 END AS memo_text
+        |FROM src)
+        |SELECT envelope_kind, cond_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(SUM(fee) AS BIGINT) AS total_fee,
+        |  CAST(SUM(max_fee) AS BIGINT) AS total_max_fee,
+        |  CAST(COUNT(*) AS BIGINT) AS total_ops,
+        |  CAST(SUM(amount) AS BIGINT) AS total_amount,
+        |  CAST(SUM(memo_text) AS BIGINT) AS n_memo_text
+        |FROM tx GROUP BY 1, 2""".stripMargin,
 
     // the TrustLineEntry fixture LAW: all four asset arms (the pool
     // share surfaces its PoolID as the 64-hex asset_code) and the

@@ -389,7 +389,7 @@ class XdrRecordsSpec extends SparkSpec {
       val arr = r.getArray(12)
       assert(arr.numElements() == ops.length)
       ops.zipWithIndex.foreach { case (t, i) =>
-        val op = arr.getStruct(i, 7)
+        val op = arr.getStruct(i, XdrTxEnvelope.opFieldCount)
         assert(op.getLong(0) == t.toLong)
         assert(StrkeyCodec.decodePayload(op.getUTF8String(2)).toSeq ==
           hash(23 + i).toSeq)
@@ -409,18 +409,18 @@ class XdrRecordsSpec extends SparkSpec {
     val withOpSrc = XdrTxEnvelope.decode(
       encodeTx(None, false, 0, Seq(0), 0, opSrcOnFirst = true))
     assert(StrkeyCodec.decodePayload(
-      withOpSrc.getArray(12).getStruct(0, 7).getUTF8String(1)).toSeq ==
+      withOpSrc.getArray(12).getStruct(0, XdrTxEnvelope.opFieldCount).getUTF8String(1)).toSeq ==
       hash(22).toSeq)
     val withMuxedDest = XdrTxEnvelope.decode(
       encodeTx(None, false, 0, Seq(1), 0, muxedDest = true))
     assert(StrkeyCodec.decodePayload(
-      withMuxedDest.getArray(12).getStruct(0, 7).getUTF8String(2)).toSeq ==
+      withMuxedDest.getArray(12).getStruct(0, XdrTxEnvelope.opFieldCount).getUTF8String(2)).toSeq ==
       hash(23).toSeq)
   }
 
   test("TxEnvelope quarantine: strict prefixes, trailing bytes, and the " +
-      "documented decode boundary (v0/fee-bump envelopes, unsupported op " +
-      "types, zero ops) all reject") {
+      "documented decode boundary (unknown envelope types, unsupported " +
+      "op types, zero ops) all reject") {
     txShapes.take(12).foreach { buf =>
       (0 until buf.length).foreach { n =>
         assert(XdrTxEnvelope.decode(buf.take(n)) == null, s"prefix $n")
@@ -429,13 +429,316 @@ class XdrRecordsSpec extends SparkSpec {
       assert(XdrTxEnvelope.decode(buf) != null)
     }
     assert(XdrTxEnvelope.decode(
-      encodeTx(None, false, 0, Seq(0), 0, envType = 0L)) == null, "v0 envelope")
+      encodeTx(None, false, 0, Seq(0), 0, envType = 7L)) == null,
+      "unknown envelope type")
     assert(XdrTxEnvelope.decode(
-      encodeTx(None, false, 0, Seq(0), 0, envType = 5L)) == null, "fee bump")
-    assert(XdrTxEnvelope.decode(
-      encodeTx(None, false, 0, Seq(6), 0)) == null, "unsupported op type")
+      encodeTx(None, false, 0, Seq(27), 0)) == null, "unsupported op type")
     assert(XdrTxEnvelope.decode(
       encodeTx(None, false, 0, Nil, 0)) == null, "a tx needs >= 1 op")
+  }
+
+  test("envelope kinds: legacy v0 (raw source key), the fee-bump wrap " +
+      "(fee_account/new_max_fee around a full inner v1), and PRECOND_V2 " +
+      "(ledger bounds, min seq num/age/gap, extra signers) invert " +
+      "independent encoders; over-limit extra signers and unknown inner " +
+      "kinds reject") {
+    val ET = XdrTxEnvelope.txEnvelopeType
+    def ix(n: String) = ET.fieldIndex(n)
+    def encodeV0(timeBounds: Boolean): Array[Byte] = {
+      val w = new OpW()
+      w.w32(0L).h(20) // envelope type + RAW uint256 source key
+      w.w32(700L).w64(8000000L)
+      if (timeBounds) w.w32(1L).w64(11L).w64(22L) else w.w32(0L)
+      w.w32(0L)                                // memo none
+      w.w32(1L).w32(0L)                        // one op, no per-op source
+      w.w32(0L).acct(23).w64(1000L)            // CREATE_ACCOUNT
+      w.w32(0L).w32(0L)                        // ext, no signatures
+      w.bytes
+    }
+    for (tb <- Seq(false, true)) {
+      val r = XdrTxEnvelope.decode(encodeV0(tb))
+      assert(r != null, s"v0 tb=$tb")
+      assert(r.getLong(ix("envelope_kind")) == 0L)
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(20).toSeq)
+      assert(r.isNullAt(ix("muxed_id")))
+      assert(r.getLong(ix("cond_type")) == (if (tb) 1L else 0L))
+      assert(r.getLong(ix("fee")) == 700L)
+      assert(r.isNullAt(ix("fee_account")) && r.isNullAt(ix("new_max_fee")))
+    }
+    def encodeV2(withTb: Boolean, withLb: Boolean, withSeq: Boolean,
+                 nExtra: Int): Array[Byte] = {
+      val w = new OpW()
+      w.w32(2L).w32(0L).h(20).w32(500L).w64(9000000L)
+      w.w32(2L) // PRECOND_V2
+      if (withTb) w.w32(1L).w64(11L).w64(22L) else w.w32(0L)
+      if (withLb) w.w32(1L).w32(100L).w32(200L) else w.w32(0L)
+      if (withSeq) w.w32(1L).w64(31337L) else w.w32(0L)
+      w.w64(3600L).w32(5L) // minSeqAge, minSeqLedgerGap
+      w.w32(nExtra.toLong)
+      (0 until nExtra).foreach(i => w.w32(0L).h(40 + i)) // ed25519 keys
+      w.w32(0L)                                // memo none
+      w.w32(1L).w32(0L).w32(0L).acct(23).w64(1000L)
+      w.w32(0L).w32(0L)
+      w.bytes
+    }
+    for (tb <- Seq(false, true); lb <- Seq(false, true);
+         sq <- Seq(false, true); ne <- 0 to 2) {
+      val r = XdrTxEnvelope.decode(encodeV2(tb, lb, sq, ne))
+      assert(r != null, s"v2 $tb/$lb/$sq/$ne")
+      assert(r.getLong(ix("envelope_kind")) == 2L)
+      assert(r.getLong(ix("cond_type")) == 2L)
+      if (tb) assert(r.getLong(ix("min_time")) == 11L &&
+        r.getLong(ix("max_time")) == 22L)
+      else assert(r.isNullAt(ix("min_time")) && r.isNullAt(ix("max_time")))
+      if (lb) assert(r.getLong(ix("min_ledger")) == 100L &&
+        r.getLong(ix("max_ledger")) == 200L)
+      else assert(r.isNullAt(ix("min_ledger")))
+      if (sq) assert(r.getLong(ix("min_seq_num")) == 31337L)
+      else assert(r.isNullAt(ix("min_seq_num")))
+      assert(r.getLong(ix("min_seq_age")) == 3600L)
+      assert(r.getLong(ix("min_seq_ledger_gap")) == 5L)
+      assert(r.getLong(ix("n_extra_signers")) == ne.toLong)
+    }
+    assert(XdrTxEnvelope.decode(encodeV2(false, false, false, 3)) == null,
+      "extraSigners<2> over-limit")
+    def encodeFeeBump(muxedFeeSrc: Boolean): Array[Byte] = {
+      val w = new OpW()
+      w.w32(5L)
+      if (muxedFeeSrc) w.w32(0x100L).w64(77L).h(28) else w.w32(0L).h(28)
+      w.w64(123456789L) // int64 fee (the new max fee)
+      val inner = encodeTx(Some(42L), true, 1, Seq(0, 1), 2)
+      w.bb.write(inner, 0, inner.length) // innerTx: type disc + v1 body
+      w.w32(0L)                          // fee-bump ext
+      w.w32(1L)                          // one outer signature
+      w.bb.write(Array[Byte](9, 9, 9, 9), 0, 4)
+      w.w32(4L); w.bb.write(Array[Byte](1, 2, 3, 4), 0, 4)
+      w.bytes
+    }
+    for (mx <- Seq(false, true)) {
+      val r = XdrTxEnvelope.decode(encodeFeeBump(mx))
+      assert(r != null, s"fee bump muxed=$mx")
+      assert(r.getLong(ix("envelope_kind")) == 5L)
+      assert(StrkeyCodec.decodePayload(
+        r.getUTF8String(ix("fee_account"))).toSeq == hash(28).toSeq)
+      assert(r.getLong(ix("new_max_fee")) == 123456789L)
+      // the inner v1 transaction fills the row
+      assert(StrkeyCodec.decodePayload(r.getUTF8String(0)).toSeq == hash(20).toSeq)
+      assert(r.getLong(ix("muxed_id")) == 42L)
+      assert(r.getLong(ix("fee")) == 500L)
+      assert(r.getLong(ix("n_operations")) == 2L)
+      assert(r.getLong(ix("n_signatures")) == 2L)
+      assert(r.getUTF8String(ix("memo_text")).toString == "hello memo")
+    }
+    // a fee bump wrapping a non-v1 inner kind rejects
+    val w = new OpW()
+    w.w32(5L).w32(0L).h(28).w64(1L).w32(0L)
+    assert(XdrTxEnvelope.decode(w.bytes) == null)
+    val fb = encodeFeeBump(muxedFeeSrc = false)
+    (0 until fb.length).foreach { n =>
+      assert(XdrTxEnvelope.decode(fb.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTxEnvelope.decode(fb :+ 0.toByte) == null)
+  }
+
+  /** Envelope scaffold around raw op-BODY bytes (type included, no
+    * per-op source) — the independent encoder for the extended op arms. */
+  private def envWithOps(bodies: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    w32(2L); w32(0L); bb.write(hash(20), 0, 32) // v1, plain source
+    w32(500L); w64(9000000L); w32(0L); w32(0L)  // fee, seq, no cond, no memo
+    w32(bodies.length.toLong)
+    bodies.foreach { b => w32(0L); bb.write(b, 0, b.length) }
+    w32(0L); w32(0L) // ext, no signatures
+    bb.toByteArray
+  }
+
+  /** Raw op-body builder: a tiny writer DSL over one ByteArrayOutputStream. */
+  private class OpW {
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): this.type = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt); this
+    }
+    def w64(v: Long): this.type = { w32((v >>> 32) & 0xffffffffL); w32(v & 0xffffffffL) }
+    def h(seed: Int): this.type = { bb.write(hash(seed), 0, 32); this }
+    def acct(seed: Int): this.type = { w32(0L); h(seed) }
+    def asset(arm: Int, code: String = "EUR", issuerSeed: Int = 30): this.type =
+      arm match {
+        case 0 => w32(0L)
+        case 1 =>
+          w32(1L)
+          bb.write(java.util.Arrays.copyOf(code.getBytes("UTF-8"), 4), 0, 4)
+          acct(issuerSeed)
+        case 2 =>
+          w32(2L)
+          bb.write(java.util.Arrays.copyOf(code.getBytes("UTF-8"), 12), 0, 12)
+          acct(issuerSeed)
+      }
+    def bytes: Array[Byte] = bb.toByteArray
+  }
+
+  test("extended op arms invert the independent encoder: path payments " +
+      "(with the repeated path record), all three offer variants, " +
+      "SET_OPTIONS optionals, CHANGE_TRUST incl. pool share, and both " +
+      "liquidity-pool ops; malformed arm interiors reject") {
+    val OT = XdrTxEnvelope.operationType
+    def ix(n: String) = OT.fieldIndex(n)
+    def decode1(body: Array[Byte]) = {
+      val r = XdrTxEnvelope.decode(envWithOps(Seq(body)))
+      assert(r != null, "envelope must decode")
+      r.getArray(12).getStruct(0, XdrTxEnvelope.opFieldCount)
+    }
+
+    // PATH_PAYMENT_STRICT_RECEIVE: alphanum4 send, native dest, 2-hop path
+    val ppr = decode1(new OpW().w32(2L)
+      .asset(1, "EUR", 30).w64(777L).acct(25).asset(0).w64(888L)
+      .w32(2L).asset(0).asset(2, "LONGCODE", 31).bytes)
+    assert(ppr.getLong(ix("op_type")) == 2L)
+    assert(ppr.getLong(ix("source_asset_type")) == 1L)
+    assert(ppr.getUTF8String(ix("source_asset_code")).toString == "EUR")
+    assert(StrkeyCodec.decodePayload(
+      ppr.getUTF8String(ix("source_asset_issuer"))).toSeq == hash(30).toSeq)
+    assert(ppr.getLong(ix("source_max")) == 777L)
+    assert(ppr.isNullAt(ix("source_amount")) && ppr.isNullAt(ix("dest_min")))
+    assert(StrkeyCodec.decodePayload(
+      ppr.getUTF8String(ix("destination"))).toSeq == hash(25).toSeq)
+    assert(ppr.getLong(ix("asset_type")) == 0L)
+    assert(ppr.getLong(ix("amount")) == 888L)
+    val path = ppr.getArray(ix("path"))
+    assert(path.numElements() == 2)
+    assert(path.getStruct(0, 3).getLong(0) == 0L)
+    val hop1 = path.getStruct(1, 3)
+    assert(hop1.getLong(0) == 2L &&
+      hop1.getUTF8String(1).toString == "LONGCODE")
+    assert(StrkeyCodec.decodePayload(hop1.getUTF8String(2)).toSeq == hash(31).toSeq)
+
+    // PATH_PAYMENT_STRICT_SEND: fixed send amount, floor-bounded dest
+    val pps = decode1(new OpW().w32(13L)
+      .asset(0).w64(779L).acct(25).asset(1, "USD", 32).w64(889L)
+      .w32(0L).bytes)
+    assert(pps.getLong(ix("op_type")) == 13L)
+    assert(pps.getLong(ix("source_amount")) == 779L)
+    assert(pps.getLong(ix("dest_min")) == 889L)
+    assert(pps.isNullAt(ix("amount")) && pps.isNullAt(ix("source_max")))
+    assert(pps.getArray(ix("path")).numElements() == 0)
+
+    // the three offer variants share a body; passive carries no offer id
+    def offerBody(t: Long, withId: Boolean) = {
+      val w = new OpW().w32(t).asset(0).asset(2, "LONGCODE", 33)
+        .w64(600L).w32(3L).w32(7L)
+      if (withId) w.w64(42L)
+      w.bytes
+    }
+    val sell = decode1(offerBody(3L, withId = true))
+    assert(sell.getLong(ix("op_type")) == 3L &&
+      sell.getLong(ix("offer_id")) == 42L &&
+      sell.getLong(ix("amount")) == 600L &&
+      sell.getLong(ix("price_n")) == 3L && sell.getLong(ix("price_d")) == 7L &&
+      sell.getLong(ix("selling_asset_type")) == 0L &&
+      sell.getUTF8String(ix("buying_asset_code")).toString == "LONGCODE")
+    val passive = decode1(offerBody(4L, withId = false))
+    assert(passive.getLong(ix("op_type")) == 4L &&
+      passive.isNullAt(ix("offer_id")))
+    val buy = decode1(offerBody(12L, withId = true))
+    assert(buy.getLong(ix("op_type")) == 12L &&
+      buy.getLong(ix("amount")) == 600L)
+
+    // SET_OPTIONS: all nine absent → all null; all present → values
+    val soNone = decode1(new OpW().w32(5L)
+      .w32(0L).w32(0L).w32(0L).w32(0L).w32(0L).w32(0L).w32(0L).w32(0L)
+      .w32(0L).bytes)
+    Seq("inflation_dest", "clear_flags", "set_flags", "master_weight",
+      "low_threshold", "med_threshold", "high_threshold", "home_domain",
+      "signer_key", "signer_weight").foreach(n =>
+      assert(soNone.isNullAt(ix(n)), s"absent optional $n must be null"))
+    val soAllW = new OpW().w32(5L)
+    soAllW.w32(1L).acct(34)                    // inflationDest
+    soAllW.w32(1L).w32(6L); soAllW.w32(1L).w32(9L)   // clear/set flags
+    soAllW.w32(1L).w32(255L)                   // masterWeight
+    soAllW.w32(1L).w32(1L); soAllW.w32(1L).w32(2L); soAllW.w32(1L).w32(3L)
+    soAllW.w32(1L).w32(5L)                     // homeDomain "hello" len 5
+    soAllW.bb.write("hello\u0000\u0000\u0000".getBytes("UTF-8"), 0, 8)
+    soAllW.w32(1L).w32(2L).h(35).w32(11L)      // signer: hashX key, weight
+    val soAll = decode1(soAllW.bytes)
+    assert(StrkeyCodec.decodePayload(
+      soAll.getUTF8String(ix("inflation_dest"))).toSeq == hash(34).toSeq)
+    assert(soAll.getLong(ix("clear_flags")) == 6L &&
+      soAll.getLong(ix("set_flags")) == 9L &&
+      soAll.getLong(ix("master_weight")) == 255L &&
+      soAll.getLong(ix("low_threshold")) == 1L &&
+      soAll.getLong(ix("med_threshold")) == 2L &&
+      soAll.getLong(ix("high_threshold")) == 3L)
+    assert(soAll.getUTF8String(ix("home_domain")).toString == "hello")
+    val sk = soAll.getUTF8String(ix("signer_key"))
+    assert(sk.toString.head == 'X') // hashX arm strkey
+    assert(StrkeyCodec.decodePayload(sk).toSeq == hash(35).toSeq)
+    assert(soAll.getLong(ix("signer_weight")) == 11L)
+
+    // CHANGE_TRUST: alphanum4 line, then the pool-share arm
+    val ct = decode1(new OpW().w32(6L).asset(1, "USD", 36).w64(4444L).bytes)
+    assert(ct.getLong(ix("op_type")) == 6L &&
+      ct.getLong(ix("asset_type")) == 1L &&
+      ct.getUTF8String(ix("asset_code")).toString == "USD" &&
+      ct.getLong(ix("trust_limit")) == 4444L)
+    val ctPoolW = new OpW().w32(6L).w32(3L).w32(0L) // pool share, const prod
+      .asset(0).asset(1, "EUR", 37)
+    ctPoolW.w32(30L).w64(5555L) // int32 fee, limit
+    val ctPool = decode1(ctPoolW.bytes)
+    assert(ctPool.getLong(ix("asset_type")) == 3L &&
+      ctPool.isNullAt(ix("asset_code")) &&
+      ctPool.getLong(ix("selling_asset_type")) == 0L &&
+      ctPool.getUTF8String(ix("buying_asset_code")).toString == "EUR" &&
+      ctPool.getLong(ix("lp_fee")) == 30L &&
+      ctPool.getLong(ix("trust_limit")) == 5555L)
+
+    // LIQUIDITY_POOL_DEPOSIT / WITHDRAW
+    val dep = decode1(new OpW().w32(22L).h(26)
+      .w64(100L).w64(200L).w32(1L).w32(2L).w32(3L).w32(4L).bytes)
+    assert(dep.getUTF8String(ix("liquidity_pool_id")).toString ==
+      hash(26).map("%02x".format(_)).mkString)
+    assert(dep.getLong(ix("max_amount_a")) == 100L &&
+      dep.getLong(ix("max_amount_b")) == 200L &&
+      dep.getLong(ix("min_price_n")) == 1L &&
+      dep.getLong(ix("min_price_d")) == 2L &&
+      dep.getLong(ix("max_price_n")) == 3L &&
+      dep.getLong(ix("max_price_d")) == 4L)
+    val wd = decode1(new OpW().w32(23L).h(26)
+      .w64(500L).w64(50L).w64(60L).bytes)
+    assert(wd.getLong(ix("amount")) == 500L &&
+      wd.getLong(ix("min_amount_a")) == 50L &&
+      wd.getLong(ix("min_amount_b")) == 60L)
+
+    // malformed arm interiors quarantine the whole envelope
+    def rejects(body: Array[Byte], why: String): Unit =
+      assert(XdrTxEnvelope.decode(envWithOps(Seq(body))) == null, why)
+    rejects(new OpW().w32(3L).asset(0).asset(0).w64(1L).w32(3L).w32(0L)
+      .w64(42L).bytes, "zero price denominator")
+    rejects(new OpW().w32(2L).asset(0).w64(1L).acct(25).asset(0).w64(1L)
+      .w32(6L).asset(0).asset(0).asset(0).asset(0).asset(0).asset(0).bytes,
+      "path of 6 exceeds path<5>")
+    rejects(new OpW().w32(6L).w32(4L).w64(1L).bytes, "ChangeTrustAsset arm 4")
+    rejects(new OpW().w32(5L).w32(2L).bytes, "optional discriminant 2")
+    rejects(new OpW().w32(22L).h(26).w64(1L).w64(1L)
+      .w32(1L).w32(0L).w32(1L).w32(1L).bytes, "zero min price denominator")
+    // prefix sweep over one envelope composing four extended arms
+    val composite = envWithOps(Seq(
+      new OpW().w32(2L).asset(1, "EUR", 30).w64(7L).acct(25).asset(0)
+        .w64(8L).w32(1L).asset(0).bytes,
+      offerBody(12L, withId = true),
+      new OpW().w32(6L).w32(3L).w32(0L).asset(0).asset(1, "EUR", 37)
+        .w32(30L).w64(5L).bytes,
+      new OpW().w32(22L).h(26).w64(1L).w64(2L).w32(1L).w32(2L).w32(3L)
+        .w32(4L).bytes))
+    assert(XdrTxEnvelope.decode(composite) != null)
+    (0 until composite.length).foreach { n =>
+      assert(XdrTxEnvelope.decode(composite.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTxEnvelope.decode(composite :+ 0.toByte) == null)
   }
 
   /** Independent TrustLineEntry / OfferEntry encoders. */

@@ -354,4 +354,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(decodes == 1,
       s"the record decode must appear ONCE in the plan, found $decodes:\n$p")
   }
+
+  test("s2_envelope_kinds + s2_tx_mart: the pure-projection decodes stay " +
+      "single-evaluation (CollapseProject must not inline the non-cheap " +
+      "decode alias into every output column)") {
+    val p1 = planOf("s2_envelope_kinds", "/root/testdata/sf0.01")
+    val d1 = "graft_xdr_tx_envelope".r.findAllIn(p1).size
+    assert(d1 == 1, s"kinds decode must appear ONCE, found $d1:\n$p1")
+    assert(!p1.contains("Exchange"), s"projection must not shuffle:\n$p1")
+    val p2 = planOf("s2_tx_mart", "/root/testdata/sf0.01")
+    val d2 = "graft_xdr_tx_envelope".r.findAllIn(p2).size
+    assert(d2 == 1, s"mart decode must appear ONCE, found $d2:\n$p2")
+  }
+
+  test("s2_tx_ops_ext: the extended-arm fan-out keeps the same contract " +
+      "— one shuffle-free scan, decode ONCE, codegen throughout") {
+    val p = planOf("s2_tx_ops_ext", "/root/testdata/sf0.01")
+    assert(!p.contains("Exchange"), s"record decode must not shuffle:\n$p")
+    assert(p.contains("*("),
+      s"the decode expressions must run inside codegen stages:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one pass over the envelope relation, found $scans:\n$p")
+    val decodes = "graft_xdr_tx_envelope".r.findAllIn(p).size
+    assert(decodes == 1,
+      s"the record decode must appear ONCE in the plan, found $decodes:\n$p")
+  }
 }
