@@ -236,6 +236,26 @@ object GraftFunctions {
       XdrContractCodeDecode(children.head)
     })
 
+  private val xdrConfigSettingDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_config_setting"),
+    new ExpressionInfo(classOf[XdrConfigSettingDecode].getName,
+      "graft_xdr_config_setting"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_config_setting(bin) takes one binary arg")
+      XdrConfigSettingDecode(children.head)
+    })
+
+  private val xdrLedgerKeyDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_ledger_key"),
+    new ExpressionInfo(classOf[XdrLedgerKeyDecode].getName,
+      "graft_xdr_ledger_key"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_ledger_key(bin) takes one binary arg")
+      XdrLedgerKeyDecode(children.head)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] =
     Seq(cosineDescriptor, hplaneSigDescriptor, shinglesDescriptor,
       kmvDescriptor, kmvMinsDescriptor, mgTopKDescriptor, hilbertDescriptor,
@@ -244,7 +264,8 @@ object GraftFunctions {
       xdrLedgerHeaderDescriptor, xdrAccountEntryDescriptor,
       xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor,
       xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
-      xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor)
+      xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor,
+      xdrConfigSettingDescriptor, xdrLedgerKeyDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

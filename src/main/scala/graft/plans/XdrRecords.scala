@@ -560,13 +560,17 @@ object XdrClaimableBalanceEntry {
   * the Soroban-era `contract_data` table): contract address, durability,
   * and the key/val SCVal trees. SCVal is a large recursive union; the
   * walker covers the arms a data pipeline reads — BOOL, VOID, U32, I32,
-  * U64, I64, TIMEPOINT, DURATION, BYTES, STRING, SYMBOL, and the
-  * recursive VEC/MAP containers (depth-16 guard) — and QUARANTINES the
-  * exotic rest (errors, 128/256-bit ints, addresses-in-vals, contract
-  * instances) to NULL, the documented boundary posture; extending the
-  * switch is mechanical. Each tree is summarized to queryable columns:
-  * type, node count, depth, and the scalar rendering when the value IS
-  * a scalar (numerics as i64, text/symbol as string, bytes as hex).
+  * U64, I64, TIMEPOINT, DURATION, the 128-bit U128/I128 parts (token
+  * amounts are i128 — surfaced as Decimal(38,0); the 39-digit extremes
+  * past 10^38 quarantine, a documented boundary), BYTES, STRING,
+  * SYMBOL, SCV_ADDRESS (account/contract strkeys in the text slot), and
+  * the recursive VEC/MAP containers (depth-16 guard) — and QUARANTINES
+  * the exotic rest (errors, 256-bit ints, contract instances) to NULL,
+  * the documented boundary posture; extending the switch is mechanical.
+  * Each tree is summarized to queryable columns: type, node count,
+  * depth, and the scalar rendering when the value IS a scalar (64-bit
+  * numerics as i64, 128-bit as decimal, text/symbol/address as string,
+  * bytes as hex).
   */
 object XdrContractDataEntry {
 
@@ -577,50 +581,80 @@ object XdrContractDataEntry {
     StructField("key_type", LongType),
     StructField("key_text", StringType),
     StructField("key_num", LongType),
+    StructField("key_dec", DecimalType(38, 0)),
     StructField("val_type", LongType),
     StructField("val_text", StringType),
     StructField("val_num", LongType),
+    StructField("val_dec", DecimalType(38, 0)),
     StructField("val_nodes", LongType),
     StructField("val_depth", LongType)))
 
-  /** Walk one SCVal: (type, nodes, depth, text-or-null, num-or-null). */
-  private def scval(c: XdrCursor, depth: Int): (Long, Long, Long, Any, Any) = {
+  // Decimal(38,0) bound: 128-bit values at or past 10^38 quarantine
+  private val decMax = new java.math.BigInteger("1" + "0" * 38)
+
+  private def dec128(hi: Long, lo: Long, signedHi: Boolean): Decimal = {
+    val hiBig =
+      if (signedHi) java.math.BigInteger.valueOf(hi)
+      else new java.math.BigInteger(java.lang.Long.toUnsignedString(hi))
+    val big = hiBig.shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    if (big.abs.compareTo(decMax) >= 0) throw XdrCursor.Malformed
+    Decimal(new java.math.BigDecimal(big), 38, 0)
+  }
+
+  /** Walk one SCVal:
+    * (type, nodes, depth, text-or-null, num-or-null, dec-or-null). */
+  private[plans] def scval(c: XdrCursor, depth: Int)
+  : (Long, Long, Long, Any, Any, Any) = {
     if (depth > 16) throw XdrCursor.Malformed
     val t = c.u32()
     t match {
-      case 0L => (t, 1L, 1L, null, c.u32()) // SCV_BOOL as 0/1
-      case 1L => (t, 1L, 1L, null, null)    // SCV_VOID
-      case 3L => (t, 1L, 1L, null, c.u32()) // SCV_U32
+      case 0L => (t, 1L, 1L, null, c.u32(), null) // SCV_BOOL as 0/1
+      case 1L => (t, 1L, 1L, null, null, null)    // SCV_VOID
+      case 3L => (t, 1L, 1L, null, c.u32(), null) // SCV_U32
       case 4L => // SCV_I32: sign-extend the 32-bit value
-        (t, 1L, 1L, null, c.u32().toInt.toLong)
+        (t, 1L, 1L, null, c.u32().toInt.toLong, null)
       case 5L | 6L | 7L | 8L => // U64 / I64 / TIMEPOINT / DURATION
-        (t, 1L, 1L, null, c.i64())
+        (t, 1L, 1L, null, c.i64(), null)
+      case 9L => // SCV_U128: UInt128Parts { uint64 hi; uint64 lo }
+        (t, 1L, 1L, null, null, dec128(c.i64(), c.i64(), signedHi = false))
+      case 10L => // SCV_I128: Int128Parts { int64 hi; uint64 lo }
+        (t, 1L, 1L, null, null, dec128(c.i64(), c.i64(), signedHi = true))
       case 13L => // SCV_BYTES → hex rendering
         val raw = c.varBytes(Int.MaxValue)
         (t, 1L, 1L, UTF8String.fromString(
-          raw.map(x => f"${x & 0xff}%02x").mkString), null)
-      case 14L => (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(Int.MaxValue)), null)
-      case 15L => (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(32)), null) // SYMBOL
+          raw.map(x => f"${x & 0xff}%02x").mkString), null, null)
+      case 14L =>
+        (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(Int.MaxValue)), null, null)
+      case 15L => // SYMBOL
+        (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(32)), null, null)
       case arm @ (16L | 17L) => // SCV_VEC / SCV_MAP: optional container
         c.u32() match {
-          case 0L => (arm, 1L, 1L, null, null)
+          case 0L => (arm, 1L, 1L, null, null, null)
           case 1L =>
             val n = c.u32()
             if (n > 256) throw XdrCursor.Malformed // defensive bound
             var nodes = 1L; var dMax = 0L
             var i = 0L
             while (i < n) {
-              val (_, kn, kd, _, _) = scval(c, depth + 1)
+              val (_, kn, kd, _, _, _) = scval(c, depth + 1)
               nodes += kn; if (kd > dMax) dMax = kd
               if (arm == 17L) { // a map entry carries key AND val
-                val (_, vn, vd, _, _) = scval(c, depth + 1)
+                val (_, vn, vd, _, _, _) = scval(c, depth + 1)
                 nodes += vn; if (vd > dMax) dMax = vd
               }
               i += 1
             }
-            (arm, nodes, dMax + 1L, null, null)
+            (arm, nodes, dMax + 1L, null, null, null)
           case _ => throw XdrCursor.Malformed
         }
+      case 18L => // SCV_ADDRESS: the strkey spelling in the text slot
+        val addr = c.u32() match {
+          case 0L => c.accountId()
+          case 1L => StrkeyCodec.encode(16, c.bytes(32))
+          case _  => throw XdrCursor.Malformed
+        }
+        (t, 1L, 1L, addr, null, null)
       case _ => throw XdrCursor.Malformed // boundary: exotic arms
     }
   }
@@ -633,15 +667,15 @@ object XdrContractDataEntry {
         (StrkeyCodec.encode(16, c.bytes(32)), 1L)
       case _ => throw XdrCursor.Malformed
     }
-    val (kT, _, _, kText, kNum) = scval(c, 1) // container keys allowed:
-    // their text/num render null, the type still surfaces
+    val (kT, _, _, kText, kNum, kDec) = scval(c, 1) // container keys
+    // allowed: their text/num render null, the type still surfaces
     val durability = c.u32()
     if (durability > 1L) throw XdrCursor.Malformed
-    val (vT, vNodes, vDepth, vText, vNum) = scval(c, 1)
+    val (vT, vNodes, vDepth, vText, vNum, vDec) = scval(c, 1)
     c.done()
     new GenericInternalRow(Array[Any](
-      contractId, kind, durability, kT, kText, kNum, vT, vText, vNum,
-      vNodes, vDepth))
+      contractId, kind, durability, kT, kText, kNum, kDec, vT, vText,
+      vNum, vDec, vNodes, vDepth))
   }
 }
 
@@ -684,6 +718,153 @@ object XdrContractCodeEntry {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(code)
     new GenericInternalRow(Array[Any](hash, code.length.toLong,
       UTF8String.fromString(sha.map(x => f"${x & 0xff}%02x").mkString)))
+  }
+}
+
+/** `ConfigSettingEntry` decode (Stellar-contract-config-setting.x) —
+  * the reference's `config_settings` state table. The entry is one big
+  * union on ConfigSettingID whose decodable arms are fixed sequences of
+  * u32/i64/bool scalars (the protocol-20 layouts), so the record
+  * surfaces GENERICALLY as (setting_id, the scalar sequence in wire
+  * order as an array<long>) — the stable queryable shape the
+  * reference's flat per-arm projection (schemas/
+  * config_settings_schema.json) derives by position. The two
+  * ContractCostParams arms (vectors of ExtensionPoint + two int64
+  * terms) flatten to const/linear pairs; the bucket-list size window
+  * (vector<uint64>) passes through. Unknown setting ids quarantine.
+  */
+object XdrConfigSettingEntry {
+  val configSettingType: StructType = StructType(Seq(
+    StructField("setting_id", LongType),
+    StructField("n_values", LongType),
+    StructField("values", ArrayType(LongType))))
+
+  // per-arm scalar layouts: 'w' = uint32, 'q' = int64/uint64, 'b' = bool
+  private val layouts: Map[Long, String] = Map(
+    0L -> "w",                 // CONTRACT_MAX_SIZE_BYTES
+    1L -> "qqqw",              // COMPUTE_V0
+    2L -> "wwwwwwwwqqqqqqw",   // LEDGER_COST_V0
+    3L -> "q",                 // HISTORICAL_DATA_V0
+    4L -> "wq",                // EVENTS_V0
+    5L -> "wwq",               // BANDWIDTH_V0
+    8L -> "w",                 // CONTRACT_DATA_KEY_SIZE_BYTES
+    9L -> "w",                 // CONTRACT_DATA_ENTRY_SIZE_BYTES
+    10L -> "wwwqqwwwww",       // STATE_ARCHIVAL
+    11L -> "w",                // EXECUTION_LANES
+    13L -> "wbq")              // EVICTION_ITERATOR
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val id = c.u32()
+    val vals: Array[Any] = id match {
+      case 6L | 7L => // ContractCostParams: vector of (ext, const, linear)
+        val n = c.u32()
+        if (n > 1024) throw XdrCursor.Malformed
+        val out = new Array[Any](2 * n.toInt)
+        var i = 0
+        while (i < n) {
+          c.expect(0L) // ExtensionPoint
+          out(2 * i) = c.i64(); out(2 * i + 1) = c.i64()
+          i += 1
+        }
+        out
+      case 12L => // bucketListSizeWindow: vector<uint64>
+        val n = c.u32()
+        if (n > 4096) throw XdrCursor.Malformed
+        val out = new Array[Any](n.toInt)
+        var i = 0
+        while (i < n) { out(i) = c.i64(); i += 1 }
+        out
+      case other =>
+        val layout = layouts.getOrElse(other, throw XdrCursor.Malformed)
+        val out = new Array[Any](layout.length)
+        var i = 0
+        while (i < layout.length) {
+          out(i) = layout.charAt(i) match {
+            case 'w' => c.u32()
+            case 'q' => c.i64()
+            case 'b' => c.u32() match { // XDR bool
+              case v @ (0L | 1L) => v
+              case _             => throw XdrCursor.Malformed
+            }
+          }
+          i += 1
+        }
+        out
+    }
+    c.done()
+    new GenericInternalRow(Array[Any](
+      id, vals.length.toLong, new GenericArrayData(vals)))
+  }
+}
+
+/** `LedgerKey` decode (Stellar-ledger-entries.x) — all ten arms. This
+  * is the key half of every state record (and the reference's
+  * `restored_key` table surface, schemas/restored_key_schema.json):
+  * per-arm nullable columns name whichever identifying fields the arm
+  * carries — account, trust-line asset (incl. pool share), offer id,
+  * data name, balance/pool/code/TTL hashes, the contract-data address
+  * + SCVal key summary + durability, config setting id. */
+object XdrLedgerKey {
+  val ledgerKeyType: StructType = StructType(Seq(
+    StructField("entry_type", LongType),
+    StructField("account_id", StringType),
+    StructField("asset_type", LongType),
+    StructField("asset_code", StringType),
+    StructField("asset_issuer", StringType),
+    StructField("offer_id", LongType),
+    StructField("data_name", StringType),
+    StructField("balance_id", StringType),
+    StructField("pool_id", StringType),
+    StructField("contract_id", StringType),
+    StructField("key_type", LongType),
+    StructField("key_text", StringType),
+    StructField("key_num", LongType),
+    StructField("durability", LongType),
+    StructField("code_hash", StringType),
+    StructField("setting_id", LongType),
+    StructField("key_hash", StringType)))
+
+  private def hex32(c: XdrCursor): UTF8String = UTF8String.fromString(
+    c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val f = new Array[Any](ledgerKeyType.length)
+    val t = c.u32()
+    f(0) = t
+    t match {
+      case 0L => f(1) = c.accountId() // ACCOUNT
+      case 1L => // TRUSTLINE: account + TrustLineAsset (pool-share arm ok)
+        f(1) = c.accountId()
+        val (aT, aC, aI) = c.asset(poolShareArm = true)
+        f(2) = aT; f(3) = aC; f(4) = aI
+      case 2L => f(1) = c.accountId(); f(5) = c.i64() // OFFER
+      case 3L => // DATA: account + string64 name
+        f(1) = c.accountId()
+        f(6) = UTF8String.fromBytes(c.varBytes(64))
+      case 4L => // CLAIMABLE_BALANCE: ClaimableBalanceID v0
+        c.expect(0L); f(7) = hex32(c)
+      case 5L => f(8) = hex32(c) // LIQUIDITY_POOL
+      case 6L => // CONTRACT_DATA: SCAddress + SCVal key + durability
+        f(9) = c.u32() match {
+          case 0L => c.accountId()
+          case 1L => StrkeyCodec.encode(16, c.bytes(32))
+          case _  => throw XdrCursor.Malformed
+        }
+        val (kT, _, _, kText, kNum, _) = XdrContractDataEntry.scval(c, 1)
+        f(10) = kT; f(11) = kText; f(12) = kNum
+        val dur = c.u32()
+        if (dur > 1L) throw XdrCursor.Malformed
+        f(13) = dur
+      case 7L => f(14) = hex32(c) // CONTRACT_CODE
+      case 8L => // CONFIG_SETTING
+        val id = c.u32()
+        if (id > 13L) throw XdrCursor.Malformed
+        f(15) = id
+      case 9L => f(16) = hex32(c) // TTL
+      case _ => throw XdrCursor.Malformed
+    }
+    c.done()
+    new GenericInternalRow(f)
   }
 }
 
@@ -1158,6 +1339,27 @@ case class XdrContractCodeDecode(child: Expression) extends XdrRecordExpression 
   override def nullSafeEval(input: Any): Any =
     XdrContractCodeEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrContractCodeDecode =
+    copy(child = newChild)
+}
+
+case class XdrConfigSettingDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrConfigSettingEntry.configSettingType
+  override def prettyName: String = "graft_xdr_config_setting"
+  override protected def staticDecode: String =
+    "graft.plans.XdrConfigSettingEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrConfigSettingEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrConfigSettingDecode =
+    copy(child = newChild)
+}
+
+case class XdrLedgerKeyDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrLedgerKey.ledgerKeyType
+  override def prettyName: String = "graft_xdr_ledger_key"
+  override protected def staticDecode: String = "graft.plans.XdrLedgerKey.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrLedgerKey.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrLedgerKeyDecode =
     copy(child = newChild)
 }
 

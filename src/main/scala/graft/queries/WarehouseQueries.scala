@@ -2122,6 +2122,132 @@ object WarehouseQueries {
           sum(col("op_amount")).as("total_amount"),
           sum(when(col("has_memo_text"), 1L).otherwise(0L)).as("n_memo_text"))),
 
+    // S3 ConfigSettingEntry through the gate — the last Soroban state
+    // table: all 14 setting arms by k%14, each a fixed scalar sequence
+    // (the protocol-20 layouts), the two cost-params VECTOR arms and
+    // the size-window vector sized by k. The decoded value array
+    // explodes to (setting, position, value); the oracle restates the
+    // per-position law v(arm,i), with the EvictionIterator bool pinned.
+    "s3_config_setting" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k")
+      val a = pmod(k, lit(14L))
+      def v(i: Int): Column = (a + lit(1L)) * lit(100000L) + k + lit(7L * i)
+      def seqW(widths: String): Column =
+        concat(widths.zipWithIndex.map { case (ch, i) =>
+          if (ch == 'w') u32(v(i)) else i64(v(i)) }: _*)
+      val nCp = pmod(k, lit(3L)) + lit(1L)
+      def cpEntry(j: Int): Column =
+        when(nCp > j, concat(u32(lit(0L)), i64(v(2 * j)), i64(v(2 * j + 1))))
+          .otherwise(unhex(lit("")))
+      val costParams = concat(u32(nCp), cpEntry(0), cpEntry(1), cpEntry(2))
+      val nW = pmod(k, lit(4L)) + lit(1L)
+      def wEl(i: Int): Column =
+        when(nW > i, i64(v(i))).otherwise(unhex(lit("")))
+      val window = concat(u32(nW), wEl(0), wEl(1), wEl(2), wEl(3))
+      val evict = concat(u32(v(0)), u32(pmod(k, lit(2L))), i64(v(2)))
+      val body = when(a === 0L, seqW("w"))
+        .when(a === 1L, seqW("qqqw"))
+        .when(a === 2L, seqW("wwwwwwwwqqqqqqw"))
+        .when(a === 3L, seqW("q"))
+        .when(a === 4L, seqW("wq"))
+        .when(a === 5L, seqW("wwq"))
+        .when(a === 6L || a === 7L, costParams)
+        .when(a === 8L || a === 9L, seqW("w"))
+        .when(a === 10L, seqW("wwwqqwwwww"))
+        .when(a === 11L, seqW("w"))
+        .when(a === 12L, window)
+        .otherwise(evict)
+      t(s, dir, "customer").filter(col("c_custkey") % 41 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(concat(u32(a), body))))
+        .withColumn("h", call_function("graft_xdr_config_setting", col("bin")))
+        .select(col("k"),
+          col("h.setting_id").as("setting_id"),
+          col("h.n_values").as("n_values"),
+          call_function("graft_xdr_config_setting", col("bin").substr(1, 4))
+            .isNull.as("truncated_rejected"),
+          posexplode_outer(col("h.values")).as(Seq("i", "value")))
+        .filter(col("i").isNotNull)
+        .select(col("k"), col("setting_id"), col("n_values"),
+          col("i").cast("long").as("i"), col("value"),
+          col("truncated_rejected"))
+    }),
+
+    // S3 LedgerKey through the gate — the reference's restored_key
+    // surface: all ten key arms by k%10, each surfacing its own
+    // identifying columns (account, trust-line asset incl. pool share,
+    // offer id, data name, the four hash arms, the contract-data
+    // address + SCVal key + durability, the config setting id).
+    "s3_restored_key" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val acct = concat(u32(lit(0L)), key32)
+      val ta = pmod(k, lit(4L))
+      val trustAsset = when(ta === 0L, u32(lit(0L)))
+        .when(ta === 1L, concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit("c"))), 1, 3).cast("binary"),
+          unhex(lit("00")), u32(lit(0L)), h16("f"), h16("g")))
+        .when(ta === 2L, concat(u32(lit(2L)),
+          substring(md5(concat(ks, lit("c"))), 1, 10).cast("binary"),
+          unhex(lit("0000")), u32(lit(0L)), h16("f"), h16("g")))
+        .otherwise(concat(u32(lit(3L)), h16("p"), h16("q")))
+      val scAddr = when(pmod(k, lit(2L)) === 0L, concat(u32(lit(0L)), acct))
+        .otherwise(concat(u32(lit(1L)), h16("h"), h16("i")))
+      val tEt = pmod(k, lit(10L))
+      val body = when(tEt === 0L, acct)
+        .when(tEt === 1L, concat(acct, trustAsset))
+        .when(tEt === 2L, concat(acct, i64(lit(4000000L) + k)))
+        .when(tEt === 3L, concat(acct,
+          varStr(substring(md5(concat(ks, lit("dn"))), 1, 12),
+            pmod(k, lit(13L)))))
+        .when(tEt === 4L, concat(u32(lit(0L)), h16("b"), h16("c")))
+        .when(tEt === 5L, concat(h16("lp"), h16("lq")))
+        .when(tEt === 6L, concat(scAddr,
+          u32(lit(15L)),
+          varStr(substring(md5(concat(ks, lit("k"))), 1, 9),
+            pmod(k, lit(9L)) + lit(1L)),
+          u32(pmod(k, lit(2L)))))
+        .when(tEt === 7L, concat(h16("cc"), h16("cd")))
+        .when(tEt === 8L, u32(pmod(k, lit(14L))))
+        .otherwise(concat(h16("th"), h16("tu")))
+      t(s, dir, "customer").filter(col("c_custkey") % 43 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(concat(u32(tEt), body))))
+        .withColumn("h", call_function("graft_xdr_ledger_key", col("bin")))
+        .select(col("k"),
+          col("h.entry_type").as("entry_type"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.account_id")))).as("account_payload_hex"),
+          col("h.asset_type").as("asset_type"),
+          col("h.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("h.offer_id").as("offer_id"),
+          col("h.data_name").as("data_name"),
+          col("h.balance_id").as("balance_id"),
+          col("h.pool_id").as("pool_id"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.contract_id")))).as("contract_payload_hex"),
+          substring(col("h.contract_id"), 1, 1).as("addr_prefix"),
+          col("h.key_type").as("key_type"),
+          col("h.key_text").as("key_text"),
+          col("h.durability").as("durability"),
+          col("h.code_hash").as("code_hash"),
+          col("h.setting_id").as("setting_id"),
+          col("h.key_hash").as("key_hash"),
+          call_function("graft_xdr_ledger_key", col("bin").substr(1, 4))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // S3 state-entry decodes through the gate: TrustLineEntry (all four
     // TrustLineAsset arms incl. the pool-share PoolID, and the nested
     // v0/v1/v2 ext chain carrying liabilities + pool use count) and
@@ -2367,20 +2493,28 @@ object WarehouseQueries {
       val keyVal = concat(u32(lit(15L)), // SCV_SYMBOL
         varStr(substring(md5(concat(ks, lit("k"))), 1, 9), keyLen))
       val vLen = pmod(k, lit(12L)) + lit(1L)
-      val pm4 = pmod(k, lit(4L))
-      val valVal = when(pm4 === 0L,
+      val pm7 = pmod(k, lit(7L))
+      val valVal = when(pm7 === 0L,
         concat(u32(lit(5L)), i64(lit(7000000L) + k))) // SCV_U64
-        .when(pm4 === 1L, concat(u32(lit(14L)),       // SCV_STRING
+        .when(pm7 === 1L, concat(u32(lit(14L)),       // SCV_STRING
           varStr(substring(md5(concat(ks, lit("v"))), 1, 12), vLen)))
-        .when(pm4 === 2L, concat(u32(lit(16L)),       // SCV_VEC of 2 U32
+        .when(pm7 === 2L, concat(u32(lit(16L)),       // SCV_VEC of 2 U32
           u32(lit(1L)), u32(lit(2L)),
           u32(lit(3L)), u32(pmod(k, lit(100L))),
           u32(lit(3L)), u32(pmod(k + lit(1L), lit(100L)))))
-        .otherwise(concat(u32(lit(17L)),              // SCV_MAP of 1
+        .when(pm7 === 3L, concat(u32(lit(17L)),       // SCV_MAP of 1
           u32(lit(1L)), u32(lit(1L)),
           u32(lit(15L)), varStr(substring(md5(concat(ks, lit("m"))), 1, 1),
             lit(1L)),
           u32(lit(6L)), i64(lit(900L) + k)))
+        .when(pm7 === 4L, concat(u32(lit(9L)),        // SCV_U128: hi‖lo
+          i64(pmod(k, lit(3L))), i64(lit(1000000L) + k)))
+        .when(pm7 === 5L, concat(u32(lit(10L)),       // SCV_I128: negative
+          i64(lit(-1L)), i64(lit(-1000000L) - k)))    // = -(1000000+k)
+        .otherwise(concat(u32(lit(18L)),              // SCV_ADDRESS
+          when(pmod(k, lit(2L)) === 0L,
+            concat(u32(lit(0L)), u32(lit(0L)), h16("v1"), h16("v2")))
+            .otherwise(concat(u32(lit(1L)), h16("v1"), h16("v2")))))
       val xdr = concat(u32(lit(0L)), contract, keyVal,
         u32(pmod(k, lit(2L))), valVal)
       t(s, dir, "customer").filter(col("c_custkey") % 31 === 0)
@@ -2396,8 +2530,19 @@ object WarehouseQueries {
           col("h.key_type").as("key_type"),
           col("h.key_text").as("key_text"),
           col("h.val_type").as("val_type"),
-          col("h.val_text").as("val_text"),
+          // the address arm's strkey lives in the text slot — DuckDB has
+          // no base32, so the gate verifies it via the decode round-trip
+          // and withholds the raw spelling from the text column
+          when(col("h.val_type") =!= 18L, col("h.val_text")).as("val_text"),
+          substring(when(col("h.val_type") === 18L, col("h.val_text")), 1, 1)
+            .as("val_addr_prefix"),
+          lower(hex(call_function("graft_strkey_decode",
+            when(col("h.val_type") === 18L, col("h.val_text")))))
+            .as("val_addr_payload_hex"),
           col("h.val_num").as("val_num"),
+          // decimal comparison crosses the oracle as its digit string
+          // (pandas renders nullable DECIMAL(38,0) columns as floats)
+          col("h.val_dec").cast("string").as("val_dec"),
           col("h.val_nodes").as("val_nodes"),
           col("h.val_depth").as("val_depth"),
           call_function("graft_xdr_contract_data", col("bin").substr(1, 30))
@@ -3554,34 +3699,45 @@ object WarehouseQueries {
         |FROM orders WHERE o_orderkey % 53 = 0""".stripMargin,
 
     // the ContractDataEntry fixture LAW: address union, SCVal shapes
+    // incl. the 128-bit decimals and the SCV_ADDRESS round-trip
     "s3_contract_data" ->
-      """SELECT CAST(c_custkey AS BIGINT) AS k,
-        |  CASE WHEN c_custkey % 2 = 0 THEN
-        |    md5(CAST(c_custkey AS VARCHAR))
-        |      || md5(CAST(c_custkey AS VARCHAR) || 'a')
-        |  ELSE md5(CAST(c_custkey AS VARCHAR) || 'h')
-        |      || md5(CAST(c_custkey AS VARCHAR) || 'i')
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey AS VARCHAR) AS ks
+        |  FROM customer WHERE c_custkey % 31 = 0)
+        |SELECT k,
+        |  CASE WHEN k % 2 = 0 THEN md5(ks) || md5(ks || 'a')
+        |    ELSE md5(ks || 'h') || md5(ks || 'i')
         |  END AS contract_payload_hex,
-        |  CASE WHEN c_custkey % 2 = 0 THEN 'G' ELSE 'C' END AS addr_prefix,
-        |  CAST(c_custkey % 2 AS BIGINT) AS contract_kind,
-        |  CAST(c_custkey % 2 AS BIGINT) AS durability,
+        |  CASE WHEN k % 2 = 0 THEN 'G' ELSE 'C' END AS addr_prefix,
+        |  CAST(k % 2 AS BIGINT) AS contract_kind,
+        |  CAST(k % 2 AS BIGINT) AS durability,
         |  CAST(15 AS BIGINT) AS key_type,
-        |  substring(md5(CAST(c_custkey AS VARCHAR) || 'k'), 1,
-        |    CAST(c_custkey % 9 AS INTEGER) + 1) AS key_text,
-        |  CAST(CASE c_custkey % 4 WHEN 0 THEN 5 WHEN 1 THEN 14
-        |    WHEN 2 THEN 16 ELSE 17 END AS BIGINT) AS val_type,
-        |  CASE WHEN c_custkey % 4 = 1 THEN
-        |    substring(md5(CAST(c_custkey AS VARCHAR) || 'v'), 1,
-        |      CAST(c_custkey % 12 AS INTEGER) + 1)
+        |  substring(md5(ks || 'k'), 1, CAST(k % 9 AS INTEGER) + 1)
+        |    AS key_text,
+        |  CAST(CASE k % 7 WHEN 0 THEN 5 WHEN 1 THEN 14 WHEN 2 THEN 16
+        |    WHEN 3 THEN 17 WHEN 4 THEN 9 WHEN 5 THEN 10 ELSE 18 END
+        |    AS BIGINT) AS val_type,
+        |  CASE WHEN k % 7 = 1 THEN
+        |    substring(md5(ks || 'v'), 1, CAST(k % 12 AS INTEGER) + 1)
         |  END AS val_text,
-        |  CASE WHEN c_custkey % 4 = 0 THEN CAST(7000000 + c_custkey AS BIGINT)
+        |  CASE WHEN k % 7 = 6 THEN
+        |    CASE WHEN k % 2 = 0 THEN 'G' ELSE 'C' END END AS val_addr_prefix,
+        |  CASE WHEN k % 7 = 6 THEN md5(ks || 'v1') || md5(ks || 'v2') END
+        |    AS val_addr_payload_hex,
+        |  CASE WHEN k % 7 = 0 THEN CAST(7000000 + k AS BIGINT)
         |  END AS val_num,
-        |  CAST(CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 3 END
-        |    AS BIGINT) AS val_nodes,
-        |  CAST(CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 2 END
-        |    AS BIGINT) AS val_depth,
+        |  CASE WHEN k % 7 = 4 THEN CAST(
+        |      (k % 3) * CAST('18446744073709551616' AS HUGEINT)
+        |        + 1000000 + k AS VARCHAR)
+        |    WHEN k % 7 = 5 THEN CAST(-(1000000 + k) AS VARCHAR)
+        |  END AS val_dec,
+        |  CAST(CASE WHEN k % 7 IN (2, 3) THEN 3 ELSE 1 END AS BIGINT)
+        |    AS val_nodes,
+        |  CAST(CASE WHEN k % 7 IN (2, 3) THEN 2 ELSE 1 END AS BIGINT)
+        |    AS val_depth,
         |  true AS truncated_rejected
-        |FROM customer WHERE c_custkey % 31 = 0""".stripMargin,
+        |FROM src""".stripMargin,
 
     // the LiquidityPoolEntry fixture LAW
     "s3_liquidity_pool" ->
@@ -3920,6 +4076,77 @@ object WarehouseQueries {
         |  CAST(SUM(amount) AS BIGINT) AS total_amount,
         |  CAST(SUM(memo_text) AS BIGINT) AS n_memo_text
         |FROM tx GROUP BY 1, 2""".stripMargin,
+
+    // the ConfigSettingEntry fixture LAW: arm a = k%14, per-position
+    // value v(a,i) = (a+1)*100000 + k + 7i (the EvictionIterator bool
+    // position pinned to k%2), counts per arm layout
+    "s3_config_setting" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 14 AS BIGINT) AS a,
+        |    unnest(range(0, CAST(
+        |      CASE WHEN c_custkey % 14 IN (0,3,8,9,11) THEN 1
+        |        WHEN c_custkey % 14 = 1 THEN 4
+        |        WHEN c_custkey % 14 = 2 THEN 15
+        |        WHEN c_custkey % 14 = 4 THEN 2
+        |        WHEN c_custkey % 14 = 5 THEN 3
+        |        WHEN c_custkey % 14 IN (6,7) THEN 2 * (c_custkey % 3 + 1)
+        |        WHEN c_custkey % 14 = 10 THEN 10
+        |        WHEN c_custkey % 14 = 12 THEN c_custkey % 4 + 1
+        |        ELSE 3 END AS BIGINT))) AS i
+        |  FROM customer WHERE c_custkey % 41 = 0)
+        |SELECT k, a AS setting_id,
+        |  CAST(CASE WHEN a IN (0,3,8,9,11) THEN 1 WHEN a = 1 THEN 4
+        |    WHEN a = 2 THEN 15 WHEN a = 4 THEN 2 WHEN a = 5 THEN 3
+        |    WHEN a IN (6,7) THEN 2 * (k % 3 + 1) WHEN a = 10 THEN 10
+        |    WHEN a = 12 THEN k % 4 + 1 ELSE 3 END AS BIGINT) AS n_values,
+        |  CAST(i AS BIGINT) AS i,
+        |  CAST(CASE WHEN a = 13 AND i = 1 THEN k % 2
+        |    ELSE (a + 1) * 100000 + k + 7 * i END AS BIGINT) AS value,
+        |  true AS truncated_rejected
+        |FROM src""".stripMargin,
+
+    // the LedgerKey fixture LAW: arm t = k%10, each arm's identifying
+    // columns restated from the row key, the rest NULL
+    "s3_restored_key" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    CAST(c_custkey % 10 AS BIGINT) AS t
+        |  FROM customer WHERE c_custkey % 43 = 0)
+        |SELECT k, t AS entry_type,
+        |  CASE WHEN t IN (0,1,2,3)
+        |    THEN md5(ks)||md5(ks||'a') END AS account_payload_hex,
+        |  CAST(CASE WHEN t = 1 THEN k % 4 END AS BIGINT) AS asset_type,
+        |  CASE WHEN t = 1 THEN
+        |    CASE k % 4 WHEN 1 THEN substring(md5(ks||'c'),1,3)
+        |      WHEN 2 THEN substring(md5(ks||'c'),1,10)
+        |      WHEN 3 THEN md5(ks||'p')||md5(ks||'q') END
+        |  END AS asset_code,
+        |  CASE WHEN t = 1 AND k % 4 IN (1,2) THEN md5(ks||'f')||md5(ks||'g')
+        |  END AS asset_issuer_payload_hex,
+        |  CAST(CASE WHEN t = 2 THEN 4000000 + k END AS BIGINT) AS offer_id,
+        |  CASE WHEN t = 3
+        |    THEN substring(md5(ks||'dn'),1,CAST(k % 13 AS INTEGER))
+        |  END AS data_name,
+        |  CASE WHEN t = 4 THEN md5(ks||'b')||md5(ks||'c') END AS balance_id,
+        |  CASE WHEN t = 5 THEN md5(ks||'lp')||md5(ks||'lq') END AS pool_id,
+        |  CASE WHEN t = 6 THEN
+        |    CASE WHEN k % 2 = 0 THEN md5(ks)||md5(ks||'a')
+        |      ELSE md5(ks||'h')||md5(ks||'i') END
+        |  END AS contract_payload_hex,
+        |  CASE WHEN t = 6 THEN
+        |    CASE WHEN k % 2 = 0 THEN 'G' ELSE 'C' END END AS addr_prefix,
+        |  CAST(CASE WHEN t = 6 THEN 15 END AS BIGINT) AS key_type,
+        |  CASE WHEN t = 6
+        |    THEN substring(md5(ks||'k'),1,CAST(k % 9 AS INTEGER) + 1)
+        |  END AS key_text,
+        |  CAST(CASE WHEN t = 6 THEN k % 2 END AS BIGINT) AS durability,
+        |  CASE WHEN t = 7 THEN md5(ks||'cc')||md5(ks||'cd') END AS code_hash,
+        |  CAST(CASE WHEN t = 8 THEN k % 14 END AS BIGINT) AS setting_id,
+        |  CASE WHEN t = 9 THEN md5(ks||'th')||md5(ks||'tu') END AS key_hash,
+        |  true AS truncated_rejected
+        |FROM src""".stripMargin,
 
     // the TrustLineEntry fixture LAW: all four asset arms (the pool
     // share surfaces its PoolID as the 64-hex asset_code) and the

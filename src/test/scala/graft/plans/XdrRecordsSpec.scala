@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Whole-record LedgerHeader decode: an independent test-side encoder
@@ -741,6 +742,123 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrTxEnvelope.decode(composite :+ 0.toByte) == null)
   }
 
+  test("ConfigSettingEntry: every scalar arm inverts its protocol-20 " +
+      "layout, the cost-params vector flattens to const/linear pairs, " +
+      "the size window passes through; unknown ids, bad bools, and " +
+      "prefixes reject") {
+    // scalar arms: (id, width string) — 'w' u32, 'q' i64, 'b' bool
+    val scalarArms = Seq(
+      0L -> "w", 1L -> "qqqw", 2L -> "wwwwwwwwqqqqqqw", 3L -> "q",
+      4L -> "wq", 5L -> "wwq", 8L -> "w", 9L -> "w", 10L -> "wwwqqwwwww",
+      11L -> "w", 13L -> "wbq")
+    def enc(id: Long, widths: String, boolVal: Long = 1L): Array[Byte] = {
+      val w = new OpW().w32(id)
+      widths.zipWithIndex.foreach { case (ch, i) =>
+        ch match {
+          case 'w' => w.w32(1000L * id + i)
+          case 'q' => w.w64(1000L * id + i)
+          case 'b' => w.w32(boolVal)
+        }
+      }
+      w.bytes
+    }
+    scalarArms.foreach { case (id, widths) =>
+      val r = XdrConfigSettingEntry.decode(enc(id, widths))
+      assert(r != null, s"arm $id")
+      assert(r.getLong(0) == id && r.getLong(1) == widths.length.toLong)
+      val vals = r.getArray(2)
+      widths.zipWithIndex.foreach { case (ch, i) =>
+        val expect = if (ch == 'b') 1L else 1000L * id + i
+        assert(vals.getLong(i) == expect, s"arm $id pos $i")
+      }
+    }
+    // cost params (arm 6/7): vector of (ExtensionPoint, const, linear)
+    val cp = new OpW().w32(6L).w32(2L)
+      .w32(0L).w64(11L).w64(12L).w32(0L).w64(21L).w64(22L)
+    val rcp = XdrConfigSettingEntry.decode(cp.bytes)
+    assert(rcp != null && rcp.getLong(1) == 4L)
+    assert((0 until 4).map(rcp.getArray(2).getLong(_)) == Seq(11L, 12L, 21L, 22L))
+    // size window (arm 12): vector<uint64>
+    val win = new OpW().w32(12L).w32(3L).w64(5L).w64(6L).w64(7L)
+    val rw = XdrConfigSettingEntry.decode(win.bytes)
+    assert(rw != null && rw.getLong(1) == 3L && rw.getArray(2).getLong(2) == 7L)
+    // unknown id / non-0-1 bool / nonzero cost-params ext reject
+    assert(XdrConfigSettingEntry.decode(new OpW().w32(14L).w32(1L).bytes) == null)
+    assert(XdrConfigSettingEntry.decode(enc(13L, "wbq", boolVal = 2L)) == null)
+    assert(XdrConfigSettingEntry.decode(new OpW().w32(6L).w32(1L)
+      .w32(1L).w64(1L).w64(2L).bytes) == null)
+    // prefix sweep over a representative of each family
+    Seq(enc(2L, "wwwwwwwwqqqqqqw"), cp.bytes, win.bytes).foreach { full =>
+      (0 until full.length).foreach { n =>
+        assert(XdrConfigSettingEntry.decode(full.take(n)) == null, s"prefix $n")
+      }
+      assert(XdrConfigSettingEntry.decode(full :+ 0.toByte) == null)
+    }
+  }
+
+  test("LedgerKey: all ten arms invert independent encoders with the " +
+      "arm's identifying columns set and the rest null; unknown arms, " +
+      "bad durability, and prefixes reject") {
+    val LK = XdrLedgerKey.ledgerKeyType
+    def ix(n: String) = LK.fieldIndex(n)
+    def enc(t: Long)(body: OpW => Unit): Array[Byte] = {
+      val w = new OpW().w32(t); body(w); w.bytes
+    }
+    val keys: Seq[(Array[Byte], InternalRow => Unit)] = Seq(
+      (enc(0L)(_.acct(50)), r =>
+        assert(StrkeyCodec.decodePayload(
+          r.getUTF8String(ix("account_id"))).toSeq == hash(50).toSeq)),
+      (enc(1L)(w => { w.acct(50); w.w32(3L).h(51) }), r => { // pool share
+        assert(r.getLong(ix("asset_type")) == 3L)
+        assert(r.getUTF8String(ix("asset_code")).toString ==
+          hash(51).map("%02x".format(_)).mkString)
+      }),
+      (enc(2L)(w => { w.acct(50); w.w64(777L) }), r =>
+        assert(r.getLong(ix("offer_id")) == 777L)),
+      (enc(3L)(w => { w.acct(50); w.w32(4L)
+        w.bb.write("name".getBytes("UTF-8"), 0, 4) }), r =>
+        assert(r.getUTF8String(ix("data_name")).toString == "name")),
+      (enc(4L)(w => { w.w32(0L); w.h(52) }), r =>
+        assert(r.getUTF8String(ix("balance_id")).toString ==
+          hash(52).map("%02x".format(_)).mkString)),
+      (enc(5L)(_.h(53)), r =>
+        assert(r.getUTF8String(ix("pool_id")).toString ==
+          hash(53).map("%02x".format(_)).mkString)),
+      (enc(6L)(w => { w.w32(1L).h(54)           // contract address
+        w.w32(15L).w32(3L)                      // SCV_SYMBOL "abc"
+        w.bb.write("abc\u0000".getBytes("UTF-8"), 0, 4)
+        w.w32(1L) }), r => {                    // persistent
+        assert(r.getUTF8String(ix("contract_id")).toString.head == 'C')
+        assert(r.getLong(ix("key_type")) == 15L)
+        assert(r.getUTF8String(ix("key_text")).toString == "abc")
+        assert(r.getLong(ix("durability")) == 1L)
+        assert(r.isNullAt(ix("account_id")))
+      }),
+      (enc(7L)(_.h(55)), r =>
+        assert(r.getUTF8String(ix("code_hash")).toString ==
+          hash(55).map("%02x".format(_)).mkString)),
+      (enc(8L)(_.w32(9L)), r => assert(r.getLong(ix("setting_id")) == 9L)),
+      (enc(9L)(_.h(56)), r =>
+        assert(r.getUTF8String(ix("key_hash")).toString ==
+          hash(56).map("%02x".format(_)).mkString)))
+    keys.zipWithIndex.foreach { case ((buf, check), t) =>
+      val r = XdrLedgerKey.decode(buf)
+      assert(r != null, s"arm $t")
+      assert(r.getLong(0) == t.toLong)
+      check(r)
+      (0 until buf.length).foreach { n =>
+        assert(XdrLedgerKey.decode(buf.take(n)) == null, s"arm $t prefix $n")
+      }
+      assert(XdrLedgerKey.decode(buf :+ 0.toByte) == null, s"arm $t trailing")
+    }
+    assert(XdrLedgerKey.decode(new OpW().w32(10L).bytes) == null, "arm 10")
+    assert(XdrLedgerKey.decode(
+      enc(6L)(w => { w.w32(1L).h(54); w.w32(1L); w.w32(2L) })) == null,
+      "durability 2")
+    assert(XdrLedgerKey.decode(
+      enc(8L)(_.w32(14L))) == null, "setting id 14")
+  }
+
   /** Independent TrustLineEntry / OfferEntry encoders. */
   private def wAsset(bb: java.io.ByteArrayOutputStream, arm: Int): Unit = {
     def w32(v: Long): Unit = {
@@ -1025,6 +1143,9 @@ class XdrRecordsSpec extends SparkSpec {
   private case class SvBytes(bs: Array[Byte]) extends Sv
   private case class SvVec(vs: Option[Seq[Sv]]) extends Sv
   private case class SvMap(kvs: Option[Seq[(Sv, Sv)]]) extends Sv
+  private case class SvU128(hi: Long, lo: Long) extends Sv
+  private case class SvI128(hi: Long, lo: Long) extends Sv
+  private case class SvAddr(account: Boolean) extends Sv
   private case class SvRaw(arm: Long) extends Sv // unsupported arm probe
 
   private def encodeContractData(contractAccount: Boolean, key: Sv,
@@ -1054,6 +1175,10 @@ class XdrRecordsSpec extends SparkSpec {
       case SvMap(None)     => w32(17L); w32(0L)
       case SvMap(Some(kv)) => w32(17L); w32(1L); w32(kv.length.toLong)
         kv.foreach { case (a, b) => wVal(a); wVal(b) }
+      case SvU128(hi, lo) => w32(9L); w64(hi); w64(lo)
+      case SvI128(hi, lo) => w32(10L); w64(hi); w64(lo)
+      case SvAddr(true)   => w32(18L); w32(0L); w32(0L); bb.write(hash(62), 0, 32)
+      case SvAddr(false)  => w32(18L); w32(1L); bb.write(hash(63), 0, 32)
       case SvRaw(arm)  => w32(arm)
     }
     w32(0L) // ExtensionPoint
@@ -1067,21 +1192,26 @@ class XdrRecordsSpec extends SparkSpec {
 
   test("ContractDataEntry decode: address union, SCVal scalar/container " +
       "shapes, and tree summaries invert the independent encoder") {
-    // (value, expected (type, nodes, depth, text, num))
-    val cases: Seq[(Sv, (Long, Long, Long, Any, Any))] = Seq(
-      SvBool(true) -> ((0L, 1L, 1L, null, 1L)),
-      SvVoid -> ((1L, 1L, 1L, null, null)),
-      SvU32(77L) -> ((3L, 1L, 1L, null, 77L)),
-      SvI64(-5L) -> ((6L, 1L, 1L, null, -5L)),
-      SvStr("hello") -> ((14L, 1L, 1L, "hello", null)),
-      SvBytes(Array[Byte](1, 2, 0xff.toByte)) -> ((13L, 1L, 1L, "0102ff", null)),
-      SvVec(None) -> ((16L, 1L, 1L, null, null)),
-      SvVec(Some(Seq(SvU32(1L), SvStr("x")))) -> ((16L, 3L, 2L, null, null)),
-      SvMap(Some(Seq(SvSym("a") -> SvI64(9L)))) -> ((17L, 3L, 2L, null, null)),
+    // (value, expected (type, nodes, depth, text, num, dec-as-string))
+    val cases: Seq[(Sv, (Long, Long, Long, Any, Any, Any))] = Seq(
+      SvBool(true) -> ((0L, 1L, 1L, null, 1L, null)),
+      SvVoid -> ((1L, 1L, 1L, null, null, null)),
+      SvU32(77L) -> ((3L, 1L, 1L, null, 77L, null)),
+      SvI64(-5L) -> ((6L, 1L, 1L, null, -5L, null)),
+      SvStr("hello") -> ((14L, 1L, 1L, "hello", null, null)),
+      SvBytes(Array[Byte](1, 2, 0xff.toByte)) -> ((13L, 1L, 1L, "0102ff", null, null)),
+      SvVec(None) -> ((16L, 1L, 1L, null, null, null)),
+      SvVec(Some(Seq(SvU32(1L), SvStr("x")))) -> ((16L, 3L, 2L, null, null, null)),
+      SvMap(Some(Seq(SvSym("a") -> SvI64(9L)))) -> ((17L, 3L, 2L, null, null, null)),
       // nested: VEC(MAP(sym -> VEC(u32)), void) — 6 nodes, depth 4
       SvVec(Some(Seq(SvMap(Some(Seq(SvSym("k") -> SvVec(Some(Seq(SvU32(2L))))))),
-        SvVoid))) -> ((16L, 6L, 4L, null, null)))
-    cases.foreach { case (v, (t, n, d, text, num)) =>
+        SvVoid))) -> ((16L, 6L, 4L, null, null, null)),
+      // 128-bit parts → Decimal(38,0): 2*2^64+123, the max uint64 via
+      // lo alone, and a negative int128 from the sign-extended hi
+      SvU128(2L, 123L) -> ((9L, 1L, 1L, null, null, "36893488147419103355")),
+      SvU128(0L, -1L) -> ((9L, 1L, 1L, null, null, "18446744073709551615")),
+      SvI128(-1L, -5000L) -> ((10L, 1L, 1L, null, null, "-5000")))
+    cases.foreach { case (v, (t, n, d, text, num, dec)) =>
       val r = XdrContractDataEntry.decode(
         encodeContractData(contractAccount = true, SvSym("key1"), 1L, v))
       assert(r != null, s"$v")
@@ -1089,13 +1219,33 @@ class XdrRecordsSpec extends SparkSpec {
       assert(r.getUTF8String(0).toString.head == 'G' && r.getLong(1) == 0L)
       assert(r.getLong(2) == 1L)
       assert(r.getLong(3) == 15L && r.getUTF8String(4).toString == "key1")
-      assert(r.getLong(6) == t, s"$v type")
-      if (text == null) assert(r.isNullAt(7), s"$v text")
-      else assert(r.getUTF8String(7).toString == text, s"$v text")
-      if (num == null) assert(r.isNullAt(8), s"$v num")
-      else assert(r.getLong(8) == num.asInstanceOf[Long], s"$v num")
-      assert(r.getLong(9) == n && r.getLong(10) == d, s"$v nodes/depth")
+      assert(r.getLong(7) == t, s"$v type")
+      if (text == null) assert(r.isNullAt(8), s"$v text")
+      else assert(r.getUTF8String(8).toString == text, s"$v text")
+      if (num == null) assert(r.isNullAt(9), s"$v num")
+      else assert(r.getLong(9) == num.asInstanceOf[Long], s"$v num")
+      if (dec == null) assert(r.isNullAt(10), s"$v dec")
+      else assert(r.getDecimal(10, 38, 0).toJavaBigDecimal ==
+        new java.math.BigDecimal(dec.asInstanceOf[String]), s"$v dec")
+      assert(r.getLong(11) == n && r.getLong(12) == d, s"$v nodes/depth")
     }
+    // SCV_ADDRESS: the strkey spelling lands in the text slot
+    for (acct <- Seq(true, false)) {
+      val r = XdrContractDataEntry.decode(
+        encodeContractData(contractAccount = true, SvSym("k"), 1L, SvAddr(acct)))
+      assert(r != null && r.getLong(7) == 18L)
+      val addr = r.getUTF8String(8)
+      assert(addr.toString.head == (if (acct) 'G' else 'C'))
+      assert(StrkeyCodec.decodePayload(addr).toSeq ==
+        hash(if (acct) 62 else 63).toSeq)
+    }
+    // a 128-bit value at or past 10^38 quarantines (Decimal(38,0) bound)
+    assert(XdrContractDataEntry.decode(encodeContractData(
+      contractAccount = true, SvSym("k"), 1L,
+      SvU128(0x8000000000000000L, 0L))) == null, "1.7e38 over the bound")
+    assert(XdrContractDataEntry.decode(encodeContractData(
+      contractAccount = true, SvSym("k"), 1L,
+      SvU128(0x4000000000000000L, 7L))) != null, "8.5e37 inside the bound")
     // contract-kind address: C-prefix strkey of the raw hash
     val rc = XdrContractDataEntry.decode(
       encodeContractData(contractAccount = false, SvSym("k"), 0L, SvVoid))
@@ -1107,8 +1257,9 @@ class XdrRecordsSpec extends SparkSpec {
       "durability, container blow-ups, depth bound, and prefixes reject") {
     def enc(v: Sv, dur: Long = 0L) =
       encodeContractData(contractAccount = true, SvSym("k"), dur, v)
-    assert(XdrContractDataEntry.decode(enc(SvRaw(9L))) == null, "U128 arm")
-    assert(XdrContractDataEntry.decode(enc(SvRaw(18L))) == null, "address arm")
+    assert(XdrContractDataEntry.decode(enc(SvRaw(11L))) == null, "U256 arm")
+    assert(XdrContractDataEntry.decode(enc(SvRaw(19L))) == null,
+      "contract-instance arm")
     assert(XdrContractDataEntry.decode(enc(SvVoid, dur = 2L)) == null)
     assert(XdrContractDataEntry.decode(
       enc(SvVec(Some(Seq.fill(257)(SvVoid))))) == null, "container bound")
