@@ -486,7 +486,7 @@ object XdrClaimableBalanceEntry {
 
   /** Walk one predicate subtree: (root type, node count, depth, min
     * abs-before or null). Recursive calls drop the child's root type. */
-  private def predicate(c: XdrCursor, depth: Int): (Long, Long, Long, Any) = {
+  private[plans] def predicate(c: XdrCursor, depth: Int): (Long, Long, Long, Any) = {
     if (depth > 16) throw XdrCursor.Malformed // defensive recursion bound
     def minAbs(a: Any, b: Any): Any = (a, b) match {
       case (null, v)          => v
@@ -828,6 +828,14 @@ object XdrLedgerKey {
     c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the shape embedded
+    * records use, e.g. REVOKE_SPONSORSHIP's ledgerKey arm. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val f = new Array[Any](ledgerKeyType.length)
     val t = c.u32()
     f(0) = t
@@ -863,7 +871,6 @@ object XdrLedgerKey {
       case 9L => f(16) = hex32(c) // TTL
       case _ => throw XdrCursor.Malformed
     }
-    c.done()
     new GenericInternalRow(f)
   }
 }
@@ -896,9 +903,17 @@ object XdrLedgerKey {
   * schemas/history_transactions_schema.json) while the inner v1
   * transaction fills the rest of the row. Preconditions decode all
   * three arms (NONE / TIME / V2 with ledger bounds, min seq
-  * num/age/gap, extra signers). DECODE BOUNDARY: the remaining
-  * operation types (notably INVOKE_HOST_FUNCTION) quarantine to NULL;
-  * extending the switch is mechanical. */
+  * num/age/gap, extra signers).
+  *
+  * The second wave completes the classic-protocol switch: ALLOW_TRUST,
+  * ACCOUNT_MERGE, INFLATION, MANAGE_DATA, BUMP_SEQUENCE,
+  * CREATE/CLAIM/CLAWBACK_CLAIMABLE_BALANCE, BEGIN/END_SPONSORING,
+  * REVOKE_SPONSORSHIP (its ledgerKey arm embeds the full
+  * [[XdrLedgerKey]] decode as a nested struct), CLAWBACK,
+  * SET_TRUST_LINE_FLAGS, EXTEND_FOOTPRINT_TTL, RESTORE_FOOTPRINT.
+  * DECODE BOUNDARY: of the 27 operation types only
+  * INVOKE_HOST_FUNCTION (the open-ended Soroban host-call union)
+  * quarantines to NULL. */
 object XdrTxEnvelope {
 
   /** One `path` element — the reference's repeated asset RECORD. */
@@ -956,7 +971,28 @@ object XdrTxEnvelope {
     StructField("min_price_n", LongType),
     StructField("min_price_d", LongType),
     StructField("max_price_n", LongType),
-    StructField("max_price_d", LongType)))
+    StructField("max_price_d", LongType),
+    // allow trust / set trust line flags
+    StructField("trustor", StringType),
+    StructField("authorize", LongType),
+    // manage data / bump sequence
+    StructField("data_name", StringType),
+    StructField("data_value_size", LongType),
+    StructField("bump_to", LongType),
+    // claimable balances
+    StructField("n_claimants", LongType),
+    StructField("balance_id", StringType),
+    // sponsorship
+    StructField("sponsored_id", StringType),
+    StructField("revoke_kind", LongType), // 0 ledger entry, 1 signer
+    StructField("revoke_account", StringType),
+    StructField("revoke_signer_key", StringType),
+    // the revoked ledger key, decoded in place (all ten arms)
+    StructField("revoke_key", XdrLedgerKey.ledgerKeyType),
+    // clawback
+    StructField("from_account", StringType),
+    // Soroban footprint maintenance
+    StructField("extend_to", LongType)))
 
   val opFieldCount: Int = operationType.length
 
@@ -1077,7 +1113,71 @@ object XdrTxEnvelope {
         f(35) = hex32(c)
         f(6) = c.i64()
         f(38) = c.i64(); f(39) = c.i64()
-      case _ => throw XdrCursor.Malformed // boundary: remaining op types
+      case 7L => // ALLOW_TRUST: trustor + AssetCode union + authorize
+        f(44) = c.accountId()
+        c.u32() match {
+          case 1L => f(3) = 1L; f(4) = c.assetCode(4)
+          case 2L => f(3) = 2L; f(4) = c.assetCode(12)
+          case _  => throw XdrCursor.Malformed
+        }
+        f(45) = c.u32()
+      case 8L => // ACCOUNT_MERGE: the body IS the destination account
+        f(2) = c.muxedAccount()._1
+      case 9L | 17L => () // INFLATION / END_SPONSORING: void bodies
+      case 10L => // MANAGE_DATA: string64 name + optional DataValue<64>
+        f(46) = UTF8String.fromBytes(c.varBytes(64))
+        c.u32() match {
+          case 0L => ()
+          case 1L => f(47) = c.varBytes(64).length.toLong
+          case _  => throw XdrCursor.Malformed
+        }
+      case 11L => f(48) = c.i64() // BUMP_SEQUENCE
+      case 14L => // CREATE_CLAIMABLE_BALANCE: asset, amount, claimants<10>
+        val (aT, aC, aI) = c.asset()
+        f(3) = aT; f(4) = aC; f(5) = aI
+        f(6) = c.i64()
+        val nCl = c.u32()
+        if (nCl < 1 || nCl > 10) throw XdrCursor.Malformed
+        var ci = 0L
+        while (ci < nCl) {
+          c.expect(0L) // CLAIMANT_TYPE_V0
+          c.accountId()
+          XdrClaimableBalanceEntry.predicate(c, 1)
+          ci += 1
+        }
+        f(49) = nCl
+      case 15L | 20L => // CLAIM / CLAWBACK_CLAIMABLE_BALANCE: balance id v0
+        c.expect(0L)
+        f(50) = hex32(c)
+      case 16L => // BEGIN_SPONSORING_FUTURE_RESERVES
+        f(51) = c.accountId()
+      case 18L => // REVOKE_SPONSORSHIP: a LedgerKey or an (account, signer)
+        c.u32() match {
+          case 0L =>
+            f(52) = 0L
+            f(55) = XdrLedgerKey.parse(c)
+          case 1L =>
+            f(52) = 1L
+            f(53) = c.accountId()
+            f(54) = c.signerKey()._1
+          case _ => throw XdrCursor.Malformed
+        }
+      case 19L => // CLAWBACK: asset, from, amount
+        val (aT, aC, aI) = c.asset()
+        f(3) = aT; f(4) = aC; f(5) = aI
+        f(56) = c.muxedAccount()._1
+        f(6) = c.i64()
+      case 21L => // SET_TRUST_LINE_FLAGS: trustor, asset, clear/set
+        f(44) = c.accountId()
+        val (aT, aC, aI) = c.asset()
+        f(3) = aT; f(4) = aC; f(5) = aI
+        f(26) = c.u32(); f(27) = c.u32()
+      case 25L => // EXTEND_FOOTPRINT_TTL: ExtensionPoint + extendTo
+        c.expect(0L)
+        f(57) = c.u32()
+      case 26L => // RESTORE_FOOTPRINT: ExtensionPoint only
+        c.expect(0L)
+      case _ => throw XdrCursor.Malformed // boundary: INVOKE_HOST_FUNCTION
     }
     new GenericInternalRow(f)
   }

@@ -474,6 +474,49 @@ object WarehouseQueries {
           col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
         col("op.amount").as("amount"))
 
+  /** The wave-2 per-op projection over a (k, bin) envelope relation —
+    * the same decode-once outer-generate posture as [[txOpsProject]],
+    * flattening the wave-2 columns (incl. the embedded revoke
+    * LedgerKey's identifying fields). */
+  private[graft] def txOpsExt2Project(df: DataFrame): DataFrame =
+    df.withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+      .select(col("k"), col("h"),
+        posexplode_outer(col("h.operations")).as(Seq("i", "op")))
+      .filter(col("i").isNotNull)
+      .select(col("k"),
+        col("op.op_type").as("op_type"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.destination")))).as("dest_payload_hex"),
+        col("op.asset_type").as("asset_type"),
+        col("op.asset_code").as("asset_code"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
+        col("op.amount").as("amount"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.trustor")))).as("trustor_payload_hex"),
+        col("op.authorize").as("authorize"),
+        col("op.data_name").as("data_name"),
+        col("op.data_value_size").as("data_value_size"),
+        col("op.bump_to").as("bump_to"),
+        col("op.n_claimants").as("n_claimants"),
+        col("op.balance_id").as("balance_id"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.sponsored_id")))).as("sponsored_payload_hex"),
+        col("op.revoke_kind").as("revoke_kind"),
+        col("op.revoke_key.entry_type").as("revoke_entry_type"),
+        col("op.revoke_key.offer_id").as("revoke_offer_id"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.revoke_key.account_id")))).as("revoke_seller_payload_hex"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.revoke_account")))).as("revoke_account_payload_hex"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.revoke_signer_key")))).as("revoke_signer_payload_hex"),
+        lower(hex(call_function("graft_strkey_decode",
+          col("op.from_account")))).as("from_payload_hex"),
+        col("op.clear_flags").as("clear_flags"),
+        col("op.set_flags").as("set_flags"),
+        col("op.extend_to").as("extend_to"))
+
   val queries: Map[String, QFn] = Map(
     // A1/A5: map-side-combinable aggregation; the canonical pricing summary.
     "q1_pricing_summary" -> ((s, dir) => {
@@ -2059,6 +2102,89 @@ object WarehouseQueries {
           col("op.min_price_d").as("min_price_d"),
           col("op.max_price_n").as("max_price_n"),
           col("op.max_price_d").as("max_price_d"))),
+
+    // The wave-2 operation family through the gate — with this the op
+    // switch covers 26 of the 27 types (INVOKE_HOST_FUNCTION is the one
+    // documented boundary): ALLOW_TRUST, ACCOUNT_MERGE, INFLATION,
+    // MANAGE_DATA, BUMP_SEQUENCE, the claimable-balance trio,
+    // sponsorship begin/end/revoke (the ledgerKey arm embedding the
+    // full LedgerKey decode), CLAWBACK, SET_TRUST_LINE_FLAGS, and the
+    // footprint ops. One op per envelope, arm by k%15.
+    "s2_tx_ops_ext2" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val trustor = concat(u32(lit(0L)), h16("d"), h16("e"))
+      val m = pmod(k, lit(15L))
+      val allowTrust = concat(u32(lit(7L)), trustor,
+        when(pmod(k, lit(2L)) === 0L, concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit("ac"))), 1, 3).cast("binary"),
+          unhex(lit("00"))))
+          .otherwise(concat(u32(lit(2L)),
+            substring(md5(concat(ks, lit("ac"))), 1, 10).cast("binary"),
+            unhex(lit("0000")))),
+        u32(pmod(k, lit(3L))))
+      val manageData = concat(u32(lit(10L)),
+        varStr(substring(md5(concat(ks, lit("dn"))), 1, 12), pmod(k, lit(13L))),
+        when(pmod(k, lit(2L)) === 1L, concat(u32(lit(1L)),
+          varStr(substring(md5(concat(ks, lit("dv"))), 1, 9), pmod(k, lit(9L)))))
+          .otherwise(u32(lit(0L))))
+      val cbAsset = when(pmod(k, lit(2L)) === 0L, u32(lit(0L)))
+        .otherwise(concat(u32(lit(1L)),
+          substring(md5(concat(ks, lit("cb"))), 1, 3).cast("binary"),
+          unhex(lit("00")), u32(lit(0L)), h16("cbi"), h16("cbj")))
+      def claimant(a: String, b: String): Column =
+        concat(u32(lit(0L)), u32(lit(0L)), h16(a), h16(b), u32(lit(0L)))
+      val createCb = concat(u32(lit(14L)), cbAsset, i64(lit(70000000L) + k),
+        u32(lit(1L) + pmod(k, lit(2L))), claimant("c0", "c1"),
+        when(pmod(k, lit(2L)) === 1L, claimant("c2", "c3"))
+          .otherwise(unhex(lit(""))))
+      val balanceId = concat(u32(lit(0L)), h16("bi"), h16("bj"))
+      val revoke = when(pmod(k, lit(2L)) === 0L,
+        concat(u32(lit(18L)), u32(lit(0L)), // LedgerKey arm: an OFFER key
+          u32(lit(2L)), u32(lit(0L)), key32, i64(lit(4000000L) + k)))
+        .otherwise(concat(u32(lit(18L)), u32(lit(1L)), // signer arm
+          u32(lit(0L)), key32,
+          u32(pmod(k, lit(3L))), h16("rk"), h16("rl")))
+      val clawback = concat(u32(lit(19L)),
+        u32(lit(1L)), substring(md5(concat(ks, lit("cw"))), 1, 3).cast("binary"),
+        unhex(lit("00")), u32(lit(0L)), h16("cwi"), h16("cwj"),
+        u32(lit(0L)), h16("fa"), h16("fb"), i64(lit(80000000L) + k))
+      val setTlFlags = concat(u32(lit(21L)), trustor, u32(lit(0L)),
+        u32(pmod(k, lit(8L))), u32(pmod(k, lit(16L))))
+      val opBody = when(m === 0L, allowTrust)
+        .when(m === 1L, concat(u32(lit(8L)), u32(lit(0L)), h16("d"), h16("e")))
+        .when(m === 2L, u32(lit(9L)))
+        .when(m === 3L, manageData)
+        .when(m === 4L, concat(u32(lit(11L)), i64(lit(3000000000L) + k)))
+        .when(m === 5L, createCb)
+        .when(m === 6L, concat(u32(lit(15L)), balanceId))
+        .when(m === 7L, concat(u32(lit(16L)), u32(lit(0L)), h16("sp"), h16("sq")))
+        .when(m === 8L, u32(lit(17L)))
+        .when(m === 9L, revoke)
+        .when(m === 10L, clawback)
+        .when(m === 11L, concat(u32(lit(20L)), balanceId))
+        .when(m === 12L, setTlFlags)
+        .when(m === 13L, concat(u32(lit(25L)), u32(lit(0L)),
+          u32(lit(100000L) + pmod(k, lit(50000L)))))
+        .otherwise(concat(u32(lit(26L)), u32(lit(0L))))
+      val xdr = concat(
+        u32(lit(2L)), u32(lit(0L)), key32,
+        u32(lit(100L)), i64(k * lit(4294967296L) + lit(1L)),
+        u32(lit(0L)), u32(lit(0L)),
+        u32(lit(1L)), u32(lit(0L)), opBody,
+        u32(lit(0L)), u32(lit(0L)))
+      txOpsExt2Project(
+        t(s, dir, "orders").filter(col("o_orderkey") % 67 === 0)
+          .select(col("o_orderkey").cast("long").as("k"))
+          .withColumn("bin", unbase64(base64(xdr))))
+    }),
 
     // All three envelope KINDS through the gate: legacy v0, v1 across
     // every Preconditions arm (NONE / TIME / V2-minimal / V2-full), and
@@ -4001,6 +4127,69 @@ object WarehouseQueries {
         |  CAST(CASE WHEN m=6 THEN 1+k%11 END AS BIGINT) AS min_price_d,
         |  CAST(CASE WHEN m=6 THEN 1+k%13 END AS BIGINT) AS max_price_n,
         |  CAST(CASE WHEN m=6 THEN 1+k%17 END AS BIGINT) AS max_price_d
+        |FROM src""".stripMargin,
+
+    // the wave-2 fixture LAW: arm m = k%15 over the 15 wave-2 op types,
+    // every per-type column restated from the row key
+    "s2_tx_ops_ext2" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS ks,
+        |    CAST(o_orderkey % 15 AS BIGINT) AS m
+        |  FROM orders WHERE o_orderkey % 67 = 0)
+        |SELECT k,
+        |  CAST(CASE m WHEN 0 THEN 7 WHEN 1 THEN 8 WHEN 2 THEN 9
+        |    WHEN 3 THEN 10 WHEN 4 THEN 11 WHEN 5 THEN 14 WHEN 6 THEN 15
+        |    WHEN 7 THEN 16 WHEN 8 THEN 17 WHEN 9 THEN 18 WHEN 10 THEN 19
+        |    WHEN 11 THEN 20 WHEN 12 THEN 21 WHEN 13 THEN 25 ELSE 26 END
+        |    AS BIGINT) AS op_type,
+        |  CASE WHEN m = 1 THEN md5(ks||'d')||md5(ks||'e') END
+        |    AS dest_payload_hex,
+        |  CAST(CASE WHEN m = 0 THEN 1 + k%2 WHEN m = 5 THEN k%2
+        |    WHEN m = 10 THEN 1 WHEN m = 12 THEN 0 END AS BIGINT)
+        |    AS asset_type,
+        |  CASE WHEN m = 0 THEN
+        |      CASE k%2 WHEN 0 THEN substring(md5(ks||'ac'),1,3)
+        |        ELSE substring(md5(ks||'ac'),1,10) END
+        |    WHEN m = 5 AND k%2 = 1 THEN substring(md5(ks||'cb'),1,3)
+        |    WHEN m = 10 THEN substring(md5(ks||'cw'),1,3)
+        |  END AS asset_code,
+        |  CASE WHEN m = 5 AND k%2 = 1 THEN md5(ks||'cbi')||md5(ks||'cbj')
+        |    WHEN m = 10 THEN md5(ks||'cwi')||md5(ks||'cwj')
+        |  END AS asset_issuer_payload_hex,
+        |  CAST(CASE WHEN m = 5 THEN 70000000 + k
+        |    WHEN m = 10 THEN 80000000 + k END AS BIGINT) AS amount,
+        |  CASE WHEN m IN (0, 12) THEN md5(ks||'d')||md5(ks||'e') END
+        |    AS trustor_payload_hex,
+        |  CAST(CASE WHEN m = 0 THEN k%3 END AS BIGINT) AS authorize,
+        |  CASE WHEN m = 3
+        |    THEN substring(md5(ks||'dn'),1,CAST(k%13 AS INTEGER))
+        |  END AS data_name,
+        |  CAST(CASE WHEN m = 3 AND k%2 = 1 THEN k%9 END AS BIGINT)
+        |    AS data_value_size,
+        |  CAST(CASE WHEN m = 4 THEN 3000000000 + k END AS BIGINT) AS bump_to,
+        |  CAST(CASE WHEN m = 5 THEN 1 + k%2 END AS BIGINT) AS n_claimants,
+        |  CASE WHEN m IN (6, 11) THEN md5(ks||'bi')||md5(ks||'bj') END
+        |    AS balance_id,
+        |  CASE WHEN m = 7 THEN md5(ks||'sp')||md5(ks||'sq') END
+        |    AS sponsored_payload_hex,
+        |  CAST(CASE WHEN m = 9 THEN k%2 END AS BIGINT) AS revoke_kind,
+        |  CAST(CASE WHEN m = 9 AND k%2 = 0 THEN 2 END AS BIGINT)
+        |    AS revoke_entry_type,
+        |  CAST(CASE WHEN m = 9 AND k%2 = 0 THEN 4000000 + k END AS BIGINT)
+        |    AS revoke_offer_id,
+        |  CASE WHEN m = 9 AND k%2 = 0 THEN md5(ks)||md5(ks||'a') END
+        |    AS revoke_seller_payload_hex,
+        |  CASE WHEN m = 9 AND k%2 = 1 THEN md5(ks)||md5(ks||'a') END
+        |    AS revoke_account_payload_hex,
+        |  CASE WHEN m = 9 AND k%2 = 1 THEN md5(ks||'rk')||md5(ks||'rl') END
+        |    AS revoke_signer_payload_hex,
+        |  CASE WHEN m = 10 THEN md5(ks||'fa')||md5(ks||'fb') END
+        |    AS from_payload_hex,
+        |  CAST(CASE WHEN m = 12 THEN k%8 END AS BIGINT) AS clear_flags,
+        |  CAST(CASE WHEN m = 12 THEN k%16 END AS BIGINT) AS set_flags,
+        |  CAST(CASE WHEN m = 13 THEN 100000 + k%50000 END AS BIGINT)
+        |    AS extend_to
         |FROM src""".stripMargin,
 
     // the envelope-kinds fixture LAW: kind by k%3, the v1 Preconditions

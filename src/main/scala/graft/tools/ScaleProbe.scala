@@ -81,12 +81,15 @@ object ScaleProbe {
     // rate a deployment multiplies out.
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("xdr")) {
       val fix = graft.queries.WarehouseQueries.txEnvelopeFixture(spark, sfDir)
-      val bigFix = (0 until mult).map { m =>
-        fix.select((col("k") + lit(m.toLong * 100000000L)).as("k"), col("bin"))
-      }.reduce(_.unionByName(_))
-        // the fixture inherits the orders table's few input splits; the
-        // probe measures DECODE, so spread it across the cores first
+      // replicate via ONE generate node (a mult-way union reduce costs
+      // quadratic analysis time past a few hundred branches), and
+      // repartition the SMALL base before the explode so the md5-heavy
+      // fixture encode and the replication both run on all cores
+      val bigFix = fix
         .repartition(cpus.toInt)
+        .select(explode(sequence(lit(0L), lit(mult.toLong - 1L))).as("m"),
+          col("k"), col("bin"))
+        .select((col("k") + col("m") * lit(100000000L)).as("k"), col("bin"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEnv = bigFix.count()
       val t0 = System.nanoTime()

@@ -742,6 +742,127 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrTxEnvelope.decode(composite :+ 0.toByte) == null)
   }
 
+  test("wave-2 op arms invert independent encoders: allow trust, account " +
+      "merge, inflation, manage data, bump sequence, the claimable-" +
+      "balance trio, sponsorship begin/end/revoke (incl. the embedded " +
+      "LedgerKey), clawback, set-trust-line-flags, footprint ops; only " +
+      "INVOKE_HOST_FUNCTION stays quarantined") {
+    val OT = XdrTxEnvelope.operationType
+    def ix(n: String) = OT.fieldIndex(n)
+    def decode1(body: Array[Byte]) = {
+      val r = XdrTxEnvelope.decode(envWithOps(Seq(body)))
+      assert(r != null, "envelope must decode")
+      r.getArray(12).getStruct(0, XdrTxEnvelope.opFieldCount)
+    }
+    def payload(op: org.apache.spark.sql.catalyst.InternalRow, col: String) =
+      StrkeyCodec.decodePayload(op.getUTF8String(ix(col))).toSeq
+
+    // ALLOW_TRUST: trustor + bare AssetCode union + authorize flag
+    val at = {
+      val w = new OpW().w32(7L).acct(50).w32(1L)
+      w.bb.write("EUR".getBytes("UTF-8"), 0, 3); w.bb.write(0)
+      w.w32(2L).bytes
+    }
+    val rAt = decode1(at)
+    assert(payload(rAt, "trustor") == hash(50).toSeq)
+    assert(rAt.getLong(ix("asset_type")) == 1L &&
+      rAt.getUTF8String(ix("asset_code")).toString == "EUR" &&
+      rAt.getLong(ix("authorize")) == 2L)
+
+    // ACCOUNT_MERGE: the body IS the destination
+    val rAm = decode1(new OpW().w32(8L).w32(0L).h(25).bytes)
+    assert(payload(rAm, "destination") == hash(25).toSeq)
+
+    // INFLATION / END_SPONSORING / RESTORE_FOOTPRINT: void bodies
+    assert(decode1(new OpW().w32(9L).bytes).getLong(0) == 9L)
+    assert(decode1(new OpW().w32(17L).bytes).getLong(0) == 17L)
+    assert(decode1(new OpW().w32(26L).w32(0L).bytes).getLong(0) == 26L)
+
+    // MANAGE_DATA: name + optional value (size surfaces, bytes do not)
+    val md = {
+      val w = new OpW().w32(10L).w32(3L)
+      w.bb.write("cfg".getBytes("UTF-8"), 0, 3); w.bb.write(0)
+      w.w32(1L).w32(5L)
+      w.bb.write(Array[Byte](1, 2, 3, 4, 5, 0, 0, 0), 0, 8)
+      w.bytes
+    }
+    val rMd = decode1(md)
+    assert(rMd.getUTF8String(ix("data_name")).toString == "cfg" &&
+      rMd.getLong(ix("data_value_size")) == 5L)
+    val rMdNone = decode1 {
+      val w = new OpW().w32(10L).w32(3L)
+      w.bb.write("cfg".getBytes("UTF-8"), 0, 3); w.bb.write(0)
+      w.w32(0L).bytes
+    }
+    assert(rMdNone.isNullAt(ix("data_value_size")))
+
+    // BUMP_SEQUENCE
+    assert(decode1(new OpW().w32(11L).w64(31337L).bytes)
+      .getLong(ix("bump_to")) == 31337L)
+
+    // CREATE_CLAIMABLE_BALANCE: asset + amount + claimant count
+    val ccb = new OpW().w32(14L).w32(0L).w64(900L).w32(2L)
+      .w32(0L).acct(41).w32(0L) // claimant 0, unconditional
+      .w32(0L).acct(42).w32(4L).w64(777L) // claimant 1, abs-before
+      .bytes
+    val rCcb = decode1(ccb)
+    assert(rCcb.getLong(ix("asset_type")) == 0L &&
+      rCcb.getLong(ix("amount")) == 900L &&
+      rCcb.getLong(ix("n_claimants")) == 2L)
+
+    // CLAIM / CLAWBACK_CLAIMABLE_BALANCE: the v0 balance id
+    for (t <- Seq(15L, 20L)) {
+      val r = decode1(new OpW().w32(t).w32(0L).h(52).bytes)
+      assert(r.getUTF8String(ix("balance_id")).toString ==
+        hash(52).map("%02x".format(_)).mkString, s"arm $t")
+    }
+
+    // BEGIN_SPONSORING_FUTURE_RESERVES
+    assert(payload(decode1(new OpW().w32(16L).acct(53).bytes),
+      "sponsored_id") == hash(53).toSeq)
+
+    // REVOKE_SPONSORSHIP: the embedded LedgerKey arm (an offer key)...
+    val rv0 = decode1(new OpW().w32(18L).w32(0L)
+      .w32(2L).acct(54).w64(99L).bytes)
+    assert(rv0.getLong(ix("revoke_kind")) == 0L)
+    val rk = rv0.getStruct(ix("revoke_key"), XdrLedgerKey.ledgerKeyType.length)
+    assert(rk.getLong(0) == 2L) // OFFER
+    assert(rk.getLong(XdrLedgerKey.ledgerKeyType.fieldIndex("offer_id")) == 99L)
+    // ...and the signer arm
+    val rv1 = decode1(new OpW().w32(18L).w32(1L).acct(55).w32(0L).h(56).bytes)
+    assert(rv1.getLong(ix("revoke_kind")) == 1L)
+    assert(payload(rv1, "revoke_account") == hash(55).toSeq)
+    assert(payload(rv1, "revoke_signer_key") == hash(56).toSeq)
+
+    // CLAWBACK: asset + from + amount
+    val cw = decode1(new OpW().w32(19L).asset(1, "USD", 57)
+      .w32(0L).h(58).w64(800L).bytes)
+    assert(cw.getUTF8String(ix("asset_code")).toString == "USD" &&
+      payload(cw, "from_account") == hash(58).toSeq &&
+      cw.getLong(ix("amount")) == 800L)
+
+    // SET_TRUST_LINE_FLAGS reuses the clear/set flag columns
+    val tf = decode1(new OpW().w32(21L).acct(50).w32(0L).w32(3L).w32(5L).bytes)
+    assert(payload(tf, "trustor") == hash(50).toSeq &&
+      tf.getLong(ix("clear_flags")) == 3L && tf.getLong(ix("set_flags")) == 5L)
+
+    // EXTEND_FOOTPRINT_TTL
+    assert(decode1(new OpW().w32(25L).w32(0L).w32(424242L).bytes)
+      .getLong(ix("extend_to")) == 424242L)
+
+    // the one remaining boundary: INVOKE_HOST_FUNCTION quarantines
+    assert(XdrTxEnvelope.decode(
+      envWithOps(Seq(new OpW().w32(24L).w32(0L).bytes))) == null)
+    // prefix sweep over an envelope composing four wave-2 arms
+    val composite = envWithOps(Seq(at, ccb,
+      new OpW().w32(18L).w32(0L).w32(2L).acct(54).w64(99L).bytes, md))
+    assert(XdrTxEnvelope.decode(composite) != null)
+    (0 until composite.length).foreach { n =>
+      assert(XdrTxEnvelope.decode(composite.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTxEnvelope.decode(composite :+ 0.toByte) == null)
+  }
+
   test("ConfigSettingEntry: every scalar arm inverts its protocol-20 " +
       "layout, the cost-params vector flattens to const/linear pairs, " +
       "the size window passes through; unknown ids, bad bools, and " +
