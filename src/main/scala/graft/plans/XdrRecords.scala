@@ -910,10 +910,23 @@ object XdrLedgerKey {
   * CREATE/CLAIM/CLAWBACK_CLAIMABLE_BALANCE, BEGIN/END_SPONSORING,
   * REVOKE_SPONSORSHIP (its ledgerKey arm embeds the full
   * [[XdrLedgerKey]] decode as a nested struct), CLAWBACK,
-  * SET_TRUST_LINE_FLAGS, EXTEND_FOOTPRINT_TTL, RESTORE_FOOTPRINT.
-  * DECODE BOUNDARY: of the 27 operation types only
-  * INVOKE_HOST_FUNCTION (the open-ended Soroban host-call union)
-  * quarantines to NULL. */
+  * SET_TRUST_LINE_FLAGS, EXTEND_FOOTPRINT_TTL, RESTORE_FOOTPRINT —
+  * and INVOKE_HOST_FUNCTION, whose HostFunction union decodes all four
+  * arms (invoke-contract with the SCVal args walked and counted,
+  * create-contract v1/v2 with the ID preimage and executable, wasm
+  * upload with the size surfaced) and whose SorobanAuthorizationEntry
+  * vector is structurally validated in full (credentials union + the
+  * recursive authorized-invocation tree). ALL 27 operation types
+  * decode; what stays summarized rather than rendered are the SCVal
+  * argument VALUES (walked, counted, quarantined on malformation) —
+  * per-value rendering composes from [[XdrContractDataEntry]]'s
+  * walker when a mart needs it.
+  *
+  * The v1 transaction ext's SorobanTransactionData arm also decodes:
+  * declared resources (instructions / read / write bytes), the
+  * resource fee, and the footprint's LedgerKey vectors (each key fully
+  * parsed via [[XdrLedgerKey]], counts surfaced) — so real Soroban
+  * transactions no longer quarantine at the ext. */
 object XdrTxEnvelope {
 
   /** One `path` element — the reference's repeated asset RECORD. */
@@ -992,12 +1005,85 @@ object XdrTxEnvelope {
     // clawback
     StructField("from_account", StringType),
     // Soroban footprint maintenance
-    StructField("extend_to", LongType)))
+    StructField("extend_to", LongType),
+    // invoke host function: 0 invoke contract, 1 create contract,
+    // 2 upload wasm, 3 create contract v2
+    StructField("host_fn_type", LongType),
+    StructField("invoke_contract", StringType),
+    StructField("invoke_function", StringType),
+    StructField("n_invoke_args", LongType),
+    StructField("wasm_hash", StringType),
+    StructField("wasm_size", LongType),
+    StructField("n_auth", LongType)))
 
   val opFieldCount: Int = operationType.length
 
   private def hex32(c: XdrCursor): UTF8String = UTF8String.fromString(
     c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+
+  private def scAddress(c: XdrCursor): UTF8String = c.u32() match {
+    case 0L => c.accountId()
+    case 1L => StrkeyCodec.encode(16, c.bytes(32))
+    case _  => throw XdrCursor.Malformed
+  }
+
+  /** InvokeContractArgs: SCAddress + SCSymbol + SCVal args<> (each arg
+    * fully walked, the count surfaced). */
+  private def invokeArgs(c: XdrCursor): (UTF8String, UTF8String, Long) = {
+    val addr = scAddress(c)
+    val fn = UTF8String.fromBytes(c.varBytes(32)) // SCSymbol
+    val n = c.u32()
+    if (n > 128) throw XdrCursor.Malformed
+    var i = 0L
+    while (i < n) { XdrContractDataEntry.scval(c, 1); i += 1 }
+    (addr, fn, n)
+  }
+
+  /** CreateContractArgs (V2 adds constructor args): the ID preimage
+    * (address+salt or asset) + the executable (wasm hash or the
+    * stellar-asset builtin), written into `f` when it is the op's own
+    * row (the auth walker passes a scratch array). */
+  private def createArgs(c: XdrCursor, f: Array[Any], v2: Boolean): Unit = {
+    c.u32() match { // ContractIDPreimage
+      case 0L => // FROM_ADDRESS: SCAddress + uint256 salt
+        f(59) = scAddress(c)
+        c.skip(32)
+      case 1L => // FROM_ASSET
+        val (aT, aC, aI) = c.asset()
+        f(3) = aT; f(4) = aC; f(5) = aI
+      case _ => throw XdrCursor.Malformed
+    }
+    c.u32() match { // ContractExecutable
+      case 0L => f(62) = hex32(c) // CONTRACT_EXECUTABLE_WASM
+      case 1L => ()               // CONTRACT_EXECUTABLE_STELLAR_ASSET
+      case _  => throw XdrCursor.Malformed
+    }
+    if (v2) { // SCVal constructorArgs<>
+      val n = c.u32()
+      if (n > 128) throw XdrCursor.Malformed
+      var i = 0L
+      while (i < n) { XdrContractDataEntry.scval(c, 1); i += 1 }
+      f(61) = n
+    }
+  }
+
+  /** SorobanAuthorizedInvocation: the function union + the recursive
+    * sub-invocation vector, fully parsed (nothing surfaced beyond the
+    * auth count — this is structural validation). */
+  private def authInvocation(c: XdrCursor, depth: Int): Unit = {
+    if (depth > 8) throw XdrCursor.Malformed
+    val scratch = new Array[Any](opFieldCount)
+    c.u32() match {
+      case 0L => invokeArgs(c)
+      case 1L => createArgs(c, scratch, v2 = false)
+      case 2L => createArgs(c, scratch, v2 = true)
+      case _  => throw XdrCursor.Malformed
+    }
+    val n = c.u32()
+    if (n > 16) throw XdrCursor.Malformed
+    var i = 0L
+    while (i < n) { authInvocation(c, depth + 1); i += 1 }
+  }
 
   /** One Operation body → the wide per-type row ([[operationType]]
     * order). `opSrc` is the already-decoded optional per-op source. */
@@ -1177,7 +1263,37 @@ object XdrTxEnvelope {
         f(57) = c.u32()
       case 26L => // RESTORE_FOOTPRINT: ExtensionPoint only
         c.expect(0L)
-      case _ => throw XdrCursor.Malformed // boundary: INVOKE_HOST_FUNCTION
+      case 24L => // INVOKE_HOST_FUNCTION: the HostFunction union + the
+        // SorobanAuthorizationEntry vector (credentials + the recursive
+        // authorized-invocation tree, fully parsed; counts surface)
+        val ft = c.u32()
+        f(58) = ft
+        ft match {
+          case 0L =>
+            val (addr, fn, n) = invokeArgs(c)
+            f(59) = addr; f(60) = fn; f(61) = n
+          case 1L => createArgs(c, f, v2 = false)
+          case 3L => createArgs(c, f, v2 = true)
+          case 2L => // UPLOAD_CONTRACT_WASM: size surfaces, bytes do not
+            f(63) = c.varBytes(Int.MaxValue).length.toLong
+          case _ => throw XdrCursor.Malformed
+        }
+        val nAuth = c.u32()
+        if (nAuth > 16) throw XdrCursor.Malformed
+        var ai = 0L
+        while (ai < nAuth) {
+          c.u32() match { // SorobanCredentials
+            case 0L => () // SOURCE_ACCOUNT: void
+            case 1L => // ADDRESS: address, nonce, expiration, signature
+              scAddress(c); c.i64(); c.u32()
+              XdrContractDataEntry.scval(c, 1)
+            case _ => throw XdrCursor.Malformed
+          }
+          authInvocation(c, 1)
+          ai += 1
+        }
+        f(64) = nAuth
+      case _ => throw XdrCursor.Malformed // no remaining op types
     }
     new GenericInternalRow(f)
   }
@@ -1211,7 +1327,16 @@ object XdrTxEnvelope {
     StructField("min_seq_num", LongType),
     StructField("min_seq_age", LongType),
     StructField("min_seq_ledger_gap", LongType),
-    StructField("n_extra_signers", LongType)))
+    StructField("n_extra_signers", LongType),
+    // SorobanTransactionData (the v1 tx ext's case-1 arm): declared
+    // resources + fee, with the footprint's LedgerKeys counted after a
+    // full per-key parse
+    StructField("soroban_resource_fee", LongType),
+    StructField("soroban_instructions", LongType),
+    StructField("soroban_read_bytes", LongType),
+    StructField("soroban_write_bytes", LongType),
+    StructField("n_footprint_ro", LongType),
+    StructField("n_footprint_rw", LongType)))
 
   /** Field count of [[txEnvelopeType]] — row width for the builders. */
   val envFieldCount: Int = txEnvelopeType.length
@@ -1286,7 +1411,26 @@ object XdrTxEnvelope {
     }
     f(10) = nOps
     f(12) = new GenericArrayData(ops)
-    c.expect(0L) // tx ext
+    c.u32() match { // tx ext
+      case 0L => ()
+      case 1L if !v0 => // SorobanTransactionData: ext + resources + fee,
+        // the footprint's LedgerKeys each fully parsed
+        c.expect(0L) // ExtensionPoint
+        val nRo = c.u32()
+        if (nRo > 128) throw XdrCursor.Malformed
+        var ri = 0L
+        while (ri < nRo) { XdrLedgerKey.parse(c); ri += 1 }
+        val nRw = c.u32()
+        if (nRw > 128) throw XdrCursor.Malformed
+        var wi = 0L
+        while (wi < nRw) { XdrLedgerKey.parse(c); wi += 1 }
+        f(24) = c.u32() // instructions
+        f(25) = c.u32() // readBytes
+        f(26) = c.u32() // writeBytes
+        f(23) = c.i64() // resourceFee
+        f(27) = nRo; f(28) = nRw
+      case _ => throw XdrCursor.Malformed
+    }
     val nSigs = c.u32()
     if (nSigs > 20) throw XdrCursor.Malformed // signatures<20>
     var si = 0L

@@ -2186,6 +2186,108 @@ object WarehouseQueries {
           .withColumn("bin", unbase64(base64(xdr))))
     }),
 
+    // The Soroban surface through the gate: INVOKE_HOST_FUNCTION across
+    // all four HostFunction arms (k%4) — invoke-contract with walked
+    // args, create v1 (address preimage + wasm executable), wasm upload
+    // (size only), create v2 (asset preimage + builtin executable +
+    // constructor args) — each with k%2 auth entries, and the
+    // SorobanTransactionData tx ext on odd rows (resources + footprint
+    // LedgerKey vectors, each key fully parsed).
+    "s2_soroban" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val m = pmod(k, lit(4L))
+      val fnLen = pmod(k, lit(9L)) + lit(1L)
+      val nArgs = pmod(k, lit(3L))
+      def arg(i: Int): Column =
+        when(nArgs > i, concat(u32(lit(3L)), u32(pmod(k, lit(100L)) + lit(i.toLong))))
+          .otherwise(unhex(lit("")))
+      val invokeFn = concat(u32(lit(0L)),
+        u32(lit(1L)), h16("ic1"), h16("ic2"), // SCAddress: contract
+        varStr(substring(md5(concat(ks, lit("fn"))), 1, 9), fnLen),
+        u32(nArgs), arg(0), arg(1))
+      val createV1 = concat(u32(lit(1L)),
+        u32(lit(0L)), u32(lit(0L)), u32(lit(0L)), key32, // addr preimage
+        h16("sl1"), h16("sl2"),                          // salt
+        u32(lit(0L)), h16("wh1"), h16("wh2"))            // wasm executable
+      val wasmLen = pmod(k, lit(40L)) + lit(8L)
+      val upload = concat(u32(lit(2L)),
+        varStr(concat(md5(concat(ks, lit("wa"))), md5(concat(ks, lit("wb")))),
+          wasmLen))
+      val createV2 = concat(u32(lit(3L)),
+        u32(lit(1L)), u32(lit(1L)), // asset preimage: alphanum4
+        substring(md5(concat(ks, lit("ca"))), 1, 3).cast("binary"),
+        unhex(lit("00")), u32(lit(0L)), h16("cai"), h16("caj"),
+        u32(lit(1L)),               // executable: stellar asset
+        u32(pmod(k, lit(2L))),      // constructorArgs: 0 or 1 SCV_VOID
+        when(pmod(k, lit(2L)) === 1L, u32(lit(1L))).otherwise(unhex(lit(""))))
+      val hostFn = when(m === 0L, invokeFn).when(m === 1L, createV1)
+        .when(m === 2L, upload).otherwise(createV2)
+      // k%2 auth entries: source-account credentials + a contract-fn
+      // root with no sub-invocations
+      val auth = when(pmod(k, lit(2L)) === 1L,
+        concat(u32(lit(1L)), u32(lit(0L)),
+          u32(lit(0L)), u32(lit(1L)), h16("au1"), h16("au2"),
+          varStr(substring(md5(concat(ks, lit("af"))), 1, 1), lit(1L)),
+          u32(lit(0L)), u32(lit(0L))))
+        .otherwise(u32(lit(0L)))
+      val opBody = concat(u32(lit(24L)), hostFn, auth)
+      def roKey(i: Int): Column =
+        when(pmod(k, lit(3L)) > i,
+          concat(u32(lit(0L)), u32(lit(0L)), h16(s"ro${i}a"), h16(s"ro${i}b")))
+          .otherwise(unhex(lit("")))
+      val soroExt = when(pmod(k, lit(2L)) === 1L,
+        concat(u32(lit(1L)), u32(lit(0L)),
+          u32(pmod(k, lit(3L))), roKey(0), roKey(1),
+          u32(lit(1L)), u32(lit(9L)), h16("rwa"), h16("rwb"),
+          u32(lit(5000000L) + pmod(k, lit(1000L))),
+          u32(lit(1024L) + pmod(k, lit(64L))),
+          u32(lit(2048L) + pmod(k, lit(128L))),
+          i64(lit(700000L) + k)))
+        .otherwise(u32(lit(0L)))
+      val xdr = concat(
+        u32(lit(2L)), u32(lit(0L)), key32,
+        u32(lit(100L)), i64(k * lit(4294967296L) + lit(1L)),
+        u32(lit(0L)), u32(lit(0L)),
+        u32(lit(1L)), u32(lit(0L)), opBody,
+        soroExt, u32(lit(0L)))
+      t(s, dir, "orders").filter(col("o_orderkey") % 71 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_tx_envelope", col("bin")))
+        .select(col("k"), col("h"),
+          posexplode_outer(col("h.operations")).as(Seq("i", "op")))
+        .filter(col("i").isNotNull)
+        .select(col("k"),
+          col("op.op_type").as("op_type"),
+          col("op.host_fn_type").as("host_fn_type"),
+          substring(col("op.invoke_contract"), 1, 1).as("invoke_prefix"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.invoke_contract")))).as("invoke_contract_payload_hex"),
+          col("op.invoke_function").as("invoke_function"),
+          col("op.n_invoke_args").as("n_invoke_args"),
+          col("op.wasm_hash").as("wasm_hash"),
+          col("op.wasm_size").as("wasm_size"),
+          col("op.n_auth").as("n_auth"),
+          col("op.asset_type").as("asset_type"),
+          col("op.asset_code").as("asset_code"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.asset_issuer")))).as("asset_issuer_payload_hex"),
+          col("h.soroban_resource_fee").as("soroban_resource_fee"),
+          col("h.soroban_instructions").as("soroban_instructions"),
+          col("h.soroban_read_bytes").as("soroban_read_bytes"),
+          col("h.soroban_write_bytes").as("soroban_write_bytes"),
+          col("h.n_footprint_ro").as("n_footprint_ro"),
+          col("h.n_footprint_rw").as("n_footprint_rw"))
+    }),
+
     // All three envelope KINDS through the gate: legacy v0, v1 across
     // every Preconditions arm (NONE / TIME / V2-minimal / V2-full), and
     // the fee-bump wrap — the envelope surface of the reference's
@@ -4190,6 +4292,46 @@ object WarehouseQueries {
         |  CAST(CASE WHEN m = 12 THEN k%16 END AS BIGINT) AS set_flags,
         |  CAST(CASE WHEN m = 13 THEN 100000 + k%50000 END AS BIGINT)
         |    AS extend_to
+        |FROM src""".stripMargin,
+
+    // the Soroban fixture LAW: host-fn arm by k%4, auth by k%2, the tx
+    // resource ext on odd rows, every surfaced column from the row key
+    "s2_soroban" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS ks,
+        |    CAST(o_orderkey % 4 AS BIGINT) AS m
+        |  FROM orders WHERE o_orderkey % 71 = 0)
+        |SELECT k,
+        |  CAST(24 AS BIGINT) AS op_type,
+        |  m AS host_fn_type,
+        |  CASE WHEN m = 0 THEN 'C' WHEN m = 1 THEN 'G' END AS invoke_prefix,
+        |  CASE WHEN m = 0 THEN md5(ks||'ic1')||md5(ks||'ic2')
+        |    WHEN m = 1 THEN md5(ks)||md5(ks||'a')
+        |  END AS invoke_contract_payload_hex,
+        |  CASE WHEN m = 0
+        |    THEN substring(md5(ks||'fn'),1,CAST(k%9 AS INTEGER)+1)
+        |  END AS invoke_function,
+        |  CAST(CASE WHEN m = 0 THEN k%3 WHEN m = 3 THEN k%2 END AS BIGINT)
+        |    AS n_invoke_args,
+        |  CASE WHEN m = 1 THEN md5(ks||'wh1')||md5(ks||'wh2') END
+        |    AS wasm_hash,
+        |  CAST(CASE WHEN m = 2 THEN k%40+8 END AS BIGINT) AS wasm_size,
+        |  CAST(k%2 AS BIGINT) AS n_auth,
+        |  CAST(CASE WHEN m = 3 THEN 1 END AS BIGINT) AS asset_type,
+        |  CASE WHEN m = 3 THEN substring(md5(ks||'ca'),1,3) END AS asset_code,
+        |  CASE WHEN m = 3 THEN md5(ks||'cai')||md5(ks||'caj') END
+        |    AS asset_issuer_payload_hex,
+        |  CAST(CASE WHEN k%2 = 1 THEN 700000+k END AS BIGINT)
+        |    AS soroban_resource_fee,
+        |  CAST(CASE WHEN k%2 = 1 THEN 5000000+k%1000 END AS BIGINT)
+        |    AS soroban_instructions,
+        |  CAST(CASE WHEN k%2 = 1 THEN 1024+k%64 END AS BIGINT)
+        |    AS soroban_read_bytes,
+        |  CAST(CASE WHEN k%2 = 1 THEN 2048+k%128 END AS BIGINT)
+        |    AS soroban_write_bytes,
+        |  CAST(CASE WHEN k%2 = 1 THEN k%3 END AS BIGINT) AS n_footprint_ro,
+        |  CAST(CASE WHEN k%2 = 1 THEN 1 END AS BIGINT) AS n_footprint_rw
         |FROM src""".stripMargin,
 
     // the envelope-kinds fixture LAW: kind by k%3, the v1 Preconditions

@@ -745,8 +745,7 @@ class XdrRecordsSpec extends SparkSpec {
   test("wave-2 op arms invert independent encoders: allow trust, account " +
       "merge, inflation, manage data, bump sequence, the claimable-" +
       "balance trio, sponsorship begin/end/revoke (incl. the embedded " +
-      "LedgerKey), clawback, set-trust-line-flags, footprint ops; only " +
-      "INVOKE_HOST_FUNCTION stays quarantined") {
+      "LedgerKey), clawback, set-trust-line-flags, footprint ops") {
     val OT = XdrTxEnvelope.operationType
     def ix(n: String) = OT.fieldIndex(n)
     def decode1(body: Array[Byte]) = {
@@ -850,7 +849,7 @@ class XdrRecordsSpec extends SparkSpec {
     assert(decode1(new OpW().w32(25L).w32(0L).w32(424242L).bytes)
       .getLong(ix("extend_to")) == 424242L)
 
-    // the one remaining boundary: INVOKE_HOST_FUNCTION quarantines
+    // a truncated INVOKE_HOST_FUNCTION body still quarantines
     assert(XdrTxEnvelope.decode(
       envWithOps(Seq(new OpW().w32(24L).w32(0L).bytes))) == null)
     // prefix sweep over an envelope composing four wave-2 arms
@@ -861,6 +860,152 @@ class XdrRecordsSpec extends SparkSpec {
       assert(XdrTxEnvelope.decode(composite.take(n)) == null, s"prefix $n")
     }
     assert(XdrTxEnvelope.decode(composite :+ 0.toByte) == null)
+  }
+
+  test("INVOKE_HOST_FUNCTION decodes all four HostFunction arms with the " +
+      "auth tree structurally validated, and SorobanTransactionData " +
+      "(resources + footprint keys) decodes on the v1 tx ext; malformed " +
+      "interiors and over-limit vectors reject") {
+    val OT = XdrTxEnvelope.operationType
+    def ix(n: String) = OT.fieldIndex(n)
+    val ET = XdrTxEnvelope.txEnvelopeType
+    def ex(n: String) = ET.fieldIndex(n)
+    var dbgN = 0
+    def decode1(body: Array[Byte]) = {
+      dbgN += 1
+      val r = XdrTxEnvelope.decode(envWithOps(Seq(body)))
+      assert(r != null, s"envelope must decode (call #$dbgN, body=" +
+        body.map("%02x".format(_)).mkString + ")")
+      r.getArray(12).getStruct(0, XdrTxEnvelope.opFieldCount)
+    }
+    def wSym(w: OpW, s: String): OpW = {
+      w.w32(s.length.toLong)
+      w.bb.write(s.getBytes("UTF-8"), 0, s.length)
+      var pad = (4 - s.length % 4) % 4
+      while (pad > 0) { w.bb.write(0); pad -= 1 }
+      w
+    }
+    // invoke-contract: C-address, symbol fn, two walked args; one auth
+    // entry with source-account credentials and a contract-fn root
+    // carrying one sub-invocation
+    val inv = {
+      val w = new OpW().w32(24L).w32(0L)
+      w.w32(1L).h(80) // SCAddress: contract
+      wSym(w, "transfer")
+      w.w32(2L).w32(3L).w32(7L) // arg 0: SCV_U32
+      w.w32(10L).w64(-1L).w64(-5000L) // arg 1: SCV_I128
+      w.w32(1L) // one auth entry
+      w.w32(0L) // SOROBAN_CREDENTIALS_SOURCE_ACCOUNT
+      w.w32(0L); w.w32(1L).h(80); wSym(w, "inner"); w.w32(0L) // root fn
+      w.w32(1L) // one sub-invocation
+      w.w32(0L); w.w32(1L).h(81); wSym(w, "leaf"); w.w32(0L)
+      w.w32(0L) // its sub-invocations: none
+      w.bytes
+    }
+    val rInv = decode1(inv)
+    assert(rInv.getLong(ix("host_fn_type")) == 0L)
+    assert(rInv.getUTF8String(ix("invoke_contract")).toString.head == 'C')
+    assert(StrkeyCodec.decodePayload(
+      rInv.getUTF8String(ix("invoke_contract"))).toSeq == hash(80).toSeq)
+    assert(rInv.getUTF8String(ix("invoke_function")).toString == "transfer")
+    assert(rInv.getLong(ix("n_invoke_args")) == 2L)
+    assert(rInv.getLong(ix("n_auth")) == 1L)
+    // create v1: from-address preimage + wasm executable
+    val cr1 = {
+      val w = new OpW().w32(24L).w32(1L)
+      // FROM_ADDRESS: SCAddress(account arm + PublicKey arm) + salt
+      w.w32(0L).w32(0L).w32(0L).h(82).h(83)
+      w.w32(0L).h(84)               // executable: wasm hash
+      w.w32(0L)                     // no auth
+      w.bytes
+    }
+    val rCr1 = decode1(cr1)
+    assert(rCr1.getLong(ix("host_fn_type")) == 1L)
+    assert(StrkeyCodec.decodePayload(
+      rCr1.getUTF8String(ix("invoke_contract"))).toSeq == hash(82).toSeq)
+    assert(rCr1.getUTF8String(ix("wasm_hash")).toString ==
+      hash(84).map("%02x".format(_)).mkString)
+    assert(rCr1.isNullAt(ix("n_invoke_args")))
+    // create v2: from-asset preimage + stellar-asset executable + one
+    // constructor arg
+    val cr2 = {
+      val w = new OpW().w32(24L).w32(3L)
+      w.w32(1L).asset(1, "USD", 85) // FROM_ASSET
+      w.w32(1L)                     // executable: stellar asset
+      w.w32(1L).w32(1L)             // constructorArgs: one SCV_VOID
+      w.w32(0L)                     // no auth
+      w.bytes
+    }
+    val rCr2 = decode1(cr2)
+    assert(rCr2.getLong(ix("host_fn_type")) == 3L)
+    assert(rCr2.getUTF8String(ix("asset_code")).toString == "USD")
+    assert(rCr2.getLong(ix("n_invoke_args")) == 1L)
+    assert(rCr2.isNullAt(ix("wasm_hash")))
+    // upload: size surfaces, bytes stay out of the row
+    val up = {
+      val w = new OpW().w32(24L).w32(2L).w32(37L)
+      w.bb.write(Array.tabulate[Byte](40)(i =>
+        if (i < 37) (i + 1).toByte else 0), 0, 40)
+      w.w32(0L)
+      w.bytes
+    }
+    assert(decode1(up).getLong(ix("wasm_size")) == 37L)
+    // address credentials also parse
+    val withAddrCred = {
+      val w = new OpW().w32(24L).w32(2L).w32(0L) // empty wasm
+      w.w32(1L) // one auth entry
+      w.w32(1L).w32(0L).w32(0L).h(86) // ADDRESS credentials: G-address
+      w.w64(9L).w32(100L).w32(1L)     // nonce, expiration, SCV_VOID sig
+      w.w32(0L).w32(1L).h(87); wSym(w, "f"); w.w32(0L); w.w32(0L)
+      w.bytes
+    }
+    assert(decode1(withAddrCred).getLong(ix("n_auth")) == 1L)
+    // SorobanTransactionData on the tx ext: two ro keys + one rw key
+    val soroEnv = {
+      val w = new OpW()
+      w.w32(2L).w32(0L).h(20).w32(500L).w64(9000000L).w32(0L).w32(0L)
+      w.w32(1L).w32(0L)
+      w.bb.write(up, 0, up.length) // the upload op
+      w.w32(1L)                    // tx ext: SorobanTransactionData
+      w.w32(0L)                    // its ExtensionPoint
+      w.w32(2L)                    // footprint.readOnly: 2 keys
+      w.w32(0L).w32(0L).h(88)      // ACCOUNT key
+      w.w32(9L).h(89)              // TTL key
+      w.w32(1L)                    // footprint.readWrite: 1 key
+      w.w32(7L).h(90)              // CONTRACT_CODE key
+      w.w32(5000000L).w32(1024L).w32(2048L) // instructions, read, write
+      w.w64(777777L)               // resourceFee
+      w.w32(0L)                    // no signatures
+      w.bytes
+    }
+    val rs = XdrTxEnvelope.decode(soroEnv)
+    assert(rs != null)
+    assert(rs.getLong(ex("soroban_resource_fee")) == 777777L)
+    assert(rs.getLong(ex("soroban_instructions")) == 5000000L)
+    assert(rs.getLong(ex("soroban_read_bytes")) == 1024L)
+    assert(rs.getLong(ex("soroban_write_bytes")) == 2048L)
+    assert(rs.getLong(ex("n_footprint_ro")) == 2L)
+    assert(rs.getLong(ex("n_footprint_rw")) == 1L)
+    // a plain tx leaves the soroban columns null
+    val plain = XdrTxEnvelope.decode(envWithOps(Seq(up)))
+    assert(plain.isNullAt(ex("soroban_resource_fee")) &&
+      plain.isNullAt(ex("n_footprint_ro")))
+    // rejects: unknown host-fn arm, unknown credential kind, a
+    // malformed footprint key, and the whole-envelope prefix sweep
+    assert(XdrTxEnvelope.decode(envWithOps(Seq(
+      new OpW().w32(24L).w32(4L).w32(0L).bytes))) == null)
+    assert(XdrTxEnvelope.decode(envWithOps(Seq {
+      val w = new OpW().w32(24L).w32(2L).w32(0L)
+      w.w32(1L).w32(2L).bytes // credential kind 2
+    })) == null)
+    (0 until soroEnv.length).foreach { n =>
+      assert(XdrTxEnvelope.decode(soroEnv.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTxEnvelope.decode(soroEnv :+ 0.toByte) == null)
+    val compInv = envWithOps(Seq(inv, cr2))
+    (0 until compInv.length).foreach { n =>
+      assert(XdrTxEnvelope.decode(compInv.take(n)) == null, s"inv prefix $n")
+    }
   }
 
   test("ConfigSettingEntry: every scalar arm inverts its protocol-20 " +
