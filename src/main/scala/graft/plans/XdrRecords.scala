@@ -558,19 +558,19 @@ object XdrClaimableBalanceEntry {
 
 /** Full `ContractDataEntry` decode (Stellar-contract/ledger-entries.x,
   * the Soroban-era `contract_data` table): contract address, durability,
-  * and the key/val SCVal trees. SCVal is a large recursive union; the
-  * walker covers the arms a data pipeline reads — BOOL, VOID, U32, I32,
-  * U64, I64, TIMEPOINT, DURATION, the 128-bit U128/I128 parts (token
-  * amounts are i128 — surfaced as Decimal(38,0); the 39-digit extremes
-  * past 10^38 quarantine, a documented boundary), BYTES, STRING,
-  * SYMBOL, SCV_ADDRESS (account/contract strkeys in the text slot), and
-  * the recursive VEC/MAP containers (depth-16 guard) — and QUARANTINES
-  * the exotic rest (errors, 256-bit ints, contract instances) to NULL,
-  * the documented boundary posture; extending the switch is mechanical.
-  * Each tree is summarized to queryable columns: type, node count,
-  * depth, and the scalar rendering when the value IS a scalar (64-bit
-  * numerics as i64, 128-bit as decimal, text/symbol/address as string,
-  * bytes as hex).
+  * and the key/val SCVal trees. The walker is TOTAL over the SCVal
+  * union — BOOL, VOID, ERROR (type + code), U32, I32, U64, I64,
+  * TIMEPOINT, DURATION, the 128-bit parts (token amounts are i128 —
+  * surfaced as Decimal(38,0); the 39-digit extremes past 10^38
+  * quarantine, a documented boundary), the 256-bit parts (digit string
+  * in the text slot — too wide for any Spark decimal), BYTES, STRING,
+  * SYMBOL, the recursive VEC/MAP containers (depth-16 guard),
+  * SCV_ADDRESS (account/contract strkeys in the text slot),
+  * CONTRACT_INSTANCE (executable + storage map), and both ledger-key
+  * arms. Each tree is summarized to queryable columns — type, node
+  * count, depth, the scalar rendering when the value IS a scalar — and
+  * the whole tree renders as the deterministic JSON document the
+  * reference's key_decoded / val_decoded columns carry.
   */
 object XdrContractDataEntry {
 
@@ -587,7 +587,12 @@ object XdrContractDataEntry {
     StructField("val_num", LongType),
     StructField("val_dec", DecimalType(38, 0)),
     StructField("val_nodes", LongType),
-    StructField("val_depth", LongType)))
+    StructField("val_depth", LongType),
+    // the reference's key_decoded / val_decoded JSON columns: the whole
+    // tree rendered during the same walk (see scval's doc for the
+    // deterministic rendering rules)
+    StructField("key_json", StringType),
+    StructField("val_json", StringType)))
 
   // Decimal(38,0) bound: 128-bit values at or past 10^38 quarantine
   private val decMax = new java.math.BigInteger("1" + "0" * 38)
@@ -602,49 +607,102 @@ object XdrContractDataEntry {
     Decimal(new java.math.BigDecimal(big), 38, 0)
   }
 
+  private def jsonStr(sb: java.lang.StringBuilder, s: UTF8String): Unit = {
+    sb.append('"')
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      str.charAt(i) match {
+        case '"'          => sb.append("\\\"")
+        case '\\'         => sb.append("\\\\")
+        case ch if ch < ' ' => sb.append(f"\\u${ch.toInt}%04x")
+        case ch           => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
   /** Walk one SCVal:
-    * (type, nodes, depth, text-or-null, num-or-null, dec-or-null). */
-  private[plans] def scval(c: XdrCursor, depth: Int)
+    * (type, nodes, depth, text-or-null, num-or-null, dec-or-null).
+    * When `sb` is non-null the walk ALSO renders the whole tree as a
+    * deterministic JSON document — the reference's `key_decoded` /
+    * `val_decoded` surface: 64-bit numerics and bool/void as JSON
+    * literals, 128-bit decimals as quoted digit strings (JSON numbers
+    * would lose precision downstream), bytes as a quoted "0x<hex>"
+    * string, string/symbol/address as JSON strings, VEC as an array,
+    * and MAP as an array of [key, value] pairs (SCVal map keys are not
+    * restricted to strings, so a JSON object cannot carry them). */
+  private[plans] def scval(c: XdrCursor, depth: Int,
+                           sb: java.lang.StringBuilder = null)
   : (Long, Long, Long, Any, Any, Any) = {
     if (depth > 16) throw XdrCursor.Malformed
     val t = c.u32()
     t match {
-      case 0L => (t, 1L, 1L, null, c.u32(), null) // SCV_BOOL as 0/1
-      case 1L => (t, 1L, 1L, null, null, null)    // SCV_VOID
-      case 3L => (t, 1L, 1L, null, c.u32(), null) // SCV_U32
+      case 0L => // SCV_BOOL as 0/1
+        val v = c.u32()
+        if (sb != null) sb.append(if (v != 0L) "true" else "false")
+        (t, 1L, 1L, null, v, null)
+      case 1L => // SCV_VOID
+        if (sb != null) sb.append("null")
+        (t, 1L, 1L, null, null, null)
+      case 3L => // SCV_U32
+        val v = c.u32()
+        if (sb != null) sb.append(v)
+        (t, 1L, 1L, null, v, null)
       case 4L => // SCV_I32: sign-extend the 32-bit value
-        (t, 1L, 1L, null, c.u32().toInt.toLong, null)
+        val v = c.u32().toInt.toLong
+        if (sb != null) sb.append(v)
+        (t, 1L, 1L, null, v, null)
       case 5L | 6L | 7L | 8L => // U64 / I64 / TIMEPOINT / DURATION
-        (t, 1L, 1L, null, c.i64(), null)
-      case 9L => // SCV_U128: UInt128Parts { uint64 hi; uint64 lo }
-        (t, 1L, 1L, null, null, dec128(c.i64(), c.i64(), signedHi = false))
-      case 10L => // SCV_I128: Int128Parts { int64 hi; uint64 lo }
-        (t, 1L, 1L, null, null, dec128(c.i64(), c.i64(), signedHi = true))
+        val v = c.i64()
+        if (sb != null) sb.append(v)
+        (t, 1L, 1L, null, v, null)
+      case 9L | 10L => // SCV_U128 / SCV_I128: hi/lo parts
+        val d = dec128(c.i64(), c.i64(), signedHi = t == 10L)
+        if (sb != null) sb.append('"').append(d.toString).append('"')
+        (t, 1L, 1L, null, null, d)
       case 13L => // SCV_BYTES → hex rendering
         val raw = c.varBytes(Int.MaxValue)
-        (t, 1L, 1L, UTF8String.fromString(
-          raw.map(x => f"${x & 0xff}%02x").mkString), null, null)
+        val hx = raw.map(x => f"${x & 0xff}%02x").mkString
+        if (sb != null) sb.append("\"0x").append(hx).append('"')
+        (t, 1L, 1L, UTF8String.fromString(hx), null, null)
       case 14L =>
-        (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(Int.MaxValue)), null, null)
+        val s = UTF8String.fromBytes(c.varBytes(Int.MaxValue))
+        if (sb != null) jsonStr(sb, s)
+        (t, 1L, 1L, s, null, null)
       case 15L => // SYMBOL
-        (t, 1L, 1L, UTF8String.fromBytes(c.varBytes(32)), null, null)
+        val s = UTF8String.fromBytes(c.varBytes(32))
+        if (sb != null) jsonStr(sb, s)
+        (t, 1L, 1L, s, null, null)
       case arm @ (16L | 17L) => // SCV_VEC / SCV_MAP: optional container
         c.u32() match {
-          case 0L => (arm, 1L, 1L, null, null, null)
+          case 0L =>
+            if (sb != null) sb.append("null")
+            (arm, 1L, 1L, null, null, null)
           case 1L =>
             val n = c.u32()
             if (n > 256) throw XdrCursor.Malformed // defensive bound
+            if (sb != null) sb.append('[')
             var nodes = 1L; var dMax = 0L
             var i = 0L
             while (i < n) {
-              val (_, kn, kd, _, _, _) = scval(c, depth + 1)
-              nodes += kn; if (kd > dMax) dMax = kd
+              if (sb != null && i > 0) sb.append(',')
               if (arm == 17L) { // a map entry carries key AND val
-                val (_, vn, vd, _, _, _) = scval(c, depth + 1)
+                if (sb != null) sb.append('[')
+                val (_, kn, kd, _, _, _) = scval(c, depth + 1, sb)
+                nodes += kn; if (kd > dMax) dMax = kd
+                if (sb != null) sb.append(',')
+                val (_, vn, vd, _, _, _) = scval(c, depth + 1, sb)
                 nodes += vn; if (vd > dMax) dMax = vd
+                if (sb != null) sb.append(']')
+              } else {
+                val (_, kn, kd, _, _, _) = scval(c, depth + 1, sb)
+                nodes += kn; if (kd > dMax) dMax = kd
               }
               i += 1
             }
+            if (sb != null) sb.append(']')
             (arm, nodes, dMax + 1L, null, null, null)
           case _ => throw XdrCursor.Malformed
         }
@@ -654,8 +712,80 @@ object XdrContractDataEntry {
           case 1L => StrkeyCodec.encode(16, c.bytes(32))
           case _  => throw XdrCursor.Malformed
         }
+        if (sb != null) jsonStr(sb, addr)
         (t, 1L, 1L, addr, null, null)
-      case _ => throw XdrCursor.Malformed // boundary: exotic arms
+      case 2L => // SCV_ERROR: SCError — an error-type discriminant plus
+        // one uint32 code whichever the arm (contract code or enum)
+        val errType = c.u32()
+        if (errType > 9L) throw XdrCursor.Malformed
+        val code = c.u32()
+        if (sb != null)
+          sb.append("[\"error\",").append(errType).append(',')
+            .append(code).append(']')
+        (t, 1L, 1L, null, code, null)
+      case 11L | 12L => // SCV_U256 / SCV_I256: four 64-bit parts — too
+        // wide for Decimal(38,0), so the digit string rides the text
+        // slot (and the JSON as a quoted string)
+        val hiHi = c.i64(); val hiLo = c.i64()
+        val loHi = c.i64(); val loLo = c.i64()
+        def u(v: Long) =
+          new java.math.BigInteger(java.lang.Long.toUnsignedString(v))
+        val hi =
+          if (t == 12L) java.math.BigInteger.valueOf(hiHi) else u(hiHi)
+        val big = hi.shiftLeft(64).add(u(hiLo)).shiftLeft(64).add(u(loHi))
+          .shiftLeft(64).add(u(loLo))
+        val s = UTF8String.fromString(big.toString)
+        if (sb != null) sb.append('"').append(big.toString).append('"')
+        (t, 1L, 1L, s, null, null)
+      case 19L => // SCV_CONTRACT_INSTANCE: executable + optional storage
+        // map; the wasm hash rides the text slot, storage entries count
+        // into nodes/depth
+        if (sb != null) sb.append("[\"instance\",")
+        val exec: Any = c.u32() match {
+          case 0L =>
+            val hx = c.bytes(32).map(x => f"${x & 0xff}%02x").mkString
+            if (sb != null) sb.append("\"0x").append(hx).append('"')
+            UTF8String.fromString(hx)
+          case 1L =>
+            if (sb != null) sb.append("null")
+            null // CONTRACT_EXECUTABLE_STELLAR_ASSET
+          case _ => throw XdrCursor.Malformed
+        }
+        if (sb != null) sb.append(',')
+        var nodes = 1L; var dMax = 0L
+        c.u32() match { // SCMap* storage
+          case 0L => if (sb != null) sb.append("null")
+          case 1L =>
+            val n = c.u32()
+            if (n > 256) throw XdrCursor.Malformed
+            if (sb != null) sb.append('[')
+            var i = 0L
+            while (i < n) {
+              if (sb != null) {
+                if (i > 0) sb.append(',')
+                sb.append('[')
+              }
+              val (_, kn, kd, _, _, _) = scval(c, depth + 1, sb)
+              nodes += kn; if (kd > dMax) dMax = kd
+              if (sb != null) sb.append(',')
+              val (_, vn, vd, _, _, _) = scval(c, depth + 1, sb)
+              nodes += vn; if (vd > dMax) dMax = vd
+              if (sb != null) sb.append(']')
+              i += 1
+            }
+            if (sb != null) sb.append(']')
+          case _ => throw XdrCursor.Malformed
+        }
+        if (sb != null) sb.append(']')
+        (t, nodes, dMax + 1L, exec, null, null)
+      case 20L => // SCV_LEDGER_KEY_CONTRACT_INSTANCE: void
+        if (sb != null) sb.append("\"instance_key\"")
+        (t, 1L, 1L, null, null, null)
+      case 21L => // SCV_LEDGER_KEY_NONCE: { int64 nonce }
+        val n = c.i64()
+        if (sb != null) sb.append("[\"nonce\",").append(n).append(']')
+        (t, 1L, 1L, null, n, null)
+      case _ => throw XdrCursor.Malformed // no SCVal arm beyond 21
     }
   }
 
@@ -667,15 +797,18 @@ object XdrContractDataEntry {
         (StrkeyCodec.encode(16, c.bytes(32)), 1L)
       case _ => throw XdrCursor.Malformed
     }
-    val (kT, _, _, kText, kNum, kDec) = scval(c, 1) // container keys
+    val kSb = new java.lang.StringBuilder(64)
+    val (kT, _, _, kText, kNum, kDec) = scval(c, 1, kSb) // container keys
     // allowed: their text/num render null, the type still surfaces
     val durability = c.u32()
     if (durability > 1L) throw XdrCursor.Malformed
-    val (vT, vNodes, vDepth, vText, vNum, vDec) = scval(c, 1)
+    val vSb = new java.lang.StringBuilder(64)
+    val (vT, vNodes, vDepth, vText, vNum, vDec) = scval(c, 1, vSb)
     c.done()
     new GenericInternalRow(Array[Any](
       contractId, kind, durability, kT, kText, kNum, kDec, vT, vText,
-      vNum, vDec, vNodes, vDepth))
+      vNum, vDec, vNodes, vDepth,
+      UTF8String.fromString(kSb.toString), UTF8String.fromString(vSb.toString)))
   }
 }
 

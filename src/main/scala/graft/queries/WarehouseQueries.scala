@@ -2773,8 +2773,60 @@ object WarehouseQueries {
           col("h.val_dec").cast("string").as("val_dec"),
           col("h.val_nodes").as("val_nodes"),
           col("h.val_depth").as("val_depth"),
+          col("h.key_json").as("key_json"),
+          // the address arm's JSON embeds the strkey (no base32 in
+          // DuckDB) — verified via the round-trip columns instead
+          when(col("h.val_type") =!= 18L, col("h.val_json")).as("val_json"),
           call_function("graft_xdr_contract_data", col("bin").substr(1, 30))
             .isNull.as("truncated_rejected"))
+    }),
+
+    // The SCVal COMPLETION arms through the gate — with these the
+    // walker is total over the union: ERROR, U256/I256 (digit strings),
+    // CONTRACT_INSTANCE (executable + storage map), and both
+    // ledger-key arms, each with its JSON rendering law. (The gate's
+    // 256-bit values keep the two high limbs zero so DuckDB's 128-bit
+    // HUGEINT can restate them; the four-limb math is spec-pinned.)
+    "s3_scval_exotic" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val m = pmod(k, lit(6L))
+      val valVal = when(m === 0L,
+        concat(u32(lit(2L)), u32(pmod(k, lit(10L))), u32(pmod(k, lit(1000L)))))
+        .when(m === 1L, concat(u32(lit(11L)), i64(lit(0L)), i64(lit(0L)),
+          i64(pmod(k, lit(9L))), i64(lit(1000000L) + k)))
+        .when(m === 2L, concat(u32(lit(12L)), i64(lit(-1L)), i64(lit(-1L)),
+          i64(lit(-1L)), i64(lit(-500L) - pmod(k, lit(1000L)))))
+        .when(m === 3L, concat(u32(lit(19L)),
+          u32(lit(0L)), h16("w1"), h16("w2"), // wasm executable
+          u32(lit(1L)), u32(lit(1L)),         // storage: one entry
+          u32(lit(15L)), varStr(substring(md5(concat(ks, lit("sk"))), 1, 1),
+            lit(1L)),
+          u32(lit(6L)), i64(lit(300L) + k)))
+        .when(m === 4L, u32(lit(20L)))
+        .otherwise(concat(u32(lit(21L)), i64(lit(900000L) + k)))
+      val keyVal = concat(u32(lit(15L)),
+        varStr(substring(md5(concat(ks, lit("k"))), 1, 4), lit(4L)))
+      val xdr = concat(u32(lit(0L)),
+        concat(u32(lit(1L)), h16("h"), h16("i")), // contract address
+        keyVal, u32(lit(1L)), valVal)
+      t(s, dir, "customer").filter(col("c_custkey") % 47 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_contract_data", col("bin")))
+        .select(col("k"),
+          col("h.val_type").as("val_type"),
+          col("h.val_text").as("val_text"),
+          col("h.val_num").as("val_num"),
+          col("h.val_json").as("val_json"),
+          col("h.val_nodes").as("val_nodes"),
+          col("h.val_depth").as("val_depth"))
     }),
 
     // S3 Soroban tail through the gate: TTLEntry (the minimal 36-byte
@@ -3903,6 +3955,44 @@ object WarehouseQueries {
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
 
+    // the SCVal-completion fixture LAW: arm m = k%6, the summaries AND
+    // the JSON rendering restated per arm (256-bit via HUGEINT)
+    "s3_scval_exotic" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    CAST(c_custkey % 6 AS BIGINT) AS m
+        |  FROM customer WHERE c_custkey % 47 = 0)
+        |SELECT k,
+        |  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 11 WHEN 2 THEN 12
+        |    WHEN 3 THEN 19 WHEN 4 THEN 20 ELSE 21 END AS BIGINT)
+        |    AS val_type,
+        |  CASE WHEN m = 1 THEN CAST((k % 9)
+        |      * CAST('18446744073709551616' AS HUGEINT) + 1000000 + k
+        |      AS VARCHAR)
+        |    WHEN m = 2 THEN CAST(-(500 + k % 1000) AS VARCHAR)
+        |    WHEN m = 3 THEN md5(ks || 'w1') || md5(ks || 'w2')
+        |  END AS val_text,
+        |  CAST(CASE WHEN m = 0 THEN k % 1000
+        |    WHEN m = 5 THEN 900000 + k END AS BIGINT) AS val_num,
+        |  CASE m
+        |    WHEN 0 THEN '["error",' || CAST(k % 10 AS VARCHAR) || ','
+        |      || CAST(k % 1000 AS VARCHAR) || ']'
+        |    WHEN 1 THEN '"' || CAST((k % 9)
+        |      * CAST('18446744073709551616' AS HUGEINT) + 1000000 + k
+        |      AS VARCHAR) || '"'
+        |    WHEN 2 THEN '"' || CAST(-(500 + k % 1000) AS VARCHAR) || '"'
+        |    WHEN 3 THEN '["instance","0x' || md5(ks || 'w1')
+        |      || md5(ks || 'w2') || '",[["'
+        |      || substring(md5(ks || 'sk'), 1, 1) || '",'
+        |      || CAST(300 + k AS VARCHAR) || ']]]'
+        |    WHEN 4 THEN '"instance_key"'
+        |    ELSE '["nonce",' || CAST(900000 + k AS VARCHAR) || ']'
+        |  END AS val_json,
+        |  CAST(CASE WHEN m = 3 THEN 3 ELSE 1 END AS BIGINT) AS val_nodes,
+        |  CAST(CASE WHEN m = 3 THEN 2 ELSE 1 END AS BIGINT) AS val_depth
+        |FROM src""".stripMargin,
+
     // the TTL fixture LAW (36 exact bytes)
     "s3_ttl" ->
       """SELECT CAST(c_custkey AS BIGINT) AS k,
@@ -3964,6 +4054,21 @@ object WarehouseQueries {
         |    AS val_nodes,
         |  CAST(CASE WHEN k % 7 IN (2, 3) THEN 2 ELSE 1 END AS BIGINT)
         |    AS val_depth,
+        |  '"' || substring(md5(ks || 'k'), 1, CAST(k % 9 AS INTEGER) + 1)
+        |    || '"' AS key_json,
+        |  CASE k % 7
+        |    WHEN 0 THEN CAST(7000000 + k AS VARCHAR)
+        |    WHEN 1 THEN '"' || substring(md5(ks || 'v'), 1,
+        |      CAST(k % 12 AS INTEGER) + 1) || '"'
+        |    WHEN 2 THEN '[' || CAST(k % 100 AS VARCHAR) || ','
+        |      || CAST((k + 1) % 100 AS VARCHAR) || ']'
+        |    WHEN 3 THEN '[["' || substring(md5(ks || 'm'), 1, 1) || '",'
+        |      || CAST(900 + k AS VARCHAR) || ']]'
+        |    WHEN 4 THEN '"' || CAST((k % 3)
+        |      * CAST('18446744073709551616' AS HUGEINT) + 1000000 + k
+        |      AS VARCHAR) || '"'
+        |    WHEN 5 THEN '"-' || CAST(1000000 + k AS VARCHAR) || '"'
+        |  END AS val_json,
         |  true AS truncated_rejected
         |FROM src""".stripMargin,
 

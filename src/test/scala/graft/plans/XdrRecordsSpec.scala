@@ -1412,7 +1412,13 @@ class XdrRecordsSpec extends SparkSpec {
   private case class SvU128(hi: Long, lo: Long) extends Sv
   private case class SvI128(hi: Long, lo: Long) extends Sv
   private case class SvAddr(account: Boolean) extends Sv
-  private case class SvRaw(arm: Long) extends Sv // unsupported arm probe
+  private case class SvErr(errType: Long, code: Long) extends Sv
+  private case class Sv256(signed: Boolean, parts: (Long, Long, Long, Long)) extends Sv
+  private case class SvInstance(wasmSeed: Option[Int],
+                                storage: Option[Seq[(Sv, Sv)]]) extends Sv
+  private case object SvInstKey extends Sv
+  private case class SvNonce(n: Long) extends Sv
+  private case class SvRaw(arm: Long) extends Sv // truncated-arm probe
 
   private def encodeContractData(contractAccount: Boolean, key: Sv,
                                  durability: Long, value: Sv): Array[Byte] = {
@@ -1445,7 +1451,23 @@ class XdrRecordsSpec extends SparkSpec {
       case SvI128(hi, lo) => w32(10L); w64(hi); w64(lo)
       case SvAddr(true)   => w32(18L); w32(0L); w32(0L); bb.write(hash(62), 0, 32)
       case SvAddr(false)  => w32(18L); w32(1L); bb.write(hash(63), 0, 32)
-      case SvRaw(arm)  => w32(arm)
+      case SvErr(et, code) => w32(2L); w32(et); w32(code)
+      case Sv256(signed, (a, b2, c2, d)) =>
+        w32(if (signed) 12L else 11L); w64(a); w64(b2); w64(c2); w64(d)
+      case SvInstance(wasm, storage) =>
+        w32(19L)
+        wasm match {
+          case Some(seed) => w32(0L); bb.write(hash(seed), 0, 32)
+          case None       => w32(1L)
+        }
+        storage match {
+          case None => w32(0L)
+          case Some(kvs) => w32(1L); w32(kvs.length.toLong)
+            kvs.foreach { case (a, b2) => wVal(a); wVal(b2) }
+        }
+      case SvInstKey  => w32(20L)
+      case SvNonce(n) => w32(21L); w64(n)
+      case SvRaw(arm) => w32(arm)
     }
     w32(0L) // ExtensionPoint
     if (contractAccount) { w32(0L); w32(0L); bb.write(hash(60), 0, 32) }
@@ -1476,7 +1498,23 @@ class XdrRecordsSpec extends SparkSpec {
       // lo alone, and a negative int128 from the sign-extended hi
       SvU128(2L, 123L) -> ((9L, 1L, 1L, null, null, "36893488147419103355")),
       SvU128(0L, -1L) -> ((9L, 1L, 1L, null, null, "18446744073709551615")),
-      SvI128(-1L, -5000L) -> ((10L, 1L, 1L, null, null, "-5000")))
+      SvI128(-1L, -5000L) -> ((10L, 1L, 1L, null, null, "-5000")),
+      // the completion arms: error, 256-bit (digit string in TEXT),
+      // contract instance (wasm hash in text; storage counts as nodes),
+      // and both ledger-key arms
+      SvErr(5L, 42L) -> ((2L, 1L, 1L, null, 42L, null)),
+      Sv256(false, (1L, 2L, 3L, 4L)) -> ((11L, 1L, 1L,
+        new java.math.BigInteger("1").shiftLeft(64).add(
+          java.math.BigInteger.valueOf(2L)).shiftLeft(64).add(
+          java.math.BigInteger.valueOf(3L)).shiftLeft(64).add(
+          java.math.BigInteger.valueOf(4L)).toString, null, null)),
+      Sv256(true, (-1L, -1L, -1L, -6L)) -> ((12L, 1L, 1L, "-6", null, null)),
+      SvInstance(Some(64), None) -> ((19L, 1L, 1L,
+        hash(64).map("%02x".format(_)).mkString, null, null)),
+      SvInstance(None, Some(Seq(SvSym("s") -> SvU32(1L)))) ->
+        ((19L, 3L, 2L, null, null, null)),
+      SvInstKey -> ((20L, 1L, 1L, null, null, null)),
+      SvNonce(987L) -> ((21L, 1L, 1L, null, 987L, null)))
     cases.foreach { case (v, (t, n, d, text, num, dec)) =>
       val r = XdrContractDataEntry.decode(
         encodeContractData(contractAccount = true, SvSym("key1"), 1L, v))
@@ -1517,15 +1555,49 @@ class XdrRecordsSpec extends SparkSpec {
       encodeContractData(contractAccount = false, SvSym("k"), 0L, SvVoid))
     assert(rc.getUTF8String(0).toString.head == 'C' && rc.getLong(1) == 1L)
     assert(StrkeyCodec.decodePayload(rc.getUTF8String(0)).toSeq == hash(61).toSeq)
+    // the key_decoded/val_decoded JSON rendering: scalars as literals,
+    // quotes escaped, bytes as 0x-hex, 128-bit as quoted digits, maps
+    // as [key, value] pairs, nested trees rendered whole
+    def json(v: Sv): String = {
+      val r = XdrContractDataEntry.decode(
+        encodeContractData(contractAccount = true, SvSym("key1"), 1L, v))
+      assert(r.getUTF8String(13).toString == "\"key1\"")
+      r.getUTF8String(14).toString
+    }
+    assert(json(SvBool(true)) == "true")
+    assert(json(SvVoid) == "null")
+    assert(json(SvI64(-5L)) == "-5")
+    assert(json(SvStr("he\"llo\\")) == "\"he\\\"llo\\\\\"")
+    assert(json(SvBytes(Array[Byte](1, 2, 0xff.toByte))) == "\"0x0102ff\"")
+    assert(json(SvI128(-1L, -5000L)) == "\"-5000\"")
+    assert(json(SvVec(Some(Seq(SvU32(1L), SvStr("x"))))) == "[1,\"x\"]")
+    assert(json(SvMap(Some(Seq(SvSym("a") -> SvI64(9L))))) == "[[\"a\",9]]")
+    assert(json(SvVec(Some(Seq(
+      SvMap(Some(Seq(SvSym("k") -> SvVec(Some(Seq(SvU32(2L))))))),
+      SvVoid)))) == "[[[\"k\",[2]]],null]")
+    val ja = json(SvAddr(account = true))
+    assert(ja.startsWith("\"G") && ja.endsWith("\"") && ja.length == 58)
+    assert(json(SvErr(5L, 42L)) == "[\"error\",5,42]")
+    assert(json(Sv256(true, (-1L, -1L, -1L, -6L))) == "\"-6\"")
+    assert(json(SvNonce(987L)) == "[\"nonce\",987]")
+    assert(json(SvInstKey) == "\"instance_key\"")
+    assert(json(SvInstance(None, Some(Seq(SvSym("s") -> SvU32(1L))))) ==
+      "[\"instance\",null,[[\"s\",1]]]")
+    assert(json(SvInstance(Some(64), None)) ==
+      "[\"instance\",\"0x" + hash(64).map("%02x".format(_)).mkString +
+        "\",null]")
   }
 
   test("ContractDataEntry quarantine: unsupported SCVal arms, bad " +
       "durability, container blow-ups, depth bound, and prefixes reject") {
     def enc(v: Sv, dur: Long = 0L) =
       encodeContractData(contractAccount = true, SvSym("k"), dur, v)
-    assert(XdrContractDataEntry.decode(enc(SvRaw(11L))) == null, "U256 arm")
+    assert(XdrContractDataEntry.decode(enc(SvRaw(22L))) == null,
+      "beyond the SCVal union")
+    assert(XdrContractDataEntry.decode(enc(SvRaw(11L))) == null,
+      "truncated U256 body")
     assert(XdrContractDataEntry.decode(enc(SvRaw(19L))) == null,
-      "contract-instance arm")
+      "truncated contract-instance body")
     assert(XdrContractDataEntry.decode(enc(SvVoid, dur = 2L)) == null)
     assert(XdrContractDataEntry.decode(
       enc(SvVec(Some(Seq.fill(257)(SvVoid))))) == null, "container bound")
