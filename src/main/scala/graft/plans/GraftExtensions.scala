@@ -246,6 +246,16 @@ object GraftFunctions {
       XdrConfigSettingDecode(children.head)
     })
 
+  private val xdrLedgerEntryDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_ledger_entry"),
+    new ExpressionInfo(classOf[XdrLedgerEntryDecode].getName,
+      "graft_xdr_ledger_entry"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_ledger_entry(bin) takes one binary arg")
+      XdrLedgerEntryDecode(children.head)
+    })
+
   private val xdrLedgerKeyDescriptor: Descriptor = (
     FunctionIdentifier("graft_xdr_ledger_key"),
     new ExpressionInfo(classOf[XdrLedgerKeyDecode].getName,
@@ -265,7 +275,8 @@ object GraftFunctions {
       xdrTxEnvelopeDescriptor, xdrTrustLineDescriptor, xdrOfferDescriptor,
       xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
       xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor,
-      xdrConfigSettingDescriptor, xdrLedgerKeyDescriptor)
+      xdrConfigSettingDescriptor, xdrLedgerKeyDescriptor,
+      xdrLedgerEntryDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

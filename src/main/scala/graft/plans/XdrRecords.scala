@@ -274,6 +274,14 @@ object XdrAccountEntry {
     StructField("signers", ArrayType(signerType))))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val accountId = c.accountId()
     val balance = c.i64()
     val seqNum = c.i64()
@@ -331,7 +339,6 @@ object XdrAccountEntry {
         (bl, sl)
       case _ => throw XdrCursor.Malformed
     }
-    c.done()
     new GenericInternalRow(Array[Any](
       accountId, balance, seqNum, numSubEntries, inflationDest, flags,
       homeDomain, (thr(0) & 0xff).toLong, (thr(1) & 0xff).toLong,
@@ -360,6 +367,14 @@ object XdrTrustLineEntry {
     StructField("pool_use_count", LongType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val accountId = c.accountId()
     val (aType, aCode, aIssuer) = c.asset(poolShareArm = true)
     val balance = c.i64()
@@ -378,7 +393,6 @@ object XdrTrustLineEntry {
         }
       case _ => throw XdrCursor.Malformed
     }
-    c.done()
     new GenericInternalRow(Array[Any](
       accountId, aType, aCode, aIssuer, balance, limit, flags,
       buying, selling, poolUse))
@@ -404,6 +418,14 @@ object XdrOfferEntry {
     StructField("flags", LongType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val sellerId = c.accountId()
     val offerId = c.i64()
     val (sType, sCode, sIssuer) = c.asset()
@@ -414,7 +436,6 @@ object XdrOfferEntry {
     if (priceD == 0L) throw XdrCursor.Malformed // a price is a fraction
     val flags = c.u32()
     c.expect(0L) // ext
-    c.done()
     new GenericInternalRow(Array[Any](
       sellerId, offerId, sType, sCode, sIssuer, bType, bCode, bIssuer,
       amount, priceN, priceD, flags))
@@ -440,6 +461,14 @@ object XdrLiquidityPoolEntry {
     StructField("pool_shares_trust_line_count", LongType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val poolId = UTF8String.fromString(
       c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
     c.expect(0L) // LIQUIDITY_POOL_CONSTANT_PRODUCT, the only arm
@@ -450,7 +479,6 @@ object XdrLiquidityPoolEntry {
     val reserveB = c.i64()
     val totalShares = c.i64()
     val tlCount = c.i64()
-    c.done()
     new GenericInternalRow(Array[Any](
       poolId, aT, aC, aI, bT, bC, bI, fee, reserveA, reserveB,
       totalShares, tlCount))
@@ -523,6 +551,14 @@ object XdrClaimableBalanceEntry {
   }
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     c.expect(0L) // CLAIMABLE_BALANCE_ID_TYPE_V0
     val balanceId = UTF8String.fromString(
       c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
@@ -549,7 +585,6 @@ object XdrClaimableBalanceEntry {
         c.expect(0L); c.u32()
       case _ => throw XdrCursor.Malformed
     }
-    c.done()
     new GenericInternalRow(Array[Any](
       balanceId, aT, aC, aI, amount, flags, nClaimants.toLong,
       new GenericArrayData(claimants)))
@@ -790,6 +825,14 @@ object XdrContractDataEntry {
   }
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     c.expect(0L) // ExtensionPoint
     val (contractId: UTF8String, kind) = c.u32() match {
       case 0L => (c.accountId(), 0L) // SC_ADDRESS_TYPE_ACCOUNT
@@ -804,7 +847,6 @@ object XdrContractDataEntry {
     if (durability > 1L) throw XdrCursor.Malformed
     val vSb = new java.lang.StringBuilder(64)
     val (vT, vNodes, vDepth, vText, vNum, vDec) = scval(c, 1, vSb)
-    c.done()
     new GenericInternalRow(Array[Any](
       contractId, kind, durability, kT, kText, kNum, kDec, vT, vText,
       vNum, vDec, vNodes, vDepth,
@@ -828,10 +870,17 @@ object XdrTtlEntry {
     StructField("live_until_ledger_seq", LongType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val keyHash = UTF8String.fromString(
       c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
     val liveUntil = c.u32()
-    c.done()
     new GenericInternalRow(Array[Any](keyHash, liveUntil))
   }
 }
@@ -843,11 +892,18 @@ object XdrContractCodeEntry {
     StructField("code_sha256", StringType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     c.expect(0L) // ExtensionPoint (v1 cost inputs: boundary)
     val hash = UTF8String.fromString(
       c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
     val code = c.varBytes(Int.MaxValue)
-    c.done()
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(code)
     new GenericInternalRow(Array[Any](hash, code.length.toLong,
       UTF8String.fromString(sha.map(x => f"${x & 0xff}%02x").mkString)))
@@ -887,6 +943,14 @@ object XdrConfigSettingEntry {
     13L -> "wbq")              // EVICTION_ITERATOR
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse (no exact-consumption check) — the
+    * LedgerEntry data union embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val id = c.u32()
     val vals: Array[Any] = id match {
       case 6L | 7L => // ContractCostParams: vector of (ext, const, linear)
@@ -924,7 +988,6 @@ object XdrConfigSettingEntry {
         }
         out
     }
-    c.done()
     new GenericInternalRow(Array[Any](
       id, vals.length.toLong, new GenericArrayData(vals)))
   }
@@ -1004,6 +1067,77 @@ object XdrLedgerKey {
       case 9L => f(16) = hex32(c) // TTL
       case _ => throw XdrCursor.Malformed
     }
+    new GenericInternalRow(f)
+  }
+}
+
+/** Whole `LedgerEntry` decode (Stellar-ledger-entries.x) — the WIRE
+  * record of the bounded-core state export: every ledger-entry change
+  * lands as one of these, carrying the last-modified ledger seq, the
+  * data union over all ten entry types, and the v1 ext's sponsoring
+  * account. The data union dispatches to the per-type record parsers
+  * (the same objects the per-table gates pin), each surfacing as a
+  * nested nullable struct — ONE expression decodes ANY state record,
+  * so an ingest can route by `entry_type` without ten scans. The DATA
+  * arm (the classic key-value DataEntry, the one state shape without
+  * its own table gate) decodes inline: account, name, value size. */
+object XdrLedgerEntry {
+
+  val dataEntryType: StructType = StructType(Seq(
+    StructField("account_id", StringType),
+    StructField("data_name", StringType),
+    StructField("data_value_size", LongType)))
+
+  val ledgerEntryType: StructType = StructType(Seq(
+    StructField("last_modified_ledger_seq", LongType),
+    StructField("entry_type", LongType),
+    StructField("sponsor", StringType),
+    StructField("account", XdrAccountEntry.accountEntryType),
+    StructField("trust_line", XdrTrustLineEntry.trustLineType),
+    StructField("offer", XdrOfferEntry.offerType),
+    StructField("data", dataEntryType),
+    StructField("claimable_balance", XdrClaimableBalanceEntry.claimableBalanceType),
+    StructField("liquidity_pool", XdrLiquidityPoolEntry.liquidityPoolType),
+    StructField("contract_data", XdrContractDataEntry.contractDataType),
+    StructField("contract_code", XdrContractCodeEntry.contractCodeType),
+    StructField("config_setting", XdrConfigSettingEntry.configSettingType),
+    StructField("ttl", XdrTtlEntry.ttlType)))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val f = new Array[Any](ledgerEntryType.length)
+    f(0) = c.u32() // lastModifiedLedgerSeq
+    val t = c.u32()
+    f(1) = t
+    t match {
+      case 0L => f(3) = XdrAccountEntry.parse(c)
+      case 1L => f(4) = XdrTrustLineEntry.parse(c)
+      case 2L => f(5) = XdrOfferEntry.parse(c)
+      case 3L => // DataEntry: account + string64 name + DataValue + ext
+        val acct = c.accountId()
+        val name = UTF8String.fromBytes(c.varBytes(64))
+        val size = c.varBytes(64).length.toLong
+        c.expect(0L)
+        f(6) = new GenericInternalRow(Array[Any](acct, name, size))
+      case 4L => f(7) = XdrClaimableBalanceEntry.parse(c)
+      case 5L => f(8) = XdrLiquidityPoolEntry.parse(c)
+      case 6L => f(9) = XdrContractDataEntry.parse(c)
+      case 7L => f(10) = XdrContractCodeEntry.parse(c)
+      case 8L => f(11) = XdrConfigSettingEntry.parse(c)
+      case 9L => f(12) = XdrTtlEntry.parse(c)
+      case _  => throw XdrCursor.Malformed
+    }
+    c.u32() match { // LedgerEntry ext
+      case 0L => ()
+      case 1L => // LedgerEntryExtensionV1: SponsorshipDescriptor + ext 0
+        c.u32() match {
+          case 0L => ()
+          case 1L => f(2) = c.accountId()
+          case _  => throw XdrCursor.Malformed
+        }
+        c.expect(0L)
+      case _ => throw XdrCursor.Malformed
+    }
+    c.done()
     new GenericInternalRow(f)
   }
 }
@@ -1716,6 +1850,16 @@ case class XdrContractCodeDecode(child: Expression) extends XdrRecordExpression 
   override def nullSafeEval(input: Any): Any =
     XdrContractCodeEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrContractCodeDecode =
+    copy(child = newChild)
+}
+
+case class XdrLedgerEntryDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrLedgerEntry.ledgerEntryType
+  override def prettyName: String = "graft_xdr_ledger_entry"
+  override protected def staticDecode: String = "graft.plans.XdrLedgerEntry.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrLedgerEntry.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrLedgerEntryDecode =
     copy(child = newChild)
 }
 

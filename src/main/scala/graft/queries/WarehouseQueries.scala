@@ -2781,6 +2781,92 @@ object WarehouseQueries {
             .isNull.as("truncated_rejected"))
     }),
 
+    // The whole LedgerEntry WIRE record through the gate: the data
+    // union dispatches to all ten per-type parsers (one expression
+    // decodes any state record), the v1 ext carries the sponsor, and
+    // each arm's nested struct is probed by one identifying column.
+    "s3_ledger_entry" -> ((s, dir) => {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val acct = concat(u32(lit(0L)), key32)
+      val tEt = pmod(k, lit(10L))
+      val body = when(tEt === 0L, concat(acct, // minimal AccountEntry
+        i64(lit(5000000000L) + k), i64(k * lit(4294967296L) + lit(1L)),
+        u32(lit(0L)), u32(lit(0L)), u32(pmod(k, lit(8L))), u32(lit(0L)),
+        unhex(lit("01020304")), u32(lit(0L)), u32(lit(0L))))
+        .when(tEt === 1L, concat(acct, u32(lit(0L)), // native trust line
+          i64(lit(31337000L) + k), i64(lit(900000000L) + k),
+          u32(pmod(k, lit(4L))), u32(lit(0L))))
+        .when(tEt === 2L, concat(acct, i64(lit(4000000000L) + k),
+          u32(lit(0L)), u32(lit(0L)), i64(lit(777000L) + k),
+          u32(lit(1L) + pmod(k, lit(97L))), u32(lit(1L) + pmod(k, lit(89L))),
+          u32(pmod(k, lit(4L))), u32(lit(0L))))
+        .when(tEt === 3L, concat(acct, // DataEntry
+          varStr(substring(md5(concat(ks, lit("dn"))), 1, 12), pmod(k, lit(13L))),
+          varStr(substring(md5(concat(ks, lit("dv"))), 1, 9), pmod(k, lit(9L))),
+          u32(lit(0L))))
+        .when(tEt === 4L, concat(u32(lit(0L)), h16("b"), h16("c"),
+          u32(lit(1L)), u32(lit(0L)), u32(lit(0L)), h16("d0"), h16("e0"),
+          u32(lit(0L)), u32(lit(0L)), i64(lit(555000L) + k), u32(lit(0L))))
+        .when(tEt === 5L, concat(h16("p"), h16("q"), u32(lit(0L)),
+          u32(lit(0L)),
+          concat(u32(lit(1L)),
+            substring(md5(concat(ks, lit("lb"))), 1, 3).cast("binary"),
+            unhex(lit("00")), u32(lit(0L)), h16("lbi"), h16("lbj")),
+          u32(lit(30L)), i64(lit(111000L) + k), i64(lit(222000L) + k),
+          i64(lit(333000L) + k), i64(pmod(k, lit(50L)))))
+        .when(tEt === 6L, concat(u32(lit(0L)),
+          u32(lit(1L)), h16("h"), h16("i"),
+          u32(lit(15L)), varStr(substring(md5(concat(ks, lit("ck"))), 1, 3),
+            lit(3L)),
+          u32(pmod(k, lit(2L))),
+          u32(lit(5L)), i64(lit(7000000L) + k)))
+        .when(tEt === 7L, concat(u32(lit(0L)), h16("h2"), h16("i2"),
+          varStr(concat(md5(concat(ks, lit("cp"))),
+            md5(concat(ks, lit("cq")))), pmod(k, lit(20L)) + lit(4L))))
+        .when(tEt === 8L, concat(u32(lit(0L)),
+          u32(lit(100000L) + pmod(k, lit(1000L)))))
+        .otherwise(concat(h16("t"), h16("u"), u32(lit(4000000L) + k)))
+      // ext: present sponsor / present-v1-with-absent-descriptor / v0
+      val ext = when(pmod(k, lit(3L)) === 0L,
+        concat(u32(lit(1L)), u32(lit(1L)), u32(lit(0L)),
+          h16("sp1"), h16("sp2"), u32(lit(0L))))
+        .when(pmod(k, lit(3L)) === 1L,
+          concat(u32(lit(1L)), u32(lit(0L)), u32(lit(0L))))
+        .otherwise(u32(lit(0L)))
+      val xdr = concat(u32(lit(9000000L) + pmod(k, lit(100000L))),
+        u32(tEt), body, ext)
+      t(s, dir, "customer").filter(col("c_custkey") % 53 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_ledger_entry", col("bin")))
+        .select(col("k"),
+          col("h.last_modified_ledger_seq").as("last_modified_ledger_seq"),
+          col("h.entry_type").as("entry_type"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.sponsor")))).as("sponsor_payload_hex"),
+          col("h.account.balance").as("account_balance"),
+          col("h.trust_line.balance").as("trust_balance"),
+          col("h.offer.offer_id").as("offer_id"),
+          col("h.data.data_name").as("data_name"),
+          col("h.data.data_value_size").as("data_value_size"),
+          col("h.claimable_balance.amount").as("cb_amount"),
+          col("h.liquidity_pool.fee").as("lp_fee"),
+          col("h.contract_data.val_num").as("cd_val_num"),
+          col("h.contract_code.code_size").as("cc_size"),
+          col("h.config_setting.setting_id").as("cs_id"),
+          col("h.ttl.live_until_ledger_seq").as("ttl_live"),
+          call_function("graft_xdr_ledger_entry", col("bin").substr(1, 8))
+            .isNull.as("truncated_rejected"))
+    }),
+
     // The SCVal COMPLETION arms through the gate — with these the
     // walker is total over the union: ERROR, U256/I256 (digit strings),
     // CONTRACT_INSTANCE (executable + storage map), and both
@@ -3954,6 +4040,39 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the LedgerEntry wire-record LAW: entry arm t = k%10, the v1 ext's
+    // sponsor by k%3, one identifying probe per nested struct
+    "s3_ledger_entry" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    CAST(c_custkey % 10 AS BIGINT) AS t
+        |  FROM customer WHERE c_custkey % 53 = 0)
+        |SELECT k,
+        |  CAST(9000000 + k % 100000 AS BIGINT) AS last_modified_ledger_seq,
+        |  t AS entry_type,
+        |  CASE WHEN k % 3 = 0 THEN md5(ks||'sp1')||md5(ks||'sp2') END
+        |    AS sponsor_payload_hex,
+        |  CAST(CASE WHEN t = 0 THEN 5000000000 + k END AS BIGINT)
+        |    AS account_balance,
+        |  CAST(CASE WHEN t = 1 THEN 31337000 + k END AS BIGINT)
+        |    AS trust_balance,
+        |  CAST(CASE WHEN t = 2 THEN 4000000000 + k END AS BIGINT)
+        |    AS offer_id,
+        |  CASE WHEN t = 3
+        |    THEN substring(md5(ks||'dn'),1,CAST(k % 13 AS INTEGER))
+        |  END AS data_name,
+        |  CAST(CASE WHEN t = 3 THEN k % 9 END AS BIGINT) AS data_value_size,
+        |  CAST(CASE WHEN t = 4 THEN 555000 + k END AS BIGINT) AS cb_amount,
+        |  CAST(CASE WHEN t = 5 THEN 30 END AS BIGINT) AS lp_fee,
+        |  CAST(CASE WHEN t = 6 THEN 7000000 + k END AS BIGINT)
+        |    AS cd_val_num,
+        |  CAST(CASE WHEN t = 7 THEN k % 20 + 4 END AS BIGINT) AS cc_size,
+        |  CAST(CASE WHEN t = 8 THEN 0 END AS BIGINT) AS cs_id,
+        |  CAST(CASE WHEN t = 9 THEN 4000000 + k END AS BIGINT) AS ttl_live,
+        |  true AS truncated_rejected
+        |FROM src""".stripMargin,
 
     // the SCVal-completion fixture LAW: arm m = k%6, the summaries AND
     // the JSON rendering restated per arm (256-bit via HUGEINT)

@@ -1651,6 +1651,80 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrContractCodeEntry.decode(cc.toByteArray :+ 0.toByte) == null)
   }
 
+  test("LedgerEntry wire record: the data union dispatches to all ten " +
+      "per-type parsers, the v1 ext carries the sponsor, and strict " +
+      "prefixes/unknown types reject") {
+    val LE = XdrLedgerEntry.ledgerEntryType
+    def ix(n: String) = LE.fieldIndex(n)
+    def wrap(t: Long, entry: Array[Byte], ext: Int): Array[Byte] = {
+      val w = new OpW().w32(777L).w32(t)
+      w.bb.write(entry, 0, entry.length)
+      ext match {
+        case 0 => w.w32(0L)
+        case 1 => w.w32(1L).w32(0L).w32(0L)          // v1, no descriptor
+        case _ => w.w32(1L).w32(1L).acct(90).w32(0L) // v1 + sponsor
+      }
+      w.bytes
+    }
+    val acctBytes =
+      encodeAccount(999L, 1L << 40, inflation = false, "", Nil, None)
+    val r0 = XdrLedgerEntry.decode(wrap(0L, acctBytes, 2))
+    assert(r0 != null && r0.getLong(0) == 777L && r0.getLong(1) == 0L)
+    assert(StrkeyCodec.decodePayload(
+      r0.getUTF8String(ix("sponsor"))).toSeq == hash(90).toSeq)
+    assert(r0.getStruct(ix("account"),
+      XdrAccountEntry.accountEntryType.length).getLong(1) == 999L)
+    assert(r0.isNullAt(ix("offer")) && r0.isNullAt(ix("ttl")))
+    val tl = XdrLedgerEntry.decode(wrap(1L, encodeTrustLine(0, 0), 0))
+    assert(tl.getStruct(ix("trust_line"),
+      XdrTrustLineEntry.trustLineType.length).getLong(4) == 5000L)
+    assert(tl.isNullAt(ix("sponsor")))
+    val off = XdrLedgerEntry.decode(wrap(2L, encodeOffer(0, 0), 1))
+    assert(off.getStruct(ix("offer"),
+      XdrOfferEntry.offerType.length).getLong(1) == 12345L)
+    assert(off.isNullAt(ix("sponsor")))
+    val dW = new OpW().acct(91).w32(2L)
+    dW.bb.write("ab".getBytes("UTF-8"), 0, 2); dW.bb.write(0); dW.bb.write(0)
+    dW.w32(3L); dW.bb.write(Array[Byte](1, 2, 3, 0), 0, 4)
+    dW.w32(0L)
+    val dr = XdrLedgerEntry.decode(wrap(3L, dW.bytes, 0))
+    val ds = dr.getStruct(ix("data"), XdrLedgerEntry.dataEntryType.length)
+    assert(StrkeyCodec.decodePayload(ds.getUTF8String(0)).toSeq == hash(91).toSeq)
+    assert(ds.getUTF8String(1).toString == "ab" && ds.getLong(2) == 3L)
+    val cb = XdrLedgerEntry.decode(
+      wrap(4L, encodeClaimable(Seq(Uncond), nativeAsset = true, None), 0))
+    assert(cb.getStruct(ix("claimable_balance"),
+      XdrClaimableBalanceEntry.claimableBalanceType.length).getLong(4) == 987654L)
+    val lpW = new OpW().h(93).w32(0L).w32(0L).w32(0L).w32(30L)
+      .w64(1L).w64(2L).w64(3L).w64(4L)
+    val lp = XdrLedgerEntry.decode(wrap(5L, lpW.bytes, 0))
+    assert(lp.getStruct(ix("liquidity_pool"),
+      XdrLiquidityPoolEntry.liquidityPoolType.length).getLong(7) == 30L)
+    val cd = XdrLedgerEntry.decode(
+      wrap(6L, encodeContractData(contractAccount = true, SvSym("k"), 1L,
+        SvVoid), 0))
+    assert(cd.getStruct(ix("contract_data"),
+      XdrContractDataEntry.contractDataType.length).getLong(3) == 15L)
+    val ccW = new OpW().w32(0L).h(94).w32(3L)
+    ccW.bb.write(Array[Byte](7, 8, 9, 0), 0, 4)
+    val cc = XdrLedgerEntry.decode(wrap(7L, ccW.bytes, 0))
+    assert(cc.getStruct(ix("contract_code"),
+      XdrContractCodeEntry.contractCodeType.length).getLong(1) == 3L)
+    val cs = XdrLedgerEntry.decode(wrap(8L, new OpW().w32(0L).w32(5L).bytes, 0))
+    assert(cs.getStruct(ix("config_setting"),
+      XdrConfigSettingEntry.configSettingType.length).getLong(0) == 0L)
+    val tr = XdrLedgerEntry.decode(wrap(9L, new OpW().h(92).w32(123L).bytes, 0))
+    assert(tr.getStruct(ix("ttl"),
+      XdrTtlEntry.ttlType.length).getLong(1) == 123L)
+    assert(XdrLedgerEntry.decode(
+      wrap(10L, Array.empty[Byte], 0)) == null, "unknown entry type")
+    val full = wrap(0L, acctBytes, 2)
+    (0 until full.length).foreach { n =>
+      assert(XdrLedgerEntry.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrLedgerEntry.decode(full :+ 0.toByte) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
