@@ -517,6 +517,97 @@ object WarehouseQueries {
         col("op.set_flags").as("set_flags"),
         col("op.extend_to").as("extend_to"))
 
+  /** The s3_ledger_entry fixture: one LedgerEntry wire record per
+    * customer row (k, bin), cycling all ten entry arms by k%10 with the
+    * three sponsorship-ext shapes by k%3. Shared by the batch gate and
+    * the st_ledger_entries streaming drain. */
+  private[graft] def ledgerEntryFixture(s: SparkSession, dir: String): DataFrame = {
+      val zeros = unhex(lit("000000"))
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      def varStr(strCol: Column, lenCol: Column): Column =
+        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
+          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val acct = concat(u32(lit(0L)), key32)
+      val tEt = pmod(k, lit(10L))
+      val body = when(tEt === 0L, concat(acct, // minimal AccountEntry
+        i64(lit(5000000000L) + k), i64(k * lit(4294967296L) + lit(1L)),
+        u32(lit(0L)), u32(lit(0L)), u32(pmod(k, lit(8L))), u32(lit(0L)),
+        unhex(lit("01020304")), u32(lit(0L)), u32(lit(0L))))
+        .when(tEt === 1L, concat(acct, u32(lit(0L)), // native trust line
+          i64(lit(31337000L) + k), i64(lit(900000000L) + k),
+          u32(pmod(k, lit(4L))), u32(lit(0L))))
+        .when(tEt === 2L, concat(acct, i64(lit(4000000000L) + k),
+          u32(lit(0L)), u32(lit(0L)), i64(lit(777000L) + k),
+          u32(lit(1L) + pmod(k, lit(97L))), u32(lit(1L) + pmod(k, lit(89L))),
+          u32(pmod(k, lit(4L))), u32(lit(0L))))
+        .when(tEt === 3L, concat(acct, // DataEntry
+          varStr(substring(md5(concat(ks, lit("dn"))), 1, 12), pmod(k, lit(13L))),
+          varStr(substring(md5(concat(ks, lit("dv"))), 1, 9), pmod(k, lit(9L))),
+          u32(lit(0L))))
+        .when(tEt === 4L, concat(u32(lit(0L)), h16("b"), h16("c"),
+          u32(lit(1L)), u32(lit(0L)), u32(lit(0L)), h16("d0"), h16("e0"),
+          u32(lit(0L)), u32(lit(0L)), i64(lit(555000L) + k), u32(lit(0L))))
+        .when(tEt === 5L, concat(h16("p"), h16("q"), u32(lit(0L)),
+          u32(lit(0L)),
+          concat(u32(lit(1L)),
+            substring(md5(concat(ks, lit("lb"))), 1, 3).cast("binary"),
+            unhex(lit("00")), u32(lit(0L)), h16("lbi"), h16("lbj")),
+          u32(lit(30L)), i64(lit(111000L) + k), i64(lit(222000L) + k),
+          i64(lit(333000L) + k), i64(pmod(k, lit(50L)))))
+        .when(tEt === 6L, concat(u32(lit(0L)),
+          u32(lit(1L)), h16("h"), h16("i"),
+          u32(lit(15L)), varStr(substring(md5(concat(ks, lit("ck"))), 1, 3),
+            lit(3L)),
+          u32(pmod(k, lit(2L))),
+          u32(lit(5L)), i64(lit(7000000L) + k)))
+        .when(tEt === 7L, concat(u32(lit(0L)), h16("h2"), h16("i2"),
+          varStr(concat(md5(concat(ks, lit("cp"))),
+            md5(concat(ks, lit("cq")))), pmod(k, lit(20L)) + lit(4L))))
+        .when(tEt === 8L, concat(u32(lit(0L)),
+          u32(lit(100000L) + pmod(k, lit(1000L)))))
+        .otherwise(concat(h16("t"), h16("u"), u32(lit(4000000L) + k)))
+      // ext: present sponsor / present-v1-with-absent-descriptor / v0
+      val ext = when(pmod(k, lit(3L)) === 0L,
+        concat(u32(lit(1L)), u32(lit(1L)), u32(lit(0L)),
+          h16("sp1"), h16("sp2"), u32(lit(0L))))
+        .when(pmod(k, lit(3L)) === 1L,
+          concat(u32(lit(1L)), u32(lit(0L)), u32(lit(0L))))
+        .otherwise(u32(lit(0L)))
+      val xdr = concat(u32(lit(9000000L) + pmod(k, lit(100000L))),
+        u32(tEt), body, ext)
+      t(s, dir, "customer").filter(col("c_custkey") % 53 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+  }
+
+  /** The per-record LedgerEntry projection over a (k, bin) relation —
+    * decode once, one identifying probe per nested struct. Stateless,
+    * valid on a streaming relation too. */
+  private[graft] def ledgerEntryProject(df: DataFrame): DataFrame =
+    df        .withColumn("h", call_function("graft_xdr_ledger_entry", col("bin")))
+        .select(col("k"),
+          col("h.last_modified_ledger_seq").as("last_modified_ledger_seq"),
+          col("h.entry_type").as("entry_type"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("h.sponsor")))).as("sponsor_payload_hex"),
+          col("h.account.balance").as("account_balance"),
+          col("h.trust_line.balance").as("trust_balance"),
+          col("h.offer.offer_id").as("offer_id"),
+          col("h.data.data_name").as("data_name"),
+          col("h.data.data_value_size").as("data_value_size"),
+          col("h.claimable_balance.amount").as("cb_amount"),
+          col("h.liquidity_pool.fee").as("lp_fee"),
+          col("h.contract_data.val_num").as("cd_val_num"),
+          col("h.contract_code.code_size").as("cc_size"),
+          col("h.config_setting.setting_id").as("cs_id"),
+          col("h.ttl.live_until_ledger_seq").as("ttl_live"),
+          call_function("graft_xdr_ledger_entry", col("bin").substr(1, 8))
+            .isNull.as("truncated_rejected"))
+
   val queries: Map[String, QFn] = Map(
     // A1/A5: map-side-combinable aggregation; the canonical pricing summary.
     "q1_pricing_summary" -> ((s, dir) => {
@@ -2785,87 +2876,8 @@ object WarehouseQueries {
     // union dispatches to all ten per-type parsers (one expression
     // decodes any state record), the v1 ext carries the sponsor, and
     // each arm's nested struct is probed by one identifying column.
-    "s3_ledger_entry" -> ((s, dir) => {
-      val zeros = unhex(lit("000000"))
-      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
-      val k = col("k"); val ks = k.cast("string")
-      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
-      def varStr(strCol: Column, lenCol: Column): Column =
-        concat(u32(lenCol), strCol.substr(lit(1), lenCol).cast("binary"),
-          zeros.substr(lit(1), (lit(4) - pmod(lenCol, lit(4))) % lit(4)))
-      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
-      val acct = concat(u32(lit(0L)), key32)
-      val tEt = pmod(k, lit(10L))
-      val body = when(tEt === 0L, concat(acct, // minimal AccountEntry
-        i64(lit(5000000000L) + k), i64(k * lit(4294967296L) + lit(1L)),
-        u32(lit(0L)), u32(lit(0L)), u32(pmod(k, lit(8L))), u32(lit(0L)),
-        unhex(lit("01020304")), u32(lit(0L)), u32(lit(0L))))
-        .when(tEt === 1L, concat(acct, u32(lit(0L)), // native trust line
-          i64(lit(31337000L) + k), i64(lit(900000000L) + k),
-          u32(pmod(k, lit(4L))), u32(lit(0L))))
-        .when(tEt === 2L, concat(acct, i64(lit(4000000000L) + k),
-          u32(lit(0L)), u32(lit(0L)), i64(lit(777000L) + k),
-          u32(lit(1L) + pmod(k, lit(97L))), u32(lit(1L) + pmod(k, lit(89L))),
-          u32(pmod(k, lit(4L))), u32(lit(0L))))
-        .when(tEt === 3L, concat(acct, // DataEntry
-          varStr(substring(md5(concat(ks, lit("dn"))), 1, 12), pmod(k, lit(13L))),
-          varStr(substring(md5(concat(ks, lit("dv"))), 1, 9), pmod(k, lit(9L))),
-          u32(lit(0L))))
-        .when(tEt === 4L, concat(u32(lit(0L)), h16("b"), h16("c"),
-          u32(lit(1L)), u32(lit(0L)), u32(lit(0L)), h16("d0"), h16("e0"),
-          u32(lit(0L)), u32(lit(0L)), i64(lit(555000L) + k), u32(lit(0L))))
-        .when(tEt === 5L, concat(h16("p"), h16("q"), u32(lit(0L)),
-          u32(lit(0L)),
-          concat(u32(lit(1L)),
-            substring(md5(concat(ks, lit("lb"))), 1, 3).cast("binary"),
-            unhex(lit("00")), u32(lit(0L)), h16("lbi"), h16("lbj")),
-          u32(lit(30L)), i64(lit(111000L) + k), i64(lit(222000L) + k),
-          i64(lit(333000L) + k), i64(pmod(k, lit(50L)))))
-        .when(tEt === 6L, concat(u32(lit(0L)),
-          u32(lit(1L)), h16("h"), h16("i"),
-          u32(lit(15L)), varStr(substring(md5(concat(ks, lit("ck"))), 1, 3),
-            lit(3L)),
-          u32(pmod(k, lit(2L))),
-          u32(lit(5L)), i64(lit(7000000L) + k)))
-        .when(tEt === 7L, concat(u32(lit(0L)), h16("h2"), h16("i2"),
-          varStr(concat(md5(concat(ks, lit("cp"))),
-            md5(concat(ks, lit("cq")))), pmod(k, lit(20L)) + lit(4L))))
-        .when(tEt === 8L, concat(u32(lit(0L)),
-          u32(lit(100000L) + pmod(k, lit(1000L)))))
-        .otherwise(concat(h16("t"), h16("u"), u32(lit(4000000L) + k)))
-      // ext: present sponsor / present-v1-with-absent-descriptor / v0
-      val ext = when(pmod(k, lit(3L)) === 0L,
-        concat(u32(lit(1L)), u32(lit(1L)), u32(lit(0L)),
-          h16("sp1"), h16("sp2"), u32(lit(0L))))
-        .when(pmod(k, lit(3L)) === 1L,
-          concat(u32(lit(1L)), u32(lit(0L)), u32(lit(0L))))
-        .otherwise(u32(lit(0L)))
-      val xdr = concat(u32(lit(9000000L) + pmod(k, lit(100000L))),
-        u32(tEt), body, ext)
-      t(s, dir, "customer").filter(col("c_custkey") % 53 === 0)
-        .select(col("c_custkey").cast("long").as("k"))
-        .withColumn("bin", unbase64(base64(xdr)))
-        .withColumn("h", call_function("graft_xdr_ledger_entry", col("bin")))
-        .select(col("k"),
-          col("h.last_modified_ledger_seq").as("last_modified_ledger_seq"),
-          col("h.entry_type").as("entry_type"),
-          lower(hex(call_function("graft_strkey_decode",
-            col("h.sponsor")))).as("sponsor_payload_hex"),
-          col("h.account.balance").as("account_balance"),
-          col("h.trust_line.balance").as("trust_balance"),
-          col("h.offer.offer_id").as("offer_id"),
-          col("h.data.data_name").as("data_name"),
-          col("h.data.data_value_size").as("data_value_size"),
-          col("h.claimable_balance.amount").as("cb_amount"),
-          col("h.liquidity_pool.fee").as("lp_fee"),
-          col("h.contract_data.val_num").as("cd_val_num"),
-          col("h.contract_code.code_size").as("cc_size"),
-          col("h.config_setting.setting_id").as("cs_id"),
-          col("h.ttl.live_until_ledger_seq").as("ttl_live"),
-          call_function("graft_xdr_ledger_entry", col("bin").substr(1, 8))
-            .isNull.as("truncated_rejected"))
-    }),
+    "s3_ledger_entry" -> ((s, dir) =>
+      ledgerEntryProject(ledgerEntryFixture(s, dir))),
 
     // The SCVal COMPLETION arms through the gate — with these the
     // walker is total over the union: ERROR, U256/I256 (digit strings),

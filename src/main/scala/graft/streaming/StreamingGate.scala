@@ -977,8 +977,29 @@ object StreamingGate {
     spark.read.parquet(out)
   }
 
+  /** State-change ingest IN-STREAM: LedgerEntry wire records (the
+    * s3_ledger_entry fixture verbatim) arrive as parquet files of
+    * (k, bin) rows; each micro-batch decodes the whole record — the
+    * data union dispatched across all ten entry types — and lands the
+    * routed projection. Stateless scan → project, no state store; the
+    * drained table must equal the batch decode, so the gate reuses the
+    * s3_ledger_entry oracle verbatim. This is the reference's
+    * state_table_dag shape: a ledger-entry-changes stream fanning into
+    * per-table rows.
+    */
+  def ledgerEntriesGate(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = graft.queries.WarehouseQueries.ledgerEntryFixture(spark, dir)
+    val in = scratch("ldgent_in", dir)
+    val out = scratch("ldgent_out", dir)
+    val ck = scratch("ldgent_ck", dir)
+    val stream = stage(spark, fixture, in)
+    drain(graft.queries.WarehouseQueries.ledgerEntryProject(stream), out, ck)
+    spark.read.parquet(out)
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_xdr_ops" -> (xdrOpsGate(_, _)),
+    "st_ledger_entries" -> (ledgerEntriesGate(_, _)),
     "st_sessionize" -> (sessionizeGate(_, _)),
     "st_dedup" -> (dedupGate(_, _)),
     "st_kmv_estimate" -> (kmvGate(_, _)),
@@ -1033,6 +1054,12 @@ object StreamingGate {
     // batch decode's row set
     "st_xdr_ops" ->
       graft.queries.WarehouseQueries.oracles("s2_tx_operations"),
+
+    // the batch LedgerEntry wire-record law verbatim: decoding the same
+    // state-change corpus through micro-batches must produce exactly
+    // the batch decode's routed rows
+    "st_ledger_entries" ->
+      graft.queries.WarehouseQueries.oracles("s3_ledger_entry"),
 
     // the frozen-centroid IVF derivation (the t_ann_ivf_append oracle):
     // a streamed delta ingest must land every vector in the cell the
