@@ -26,13 +26,22 @@ object ScaleProbe {
     GraftSession.tune(spark)
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nBase = base.count()
-    val big = (0 until mult).map { m =>
-      base.select((col("doc_id") + lit(m.toLong * 10000000L)).as("doc_id"),
-        col("text"), col("lang"), col("n_chars"))
-    }.reduce(_.unionByName(_))
-    val nBig = big.count()
-    println(s"[scale] corpus: $nBase -> $nBig docs (${mult}x, duplicate-heavy)")
+    // LAZY: the xdr/entries modes never touch the replicated corpus, and
+    // building it eagerly at high mult is itself a wall — a mult-way
+    // unionByName reduce costs QUADRATIC analyzer time (a 10000-way
+    // reduce burned minutes in CheckAnalysis before the mode branch ran);
+    // the broadcast range cross join replicates in one analyzed node
+    lazy val nBase = base.count()
+    lazy val big = {
+      val b = base
+        .crossJoin(broadcast(spark.range(mult.toLong).select(col("id").as("m"))))
+        .select((col("doc_id") + col("m") * lit(10000000L)).as("doc_id"),
+          col("text"), col("lang"), col("n_chars"))
+      println(s"[scale] corpus: $nBase -> ${b.count()} docs " +
+        s"(${mult}x, duplicate-heavy)")
+      b
+    }
+    lazy val nBig = nBase * mult
 
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -69,6 +78,31 @@ object ScaleProbe {
     // host's external load arrives in multi-minute bursts, so the last
     // step otherwise lands in a burst on every run.
     val corpusOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("corpus")
+
+    // SPARK_GRAFT_PROBE_ONLY=entries: state-change ingest throughput at
+    // mult-x — the LedgerEntry wire record (the s3_ledger_entry fixture
+    // replicated with shifted keys) decoded + routed across all ten
+    // entry arms, the plan the st_ledger_entries drain runs per batch.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("entries")) {
+      val fix = graft.queries.WarehouseQueries.ledgerEntryFixture(spark, sfDir)
+      // replicate via a broadcast range cross join: on the wide
+      // when-chain fixture plan, a large sequence() literal sends the
+      // ANALYZER into a multi-minute DeduplicateRelations walk
+      val bigFix = fix
+        .repartition(cpus.toInt)
+        .crossJoin(broadcast(spark.range(mult.toLong).select(col("id").as("m"))))
+        .select((col("k") + col("m") * lit(100000000L)).as("k"), col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEnt = bigFix.count()
+      val t0 = System.nanoTime()
+      val nRows = graft.queries.WarehouseQueries.ledgerEntryProject(bigFix)
+        .queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] entries: $nEnt%d state records -> $nRows%d routed " +
+        f"rows in $dt%.2f s (${nEnt / dt / cpus.toInt}%.0f records/s/core)")
+      bigFix.unpersist()
+      spark.stop(); return
+    }
 
     // SPARK_GRAFT_PROBE_ONLY=xdr: whole-record decode throughput at
     // mult-x — the number that anchors the 100 TB ingest story. The
