@@ -246,6 +246,16 @@ object GraftFunctions {
       XdrConfigSettingDecode(children.head)
     })
 
+  private val xdrTxResultDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_tx_result"),
+    new ExpressionInfo(classOf[XdrTxResultDecode].getName,
+      "graft_xdr_tx_result"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_tx_result(bin) takes one binary arg")
+      XdrTxResultDecode(children.head)
+    })
+
   private val xdrLedgerEntryDescriptor: Descriptor = (
     FunctionIdentifier("graft_xdr_ledger_entry"),
     new ExpressionInfo(classOf[XdrLedgerEntryDecode].getName,
@@ -276,7 +286,7 @@ object GraftFunctions {
       xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
       xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor,
       xdrConfigSettingDescriptor, xdrLedgerKeyDescriptor,
-      xdrLedgerEntryDescriptor)
+      xdrLedgerEntryDescriptor, xdrTxResultDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -1738,6 +1738,173 @@ object XdrTxEnvelope {
   }
 }
 
+/** `TransactionResult` decode (Stellar-transaction.x) — the OTHER half
+  * of the transaction lifecycle: the reference's history_transactions
+  * carries fee_charged and `successful` from this record, and several
+  * history_operations detail columns (claimed offers, merge balances,
+  * created balance ids, host-fn return hashes) come from the per-op
+  * result arms. The decoder covers the whole grammar:
+  *
+  *  - the top-level code union: txSUCCESS / txFAILED carry the
+  *    OperationResult vector; the fee-bump arms carry the
+  *    InnerTransactionResultPair (inner hash + a full inner result,
+  *    whose op vector fills the row's op_results); every other code is
+  *    void. Codes are SIGNED int32s.
+  *  - OperationResult: opINNER dispatches on the operation type to the
+  *    per-type result union; the negative op-level codes are void.
+  *  - per-type payload arms: the path-payment successes (ClaimAtom
+  *    vector + the SimplePaymentResult tail), the manage-offer
+  *    successes (ClaimAtom vector + a CREATED/UPDATED OfferEntry —
+  *    parsed by [[XdrOfferEntry]] — or DELETED), ACCOUNT_MERGE's
+  *    source balance, INFLATION's payout vector, the created
+  *    ClaimableBalanceID, INVOKE_HOST_FUNCTION's return-value hash,
+  *    and the path-payment NO_ISSUER asset. ClaimAtoms (all three
+  *    kinds: legacy v0 raw-key, order-book, liquidity-pool) are
+  *    counted and their sold/bought amounts summed.
+  */
+object XdrTxResult {
+
+  val opResultType: StructType = StructType(Seq(
+    StructField("op_code", LongType),
+    StructField("op_type", LongType),
+    StructField("result_code", LongType),
+    StructField("n_claims", LongType),
+    StructField("claims_sold", LongType),
+    StructField("claims_bought", LongType),
+    StructField("offer_effect", LongType),
+    StructField("offer_id", LongType),
+    StructField("merge_balance", LongType),
+    StructField("created_balance_id", StringType),
+    StructField("invoke_return_hash", StringType),
+    StructField("last_dest", StringType),
+    StructField("last_amount", LongType),
+    StructField("n_payouts", LongType),
+    StructField("payout_total", LongType)))
+
+  val txResultType: StructType = StructType(Seq(
+    StructField("fee_charged", LongType),
+    StructField("code", LongType),
+    StructField("inner_hash", StringType),
+    StructField("inner_fee_charged", LongType),
+    StructField("inner_code", LongType),
+    StructField("n_op_results", LongType),
+    StructField("op_results", ArrayType(opResultType))))
+
+  private def hex32(c: XdrCursor): UTF8String = UTF8String.fromString(
+    c.bytes(32).map(x => f"${x & 0xff}%02x").mkString)
+
+  private def i32(c: XdrCursor): Long = c.u32().toInt.toLong
+
+  /** ClaimAtom vector → (count, sum sold, sum bought). */
+  private def claims(c: XdrCursor): (Long, Long, Long) = {
+    val n = c.u32()
+    if (n > 256) throw XdrCursor.Malformed
+    var sold = 0L; var bought = 0L
+    var i = 0L
+    while (i < n) {
+      c.u32() match {
+        case 0L => c.skip(32) // V0: raw uint256 seller key
+          c.i64() // offerID
+        case 1L => // ORDER_BOOK: AccountID seller
+          c.accountId(); c.i64()
+        case 2L => c.skip(32) // LIQUIDITY_POOL: PoolID
+        case _  => throw XdrCursor.Malformed
+      }
+      c.asset(); sold += c.i64()
+      c.asset(); bought += c.i64()
+      i += 1
+    }
+    (n, sold, bought)
+  }
+
+  /** One OperationResult → the op-result row. */
+  private def opResult(c: XdrCursor): GenericInternalRow = {
+    val f = new Array[Any](opResultType.length)
+    val opCode = i32(c)
+    f(0) = opCode
+    if (opCode == 0L) { // opINNER: dispatch on the operation type
+      val t = c.u32()
+      f(1) = t
+      val rc = i32(c)
+      f(2) = rc
+      t match {
+        case 2L | 13L => // path payments
+          if (rc == 0L) { // success: claims + SimplePaymentResult
+            val (n, s, b) = claims(c)
+            f(3) = n; f(4) = s; f(5) = b
+            f(11) = c.accountId()
+            c.asset()
+            f(12) = c.i64()
+          } else if (rc == -9L) c.asset() // NO_ISSUER carries the asset
+        case 3L | 4L | 12L => // manage-offer family
+          if (rc == 0L) {
+            val (n, s, b) = claims(c)
+            f(3) = n; f(4) = s; f(5) = b
+            val eff = c.u32()
+            f(6) = eff
+            eff match {
+              case 0L | 1L => // CREATED / UPDATED: the embedded OfferEntry
+                val offer = XdrOfferEntry.parse(c)
+                f(7) = offer.getLong(
+                  XdrOfferEntry.offerType.fieldIndex("offer_id"))
+              case 2L => () // DELETED
+              case _  => throw XdrCursor.Malformed
+            }
+          }
+        case 8L => // ACCOUNT_MERGE: success carries the source balance
+          if (rc == 0L) f(8) = c.i64()
+        case 9L => // INFLATION: success carries the payout vector
+          if (rc == 0L) {
+            val n = c.u32()
+            if (n > 4096) throw XdrCursor.Malformed
+            var total = 0L
+            var i = 0L
+            while (i < n) { c.accountId(); total += c.i64(); i += 1 }
+            f(13) = n; f(14) = total
+          }
+        case 14L => // CREATE_CLAIMABLE_BALANCE: the created id
+          if (rc == 0L) { c.expect(0L); f(9) = hex32(c) }
+        case 24L => // INVOKE_HOST_FUNCTION: the return-value hash
+          if (rc == 0L) f(10) = hex32(c)
+        case other => // every other op type's result arms are void
+          if (other > 26L) throw XdrCursor.Malformed
+      }
+    } else if (opCode < -6L || opCode > 0L) throw XdrCursor.Malformed
+    // op-level codes -1..-6 (opBAD_AUTH..opTOO_MANY_SPONSORING): void
+    new GenericInternalRow(f)
+  }
+
+  /** feeCharged + the code union + op vector; `inner` restricts the
+    * code set (an InnerTransactionResult cannot itself be a fee bump). */
+  private def body(c: XdrCursor, f: Array[Any], inner: Boolean): Unit = {
+    val fee = c.i64()
+    val code = i32(c)
+    if (inner) { f(3) = fee; f(4) = code } else { f(0) = fee; f(1) = code }
+    code match {
+      case 1L | -13L if !inner => // txFEE_BUMP_INNER_SUCCESS / _FAILED
+        f(2) = hex32(c) // the inner transaction's hash
+        body(c, f, inner = true)
+      case 0L | -1L => // txSUCCESS / txFAILED: OperationResult results<>
+        val n = c.u32()
+        if (n > 100) throw XdrCursor.Malformed
+        val rs = new Array[Any](n.toInt)
+        var i = 0
+        while (i < n) { rs(i) = opResult(c); i += 1 }
+        f(5) = n; f(6) = new GenericArrayData(rs)
+      case v if v >= -17L && v < 0L => () // the void failure codes
+      case _ => throw XdrCursor.Malformed
+    }
+    c.expect(0L) // ext
+  }
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val f = new Array[Any](txResultType.length)
+    body(c, f, inner = false)
+    c.done()
+    new GenericInternalRow(f)
+  }
+}
+
 private[plans] abstract class XdrRecordExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -1850,6 +2017,16 @@ case class XdrContractCodeDecode(child: Expression) extends XdrRecordExpression 
   override def nullSafeEval(input: Any): Any =
     XdrContractCodeEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrContractCodeDecode =
+    copy(child = newChild)
+}
+
+case class XdrTxResultDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrTxResult.txResultType
+  override def prettyName: String = "graft_xdr_tx_result"
+  override protected def staticDecode: String = "graft.plans.XdrTxResult.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrTxResult.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrTxResultDecode =
     copy(child = newChild)
 }
 

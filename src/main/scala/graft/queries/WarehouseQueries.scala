@@ -2379,6 +2379,109 @@ object WarehouseQueries {
           col("h.n_footprint_rw").as("n_footprint_rw"))
     }),
 
+    // The RESULT half of the transaction lifecycle through the gate:
+    // TransactionResult across the code union (success / failed / a
+    // void failure / the fee-bump inner pair) and the payload-carrying
+    // per-op arms — claim atoms summed, offer effects with the embedded
+    // OfferEntry, merge balance, inflation payouts, the created
+    // balance id, the host-fn return hash, the path-payment tail. One
+    // result per row, arm by k%9; the op vector explodes OUTER with no
+    // null filter so void-code rows keep their envelope columns.
+    "s2_tx_results" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      // SIGNED int32: hex() of a negative long is 16 chars and lpad
+      // truncates keeping the LEFT — encode the two's-complement word
+      def i32e(c: Column) = u32(pmod(c, lit(4294967296L)))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val m = pmod(k, lit(9L))
+      val fee = i64(lit(100L) + pmod(k, lit(50L)))
+      def opInner(t: Long, rc: Long, payload: Column): Column =
+        concat(u32(lit(0L)), u32(lit(t)), i32e(lit(rc)), payload)
+      val emptyB = unhex(lit(""))
+      val m0 = concat(fee, u32(lit(0L)), u32(lit(2L)),
+        opInner(1L, 0L, emptyB), opInner(11L, 0L, emptyB), u32(lit(0L)))
+      val m1 = concat(fee, i32e(lit(-1L)), u32(lit(1L)),
+        opInner(1L, -2L, emptyB), u32(lit(0L)))
+      val m2 = concat(fee, i32e(lit(-3L)), u32(lit(0L)))
+      val m3 = concat(i64(lit(1000L) + k), u32(lit(1L)),
+        h16("ih1"), h16("ih2"),
+        i64(lit(600L) + k), u32(lit(0L)), u32(lit(1L)),
+        opInner(8L, 0L, i64(lit(50000000L) + k)),
+        u32(lit(0L)), u32(lit(0L)))
+      val nCl = pmod(k, lit(3L))
+      def atom(i: Int): Column = // ORDER_BOOK atom: native/native legs
+        when(nCl > i, concat(u32(lit(1L)), u32(lit(0L)), key32,
+          i64(lit(11L)),
+          u32(lit(0L)), i64(lit(10L) + pmod(k, lit(100L)) + lit(i.toLong)),
+          u32(lit(0L)), i64(lit(20L) + pmod(k, lit(100L)) + lit(i.toLong))))
+          .otherwise(emptyB)
+      val eff = pmod(k, lit(3L))
+      val offerEntry = concat(u32(lit(0L)), key32, i64(lit(7000000L) + k),
+        u32(lit(0L)), u32(lit(0L)), i64(lit(1L)),
+        u32(lit(1L)), u32(lit(1L)), u32(lit(0L)), u32(lit(0L)))
+      val m4 = concat(fee, u32(lit(0L)), u32(lit(1L)),
+        opInner(3L, 0L, concat(u32(nCl), atom(0), atom(1),
+          u32(eff), when(eff < 2L, offerEntry).otherwise(emptyB))),
+        u32(lit(0L)))
+      val m5 = concat(fee, u32(lit(0L)), u32(lit(1L)),
+        opInner(2L, 0L, concat(u32(lit(1L)),
+          u32(lit(2L)), h16("lp1"), h16("lp2"),
+          u32(lit(0L)), i64(lit(30L) + pmod(k, lit(10L))),
+          u32(lit(0L)), i64(lit(40L) + pmod(k, lit(10L))),
+          u32(lit(0L)), h16("d"), h16("e"), u32(lit(0L)),
+          i64(lit(90000000L) + k))),
+        u32(lit(0L)))
+      def payout(i: Int): Column =
+        when(nCl > i, concat(u32(lit(0L)), h16(s"pd$i"),
+          i64(lit(1000L) + pmod(k, lit(100L)) + lit(i.toLong))))
+          .otherwise(emptyB)
+      val m6 = concat(fee, u32(lit(0L)), u32(lit(1L)),
+        opInner(9L, 0L, concat(u32(nCl), payout(0), payout(1))),
+        u32(lit(0L)))
+      val m7 = concat(fee, u32(lit(0L)), u32(lit(1L)),
+        opInner(14L, 0L, concat(u32(lit(0L)), h16("cb1"), h16("cb2"))),
+        u32(lit(0L)))
+      val m8 = concat(fee, u32(lit(0L)), u32(lit(1L)),
+        opInner(24L, 0L, concat(h16("rh1"), h16("rh2"))),
+        u32(lit(0L)))
+      val xdr = when(m === 0L, m0).when(m === 1L, m1).when(m === 2L, m2)
+        .when(m === 3L, m3).when(m === 4L, m4).when(m === 5L, m5)
+        .when(m === 6L, m6).when(m === 7L, m7).otherwise(m8)
+      t(s, dir, "orders").filter(col("o_orderkey") % 73 === 0)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_tx_result", col("bin")))
+        .select(col("k"), col("h"),
+          posexplode_outer(col("h.op_results")).as(Seq("i", "op")))
+        .select(col("k"),
+          col("h.fee_charged").as("fee_charged"),
+          col("h.code").as("code"),
+          col("h.inner_hash").as("inner_hash"),
+          col("h.inner_fee_charged").as("inner_fee_charged"),
+          col("h.inner_code").as("inner_code"),
+          col("h.n_op_results").as("n_op_results"),
+          col("i").cast("long").as("i"),
+          col("op.op_code").as("op_code"),
+          col("op.op_type").as("op_type"),
+          col("op.result_code").as("result_code"),
+          col("op.n_claims").as("n_claims"),
+          col("op.claims_sold").as("claims_sold"),
+          col("op.claims_bought").as("claims_bought"),
+          col("op.offer_effect").as("offer_effect"),
+          col("op.offer_id").as("offer_id"),
+          col("op.merge_balance").as("merge_balance"),
+          col("op.created_balance_id").as("created_balance_id"),
+          col("op.invoke_return_hash").as("invoke_return_hash"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("op.last_dest")))).as("last_dest_payload_hex"),
+          col("op.last_amount").as("last_amount"),
+          col("op.n_payouts").as("n_payouts"),
+          col("op.payout_total").as("payout_total"))
+    }),
+
     // All three envelope KINDS through the gate: legacy v0, v1 across
     // every Preconditions arm (NONE / TIME / V2-minimal / V2-full), and
     // the fee-bump wrap — the envelope surface of the reference's
@@ -4569,6 +4672,71 @@ object WarehouseQueries {
         |  CAST(CASE WHEN k%2 = 1 THEN k%3 END AS BIGINT) AS n_footprint_ro,
         |  CAST(CASE WHEN k%2 = 1 THEN 1 END AS BIGINT) AS n_footprint_rw
         |FROM src""".stripMargin,
+
+    // the TransactionResult fixture LAW: arm m = k%9 over the code
+    // union + payload arms; void-code rows (m=2) carry a NULL op index
+    "s2_tx_results" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS ks,
+        |    CAST(o_orderkey % 9 AS BIGINT) AS m
+        |  FROM orders WHERE o_orderkey % 73 = 0),
+        |exp AS (
+        |  SELECT k, ks, m, CAST(i0 AS BIGINT) AS i
+        |  FROM (SELECT k, ks, m,
+        |      unnest(range(0, CASE WHEN m = 0 THEN 2 ELSE 1 END)) AS i0
+        |    FROM src WHERE m <> 2)
+        |  UNION ALL
+        |  SELECT k, ks, m, CAST(NULL AS BIGINT) FROM src WHERE m = 2)
+        |SELECT k,
+        |  CAST(CASE WHEN m = 3 THEN 1000 + k ELSE 100 + k % 50 END
+        |    AS BIGINT) AS fee_charged,
+        |  CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN -1 WHEN 2 THEN -3
+        |    WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS code,
+        |  CASE WHEN m = 3 THEN md5(ks||'ih1')||md5(ks||'ih2') END
+        |    AS inner_hash,
+        |  CAST(CASE WHEN m = 3 THEN 600 + k END AS BIGINT)
+        |    AS inner_fee_charged,
+        |  CAST(CASE WHEN m = 3 THEN 0 END AS BIGINT) AS inner_code,
+        |  CAST(CASE WHEN m = 2 THEN NULL WHEN m = 0 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_op_results,
+        |  i,
+        |  CAST(CASE WHEN m <> 2 THEN 0 END AS BIGINT) AS op_code,
+        |  CAST(CASE WHEN m = 0 THEN CASE i WHEN 0 THEN 1 ELSE 11 END
+        |    WHEN m = 1 THEN 1 WHEN m = 3 THEN 8 WHEN m = 4 THEN 3
+        |    WHEN m = 5 THEN 2 WHEN m = 6 THEN 9 WHEN m = 7 THEN 14
+        |    WHEN m = 8 THEN 24 END AS BIGINT) AS op_type,
+        |  CAST(CASE WHEN m = 1 THEN -2 WHEN m <> 2 THEN 0 END AS BIGINT)
+        |    AS result_code,
+        |  CAST(CASE WHEN m = 4 THEN k % 3 WHEN m = 5 THEN 1 END AS BIGINT)
+        |    AS n_claims,
+        |  CAST(CASE WHEN m = 4 THEN
+        |      CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 10 + k % 100
+        |        ELSE 2 * (10 + k % 100) + 1 END
+        |    WHEN m = 5 THEN 30 + k % 10 END AS BIGINT) AS claims_sold,
+        |  CAST(CASE WHEN m = 4 THEN
+        |      CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 20 + k % 100
+        |        ELSE 2 * (20 + k % 100) + 1 END
+        |    WHEN m = 5 THEN 40 + k % 10 END AS BIGINT) AS claims_bought,
+        |  CAST(CASE WHEN m = 4 THEN k % 3 END AS BIGINT) AS offer_effect,
+        |  CAST(CASE WHEN m = 4 AND k % 3 < 2 THEN 7000000 + k END
+        |    AS BIGINT) AS offer_id,
+        |  CAST(CASE WHEN m = 3 THEN 50000000 + k END AS BIGINT)
+        |    AS merge_balance,
+        |  CASE WHEN m = 7 THEN md5(ks||'cb1')||md5(ks||'cb2') END
+        |    AS created_balance_id,
+        |  CASE WHEN m = 8 THEN md5(ks||'rh1')||md5(ks||'rh2') END
+        |    AS invoke_return_hash,
+        |  CASE WHEN m = 5 THEN md5(ks||'d')||md5(ks||'e') END
+        |    AS last_dest_payload_hex,
+        |  CAST(CASE WHEN m = 5 THEN 90000000 + k END AS BIGINT)
+        |    AS last_amount,
+        |  CAST(CASE WHEN m = 6 THEN k % 3 END AS BIGINT) AS n_payouts,
+        |  CAST(CASE WHEN m = 6 THEN
+        |    CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 1000 + k % 100
+        |      ELSE 2 * (1000 + k % 100) + 1 END END AS BIGINT)
+        |    AS payout_total
+        |FROM exp""".stripMargin,
 
     // the envelope-kinds fixture LAW: kind by k%3, the v1 Preconditions
     // arm by k%4, every envelope column restated from the row key

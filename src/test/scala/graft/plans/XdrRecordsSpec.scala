@@ -1725,6 +1725,128 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrLedgerEntry.decode(full :+ 0.toByte) == null)
   }
 
+  test("TransactionResult: the code union, the fee-bump inner pair, and " +
+      "every per-op payload arm (claims, offer effects, merge balance, " +
+      "inflation payouts, created balance id, host-fn return hash, " +
+      "path-payment tail) invert an independent encoder; bad codes, " +
+      "bad atoms, and prefixes reject") {
+    val TR = XdrTxResult.txResultType
+    val OR = XdrTxResult.opResultType
+    def tix(n: String) = TR.fieldIndex(n)
+    def oix(n: String) = OR.fieldIndex(n)
+    def atomOrderBook(w: OpW, sold: Long, bought: Long): Unit = {
+      w.w32(1L).acct(70).w64(11L) // ORDER_BOOK: seller + offer id
+      w.w32(0L).w64(sold)         // assetSold native + amount
+      w.w32(0L).w64(bought)
+    }
+    def atomLp(w: OpW, sold: Long, bought: Long): Unit = {
+      w.w32(2L).h(71)             // LIQUIDITY_POOL: pool id
+      w.w32(0L).w64(sold).w32(0L).w64(bought)
+    }
+    // txSUCCESS with the payload-carrying arms
+    val okW = new OpW()
+    okW.w64(600L).w32(0L) // feeCharged + txSUCCESS
+    okW.w32(7L)           // seven op results
+    okW.w32(0L).w32(1L).w32(0L) // opINNER, PAYMENT, success (void)
+    okW.w32(0L).w32(2L).w32(0L) // PATH_PAYMENT_STRICT_RECEIVE success
+    okW.w32(2L); atomOrderBook(okW, 10L, 20L); atomLp(okW, 30L, 40L)
+    okW.acct(72).w32(0L).w64(99L) // SimplePaymentResult tail
+    okW.w32(0L).w32(3L).w32(0L) // MANAGE_SELL_OFFER success
+    okW.w32(1L); atomOrderBook(okW, 5L, 6L)
+    okW.w32(0L)                 // effect CREATED
+    okW.bb.write(encodeOffer(0, 0), 0, encodeOffer(0, 0).length)
+    okW.w32(0L).w32(8L).w32(0L).w64(31337L) // ACCOUNT_MERGE success
+    okW.w32(0L).w32(9L).w32(0L) // INFLATION success, two payouts
+    okW.w32(2L).acct(73).w64(100L).acct(74).w64(200L)
+    okW.w32(0L).w32(14L).w32(0L).w32(0L).h(75) // CREATE_CB success
+    okW.w32(0L).w32(24L).w32(0L).h(76) // INVOKE success: return hash
+    okW.w32(0L) // ext
+    val ok = XdrTxResult.decode(okW.bytes)
+    assert(ok != null)
+    assert(ok.getLong(tix("fee_charged")) == 600L)
+    assert(ok.getLong(tix("code")) == 0L)
+    assert(ok.isNullAt(tix("inner_hash")))
+    assert(ok.getLong(tix("n_op_results")) == 7L)
+    val ops = ok.getArray(tix("op_results"))
+    def op(i: Int) = ops.getStruct(i, OR.length)
+    assert(op(0).getLong(oix("op_type")) == 1L &&
+      op(0).getLong(oix("result_code")) == 0L &&
+      op(0).isNullAt(oix("n_claims")))
+    assert(op(1).getLong(oix("n_claims")) == 2L &&
+      op(1).getLong(oix("claims_sold")) == 40L &&
+      op(1).getLong(oix("claims_bought")) == 60L &&
+      op(1).getLong(oix("last_amount")) == 99L)
+    assert(StrkeyCodec.decodePayload(
+      op(1).getUTF8String(oix("last_dest"))).toSeq == hash(72).toSeq)
+    assert(op(2).getLong(oix("offer_effect")) == 0L &&
+      op(2).getLong(oix("offer_id")) == 12345L &&
+      op(2).getLong(oix("n_claims")) == 1L)
+    assert(op(3).getLong(oix("merge_balance")) == 31337L)
+    assert(op(4).getLong(oix("n_payouts")) == 2L &&
+      op(4).getLong(oix("payout_total")) == 300L)
+    assert(op(5).getUTF8String(oix("created_balance_id")).toString ==
+      hash(75).map("%02x".format(_)).mkString)
+    assert(op(6).getUTF8String(oix("invoke_return_hash")).toString ==
+      hash(76).map("%02x".format(_)).mkString)
+    // txFAILED with a failed op and an op-level code
+    val failW = new OpW().w64(100L).w32(-1L & 0xffffffffL).w32(2L)
+    failW.w32(0L).w32(1L).w32(-2L & 0xffffffffL) // PAYMENT underfunded
+    failW.w32(-1L & 0xffffffffL)                 // opBAD_AUTH (void)
+    failW.w32(0L)
+    val fl = XdrTxResult.decode(failW.bytes)
+    assert(fl.getLong(tix("code")) == -1L)
+    val fops = fl.getArray(tix("op_results"))
+    assert(fops.getStruct(0, OR.length).getLong(oix("result_code")) == -2L)
+    assert(fops.getStruct(1, OR.length).getLong(oix("op_code")) == -1L &&
+      fops.getStruct(1, OR.length).isNullAt(oix("op_type")))
+    // a void top-level failure code: no vector at all
+    val late = XdrTxResult.decode(
+      new OpW().w64(100L).w32(-3L & 0xffffffffL).w32(0L).bytes)
+    assert(late.getLong(tix("code")) == -3L && late.isNullAt(tix("n_op_results")))
+    // fee bump: outer fee + inner pair, the inner op vector fills the row
+    val fbW = new OpW().w64(1000L).w32(1L).h(77) // outer + inner hash
+    fbW.w64(600L).w32(0L).w32(1L)                // inner: success, one op
+    fbW.w32(0L).w32(8L).w32(0L).w64(42L)         // ACCOUNT_MERGE success
+    fbW.w32(0L)                                  // inner ext
+    fbW.w32(0L)                                  // outer ext
+    val fb = XdrTxResult.decode(fbW.bytes)
+    assert(fb.getLong(tix("fee_charged")) == 1000L &&
+      fb.getLong(tix("code")) == 1L)
+    assert(fb.getUTF8String(tix("inner_hash")).toString ==
+      hash(77).map("%02x".format(_)).mkString)
+    assert(fb.getLong(tix("inner_fee_charged")) == 600L &&
+      fb.getLong(tix("inner_code")) == 0L)
+    assert(fb.getLong(tix("n_op_results")) == 1L)
+    assert(fb.getArray(tix("op_results")).getStruct(0, OR.length)
+      .getLong(oix("merge_balance")) == 42L)
+    // NO_ISSUER carries an asset and still parses
+    val noIss = new OpW().w64(1L).w32(-1L & 0xffffffffL).w32(1L)
+    noIss.w32(0L).w32(2L).w32(-9L & 0xffffffffL).w32(0L) // native asset
+    noIss.w32(0L)
+    assert(XdrTxResult.decode(noIss.bytes) != null)
+    // rejects: positive non-fee-bump code, op code past the floor,
+    // unknown atom kind, unknown offer effect, prefixes, trailing byte
+    assert(XdrTxResult.decode(
+      new OpW().w64(1L).w32(2L).w32(0L).bytes) == null)
+    assert(XdrTxResult.decode(new OpW().w64(1L).w32(0L).w32(1L)
+      .w32(-7L & 0xffffffffL).w32(0L).bytes) == null)
+    assert(XdrTxResult.decode({
+      val w = new OpW().w64(1L).w32(0L).w32(1L)
+      w.w32(0L).w32(3L).w32(0L).w32(1L).w32(3L)
+      w.bytes
+    }) == null, "atom kind 3")
+    assert(XdrTxResult.decode({
+      val w = new OpW().w64(1L).w32(0L).w32(1L)
+      w.w32(0L).w32(3L).w32(0L).w32(0L).w32(3L).w32(0L)
+      w.bytes
+    }) == null, "offer effect 3")
+    val full = okW.bytes
+    (0 until full.length).foreach { n =>
+      assert(XdrTxResult.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrTxResult.decode(full :+ 0.toByte) == null)
+  }
+
   test("codegen path: the registered function decodes inside a real " +
       "plan and agrees with the interpreted parser on every row") {
     val rows = shapes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
