@@ -246,6 +246,16 @@ object GraftFunctions {
       XdrConfigSettingDecode(children.head)
     })
 
+  private val xdrEntryChangesDescriptor: Descriptor = (
+    FunctionIdentifier("graft_xdr_entry_changes"),
+    new ExpressionInfo(classOf[XdrLedgerEntryChangesDecode].getName,
+      "graft_xdr_entry_changes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_xdr_entry_changes(bin) takes one binary arg")
+      XdrLedgerEntryChangesDecode(children.head)
+    })
+
   private val xdrTxResultDescriptor: Descriptor = (
     FunctionIdentifier("graft_xdr_tx_result"),
     new ExpressionInfo(classOf[XdrTxResultDecode].getName,
@@ -286,7 +296,8 @@ object GraftFunctions {
       xdrLiquidityPoolDescriptor, xdrClaimableBalanceDescriptor,
       xdrContractDataDescriptor, xdrTtlDescriptor, xdrContractCodeDescriptor,
       xdrConfigSettingDescriptor, xdrLedgerKeyDescriptor,
-      xdrLedgerEntryDescriptor, xdrTxResultDescriptor)
+      xdrLedgerEntryDescriptor, xdrTxResultDescriptor,
+      xdrEntryChangesDescriptor)
 
   /** Idempotently register the engine's native functions on a session. */
   def register(spark: SparkSession): Unit =

@@ -1104,6 +1104,13 @@ object XdrLedgerEntry {
     StructField("ttl", XdrTtlEntry.ttlType)))
 
   def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val row = parse(c)
+    c.done()
+    row
+  }
+
+  /** Mid-stream parse — LedgerEntryChanges embeds this record. */
+  private[plans] def parse(c: XdrCursor): GenericInternalRow = {
     val f = new Array[Any](ledgerEntryType.length)
     f(0) = c.u32() // lastModifiedLedgerSeq
     val t = c.u32()
@@ -1137,7 +1144,6 @@ object XdrLedgerEntry {
         c.expect(0L)
       case _ => throw XdrCursor.Malformed
     }
-    c.done()
     new GenericInternalRow(f)
   }
 }
@@ -1738,6 +1744,49 @@ object XdrTxEnvelope {
   }
 }
 
+/** `LedgerEntryChanges` decode (Stellar-ledger.x) — the exact unit the
+  * reference's `export_ledger_entry_changes` task processes: a vector
+  * of LedgerEntryChange unions, where created/updated/state/restored
+  * carry a whole [[XdrLedgerEntry]] and removed carries a
+  * [[XdrLedgerKey]]. The decoded array explodes to one row per change
+  * — (change kind, the full entry struct or the key struct) — so an
+  * ingest derives every state table from ONE decode of the change
+  * stream, the del-ins shape the reference's state DAG applies. */
+object XdrLedgerEntryChanges {
+
+  val changeType: StructType = StructType(Seq(
+    StructField("change_kind", LongType), // 0 created, 1 updated,
+    // 2 removed, 3 state, 4 restored
+    StructField("entry", XdrLedgerEntry.ledgerEntryType),
+    StructField("key", XdrLedgerKey.ledgerKeyType)))
+
+  val changesType: StructType = StructType(Seq(
+    StructField("n_changes", LongType),
+    StructField("changes", ArrayType(changeType))))
+
+  def decode(b: Array[Byte]): InternalRow = XdrParse(b) { c =>
+    val n = c.u32()
+    if (n > 1024) throw XdrCursor.Malformed
+    val out = new Array[Any](n.toInt)
+    var i = 0
+    while (i < n) {
+      val kind = c.u32()
+      out(i) = kind match {
+        case 0L | 1L | 3L | 4L => // created/updated/state/restored
+          new GenericInternalRow(Array[Any](
+            kind, XdrLedgerEntry.parse(c), null))
+        case 2L => // removed: the LedgerKey
+          new GenericInternalRow(Array[Any](
+            kind, null, XdrLedgerKey.parse(c)))
+        case _ => throw XdrCursor.Malformed
+      }
+      i += 1
+    }
+    c.done()
+    new GenericInternalRow(Array[Any](n, new GenericArrayData(out)))
+  }
+}
+
 /** `TransactionResult` decode (Stellar-transaction.x) — the OTHER half
   * of the transaction lifecycle: the reference's history_transactions
   * carries fee_charged and `successful` from this record, and several
@@ -2017,6 +2066,17 @@ case class XdrContractCodeDecode(child: Expression) extends XdrRecordExpression 
   override def nullSafeEval(input: Any): Any =
     XdrContractCodeEntry.decode(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): XdrContractCodeDecode =
+    copy(child = newChild)
+}
+
+case class XdrLedgerEntryChangesDecode(child: Expression) extends XdrRecordExpression {
+  override def dataType: DataType = XdrLedgerEntryChanges.changesType
+  override def prettyName: String = "graft_xdr_entry_changes"
+  override protected def staticDecode: String =
+    "graft.plans.XdrLedgerEntryChanges.decode"
+  override def nullSafeEval(input: Any): Any =
+    XdrLedgerEntryChanges.decode(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): XdrLedgerEntryChangesDecode =
     copy(child = newChild)
 }
 

@@ -2982,6 +2982,56 @@ object WarehouseQueries {
     "s3_ledger_entry" -> ((s, dir) =>
       ledgerEntryProject(ledgerEntryFixture(s, dir))),
 
+    // The LedgerEntryChanges stream unit through the gate — the exact
+    // record the reference's export_ledger_entry_changes task walks: a
+    // change vector whose created/updated/state arms carry whole
+    // LedgerEntries and whose removed arm carries a LedgerKey, exploded
+    // to one row per change.
+    "s3_entry_changes" -> ((s, dir) => {
+      def u32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def i64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+      val k = col("k"); val ks = k.cast("string")
+      def h16(tag: String) = unhex(md5(concat(ks, lit(tag))))
+      val key32 = unhex(concat(md5(ks), md5(concat(ks, lit("a")))))
+      val lastMod = u32(lit(9000000L) + pmod(k, lit(100000L)))
+      val ttlEntry = concat(lastMod, u32(lit(9L)),
+        h16("t0a"), h16("t0b"), u32(lit(4000000L) + k), u32(lit(0L)))
+      val ttlKey = concat(u32(lit(9L)), h16("t0a"), h16("t0b"))
+      val offerEntry = concat(lastMod, u32(lit(2L)),
+        u32(lit(0L)), key32, i64(lit(4000000000L) + k),
+        u32(lit(0L)), u32(lit(0L)), i64(lit(777000L) + k),
+        u32(lit(1L)), u32(lit(1L)), u32(lit(0L)), u32(lit(0L)),
+        u32(lit(0L)))
+      val acctKey = concat(u32(lit(0L)), u32(lit(0L)), key32)
+      val kind0 = pmod(k, lit(5L))
+      val n = lit(1L) + pmod(k, lit(3L))
+      val change0 = when(kind0 === 2L, concat(u32(lit(2L)), ttlKey))
+        .otherwise(concat(u32(kind0), ttlEntry))
+      val change1 = when(n > 1L, concat(u32(lit(0L)), offerEntry))
+        .otherwise(unhex(lit("")))
+      val change2 = when(n > 2L, concat(u32(lit(2L)), acctKey))
+        .otherwise(unhex(lit("")))
+      val xdr = concat(u32(n), change0, change1, change2)
+      t(s, dir, "customer").filter(col("c_custkey") % 59 === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bin", unbase64(base64(xdr)))
+        .withColumn("h", call_function("graft_xdr_entry_changes", col("bin")))
+        .select(col("k"), col("h.n_changes").as("n_changes"),
+          posexplode_outer(col("h.changes")).as(Seq("i", "ch")))
+        .filter(col("i").isNotNull)
+        .select(col("k"), col("n_changes"),
+          col("i").cast("long").as("i"),
+          col("ch.change_kind").as("change_kind"),
+          col("ch.entry.entry_type").as("entry_type"),
+          col("ch.entry.last_modified_ledger_seq").as("last_modified"),
+          col("ch.entry.ttl.live_until_ledger_seq").as("ttl_live"),
+          col("ch.entry.offer.offer_id").as("offer_id"),
+          col("ch.key.entry_type").as("key_entry_type"),
+          col("ch.key.key_hash").as("key_hash"),
+          lower(hex(call_function("graft_strkey_decode",
+            col("ch.key.account_id")))).as("key_account_payload_hex"))
+    }),
+
     // The SCVal COMPLETION arms through the gate — with these the
     // walker is total over the union: ERROR, U256/I256 (digit strings),
     // CONTRACT_INSTANCE (executable + storage map), and both
@@ -4155,6 +4205,35 @@ object WarehouseQueries {
         |    AS BIGINT) AS flags,
         |  true AS truncated_rejected
         |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin,
+
+    // the LedgerEntryChanges LAW: change 0's kind by k%5 (removed →
+    // the TTL key, else the TTL entry), change 1 a created offer,
+    // change 2 a removed account key, vector length 1 + k%3
+    "s3_entry_changes" ->
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey AS VARCHAR) AS ks,
+        |    unnest(range(0, 1 + CAST(c_custkey % 3 AS BIGINT))) AS i0
+        |  FROM customer WHERE c_custkey % 59 = 0)
+        |SELECT k, CAST(1 + k % 3 AS BIGINT) AS n_changes,
+        |  CAST(i0 AS BIGINT) AS i,
+        |  CAST(CASE WHEN i0 = 0 THEN k % 5 WHEN i0 = 1 THEN 0 ELSE 2 END
+        |    AS BIGINT) AS change_kind,
+        |  CAST(CASE WHEN i0 = 0 AND k % 5 <> 2 THEN 9
+        |    WHEN i0 = 1 THEN 2 END AS BIGINT) AS entry_type,
+        |  CAST(CASE WHEN (i0 = 0 AND k % 5 <> 2) OR i0 = 1
+        |    THEN 9000000 + k % 100000 END AS BIGINT) AS last_modified,
+        |  CAST(CASE WHEN i0 = 0 AND k % 5 <> 2 THEN 4000000 + k END
+        |    AS BIGINT) AS ttl_live,
+        |  CAST(CASE WHEN i0 = 1 THEN 4000000000 + k END AS BIGINT)
+        |    AS offer_id,
+        |  CAST(CASE WHEN i0 = 0 AND k % 5 = 2 THEN 9
+        |    WHEN i0 = 2 THEN 0 END AS BIGINT) AS key_entry_type,
+        |  CASE WHEN i0 = 0 AND k % 5 = 2
+        |    THEN md5(ks||'t0a')||md5(ks||'t0b') END AS key_hash,
+        |  CASE WHEN i0 = 2 THEN md5(ks)||md5(ks||'a') END
+        |    AS key_account_payload_hex
+        |FROM src""".stripMargin,
 
     // the LedgerEntry wire-record LAW: entry arm t = k%10, the v1 ext's
     // sponsor by k%3, one identifying probe per nested struct

@@ -26,7 +26,8 @@ class XdrFuzzSpec extends AnyFunSuite {
     "ledger_key" -> (XdrLedgerKey.decode(_)),
     "ledger_entry" -> (XdrLedgerEntry.decode(_)),
     "tx_envelope" -> (XdrTxEnvelope.decode(_)),
-    "tx_result" -> (XdrTxResult.decode(_)))
+    "tx_result" -> (XdrTxResult.decode(_)),
+    "entry_changes" -> (XdrLedgerEntryChanges.decode(_)))
 
   test("random bytes never throw: every decoder returns row-or-null on " +
       "arbitrary buffers of every small size and on larger random blobs") {

@@ -1725,6 +1725,50 @@ class XdrRecordsSpec extends SparkSpec {
     assert(XdrLedgerEntry.decode(full :+ 0.toByte) == null)
   }
 
+  test("LedgerEntryChanges: every change kind dispatches (entries for " +
+      "created/updated/state/restored, keys for removed); unknown kinds, " +
+      "over-limit vectors, and prefixes reject") {
+    val CT = XdrLedgerEntryChanges.changeType
+    def cix(n: String) = CT.fieldIndex(n)
+    def ttlEntry(w: OpW): Unit = {
+      w.w32(777L).w32(9L).h(92).w32(123L).w32(0L) // lastMod, TTL, ext 0
+    }
+    val w = new OpW().w32(6L) // five kinds + one more entry
+    Seq(0L, 1L, 3L, 4L).foreach { kind => w.w32(kind); ttlEntry(w) }
+    w.w32(2L).w32(9L).h(92)   // removed: a TTL key
+    w.w32(2L).w32(0L).acct(93) // removed: an ACCOUNT key
+    val r = XdrLedgerEntryChanges.decode(w.bytes)
+    assert(r != null && r.getLong(0) == 6L)
+    val arr = r.getArray(1)
+    Seq(0, 1, 2, 3).foreach { i =>
+      val ch = arr.getStruct(i, CT.length)
+      assert(ch.getLong(cix("change_kind")) == Seq(0L, 1L, 3L, 4L)(i))
+      assert(ch.isNullAt(cix("key")))
+      val e = ch.getStruct(cix("entry"), XdrLedgerEntry.ledgerEntryType.length)
+      assert(e.getLong(1) == 9L) // TTL arm
+    }
+    val rm = arr.getStruct(4, CT.length)
+    assert(rm.getLong(cix("change_kind")) == 2L && rm.isNullAt(cix("entry")))
+    assert(rm.getStruct(cix("key"), XdrLedgerKey.ledgerKeyType.length)
+      .getLong(0) == 9L)
+    val rm2 = arr.getStruct(5, CT.length)
+    assert(StrkeyCodec.decodePayload(
+      rm2.getStruct(cix("key"), XdrLedgerKey.ledgerKeyType.length)
+        .getUTF8String(1)).toSeq == hash(93).toSeq)
+    // empty vector is a valid record
+    assert(XdrLedgerEntryChanges.decode(new OpW().w32(0L).bytes)
+      .getLong(0) == 0L)
+    // unknown change kind rejects
+    assert(XdrLedgerEntryChanges.decode({
+      val b = new OpW().w32(1L).w32(5L); ttlEntry(b); b.bytes
+    }) == null)
+    val full = w.bytes
+    (0 until full.length).foreach { n =>
+      assert(XdrLedgerEntryChanges.decode(full.take(n)) == null, s"prefix $n")
+    }
+    assert(XdrLedgerEntryChanges.decode(full :+ 0.toByte) == null)
+  }
+
   test("TransactionResult: the code union, the fee-bump inner pair, and " +
       "every per-op payload arm (claims, offer effects, merge balance, " +
       "inflation payouts, created balance id, host-fn return hash, " +
