@@ -143,9 +143,11 @@ object Alerting {
     * evaluates inside the aggregate, one inconsistent check_key fails
     * the ENTIRE report at collect time; set `ambiguousAsFlag` to true
     * to instead surface the disagreement per row — an
-    * `order_ambiguous` boolean column, with the ambiguous rows'
-    * last_status nulled — so one bad scheme quarantines its own rows
-    * without taking down every other check's report.
+    * `order_ambiguous` boolean column, with BOTH order-derived columns
+    * (last_status and first_failed_run) nulled on the ambiguous rows —
+    * so one bad scheme quarantines its own rows without taking down
+    * every other check's report. The order-free counters (n_runs,
+    * n_failures, fail_rate, worst_violations) stay populated.
     */
   def runReport(history: DataFrame, runOrderCol: Option[String] = None,
                 ambiguousAsFlag: Boolean = false): DataFrame = {
@@ -171,11 +173,19 @@ object Alerting {
     val guarded =
       if (runOrderCol.isDefined) base
       else if (ambiguousAsFlag)
+        // BOTH order-derived columns are quarantined: first_failed_run is
+        // a min_by over the same run_id ordering last_status maxes over,
+        // so leaving it populated would silently misreport on exactly the
+        // rows the flag marks. n_runs/n_failures/fail_rate/
+        // worst_violations are order-free and stay.
         base.withColumn("order_ambiguous",
             col("_lex_last") =!= col("_len_last"))
           .withColumn("last_status",
             when(col("order_ambiguous"), lit(null: String))
               .otherwise(col("last_status")))
+          .withColumn("first_failed_run",
+            when(col("order_ambiguous"), lit(null: String))
+              .otherwise(col("first_failed_run")))
       else base.withColumn("last_status",
         when(col("_lex_last") =!= col("_len_last"),
           raise_error(concat(

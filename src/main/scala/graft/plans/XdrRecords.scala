@@ -913,7 +913,14 @@ object XdrContractCodeEntry {
 /** `ConfigSettingEntry` decode (Stellar-contract-config-setting.x) —
   * the reference's `config_settings` state table. The entry is one big
   * union on ConfigSettingID whose decodable arms are fixed sequences of
-  * u32/i64/bool scalars (the protocol-20 layouts), so the record
+  * u32/i64/bool scalars (the protocol-21+ layouts: STATE_ARCHIVAL here
+  * is the 10-field shape with bucketListWindowSamplePeriod present and
+  * a uint32 evictionScanSize — a genuine protocol-20 STATE_ARCHIVAL
+  * blob, 9 fields with a uint64 evictionScanSize, happens to have the
+  * SAME byte length and would decode with evictionScanSize split
+  * across two slots and startingEvictionScanLevel shifted; pre-21
+  * archives must be migrated or read with a versioned layout), so the
+  * record
   * surfaces GENERICALLY as (setting_id, the scalar sequence in wire
   * order as an array<long>) — the stable queryable shape the
   * reference's flat per-arm projection (schemas/
@@ -938,7 +945,7 @@ object XdrConfigSettingEntry {
     5L -> "wwq",               // BANDWIDTH_V0
     8L -> "w",                 // CONTRACT_DATA_KEY_SIZE_BYTES
     9L -> "w",                 // CONTRACT_DATA_ENTRY_SIZE_BYTES
-    10L -> "wwwqqwwwww",       // STATE_ARCHIVAL
+    10L -> "wwwqqwwwww",       // STATE_ARCHIVAL (protocol-21+ shape; see doc)
     11L -> "w",                // EXECUTION_LANES
     13L -> "wbq")              // EVICTION_ITERATOR
 
@@ -1876,6 +1883,11 @@ object XdrTxResult {
       f(1) = t
       val rc = i32(c)
       f(2) = rc
+      // Every per-type result-code enum in the protocol has SUCCESS = 0
+      // and strictly negative failure arms — a positive rc names a union
+      // arm that does not exist, so it quarantines like any other
+      // malformed input instead of decoding to a 'valid' void row.
+      if (rc > 0L) throw XdrCursor.Malformed
       t match {
         case 2L | 13L => // path payments
           if (rc == 0L) { // success: claims + SimplePaymentResult

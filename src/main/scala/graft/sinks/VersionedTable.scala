@@ -58,14 +58,37 @@ object VersionedTable {
     * the terminator turns every torn read into a retryable error. */
   private val Terminator = "#end"
 
+  /** A terminator-less manifest older than this fence is read as a LEGACY
+    * (pre-terminator format) manifest rather than a torn concurrent write:
+    * a genuinely mid-write manifest is milliseconds old, while every
+    * manifest written before the terminator existed has an arbitrary old
+    * mtime. New writes always carry the terminator, so the fence only
+    * ever admits the legacy backlog. */
+  private val LegacyFenceMs = 60000L
+
   private def manifestLines(f: FileSystem, root: String, v: Long): Seq[String] = {
-    val in = f.open(new Path(manifestDir(root), s"v$v.manifest"))
+    val p = new Path(manifestDir(root), s"v$v.manifest")
+    val in = f.open(p)
     val ls =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
       finally in.close()
     if (ls.lastOption.contains(Terminator)) ls.init
-    else sys.error(s"VersionedTable: manifest v$v of $root is incomplete " +
-      "(no terminator line) — a concurrent publish is mid-write; retry")
+    else {
+      // No terminator: either a legacy manifest (written before the
+      // terminator format existed — must stay readable forever) or a
+      // torn CREATE_NEW-fallback write still in flight. Distinguish the
+      // two instead of permanently failing legacy versions: a manifest a
+      // LATER version supersedes cannot be mid-write (its successor's
+      // commit read it complete), and one older than the write fence is
+      // not in flight either.
+      val superseded = versions(f, root).lastOption.exists(_ > v)
+      val ageMs = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      if (superseded || ageMs > LegacyFenceMs) ls
+      else sys.error(s"VersionedTable: manifest v$v of $root is incomplete " +
+        s"(no terminator line, modified ${ageMs}ms ago) — a concurrent " +
+        "publish may be mid-write; retry (legacy pre-terminator manifests " +
+        "older than the fence, or superseded by a later version, read fine)")
+    }
   }
 
   // '#'-prefixed lines are metadata (the txn ledger); the rest are files

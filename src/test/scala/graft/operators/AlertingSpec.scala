@@ -119,9 +119,12 @@ class AlertingSpec extends SparkSpec {
     val vol = rep("volume")
     assert(vol.getBoolean(vol.fieldIndex("order_ambiguous")))
     assert(vol.isNullAt(vol.fieldIndex("last_status")))
+    // first_failed_run rides the same ambiguous ordering — quarantined too
+    assert(vol.isNullAt(vol.fieldIndex("first_failed_run")))
     val fk = rep("fk")
     assert(!fk.getBoolean(fk.fieldIndex("order_ambiguous")))
     assert(fk.getString(fk.fieldIndex("last_status")) == "fail")
+    assert(fk.getString(fk.fieldIndex("first_failed_run")) == "run-2")
     assert(fk.getLong(fk.fieldIndex("n_runs")) == 2L)
   }
 

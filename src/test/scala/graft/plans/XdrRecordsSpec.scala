@@ -1884,6 +1884,13 @@ class XdrRecordsSpec extends SparkSpec {
       w.w32(0L).w32(3L).w32(0L).w32(0L).w32(3L).w32(0L)
       w.bytes
     }) == null, "offer effect 3")
+    // a POSITIVE per-type result code names a union arm no result enum
+    // defines (every family is SUCCESS=0 / negative failures) — it must
+    // quarantine, not decode to a 'valid' void row
+    assert(XdrTxResult.decode(new OpW().w64(1L).w32(0L).w32(1L)
+      .w32(0L).w32(1L).w32(7L).w32(0L).bytes) == null, "payment rc 7")
+    assert(XdrTxResult.decode(new OpW().w64(1L).w32(0L).w32(1L)
+      .w32(0L).w32(6L).w32(1L).w32(0L).bytes) == null, "change_trust rc 1")
     val full = okW.bytes
     (0 until full.length).foreach { n =>
       assert(XdrTxResult.decode(full.take(n)) == null, s"prefix $n")

@@ -165,6 +165,32 @@ class CommitCrashSpec extends SparkSpec {
     assert(ids(root) == Set(1L, 2L))
   }
 
+  test("legacy manifest (pre-terminator format): terminator-less versions " +
+      "older than the write fence, or superseded by a later version, stay " +
+      "readable forever — only a FRESH unsuperseded one reads as torn") {
+    // aged legacy: the newest version, no terminator, old mtime
+    val root = mkTable()
+    val v0 = new java.io.File(mdir(root), "v0.manifest")
+    new java.io.File(mdir(root), ".v0.manifest.crc").delete()
+    val full = new String(
+      java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+    val legacy = full.linesIterator.toList.dropRight(1).mkString("\n") + "\n"
+    java.nio.file.Files.write(v0.toPath, legacy.getBytes("UTF-8"))
+    age(v0)
+    assert(ids(root) == Set(1L, 2L), "aged legacy manifest must read")
+    // and a commit on top of it works (prev read succeeds)
+    VersionedTable.commitBatch(Seq(3L).toDF("id"), root,
+      overwrite = false, txnId = "on-legacy")
+    assert(ids(root) == Set(1L, 2L, 3L))
+    // superseded legacy: v0 terminator-less with FRESH mtime but v1 exists
+    // — cannot be mid-write (its successor committed on top), reads fine
+    java.nio.file.Files.write(v0.toPath, legacy.getBytes("UTF-8"))
+    assert(v0.setLastModified(System.currentTimeMillis()))
+    assert(ids(root, Some(0L)) == Set(1L, 2L),
+      "superseded legacy manifest must time-travel")
+    assert(ids(root) == Set(1L, 2L, 3L))
+  }
+
   test("every crash state composes with the CAS: a stale-snapshot " +
       "writer still errors before committing, whatever debris is on disk") {
     val root = mkTable()
