@@ -58,7 +58,15 @@ object QualityClassifier {
       // ONLY exchange in the featurization: both aggregates run
       // shuffle-free on top of it
       .repartition(col("doc_id"))
-      .select(col("doc_id"), seed(col("lt")).as("seed"),
+      // seed in its OWN projection below the explode: a select that mixes
+      // a computed column with a generator desugars to Project(expr) ABOVE
+      // Generate — the seed rule (two regex passes over the whole text)
+      // would re-evaluate once per TOKEN row, a ~tokens-per-doc-times CPU
+      // amplification (measured 5.2 s vs 1.5 s on the sf0.1 corpus for
+      // explode+seed fused vs staged). Staged, Generate carries `seed` as
+      // a required child attribute and the rule runs once per doc.
+      .select(col("doc_id"), col("lt"), seed(col("lt")).as("seed"))
+      .select(col("doc_id"), col("seed"),
         explode(TextFunctions.tokens(col("lt"))).as("token"))
       // collapse to DISTINCT (doc, token) with its multiplicity BEFORE
       // hashing: md5 cost drops by the token-repetition factor — the
