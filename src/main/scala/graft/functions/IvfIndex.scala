@@ -348,6 +348,7 @@ object IvfIndex {
 
   def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
     var cents = seedCentroids(corpus, nlist, idCol, vecCol)
       .select(col("cid"), transform(col("cvec"), _.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
@@ -355,7 +356,7 @@ object IvfIndex {
       val members = corpus
         .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "val")))
         .join(asn, idCol)
-      cents = members.groupBy(col("cell"), col("dim"))
+      val next = members.groupBy(col("cell"), col("dim"))
         .agg(sort_array(collect_list(
           struct(col(idCol).as("i"), col("val").cast("double").as("v")))).as("vs"))
         .select(col("cell"), col("dim"),
@@ -367,6 +368,18 @@ object IvfIndex {
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           _.getField("m")).as("cvec"))
         .select(col("cell").as("cid"), col("cvec"))
+      // Pin each round's centroids as a LOCAL relation — nlist rows,
+      // bounded by design: the same driver-scalar pattern as probedCells
+      // and the rank loop's inlined aggregates. Left lazy, every round's
+      // two aggregates nest inside the NEXT round's broadcast subplan, so
+      // plan depth (and driver planning time) grows with iters, and any
+      // downstream consumer referencing the centroid table twice (e.g.
+      // topKWithCentroids' assign + probe legs) re-executes the whole
+      // chain. The collected doubles round-trip bit-exactly, so the
+      // oracle replay is unaffected.
+      val rows = next.collect()
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), next.schema)
     }
     cents
   }

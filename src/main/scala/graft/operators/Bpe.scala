@@ -88,11 +88,40 @@ object Bpe {
 
   /** Run the training loop. Returns the merge list and the FINAL
     * symbolization, still pinned — the caller aggregates it and then
-    * unpersists. */
+    * unpersists.
+    *
+    * Loop tuning (the rankTopK precedent): the state after the first
+    * corpus scan is VOCABULARY-bounded (topV words × word length symbol
+    * rows), yet each round's windows and pair aggregate would otherwise
+    * run at the session's scan-sized shuffle width with AQE re-planning
+    * and materializing query stages per round — fixed driver latency
+    * that dominates a loop over a few hundred rows. For the loop only,
+    * AQE goes off and the shuffle width is sized to the symbol volume
+    * (the same rows/2000 rule the rank loop uses); both settings restore
+    * in a finally. Pair counts, the (cnt desc, sym, nxt) argmax, and the
+    * merge windows are partitioning-independent, so results are
+    * unchanged on any width.
+    */
   private def learn(wf: DataFrame, rounds: Int):
       (List[(Int, String, String, Long)], DataFrame) = {
+    val spark = wf.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val pWas = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      learnTuned(spark, wf, rounds, pWas.toInt)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", pWas)
+    }
+  }
+
+  private def learnTuned(spark: SparkSession, wf: DataFrame, rounds: Int,
+                         p: Int): (List[(Int, String, String, Long)], DataFrame) = {
     var syms = initialSymbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
-    syms.count()
+    val nSyms = syms.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, math.min(p, (nSyms / 2000L).toInt + 1)).toString)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rnd <- 1 to rounds if !exhausted) {

@@ -75,7 +75,7 @@ object Dedup {
     * everything downstream — at 100 TB the input is already thousands of
     * splits and this collapses to a no-op repartition decision.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     // estimate the SCAN task count the way Spark's file packing does —

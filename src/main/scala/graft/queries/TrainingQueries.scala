@@ -474,7 +474,10 @@ object TrainingQueries {
     // (ordered-fold means, round-6) sharpen the seed cells, then the
     // standard probe. The oracle replays both rounds relationally.
     "t_ann_ivf_kmeans" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // spread before the per-vector distance math: the Lloyd rounds and
+      // the probe scan otherwise run single-task on the one-split source
+      // (scan-estimate rule — a no-op decision on a many-split table)
+      val emb = Dedup.spread(t(s, dir, "embeddings"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
       val cents = IvfIndex.lloydCentroids(emb, nlist = 16, iters = 2)
       IvfIndex.topKWithCentroids(emb, cents, q, k = 10, nprobe = 4)
@@ -519,7 +522,8 @@ object TrainingQueries {
     // cluster membership stats — the topic/domain-bucketing shape for
     // curriculum and mixture planning over an embedded corpus.
     "t_embed_kmeans" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // spread for the same single-split reason as t_ann_ivf_kmeans
+      val emb = Dedup.spread(t(s, dir, "embeddings"))
       val cents = IvfIndex.lloydCentroids(emb, nlist = 16, iters = 2)
       val asn = IvfIndex.assign(emb, cents, "vec_id", "embedding",
         nativeCosine = false)
