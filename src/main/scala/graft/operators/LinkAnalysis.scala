@@ -85,6 +85,13 @@ object LinkAnalysis {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager fill: the first action below (nodes.count) scans e0 from TWO
+    // union legs at once, and a lazily-pinned relation's concurrent scans
+    // block on each other's cache-fill locks while racing to compute the
+    // same blocks (measured taskSum 176 s vs cpuSum 8.6 s on that stage
+    // at sf0.1 — all lock wait). One eager count fills the cache once and
+    // every later scan is a cache read.
+    e0.count()
     // n and the per-round dangling mass are RESULT-sized scalars (one
     // aggregated row each), pulled to the driver and inlined as literals —
     // the standard iterative-driver pattern. Inlining removes two
