@@ -80,6 +80,26 @@ object Bench {
     // both came back parsed:null). Emit a second, short summary line LAST
     // so the tail always contains one parseable JSON object.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Per-query results for the tail window: the full map above loses its
+    // head to the ~2000-char tail capture, so PERF_r09/r10 both came back
+    // with n_common: 0 / per_query: {} — the driver never saw ANY
+    // per-query number. This final line carries the SLOWEST queries (the
+    // ones a per-query comparison is about), times rounded to ms, sized
+    // to stay inside the tail window together with the trailing sbt
+    // lines. Additions-only: both lines above and the target/bench.json
+    // copy are unchanged.
+    val topEntries = {
+      val sb = new StringBuilder
+      results.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, v) =>
+        val ent = "\"" + k + "\":" + (math.round(v * 1000.0) / 1000.0)
+        if (sb.length + ent.length + 1 <= 1500) {
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(ent)
+        }
+      }
+      sb.toString
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":{$topEntries},"failed":$failedJson,"sf":"$sfDir"}""")
     // the stdout line alone can exceed the driver's tail-capture window
     // (BENCH_r03 came back parsed:null); a file copy makes the artifact
     // recoverable regardless of how much of stdout survives

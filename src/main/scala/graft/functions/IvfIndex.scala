@@ -377,10 +377,37 @@ object IvfIndex {
       // topKWithCentroids' assign + probe legs) re-executes the whole
       // chain. The collected doubles round-trip bit-exactly, so the
       // oracle replay is unaffected.
+      //
+      // DRIVER-SIZE CONTRACT (the probedCells bound, stated where the
+      // collect happens): this moves nlist x dim doubles through the
+      // driver PER ROUND. At the declared gates (nlist <= 16, dim <= 64)
+      // that is KBs; a production IVF with nlist ~10^4-10^5 and dim ~10^3
+      // would push 10^2-10^3 MB per round through the driver — do not
+      // lift this pattern onto an unbounded relation. The guard keeps the
+      // collect inside the same budget class as a broadcast side and
+      // fails LOUDLY (first round) if the pattern is ever cargo-culted
+      // onto one that is not.
       val rows = next.collect()
+      checkCentroidCollectBudget(rows.length,
+        rows.iterator
+          .map(r => if (r.isNullAt(1)) 0L else r.getSeq[Double](1).length.toLong)
+          .sum,
+        nlist)
       cents = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), next.schema)
     }
     cents
   }
+
+  /** The lloydCentroids per-round driver-collect budget: at most `nlist`
+    * cells and 4e6 doubles (~32 MB) per round. Factored out so the bound
+    * is testable without building a 4M-value aggregate. */
+  private[functions] def checkCentroidCollectBudget(nCells: Int, nDoubles: Long,
+                                                    nlist: Int): Unit =
+    require(nCells <= nlist && nDoubles <= 4L * 1000 * 1000,
+      s"lloydCentroids: round centroid state ($nCells cells, $nDoubles " +
+        "doubles) exceeds the driver-collect budget (nlist rows / 4e6 " +
+        "doubles per round) — keep per-round centroid state " +
+        "broadcast-sized or redesign the round pin as a distributed " +
+        "materialization")
 }

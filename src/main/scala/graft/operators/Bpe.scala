@@ -105,11 +105,22 @@ object Bpe {
   private def learn(wf: DataFrame, rounds: Int):
       (List[(Int, String, String, Long)], DataFrame) = {
     val spark = wf.sparkSession
+    // The tuning below mutates SESSION-global conf for the loop's
+    // duration (restored in the finally): any query planned concurrently
+    // on the SAME SparkSession would run at the narrowed width / without
+    // AQE. Every declared gate runs its queries sequentially on one
+    // session, so the assumption holds here; a deployment that shares a
+    // session across threads must confine the loop to its own
+    // spark.newSession() (DataFrames would need re-binding — not done
+    // here because nothing in this repo runs concurrent queries).
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val pWas = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      learnTuned(spark, wf, rounds, pWas.toInt)
+      // pWas can hold a non-integer on exotic deployments ("auto" under
+      // some resource managers): fall back to the Spark default
+      learnTuned(spark, wf, rounds,
+        scala.util.Try(pWas.toInt).getOrElse(200))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.shuffle.partitions", pWas)
@@ -123,24 +134,30 @@ object Bpe {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(1, math.min(p, (nSyms / 2000L).toInt + 1)).toString)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    var exhausted = false
-    for (rnd <- 1 to rounds if !exhausted) {
-      val top = pairCounts(syms)
-        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
-        .limit(1).collect()
-      if (top.isEmpty) {
-        // no adjacent pair left to merge: every later round would re-run
-        // the same two window passes and an empty collect — stop
-        exhausted = true
-      } else {
-        val row = top(0)
-        val (l, r) = (row.getString(0), row.getString(1))
-        merges += ((rnd, l, r, row.getLong(2)))
-        val next = mergeStep(syms, l, r).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        syms.unpersist(false)
-        syms = next
-      }
+    // ONE action per round (was two): the argmax over the new state
+    // doubles as its persist fill — pairCounts consumes every partition
+    // of the persisted relation, so the separate count() barrier the
+    // loop used to pay per round is folded into the next round's argmax
+    // collect. The final round still counts (no argmax follows it), so
+    // the returned syms is materialized before its parent unpersists —
+    // the lineage-flatness invariant is unchanged.
+    def argmax(s: DataFrame): Option[Row] = pairCounts(s)
+      .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+      .limit(1).collect().headOption
+    var top = argmax(syms) // fills syms' cache too
+    var rnd = 1
+    // an empty argmax = no adjacent pair left to merge: every later
+    // round would re-run the same two window passes for nothing — stop
+    while (rnd <= rounds && top.isDefined) {
+      val row = top.get
+      val (l, r) = (row.getString(0), row.getString(1))
+      merges += ((rnd, l, r, row.getLong(2)))
+      val next = mergeStep(syms, l, r).persist(StorageLevel.MEMORY_AND_DISK)
+      if (rnd < rounds) top = argmax(next)
+      else { next.count(); top = None }
+      syms.unpersist(false)
+      syms = next
+      rnd += 1
     }
     (merges.toList, syms)
   }

@@ -58,36 +58,76 @@ object VersionedTable {
     * the terminator turns every torn read into a retryable error. */
   private val Terminator = "#end"
 
-  /** A terminator-less manifest older than this fence is read as a LEGACY
-    * (pre-terminator format) manifest rather than a torn concurrent write:
-    * a genuinely mid-write manifest is milliseconds old, while every
-    * manifest written before the terminator existed has an arbitrary old
-    * mtime. New writes always carry the terminator, so the fence only
-    * ever admits the legacy backlog. */
-  private val LegacyFenceMs = 60000L
+  /** Parsed-manifest cache keyed on (qualified path, mtime, length).
+    * Manifests are WRITE-ONCE — [[publishNoReplace]] fences the final
+    * name, so a matching (mtime, length) proves the bytes are the ones
+    * parsed before — and multi-commit callers (streaming drains, the
+    * dataset refresh, OPTIMIZE/vacuum chains) re-read the newest manifest
+    * once per operation: the cache turns each re-read into one stat call
+    * instead of an open+read+parse of a file that grows with the live
+    * file count and the txn ledger. Only terminator-COMPLETE manifests
+    * are cached (the legacy/torn classification below must re-run until
+    * the manifest is complete or superseded). Bounded LRU, synchronized:
+    * commits may run from foreachBatch and query threads concurrently. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[String]]): Boolean =
+        size() > 256
+    }
 
   private def manifestLines(f: FileSystem, root: String, v: Long): Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.manifest")
-    val in = f.open(p)
-    val ls =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-      finally in.close()
-    if (ls.lastOption.contains(Terminator)) ls.init
-    else {
-      // No terminator: either a legacy manifest (written before the
-      // terminator format existed — must stay readable forever) or a
-      // torn CREATE_NEW-fallback write still in flight. Distinguish the
-      // two instead of permanently failing legacy versions: a manifest a
-      // LATER version supersedes cannot be mid-write (its successor's
-      // commit read it complete), and one older than the write fence is
-      // not in flight either.
-      val superseded = versions(f, root).lastOption.exists(_ > v)
-      val ageMs = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      if (superseded || ageMs > LegacyFenceMs) ls
-      else sys.error(s"VersionedTable: manifest v$v of $root is incomplete " +
-        s"(no terminator line, modified ${ageMs}ms ago) — a concurrent " +
-        "publish may be mid-write; retry (legacy pre-terminator manifests " +
-        "older than the fence, or superseded by a later version, read fine)")
+    val st = f.getFileStatus(p)
+    val key = (f.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    manifestCache.synchronized(Option(manifestCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        // On checksummed filesystems (file:// is ChecksumFileSystem) this
+        // open VERIFIES the .crc sidecar as it reads: a corrupted
+        // manifest throws a ChecksumException here instead of parsing.
+        val in = f.open(p)
+        val ls =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        if (ls.lastOption.contains(Terminator)) {
+          val body = ls.init
+          manifestCache.synchronized(manifestCache.put(key, body))
+          body
+        } else {
+          // No terminator: either a legacy manifest (written before the
+          // terminator format existed — must stay readable) or a torn
+          // CREATE_NEW-fallback write (in flight, or permanently torn by
+          // a writer that died hard mid-write). Only SOUND evidence
+          // distinguishes them — never mtime age, which mis-classifies a
+          // hard-crashed torn write as legacy once it ages (silent file
+          // loss) and mis-ages mid-write manifests under clock skew:
+          //   - a manifest a LATER version supersedes cannot be mid-write
+          //     or torn (its successor's commit read it complete);
+          //   - a VERIFIED checksum sidecar proves the write completed —
+          //     both write paths produce the sidecar only after the full
+          //     content is out (f.create writes it with the content;
+          //     carrySidecar copies it after the fallback's write+close),
+          //     and the open above already verified the bytes against it.
+          // A terminator-less manifest with neither stays a loud
+          // retryable error forever — the pre-terminator backlog without
+          // sidecars needs an explicit one-shot migration (append the
+          // terminator), not an inference that can also admit torn files.
+          val superseded = versions(f, root).lastOption.exists(_ > v)
+          val checksummed = f match {
+            case cf: org.apache.hadoop.fs.ChecksumFileSystem =>
+              cf.getRawFileSystem.exists(cf.getChecksumFile(p))
+            case _ => false
+          }
+          if (superseded || checksummed) ls
+          else sys.error(s"VersionedTable: manifest v$v of $root is " +
+            "incomplete (no terminator line, no verified checksum " +
+            "sidecar, not superseded) — a concurrent publish may be " +
+            "mid-write; retry. A legacy pre-terminator manifest reads " +
+            "fine once superseded or via its checksum sidecar; one with " +
+            "neither needs a one-shot migration that appends the " +
+            "terminator after a human confirms the file set")
+        }
     }
   }
 

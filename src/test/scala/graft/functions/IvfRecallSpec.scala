@@ -42,6 +42,20 @@ class IvfRecallSpec extends SparkSpec {
         s"(per-query seed=$seedR lloyd=$lloydR)")
   }
 
+  test("lloydCentroids per-round driver-collect budget: inside-budget " +
+      "states pass, oversized cell counts or double volumes fail loudly") {
+    IvfIndex.checkCentroidCollectBudget(16, 16L * 64, nlist = 16)
+    IvfIndex.checkCentroidCollectBudget(0, 0L, nlist = 16)
+    // more cells than nlist: the aggregate's by-construction bound broke
+    intercept[IllegalArgumentException] {
+      IvfIndex.checkCentroidCollectBudget(17, 17L * 64, nlist = 16)
+    }
+    // production-sized nlist x dim through the driver: refuse per round
+    intercept[IllegalArgumentException] {
+      IvfIndex.checkCentroidCollectBudget(10000, 10000L * 1000, nlist = 10000)
+    }
+  }
+
   test("scale-path Lloyd (hash-agg means) agrees with the exact fold to 1e-6") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val exact = IvfIndex.lloydCentroids(emb, nlist, iters = 2)

@@ -170,17 +170,26 @@ class PlanAuditSpec extends SparkSpec {
       "shuffle") {
     val p = planOf("t_multimodal_frames")
     assert(p.contains("Generate explode"), p)
-    // exactly one exchange, and it sits BELOW the Generate: the spread of
-    // the raw rows that parallelizes per-frame fingerprinting on few-split
-    // sources (r10). The exploded frame relation itself must stay
-    // exchange-free — an Exchange above the Generate would shuffle
-    // per-frame rows.
-    val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"frame rows must not shuffle:\n$p")
-    if (exchanges == 1)
-      assert(p.indexOf("Exchange") > p.indexOf("Generate explode"),
-        s"the only exchange must be below the Generate (plan prints " +
-          s"top-down):\n$p")
+    // at most one SHUFFLE exchange, and it sits BELOW the Generate: the
+    // spread of the raw rows that parallelizes per-frame fingerprinting
+    // on few-split sources (r10). The exploded frame relation itself must
+    // stay exchange-free — an Exchange above the Generate would shuffle
+    // per-frame rows. Matched per plan LINE at the node-name position
+    // (word-bounded, so BroadcastExchange never counts, and AQE wrapper
+    // prefixes don't matter), ordered by line index — robust against
+    // plan-rendering changes, unlike a raw substring scan.
+    val lines = p.linesIterator.toVector
+    val shuffleLines = lines.zipWithIndex.filter { case (l, _) =>
+      "\\bExchange\\b".r.findFirstIn(l).isDefined
+    }
+    assert(shuffleLines.size <= 1,
+      s"frame rows must not shuffle (found ${shuffleLines.map(_._1)}):\n$p")
+    shuffleLines.headOption.foreach { case (_, exIdx) =>
+      val genIdx = lines.indexWhere(_.contains("Generate explode"))
+      assert(genIdx >= 0 && exIdx > genIdx,
+        s"the only shuffle exchange must be below the Generate (plan " +
+          s"prints top-down):\n$p")
+    }
   }
 
   test("IVF index probe reads ONLY the probed cells' partitions") {

@@ -166,29 +166,65 @@ class CommitCrashSpec extends SparkSpec {
   }
 
   test("legacy manifest (pre-terminator format): terminator-less versions " +
-      "older than the write fence, or superseded by a later version, stay " +
-      "readable forever — only a FRESH unsuperseded one reads as torn") {
-    // aged legacy: the newest version, no terminator, old mtime
+      "read via SOUND evidence only — a verified checksum sidecar or a " +
+      "superseding successor; mtime age alone never admits one (a " +
+      "hard-crashed torn fallback write must stay a loud error forever)") {
+    // checksummed legacy: terminator-less content with a VALID .crc
+    // sidecar (both write paths produce the sidecar only after the full
+    // content is out) — reads fine, fresh or aged
     val root = mkTable()
     val v0 = new java.io.File(mdir(root), "v0.manifest")
-    new java.io.File(mdir(root), ".v0.manifest.crc").delete()
     val full = new String(
       java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
     val legacy = full.linesIterator.toList.dropRight(1).mkString("\n") + "\n"
-    java.nio.file.Files.write(v0.toPath, legacy.getBytes("UTF-8"))
+    def installLegacy(withCrc: Boolean): Unit = {
+      val crc = new java.io.File(mdir(root), ".v0.manifest.crc")
+      crc.delete()
+      if (withCrc) {
+        // write through the local ChecksumFileSystem so the sidecar
+        // matches the legacy content, then move file + sidecar into place
+        val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val fix = new org.apache.hadoop.fs.Path(mdir(root).toString, "legacy_fix")
+        val out = lfs.create(fix, true)
+        try out.write(legacy.getBytes("UTF-8")) finally out.close()
+        java.nio.file.Files.move(
+          new java.io.File(mdir(root), "legacy_fix").toPath, v0.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(
+          new java.io.File(mdir(root), ".legacy_fix.crc").toPath, crc.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else
+        java.nio.file.Files.write(v0.toPath, legacy.getBytes("UTF-8"))
+    }
+    installLegacy(withCrc = true)
+    assert(ids(root) == Set(1L, 2L), "checksummed legacy manifest must read")
     age(v0)
-    assert(ids(root) == Set(1L, 2L), "aged legacy manifest must read")
+    assert(ids(root) == Set(1L, 2L), "aged checksummed legacy must read")
     // and a commit on top of it works (prev read succeeds)
     VersionedTable.commitBatch(Seq(3L).toDF("id"), root,
       overwrite = false, txnId = "on-legacy")
     assert(ids(root) == Set(1L, 2L, 3L))
-    // superseded legacy: v0 terminator-less with FRESH mtime but v1 exists
-    // — cannot be mid-write (its successor committed on top), reads fine
-    java.nio.file.Files.write(v0.toPath, legacy.getBytes("UTF-8"))
-    assert(v0.setLastModified(System.currentTimeMillis()))
+    // superseded legacy: v0 terminator-less, NO sidecar, fresh or aged —
+    // cannot be mid-write (its successor committed on top), reads fine
+    installLegacy(withCrc = false)
     assert(ids(root, Some(0L)) == Set(1L, 2L),
       "superseded legacy manifest must time-travel")
     assert(ids(root) == Set(1L, 2L, 3L))
+    // neither sidecar nor successor: stays a loud retryable error EVEN
+    // AGED — this is exactly the hard-crashed torn fallback write, and
+    // admitting it on age would silently act on a truncated file set
+    val root2 = mkTable()
+    val v02 = new java.io.File(mdir(root2), "v0.manifest")
+    new java.io.File(mdir(root2), ".v0.manifest.crc").delete()
+    val full2 = new String(
+      java.nio.file.Files.readAllBytes(v02.toPath), "UTF-8")
+    java.nio.file.Files.write(v02.toPath,
+      (full2.linesIterator.toList.dropRight(1).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    age(v02)
+    val e = intercept[RuntimeException] { ids(root2) }
+    assert(e.getMessage.contains("incomplete"))
   }
 
   test("every crash state composes with the CAS: a stale-snapshot " +
