@@ -663,7 +663,12 @@ object Dedup {
     // lazy pin: est's eager count below fills this cache; its two
     // self-join legs may race the fill, but a double-computed signature
     // aggregate reads the MATERIALIZED digest cache — cheap — where a
-    // lazy dg would re-run the tokenize per leg (why dg stays eager)
+    // lazy dg would re-run the tokenize per leg (why dg stays eager).
+    // r11 re-examined: an eager fill here measured warm-NEUTRAL to
+    // slightly slower (interleaved ProfileOne min 2.7 s lazy vs 3.3 s
+    // eager; the scary taskSum-vs-cpuSum gap is local[32] thread
+    // oversubscription, not lock wait) — kept lazy, the extra job is not
+    // paid for.
     val sigsz = lazyPin(signatureAgg(dg, k, withSize = true))
 
     // The k signature slots ride through the band self-join (they're

@@ -885,7 +885,21 @@ object TrainingQueries {
     // map-side-combinable agg — no text ever shuffles.
     "t_dsir_sample" -> ((s, dir) => {
       val nB = 4096
-      val bg = t(s, dir, "documents")
+      // bg used to be read by FIVE legs (src counts, tgt counts, both
+      // totals, the scoring join) — unpinned, each leg re-ran the whole
+      // tokenize + bigram explode in its own SINGLE task (one-split
+      // source), with the concurrent broadcast builds racing each other
+      // (r11 ProfileStages: four ~5 s one-task stages, cpu << wall).
+      // Restructured per guide §1.2: spread the narrow input
+      // (scan-estimate rule, no-op on many-split tables), fuse the src
+      // and tgt bucket counts into ONE aggregate — count(when src0) over
+      // all buckets equals the old left-join + coalesce(c_t, 0), buckets
+      // with no src0 rows included — and persist only the <= nB-row
+      // bucket table (its totals and the ratio read it twice), never the
+      // corpus-sized bigram stream. bg now evaluates twice (count fill +
+      // scoring join), not five times.
+      val bg = Dedup.spread(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           TF.tokens(lower(col("text"))).as("toks"))
         .select(col("doc_id"), col("source"),
@@ -893,15 +907,17 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"),
           Sampling.hashBucket(
             concat(col("bg.w1"), lit(" "), col("bg.w2")), nB).as("bk"))
-      val srcCnt = bg.groupBy("bk").agg(count(lit(1)).as("c_s"))
-      val tgtCnt = bg.filter(col("source") === "src0")
-        .groupBy("bk").agg(count(lit(1)).as("c_t"))
-      val totals = srcCnt.agg(sum(col("c_s")).as("s_tot"))
-        .crossJoin(tgtCnt.agg(sum(col("c_t")).as("t_tot")))
-      val ratio = srcCnt.join(tgtCnt, Seq("bk"), "left")
+      val cnts = bg.groupBy("bk")
+        .agg(count(lit(1)).as("c_s"),
+          count(when(col("source") === "src0", 1)).as("c_t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cnts.count()
+      val totals = cnts.agg(sum(col("c_s")).as("s_tot"),
+        sum(col("c_t")).as("t_tot"))
+      val ratio = cnts
         .crossJoin(broadcast(totals))
         .select(col("bk"),
-          round(((coalesce(col("c_t"), lit(0L)) + 1) * (col("s_tot") + nB))
+          round(((col("c_t") + 1) * (col("s_tot") + nB))
               .cast("double")
             / ((col("c_s") + 1) * (col("t_tot") + nB)).cast("double"), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("r"))

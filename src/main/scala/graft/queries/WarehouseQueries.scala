@@ -1422,6 +1422,16 @@ object WarehouseQueries {
     // A5 (marts): asset_stats shape — per-asset-class distinct-entity
     // counts and decimal-disciplined volumes over the fact table.
     "a5_asset_stats" -> ((s, dir) => {
+      // Examined r11: the 3-way exact-distinct Expand (x4 row multiplier)
+      // runs in the scan's 3-task layout, 4.2 s CPU at sf0.1. A spread of
+      // the fact side was TRIED and measured SLOWER (stage walls 5.7 s ->
+      // 10 s: the lineitem shuffle plus 32-way contention on the
+      // decimal-heavy partial aggregate cost more than the fused 3-task
+      // stage) — reverted, the qa_* precedent. The Expand itself stays:
+      // its partial aggregate dedups map-side so the shuffle already
+      // carries distinct (brand, key) pairs, and the decomposed
+      // per-column-distinct rewrite re-scans lineitem 4x — worse at
+      // 100 TB where the scan dominates.
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
@@ -3406,16 +3416,25 @@ object WarehouseQueries {
     // schema replica, then the avro-export flatten (~120 leaves in
     // reference order). Most leaves are null (each op type populates its
     // slice), exactly like production history_operations.
+    // The JSON round trip (to_json fixture build + from_json through the
+    // full schema) is CodegenFallback per-row work — measured 5.7 s of
+    // CPU in ONE task at sf0.1 (single-row-group source, so the scan
+    // never splits and the whole parse serializes; r11 ProfileStages).
+    // Spread the 5 narrow input columns first (the scan-estimate rule:
+    // a no-op on many-split production tables) so the parse runs wide.
     "p1_struct_flatten_wide" -> ((s, dir) =>
       graft.sources.HistoryOperations.flattenWideScalar(
-        graft.sources.HistoryOperations.syntheticOps(t(s, dir, "events")))),
+        graft.sources.HistoryOperations.syntheticOps(
+          graft.operators.Dedup.spread(t(s, dir, "events"))))),
 
     // P1 (full width #2): history_effects — NUMERIC (decimal) leaves,
     // eight BOOL flags, repeated asset-amount records, and the export's
     // one transformed column (safe_cast of seller_muxed_id to integer).
+    // Spread before the parse for the same reason as its sibling above.
     "p1_effects_flatten_wide" -> ((s, dir) =>
       graft.sources.HistoryEffects.flattenWideScalar(
-        graft.sources.HistoryEffects.syntheticEffects(t(s, dir, "events")))),
+        graft.sources.HistoryEffects.syntheticEffects(
+          graft.operators.Dedup.spread(t(s, dir, "events"))))),
 
     // P1: RECORD handling — parse JSON into a typed struct, build a nested
     // struct, flatten leaf fields (Catalyst prunes the unread branches).

@@ -452,24 +452,49 @@ object StreamingGate {
       .select("user_id", "event_id", "value", "valid_from", "valid_to")
   }
 
-  /** Write each slice as one parquet file into `in`, SEQUENTIALLY, so
-    * file mtimes ascend and `maxFilesPerTrigger=1` replays them as
-    * ordered micro-batches (the scd2Gate staging shape, factored).
+  /** Write each slice as one parquet file into `in` with ASCENDING
+    * mtimes, so `maxFilesPerTrigger=1` replays them as ordered
+    * micro-batches (the scd2Gate staging shape, factored).
+    *
+    * ONE write job for every slice (was one sequential coalesce(1) job
+    * per slice, ~3x the fixed job cost): rows are tagged with their slice
+    * ordinal and written partitionBy(tag) from a single task — the writer
+    * splits files by partition value, so each slice lands in its own file
+    * with the ORIGINAL columns only (the tag is directory metadata, not
+    * file content) — then each file renames into place and gets an
+    * explicitly stamped ascending mtime, which is what the file source
+    * orders batches by (it used to come from the writes being
+    * sequential). An EMPTY slice writes no partition dir and stages no
+    * file: output-equivalent, because every ordered-slice gate no-ops on
+    * empty batches (the audit seq and watermark advance only on rows).
     */
   private def stageOrderedSlices(spark: SparkSession, in: String,
                                  slices: Seq[DataFrame]): Unit = {
+    import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(in), conf)
-    f.mkdirs(new org.apache.hadoop.fs.Path(in))
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$in/__stage$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).find(_.getName.startsWith("part-")).get
-      org.apache.hadoop.fs.FileUtil.copy(f, part, f,
-        new org.apache.hadoop.fs.Path(in, s"slice_$i.parquet"), false, conf)
-      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    f.mkdirs(new Path(in))
+    val tagged = slices.zipWithIndex
+      .map { case (df, i) => df.withColumn("__slice", lit(i)) }
+      .reduce(_.unionByName(_))
+    val tmp = s"$in/__stage_all"
+    tagged.coalesce(1).write.mode("overwrite")
+      .partitionBy("__slice").parquet(tmp)
+    val base = System.currentTimeMillis()
+    slices.indices.foreach { i =>
+      val dir = new Path(tmp, s"__slice=$i")
+      if (f.exists(dir)) {
+        val part = f.listStatus(dir)
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        val dst = new Path(in, s"slice_$i.parquet")
+        // rename (not byte copy): same filesystem, and ChecksumFileSystem
+        // carries the .crc sidecar along with it
+        if (!f.rename(part, dst))
+          sys.error(s"stageOrderedSlices: rename $part -> $dst failed")
+        f.setTimes(dst, base + i * 1000L, -1)
+      }
     }
+    f.delete(new Path(tmp), true)
   }
 
   /** Watermark late-data ACCOUNTING drained to a table — the operational

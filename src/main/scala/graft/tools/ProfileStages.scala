@@ -19,25 +19,27 @@ object ProfileStages {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long, Int)]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
         stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall,
           si.taskMetrics.executorRunTime, si.taskMetrics.executorCpuTime / 1000000L,
-          si.numTasks))
+          si.taskMetrics.jvmGCTime, si.numTasks))
       }
     })
 
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    // the FULL-plan action Bench times (a plain count() lets Catalyst
+    // drop row-preserving operators — see Bench.runFull)
+    val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     val total = (System.nanoTime() - t0) / 1e9
     // listener bus is async; let it drain
     Thread.sleep(2000)
     println(f"[stages] $name rows=$n total=$total%.2f s")
-    stages.sortBy(_._1).foreach { case (id, nm, wall, task, cpu, ntasks) =>
-      println(f"[stages]   stage=$id%-4d wall=${wall / 1000.0}%7.2f s taskSum=${task / 1000.0}%8.2f s cpuSum=${cpu / 1000.0}%8.2f s tasks=$ntasks%-4d $nm")
+    stages.sortBy(_._1).foreach { case (id, nm, wall, task, cpu, gc, ntasks) =>
+      println(f"[stages]   stage=$id%-4d wall=${wall / 1000.0}%7.2f s taskSum=${task / 1000.0}%8.2f s cpuSum=${cpu / 1000.0}%8.2f s gcSum=${gc / 1000.0}%7.2f s tasks=$ntasks%-4d $nm")
     }
     val wallSum = stages.map(_._3).sum / 1000.0
     println(f"[stages] stageWallSum=$wallSum%.2f s (gap to total = planning/scheduling)")

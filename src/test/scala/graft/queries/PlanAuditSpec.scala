@@ -241,9 +241,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"rule battery must not join:\n$p")
   }
 
-  test("p1_struct_flatten_wide: the 120-leaf flatten stays one map-side projection") {
+  test("p1_struct_flatten_wide: the 120-leaf flatten stays one map-side " +
+      "projection — at most the NARROW input rows spread once, below the " +
+      "parse; flattened rows never shuffle") {
     val p = planOf("p1_struct_flatten_wide")
-    assert(!p.contains("Exchange"), s"wide flatten must not shuffle:\n$p")
+    // r11: the narrow (5-col) input may round-robin-spread ONCE so the
+    // CodegenFallback from_json parse runs wide on few-split sources
+    // (no-op on many-split production tables). The exchange must sit
+    // BELOW the parse Project — an exchange above it would shuffle the
+    // 121-leaf rows. Same line-anchored matching as the frames audit.
+    val lines = p.linesIterator.toVector
+    val shuffleLines = lines.zipWithIndex.filter { case (l, _) =>
+      "\\bExchange\\b".r.findFirstIn(l).isDefined
+    }
+    assert(shuffleLines.size <= 1,
+      s"flattened rows must not shuffle (found ${shuffleLines.map(_._1)}):\n$p")
+    shuffleLines.headOption.foreach { case (l, exIdx) =>
+      assert(l.contains("RoundRobinPartitioning"),
+        s"the only exchange must be the narrow-input spread:\n$p")
+      val parseIdx = lines.indexWhere(_.contains("from_json"))
+      assert(parseIdx >= 0 && exIdx > parseIdx,
+        s"the spread must sit below the parse Project (plan prints " +
+          s"top-down):\n$p")
+    }
     assert(!p.contains("Join"), s"wide flatten must not join:\n$p")
   }
 
